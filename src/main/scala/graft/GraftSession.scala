@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * The reference engine is single-threaded and single-process
+  * (`/root/reference/columnar-analytics-engine/src/execution.cpp`, README:131);
+  * our equivalent of its "runtime" is a tuned SparkSession. Settings are chosen
+  * for the local[N] test harness but mirror what a 1000-executor cluster job
+  * would set: AQE on (runtime re-planning, skew-join splitting, shuffle
+  * coalescing), shuffle parallelism sized to the core count rather than the
+  * 200 default, UTC session time zone for oracle parity.
+  */
+object GraftSession {
+
+  /** Apply the engine's standard configs to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Parquet scan-side pushdown: the Spark subsumption of the reference's
+    // stats-based row-group skipping (src/execution.cpp:48-71,101-129).
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
+    // has no native type for; read them as raw nano longs and normalize to
+    // microsecond TimestampType in Tables.load.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/CLI; `cpus` defaults to SPARK_GRAFT_CPUS or 32. */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = configure(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

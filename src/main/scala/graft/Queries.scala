@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.ColeQuery
+import graft.operators.ColeQuery._
+
+/** The engine's query catalog: every operator from SURVEY.md §2 (reference
+  * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
+  * grouping sets, set ops, ...) as named queries over the driver testdata,
+  * each with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB must
+  * hash-match bit-for-bit):
+  *  - sums of integral-valued doubles (l_quantity) are exact in IEEE double
+  *    and order-independent -> plain sum();
+  *  - sums of 2-decimal money doubles go through DECIMAL(18,s) so partial
+  *    aggregation order cannot change the result; final cast back to DOUBLE
+  *    so both engines emit the same physical type;
+  *  - computed integers (year, length, row_number, sums of ints) are cast to
+  *    BIGINT on both sides (Spark would emit int32, DuckDB int64/hugeint);
+  *  - timestamps in outputs are converted to epoch millis BIGINT (parquet
+  *    timestamp logical-type annotations differ between writers);
+  *  - every ORDER-sensitive construct (window, top-k) orders by a unique key.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Sum a 2-decimal-double column exactly: decimal accumulate, double out. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  final case class QDef(name: String, fn: QueryFn, oracle: Option[String])
+
+  // ---------------------------------------------------------------------------
+  // Reference parity: O1/O2 scan+decode, O4 projection, O5 filter, O6 skipping,
+  // O7 global aggregate, O8 group-by, O9 ordered emission, O10 pipeline.
+  // ---------------------------------------------------------------------------
+
+  private val parity = Seq(
+    QDef("q01_scan_project",
+      (s, d) => ColeQuery.Query(projection = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))
+        .compile(t(s, d, "lineitem")),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_returnflag FROM lineitem""")),
+
+    QDef("q02_filter_scan",
+      // All six comparison ops of include/execution.h:43-46 in one conjunction.
+      (s, d) => ColeQuery.Query(
+        projection = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        filters = Seq(
+          Predicate("l_quantity", Ge, 25L),
+          Predicate("l_linenumber", Lt, 5L),
+          Predicate("l_suppkey", Ne, 10L),
+          Predicate("l_partkey", Gt, 100L),
+          Predicate("l_orderkey", Le, 100000L),
+          Predicate("l_linestatus", Eq, "F"))
+      ).compile(t(s, d, "lineitem")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+             |WHERE l_quantity >= 25 AND l_linenumber < 5 AND l_suppkey <> 10
+             |  AND l_partkey > 100 AND l_orderkey <= 100000 AND l_linestatus = 'F'""".stripMargin)),
+
+    QDef("q03_agg_global",
+      // executeAggregate: one-pass count+sum+min+max with a filter.
+      (s, d) => ColeQuery.Query(
+        filters = Seq(Predicate("l_partkey", Gt, 500L)),
+        agg = Some((Sum, "l_quantity"))
+      ).compile(t(s, d, "lineitem")),
+      Some("""SELECT count(*) AS count, sum(l_quantity) AS sum,
+             |       min(l_quantity) AS min, max(l_quantity) AS max
+             |FROM lineitem WHERE l_partkey > 500""".stripMargin)),
+
+    QDef("q04_groupby_agg",
+      // executeGroupBy: single string key, AggResult per key, key-sorted.
+      (s, d) => ColeQuery.Query(
+        groupBy = Seq("l_returnflag"),
+        agg = Some((Sum, "l_quantity"))
+      ).compile(t(s, d, "lineitem")),
+      Some("""SELECT l_returnflag, count(*) AS count, sum(l_quantity) AS sum,
+             |       min(l_quantity) AS min, max(l_quantity) AS max
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("q05_count_star",
+      (s, d) => ColeQuery.Query(agg = Some((Count, ""))).compile(t(s, d, "lineitem")),
+      Some("""SELECT count(*) AS count FROM lineitem"""))
+  )
+
+  // ---------------------------------------------------------------------------
+  // Capability-parity-plus: full SQL surface (absent in the reference,
+  // SURVEY.md §2 exhaustiveness list; all Spark built-ins).
+  // ---------------------------------------------------------------------------
+
+  private val sqlSurface = Seq(
+    QDef("q06_tpch_q1",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  avg(l_quantity) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QDef("q07_join_broadcast",
+      // Dim-side broadcast: no shuffle of the fact table for the join at scale.
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("sum_total"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QDef("q08_join_multi",
+      // Fact-to-fact shuffle join (lineitem-orders) + broadcast dims: the
+      // plan shape that survives 100 TB (one big shuffle on the join key,
+      // dims never shuffled).
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(*) AS cnt,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    QDef("q09_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    QDef("q10_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
+
+    QDef("q11_window",
+      // Windowing over a unique ordering key (o_orderkey) for determinism.
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "rn", "run_total", "prev_order")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS BIGINT) AS rn,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+             |  lag(o_orderkey, 1) OVER w AS prev_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    QDef("q12_topk",
+      // Top-k via orderBy+limit: Spark plans TakeOrderedAndProject — per-
+      // partition heaps + driver merge of k rows, never a global sort.
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    QDef("q13_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QDef("q14_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QDef("q15_distinct_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("q16_intersect",
+      (s, d) => t(s, d, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+        .intersect(t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+             |INTERSECT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    QDef("q17_except",
+      (s, d) => t(s, d, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    QDef("q18_scalar_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 3).as("prio3"),
+        length(col("o_orderpriority")).cast("bigint").as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dy")),
+      Some("""SELECT o_orderkey, upper(o_orderstatus) AS status_u,
+             |  substr(o_orderpriority, 1, 3) AS prio3,
+             |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+             |  o_orderstatus || '-' || o_orderpriority AS tag,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dy
+             |FROM orders""".stripMargin)),
+
+    QDef("q19_case_having",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big_cnt"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 10)
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10 ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("q20_scalar_subquery",
+      // Scalar aggregate joined back via broadcast: no driver-side collect.
+      (s, d) => {
+        val mx = t(s, d, "orders").agg((max(col("o_custkey")) - 500).as("threshold"))
+        t(s, d, "customer")
+          .crossJoin(broadcast(mx))
+          .filter(col("c_custkey") > col("threshold"))
+          .select("c_custkey", "c_acctbal")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_custkey > (SELECT max(o_custkey) - 500 FROM orders)""".stripMargin)),
+
+    QDef("q21_events_hourly",
+      // Batch mirror of the streaming tumbling-window aggregation
+      // (graft.streaming): epoch-ms bigint keys for cross-engine stability.
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("hour_ms")),
+      Some("""SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type, date_trunc('hour', ts)
+             |ORDER BY event_type, hour_ms""".stripMargin))
+  )
+
+  val defs: Seq[QDef] = parity ++ sqlSurface
+
+  def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
+  def oracles: Map[String, String] =
+    defs.collect { case QDef(n, _, Some(o)) => n -> o }.toMap
+}
