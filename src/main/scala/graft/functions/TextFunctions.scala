@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines. All pure
+  * Column expressions over `functions._` built-ins (codegen'd, no UDFs),
+  * so they stay inside whole-stage codegen and push no work to the driver.
+  *
+  * The reference engine has no scalar-function surface at all
+  * (SURVEY.md §2: "Scalar functions: none"); this module is part of the
+  * north-star LLM-pipeline extension.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. Single-space semantics chosen to
+    * be bit-identical with the DuckDB oracle's
+    * `list_filter(string_split(text,' '), x -> x <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Distinct word n-gram shingles ("a b c" strings) of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of non-empty whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "los"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"))
+
+  val englishStopwords: Seq[String] = stopwordsByLang.head._2
+
+  /** Ratio of tokens that are English stopwords — a classic quality signal.
+    * Exact rational (int/int) so it is cross-engine deterministic.
+    */
+  def stopwordRatio(toks: Column): Column = {
+    val hits = size(filter(toks, t => t.isin(englishStopwords: _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (exact: int sums, one division). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Composite document quality score in [0,1]: length saturation,
+    * stopword density, token-shape sanity. Mirrors the heuristics of
+    * public web-corpus filters (C4/Gopher-style rules), kept to exactly
+    * reproducible arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val lenScore = least(lit(1.0), size(tk).cast("double") / 100.0)
+    val stopScore = least(lit(1.0), stopwordRatio(tk) * 5.0)
+    val shapeScore = least(lit(1.0), avgTokenLen(tk) / 8.0)
+    lenScore * 0.4 + stopScore * 0.3 + shapeScore * 0.3
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword hit counts,
+    * ties broken by language-list order, "und" when nothing matches.
+    * (N-gram-profile language ID distilled to the signal available for
+    * whitespace-tokenized corpora; swap the word lists for real profiles.)
+    */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    // struct(score, rank) per language; array_max picks highest score,
+    // then LOWEST rank wins ties because rank is stored negated.
+    val scored = stopwordsByLang.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(tk, t => t.isin(words: _*))).as("score"),
+        lit(-i).as("negrank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

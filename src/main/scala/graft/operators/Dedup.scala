@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for web-scale corpus curation — exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale stance (the part that matters at 100 TB):
+  *  - exact dedup is one hash-partitioned groupBy on the dedup key — the
+  *    minimal shuffle for the semantics;
+  *  - near-dup NEVER does an all-pairs comparison: MinHash-LSH banding
+  *    turns O(N^2) similarity into a shuffle on (band, bucket) keys where
+  *    only same-bucket rows meet, then candidate pairs are verified with
+  *    the exact measure. Bucket skew (a degenerate shingle shared by
+  *    millions of docs) is handled by AQE skew-join splitting plus the
+  *    signature length / band count knobs;
+  *  - signatures are computed with deterministic XXH64-based families
+  *    (graft.functions.HashExprs), so executors agree without coordination.
+  *
+  * The reference engine has no dedup surface (its README's own scope list,
+  * /root/reference/README.md:127-138); these are north-star operators.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `survivorCol` per key.
+    * One shuffle on the key; min_by avoids a sort.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], survivorCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => keyCols.contains(c) || c == survivorCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(col(survivorCol)).as(survivorCol),
+        others.map(c => min_by(col(c), col(survivorCol)).as(c)): _*)
+  }
+
+  /** Per-doc distinct word n-gram shingle sets: (id, shingles). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("sh"))
+
+  /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
+    *
+    * Pipeline: shingle -> minhash signature (numHashes) -> band into
+    * `bands` buckets of r = numHashes/bands rows -> self-join on
+    * (band, bucket-hash) for candidates -> verify exact Jaccard >= threshold.
+    * With (128, 32) the candidate probability at j=0.8 is
+    * 1-(1-0.8^4)^32 ≈ 1-5e-8, i.e. recall ~1 above threshold while docs
+    * below j≈0.5 almost never become candidates.
+    *
+    * Output: (id_a, id_b, inter, uni, jaccard), id_a < id_b.
+    */
+  def minHashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+
+    val sigs = sets.select(col("id"),
+      HashExprs.minhashSignature(col("sh"), numHashes).as("sig"))
+    // one row per (doc, band): bucket key hashes the band's slice of the sig
+    val banded = sigs.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, slice(col("sig"), b * r + 1, lit(r)))))
+      .as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
+    * shingle sets; the only joins are hash joins on doc id.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val withSets = candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    withSets
+      .select(col("id_a"), col("id_b"), inter.as("inter"), uni.as("uni"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs (no LSH): correct for any
+    * threshold but O(N^2) compare — the verification oracle for
+    * [[minHashNearDupPairs]] and the right tool only for small N.
+    */
+  def exactJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val pairs = sets.select(col("id").as("id_a"))
+      .crossJoin(sets.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    verifyJaccard(pairs, sets, threshold)
+  }
+
+  /** 64-bit SimHash fingerprint per document over word n-gram shingles. */
+  def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HashExprs.simhash64(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("simhash"))
+
+  /** SimHash near-dup pairs: bucket by rotated fingerprint blocks (each
+    * pair within Hamming distance `maxHamming` of a 64-bit fingerprint
+    * shares at least one of the 4 16-bit blocks when maxHamming <= 3),
+    * then verify true Hamming distance. Same LSH-then-verify shape as
+    * MinHash — no all-pairs pass.
+    */
+  def simHashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val fp = simHashFingerprints(docs, idCol, textCol, n)
+    val blocks = fp.select(col("id"), col("simhash"), posexplode(
+      array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("blk", "key")))
+    val a = blocks.alias("a"); val b = blocks.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs: sign-LSH bucketing then exact cosine
+    * verification. Identical/near-identical vectors always share a bucket
+    * (equal inputs hash identically), so recall at cosine thresholds near
+    * 1.0 is exact; no all-pairs compare happens.
+    */
+  def embeddingNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, threshold: Double = 0.99): DataFrame = {
+    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.signLshBucket(col(vecCol), bits).as("bucket"))
+    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}
