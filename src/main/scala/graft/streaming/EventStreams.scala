@@ -66,17 +66,20 @@ object EventStreams {
       }
   }
 
-  /** Read the events table as a file stream (one parquet file per
+  /** Read an events directory as a file stream (one parquet file per
     * micro-batch when `maxFilesPerTrigger` is set), for local smoke tests
     * driving the streaming operators with deterministic input.
+    * `schemaDir` is a testdata sf directory used only for the schema; the
+    * file-stream source itself requires `eventsDir` to be a directory of
+    * parquet files.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.load(spark, dir, "events").schema
+  def readEventsStream(spark: SparkSession, eventsDir: String, schemaDir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, schemaDir, "events").schema
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{AsOfJoin, Sessionize, Similarity}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f))
+    ).toDF("a", "b").select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val cs = df.as[Double].collect()
+    assert(math.abs(cs(0) - 1.0) < 1e-12 && math.abs(cs(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns correct neighbors on a tiny fixture") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("topk equals window-based reference on real embeddings") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("embedding")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val ref = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low even for nprobe=4/nlist=16")
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 900L), (1L, 200L, 901L), (1L, 300L, 902L), (3L, 10L, 903L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid")
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(900L)) // t=100 -> right t=90
+    assert(out(11L).contains(901L)) // t=205 -> right t=200
+    assert(out(12L).isEmpty)        // no right rows for k=2
+  }
+
+  test("same-timestamp right row is visible to the left row") {
+    val left = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 77L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid")
+      .select("asof_rid").as[Option[Long]].head()
+    assert(out.contains(77L))
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gap splits sessions; counts and bounds correct") {
+    val base = 1700000000000L
+    val events = Seq(
+      (1L, 1L, base), (1L, 2L, base + 60000L), (1L, 3L, base + 4000000L),
+      (2L, 4L, base)
+    ).map { case (u, e, ms) => (u, e, new java.sql.Timestamp(ms)) }
+      .toDF("user_id", "event_id", "ts")
+    val out = Sessionize.sessions(events, 1800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashExprs, TextFunctions}
+import graft.operators.Dedup
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).head().get(0)
+
+  test("tokens drop empties; tokenCount counts the rest") {
+    assert(one(TextFunctions.tokenCount(col("t")), "a  b   c") == 3L)
+    assert(one(TextFunctions.tokenCount(col("t")), "") == 0L)
+    assert(one(TextFunctions.tokenCount(col("t")), "   ") == 0L)
+  }
+
+  test("shingles produce distinct n-grams; short docs give empty set") {
+    val sh = one(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSet == Set("a b c", "b c d"))
+    assert(one(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+  }
+
+  test("stopwordRatio / avgTokenLen exact rationals") {
+    assert(one(TextFunctions.stopwordRatio(TextFunctions.tokens(col("t"))), "the cat") == 0.5)
+    assert(one(TextFunctions.avgTokenLen(TextFunctions.tokens(col("t"))), "ab abcd") == 3.0)
+  }
+
+  test("qualityScore bounded in [0,1]") {
+    val scores = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(TextFunctions.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId picks the stopword-dominant language, und on no signal") {
+    assert(one(TextFunctions.langId(col("t")), "the cat is in the hat") == "en")
+    assert(one(TextFunctions.langId(col("t")), "le chat est la de et") == "fr")
+    assert(one(TextFunctions.langId(col("t")), "xyzzy plugh") == "und")
+  }
+
+  test("simhash: identical shingle sets -> identical hash; disjoint -> different") {
+    val df = Seq("a b c d e f", "a b c d e f", "q w e r t y z").toDF("t")
+      .select(HashExprs.simhash64(
+        TextFunctions.shingles(TextFunctions.tokens(col("t")), 3)).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("minhash signature: determinism and length") {
+    val sigs = Seq("a b c d e", "a b c d e").toDF("t")
+      .select(HashExprs.minhashSignature(
+        TextFunctions.shingles(TextFunctions.tokens(col("t")), 3), 64).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).length == 64 && sigs(0) == sigs(1))
+  }
+
+  test("rolling fingerprints: shared content shares fingerprints") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val fps = Seq(base, base + " with a small suffix appended here", "completely different words everywhere")
+      .toDF("t").select(HashExprs.rollingFingerprints(col("t")).as("f"))
+      .as[Seq[Long]].collect()
+    val overlap01 = fps(0).toSet.intersect(fps(1).toSet).size
+    val overlap02 = fps(0).toSet.intersect(fps(2).toSet).size
+    assert(overlap01 > 0 && overlap02 == 0)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps min-survivor row per key") {
+    val df = Seq((3L, "x", "c3"), (1L, "x", "c1"), (2L, "y", "c2")).toDF("id", "k", "payload")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"), r.getAs[String]("payload")))
+    assert(out.toSeq == Seq(("x", 1L, "c1"), ("y", 2L, "c2")))
+  }
+
+  test("minhash-LSH pairs == exact jaccard pairs at threshold 0.8 (sf0.001)") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash near-dup pairs are a subset of exact jaccard pairs at 0.6") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val sim = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactLoose = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.subsetOf(exactLoose))
+  }
+
+  test("embedding near-dup finds planted duplicates exactly") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val recrawl = emb.unionByName(
+      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDupPairs(recrawl, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + 10000)).toSet
+    assert(pairs == planted)
+  }
+}
