@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: measure the four bench shapes under config variants to
+  * attribute fixed overhead (AQE re-planning, shuffle width, scheduling)
+  * vs actual scan/agg cost. Not part of the driver contract.
+  */
+object BenchTune {
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench-tune")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def li: DataFrame = Tables.load(spark, sfDir, "lineitem")
+    def shapes: Seq[(String, () => Unit)] = Seq(
+      "full_scan" -> (() => li.write.mode("overwrite").format("noop").save()),
+      "filtered_scan" -> (() => li.filter(col("l_quantity") > 25)
+        .write.mode("overwrite").format("noop").save()),
+      "aggregation" -> (() => { li.agg(sum(col("l_extendedprice"))).collect(); () }),
+      "group_by" -> (() => { li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), sum(col("l_quantity")), min(col("l_quantity")), max(col("l_quantity")))
+        .orderBy(col("l_returnflag")).collect(); () }))
+
+    // floor probes: irreducible per-job cost and consumer-cost variants
+    def minT(f: => Unit): Double = { f; (1 to 5).map(_ => time(f)).min }
+    println(f"[tune] floor_tiny_job_1slice=${minT(spark.sparkContext.parallelize(Seq(1), 1).count())}%.3f")
+    println(f"[tune] floor_tiny_job_32slice=${minT(spark.range(1).count())}%.3f")
+    val liOnce = li // hoisted: file listing + footer read happen once
+    println(f"[tune] scan_reused_df_noop=${minT(liOnce.write.mode("overwrite").format("noop").save())}%.3f")
+    val li4 = li.select("l_orderkey", "l_extendedprice", "l_linenumber", "l_returnflag")
+    println(f"[tune] scan_4col_reused_noop=${minT(li4.write.mode("overwrite").format("noop").save())}%.3f")
+    val agg1 = li.agg(sum(col("l_extendedprice")))
+    println(f"[tune] agg_reused=${minT({ agg1.collect(); () })}%.3f")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val gb1 = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)), sum(col("l_quantity")), min(col("l_quantity")), max(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+    println(f"[tune] groupby_reused_shuffle1=${minT({ gb1.collect(); () })}%.3f")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "base" -> Map(),
+      "no_aqe_shuffle1" -> Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1"),
+      "shuffle4" -> Map("spark.sql.shuffle.partitions" -> "4"),
+      "shuffle8" -> Map("spark.sql.shuffle.partitions" -> "8"))
+
+    for ((vname, confs) <- variants) {
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      shapes.foreach { case (_, f) => f() } // warm
+      val res = shapes.map { case (n, f) =>
+        val ts = (1 to 5).map(_ => time(f()))
+        f"$n=${ts.min}%.3f"
+      }
+      println(s"[tune] $vname: ${res.mkString(" ")}")
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+    }
+    spark.stop()
+  }
+}
