@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.ColeQuery
+import graft.operators.ColeQuery._
+
+/** O13 — CLI query front-end mirroring the reference's flag surface
+  * (src/cli.cpp:16-27,172-298):
+  *
+  * {{{
+  * graft.Cli query <parquet-path> [--select a,b] [--where col op val]...
+  *                 [--agg count|sum|min|max|avg col] [--groupby col[,col2]]
+  * graft.Cli sql <sf-dir> "<ANSI SQL over region/nation/.../embeddings>"
+  * graft.Cli scan <parquet-path>          # = graft.Inspect (O12)
+  * graft.Cli write <out-path> <rows> [seed] [--bench]   # = DataGen (O11)
+  * }}}
+  *
+  * Result display truncates at 20 rows like the reference
+  * (src/cli.cpp:276-279) — a print concern; the full result is computed.
+  */
+object Cli {
+
+  private[graft] def parseQueryArgs(args: List[String]): ColeQuery.Query = {
+    def loop(rest: List[String], q: ColeQuery.Query): ColeQuery.Query = rest match {
+      case Nil => q
+      case "--select" :: cols :: tail =>
+        loop(tail, q.copy(projection = cols.split(',').toSeq.map(_.trim)))
+      case "--where" :: c :: op :: v :: tail =>
+        val value: Any = if (v.matches("-?\\d+")) v.toLong else v
+        loop(tail, q.copy(filters = q.filters :+ Predicate(c, CmpOp.parse(op), value)))
+      case "--agg" :: f :: c :: tail =>
+        val fn = f.toLowerCase match {
+          case "count" => Count
+          case "sum" => Sum
+          case "min" => Min
+          case "max" => Max
+          case "avg" => Avg
+          case other => throw new IllegalArgumentException(s"unknown agg: $other")
+        }
+        loop(tail, q.copy(agg = Some((fn, c))))
+      case "--groupby" :: cols :: tail =>
+        loop(tail, q.copy(groupBy = cols.split(',').toSeq.map(_.trim)))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    loop(args, ColeQuery.Query())
+  }
+
+  private def show(df: DataFrame): Unit = {
+    val rows = df.limit(21).collect()
+    println(df.columns.mkString(" | "))
+    rows.take(20).foreach(r => println(r.toSeq.mkString(" | ")))
+    if (rows.length > 20) println("... (truncated at 20 rows)")
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "scan" :: path :: Nil =>
+      println(Inspect.describe(path))
+    case "write" :: rest =>
+      DataGen.main(rest.toArray)
+    case "query" :: path :: rest =>
+      val spark = GraftSession.local("graft-cli")
+      try show(parseQueryArgs(rest).compile(spark.read.parquet(path)))
+      finally spark.stop()
+    case "sql" :: sfDir :: query :: Nil =>
+      val spark = GraftSession.local("graft-cli")
+      try {
+        Tables.registerAll(spark, sfDir)
+        show(spark.sql(query))
+      } finally spark.stop()
+    case _ =>
+      System.err.println(
+        """usage: graft.Cli query <parquet> [--select a,b] [--where col op val]... [--agg fn col] [--groupby cols]
+          |       graft.Cli sql <sf-dir> "<sql>"
+          |       graft.Cli scan <parquet>
+          |       graft.Cli write <out> <rows> [seed] [--bench]""".stripMargin)
+      sys.exit(1)
+  }
+}

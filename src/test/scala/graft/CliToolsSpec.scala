@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ColeQuery._
+
+/** O11/O12/O13 parity tools. */
+class CliToolsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CLI flag parsing mirrors the reference surface (src/cli.cpp:172-298)") {
+    val q = Cli.parseQueryArgs(List(
+      "--select", "id,region", "--where", "value", ">", "100",
+      "--where", "region", "==", "north", "--agg", "sum", "value",
+      "--groupby", "region"))
+    assert(q.projection == Seq("id", "region"))
+    assert(q.filters == Seq(
+      Predicate("value", Gt, 100L), Predicate("region", Eq, "north")))
+    assert(q.agg.contains((Sum, "value")))
+    assert(q.groupBy == Seq("region"))
+    assertThrows[IllegalArgumentException](Cli.parseQueryArgs(List("--bogus")))
+  }
+
+  test("DataGen is deterministic, distribution-correct, and partitioning-independent") {
+    val a = DataGen.cliTable(spark, 5000, 42).collect().sortBy(_.getLong(0))
+    val b = DataGen.cliTable(spark, 5000, 42).repartition(7).collect().sortBy(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+    val df = DataGen.cliTable(spark, 5000, 42)
+    val stats = df.agg(min("value"), max("value"), countDistinct("category"),
+      countDistinct("region"), countDistinct("status")).head()
+    assert(stats.getLong(0) >= 0 && stats.getLong(1) <= 10000)
+    assert(stats.getLong(2) == 5 && stats.getLong(3) == 4 && stats.getLong(4) == 3)
+    // different seed -> different stream
+    assert(DataGen.cliTable(spark, 100, 1).collect().toSeq !=
+      DataGen.cliTable(spark, 100, 2).collect().toSeq)
+  }
+
+  test("bench generator schema (benches/benchmark.cpp:55-61)") {
+    val df = DataGen.benchTable(spark, 1000, 42)
+    assert(df.columns.toSeq == Seq("id", "value", "score", "region"))
+    val s = df.agg(max("value"), countDistinct("region"), max("score")).head()
+    assert(s.getLong(0) <= 100000 && s.getLong(1) == 8 && s.getInt(2) <= 10)
+  }
+
+  test("Inspect prints schema, row groups, encodings and min/max stats (O12)") {
+    val dir = Files.createTempDirectory("graft-inspect").toString + "/t"
+    DataGen.cliTable(spark, 1000, 42).coalesce(1).write.parquet(dir)
+    val file = Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val out = Inspect.describe(file.toString)
+    assert(out.contains("row groups: 1"))
+    assert(out.contains("total rows: 1000"))
+    assert(out.contains("[id]") && out.contains("[region]"))
+    assert(out.contains("min=") && out.contains("max="))
+  }
+}
