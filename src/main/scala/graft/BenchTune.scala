@@ -12,6 +12,42 @@ object BenchTune {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** `--scale [rows]`: generate the reference bench schema at `rows`
+    * (default 10M) across 32 files and measure the four shapes with real
+    * multi-core parallelism — the throughput demonstration the 600k-row
+    * single-row-group testdata cannot give (its one row group pins scans
+    * to one task, like-for-like with the single-threaded reference).
+    */
+  private def scaleDemo(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = s"/tmp/graft-scale-$rows"
+    if (!new java.io.File(dir).exists()) {
+      DataGen.benchTable(spark, rows, 42).repartition(32)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val df = spark.read.parquet(dir)
+    def minT(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).min }
+    def consumeColumnar(d: org.apache.spark.sql.DataFrame): Unit = {
+      val scan = d.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s }.get
+      scan.executeColumnar()
+        .mapPartitions(it => Iterator(it.map(_.numRows().toLong).sum)).collect()
+    }
+    val filtered = df.filter(col("value") > 50000)
+    val agg = df.agg(sum(col("value")))
+    val gb = df.groupBy(col("region")).agg(count(lit(1)), sum(col("value")))
+    val r = Seq(
+      "full_scan" -> minT(consumeColumnar(df)),
+      "filtered_scan" -> minT(filtered.queryExecution.toRdd
+        .mapPartitions { it => var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator(n) }
+        .collect()),
+      "aggregation" -> minT(agg.collect()),
+      "group_by" -> minT(gb.collect()))
+    r.foreach { case (n, t) =>
+      println(f"[scale] $n%s: $t%.3f s  (${rows / t / 1e6}%.1f M rows/s)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,6 +55,14 @@ object BenchTune {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench-tune")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--scale")) {
+      val rows = args.dropWhile(_ != "--scale").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
+      scaleDemo(spark, rows)
+      spark.stop()
+      return
+    }
 
     def li: DataFrame = Tables.load(spark, sfDir, "lineitem")
     def shapes: Seq[(String, () => Unit)] = Seq(

@@ -36,6 +36,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates over the stream == batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val stream = EventStreams.readEventsStream(spark, dir.toString, TestSpark.sf0001)
+    val q = stream.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").as[(Long, String)].collect().toSet
+      val want = Tables.load(spark, TestSpark.sf0001, "events")
+        .select("user_id", "event_type").distinct().as[(Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionize (closed sessions)") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
