@@ -629,7 +629,53 @@ object Queries {
              |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 
-  val defs: Seq[QDef] = parity ++ sqlSurface ++ llmOps ++ sqlSurface2
+  private val sqlSurface3 = Seq(
+    QDef("q46_null_handling",
+      // The reference has no nulls at all (README:135); full null-aware
+      // semantics demonstrated via an outer join: counts ignore nulls,
+      // coalesce defaults, null-safe grouping.
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_order"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0)), 2).as("sum_total"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order,
+             |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+             |FROM customer LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QDef("q47_window_frames",
+      // RANGE frame (value-based window) + first/last over a unique order.
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        val wr = w.rangeBetween(-1000L, 0L)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(wr).as("n_in_range"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"),
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range,
+             |  first(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+             |  last(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+  )
+
+  val defs: Seq[QDef] = parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

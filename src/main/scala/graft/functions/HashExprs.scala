@@ -1,29 +1,110 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the text-fingerprinting operators the
   * reference engine lacks entirely (SURVEY.md §2 "Scalar functions: none").
   *
-  * These are native `Expression`s rather than Scala UDFs: no
-  * serialization boundary, operate directly on `UTF8String`/`ArrayData`,
-  * and compose with whole-stage codegen of the surrounding plan
-  * (CodegenFallback only for the expression body itself, whose cost is the
-  * hashing loop either way). All hashing is Spark's own XXH64, so results
-  * are deterministic across JVMs/executors — a requirement for dedup at
-  * 100 TB where signatures computed on different nodes must agree.
+  * These are native `Expression`s rather than Scala UDFs: no serialization
+  * boundary, they operate directly on `UTF8String`/`ArrayData`, and they
+  * participate in whole-stage codegen — `doGenCode` emits a static call
+  * into the shared eval kernel, so the surrounding stage stays fused (no
+  * CodegenFallback interpreted-projection detour). All hashing is Spark's
+  * own XXH64, so results are deterministic across JVMs/executors — a
+  * requirement for dedup at 100 TB where signatures computed on different
+  * nodes must agree.
   */
 object HashExprs {
 
   private val Seed1 = 0x9747b28c0a3dL
   private val Seed2 = 0x7fb5d329e1f3L
+
+  // --- shared eval kernels (called from both interpreted eval and codegen)
+
+  def minhashKernel(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUTF8String(s, Seed1)
+      val h2 = XXH64.hashUTF8String(s, Seed2) | 1L
+      var k = 0
+      var hk = h1
+      while (k < numHashes) {
+        if (hk < sig(k)) sig(k) = hk
+        hk += h2
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashKernel(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed1)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def rollingKernel(str: UTF8String, k: Int, w: Int): ArrayData = {
+    val B = 1000003L
+    var bk = 1L
+    var x = 0
+    while (x < k) { bk *= B; x += 1 }
+    val s = str.getBytes
+    if (s.length <= k) {
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = h * B + (s(i) & 0xffL); i += 1 }
+      return new GenericArrayData(Array(h))
+    }
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (s(i) & 0xffL); i += 1 }
+    hashes(0) = h
+    while (i < s.length) {
+      h = h * B + (s(i) & 0xffL) - bk * (s(i - k) & 0xffL)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    val mins = scala.collection.mutable.SortedSet.empty[Long]
+    var j = 0
+    while (j < hashes.length) {
+      var m = hashes(j)
+      var t = j + 1
+      val end = math.min(j + w, hashes.length)
+      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+      mins += m
+      j += w
+    }
+    new GenericArrayData(mins.toArray)
+  }
+
+  private val kernelCls = "graft.functions.HashExprs"
 
   /** MinHash signature of a set of shingles (array<string> -> array<long>).
     *
@@ -33,29 +114,14 @@ object HashExprs {
     * non-empty ones in LSH banding.
     */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h1 = XXH64.hashUTF8String(s, Seed1)
-        val h2 = XXH64.hashUTF8String(s, Seed2) | 1L
-        var k = 0
-        var hk = h1
-        while (k < numHashes) {
-          if (hk < sig(k)) sig(k) = hk
-          hk += h2
-          k += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      minhashKernel(input.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $kernelCls.minhashKernel($c, $numHashes);")
     override def prettyName: String = "minhash_signature"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -66,32 +132,13 @@ object HashExprs {
     * sign of the vote becomes the bit. Near-identical shingle sets give
     * near-identical fingerprints (small Hamming distance).
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed1)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashKernel(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernelCls.simhashKernel($c);")
     override def prettyName: String = "simhash64"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -105,45 +152,14 @@ object HashExprs {
     * ~2n/w, independent of executor — safe to groupBy/join on at scale.
     */
   case class RollingFingerprints(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
-    private val B = 1000003L
-    private lazy val Bk: Long = {
-      var p = 1L; var i = 0
-      while (i < k) { p *= B; i += 1 }
-      p
-    }
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].getBytes
-      if (s.length <= k) {
-        var h = 0L
-        var i = 0
-        while (i < s.length) { h = h * B + (s(i) & 0xffL); i += 1 }
-        return new GenericArrayData(Array(h))
-      }
-      val hashes = new Array[Long](s.length - k + 1)
-      var h = 0L
-      var i = 0
-      while (i < k) { h = h * B + (s(i) & 0xffL); i += 1 }
-      hashes(0) = h
-      while (i < s.length) {
-        h = h * B + (s(i) & 0xffL) - Bk * (s(i - k) & 0xffL)
-        hashes(i - k + 1) = h
-        i += 1
-      }
-      val mins = scala.collection.mutable.SortedSet.empty[Long]
-      var j = 0
-      while (j < hashes.length) {
-        var m = hashes(j)
-        var t = j + 1
-        val end = math.min(j + w, hashes.length)
-        while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
-        mins += m
-        j += w
-      }
-      new GenericArrayData(mins.toArray)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      rollingKernel(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $kernelCls.rollingKernel($c, $k, $w);")
     override def prettyName: String = "rolling_fingerprints"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

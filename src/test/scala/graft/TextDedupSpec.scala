@@ -61,6 +61,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sigs(0).length == 64 && sigs(0) == sigs(1))
   }
 
+  test("hash expressions: codegen and interpreted paths agree") {
+    val df = Tables.load(spark, TestSpark.sf0001, "documents").limit(50)
+      .select(col("doc_id"),
+        HashExprs.simhash64(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("sh"),
+        HashExprs.minhashSignature(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 32).as("mh"),
+        HashExprs.rollingFingerprints(col("text")).as("fp"))
+    val withCodegen = df.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.collect().map(_.toString).sorted.toSeq
+      assert(withCodegen == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("rolling fingerprints: shared content shares fingerprints") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val fps = Seq(base, base + " with a small suffix appended here", "completely different words everywhere")
