@@ -74,13 +74,17 @@ object ColeQuery {
 
   /** The reference always materializes count+sum+min+max together in one pass
     * (`AggResult`, include/execution.h:69-75); [[aggResult]] reproduces that
-    * shape as four agg expressions in one HashAggregateExec.
+    * shape as four agg expressions in one HashAggregateExec. The Avg
+    * extension (not in the reference enum) appends a fifth.
     */
-  def aggResult(valueCol: String): Seq[Column] = Seq(
-    count(lit(1)).as("count"),
-    sum(col(valueCol)).as("sum"),
-    min(col(valueCol)).as("min"),
-    max(col(valueCol)).as("max"))
+  def aggResult(valueCol: String, withAvg: Boolean = false): Seq[Column] = {
+    val base = Seq(
+      count(lit(1)).as("count"),
+      sum(col(valueCol)).as("sum"),
+      min(col(valueCol)).as("min"),
+      max(col(valueCol)).as("max"))
+    if (withAvg) base :+ avg(col(valueCol)).as("avg") else base
+  }
 
   /** Full query description; `Query(...)` fields mirror QueryExecutor's four
     * mutable members (include/execution.h:116-119).
@@ -97,12 +101,13 @@ object ColeQuery {
     def compile(df: DataFrame): DataFrame = {
       val filtered = filters.foldLeft(df)((d, p) => d.filter(p.toColumn))
       (groupBy, agg) match {
-        case (keys, Some((_, valueCol))) if keys.nonEmpty =>
+        case (keys, Some((f, valueCol))) if keys.nonEmpty =>
           // executeGroupBy (src/execution.cpp:339-401): hash agg keyed on the
           // group column, AggResult per key, output sorted ascending by key.
+          val aggs = aggResult(valueCol, withAvg = f == Avg)
           filtered
             .groupBy(keys.map(col): _*)
-            .agg(aggResult(valueCol).head, aggResult(valueCol).tail: _*)
+            .agg(aggs.head, aggs.tail: _*)
             .orderBy(keys.map(col): _*)
         case (keys, None) if keys.nonEmpty =>
           filtered.groupBy(keys.map(col): _*)
@@ -113,7 +118,9 @@ object ColeQuery {
           // AggResult; COUNT needs no data column (Catalyst reads none).
           f match {
             case Count => filtered.agg(count(lit(1)).as("count"))
-            case _ => filtered.agg(aggResult(valueCol).head, aggResult(valueCol).tail: _*)
+            case _ =>
+              val aggs = aggResult(valueCol, withAvg = f == Avg)
+              filtered.agg(aggs.head, aggs.tail: _*)
           }
         case _ =>
           // executeQuery (src/execution.cpp:251-273): empty projection means

@@ -80,6 +80,15 @@ class ColeQuerySpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("max")))
   }
 
+  test("Avg extension appends the fifth aggregate (not in the reference enum)") {
+    val out = ColeQuery.Query(agg = Some((Avg, "value"))).compile(f1).head()
+    assert(out.getAs[Double]("avg") == 200.0)
+    assert(out.getAs[Long]("count") == 5L)
+    val grouped = ColeQuery.Query(groupBy = Seq("category"), agg = Some((Avg, "value")))
+      .compile(f1).collect().map(r => r.getString(0) -> r.getAs[Double]("avg")).toMap
+    assert(grouped == Map("A" -> 125.0, "B" -> 225.0, "C" -> 300.0))
+  }
+
   test("F4 example fixture (examples/basic_usage.cpp:14-33)") {
     val people = Seq(
       (1L, 25, "Paris"), (2L, 30, "Lyon"), (3L, 25, "Paris"), (4L, 35, "Nice"), (5L, 30, "Lyon")

@@ -53,6 +53,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-late")
+    def nanos(hhmm: String): Long = {
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000000L
+    }
+    def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      // schema-compatible with events: (event_id, ts-nanos, user_id, event_type, value, props)
+      rows.map { case (id, ts, et) => (id, ts, 1L, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve(name).toString)
+    }
+    // batch 1: one event at 00:10, one at 04:10 -> watermark becomes 02:10
+    writeBatch("b1", Seq((1L, nanos("00:10"), "view"), (2L, nanos("04:10"), "view")))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.load(spark, TestSpark.sf0001, "events").schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("late_agg").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event in the 00:00 window (beyond the 2h watermark)
+      writeBatch("b2", Seq((3L, nanos("00:20"), "view"), (4L, nanos("05:10"), "view")))
+      q.processAllAvailable()
+      val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val cnt = spark.table("late_agg").filter(col("hour_ms") === h0)
+        .select("cnt").as[Long].collect()
+      assert(cnt.toSeq == Seq(1L), s"late event must be dropped, got $cnt")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionize (closed sessions)") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
