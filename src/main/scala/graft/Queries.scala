@@ -675,7 +675,40 @@ object Queries {
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 
-  val defs: Seq[QDef] = parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3
+  private val pipeline = Seq(
+    QDef("q48_curation_pipeline",
+      // The end-to-end training-data curation composition: quality
+      // filter -> exact dedup (min-id survivor) -> curated projection.
+      // One narrow scoring pass + one shuffle (the dedup groupBy).
+      (s, d) => {
+        val enriched = t(s, d, "documents").select(
+          col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("quality") >= 0.5)
+        Dedup.exact(enriched, Seq("text"), "doc_id")
+          .select("doc_id", "n_tokens", "quality")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$tokCte,
+              |q AS (
+              |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.4
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(len(list_filter(tk, x -> list_contains($stoplist, x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) * 5.0) * 0.3
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) / 8.0) * 0.3 AS quality
+              |  FROM tok JOIN documents USING (doc_id)
+              |)
+              |SELECT min(doc_id) AS doc_id, arg_min(n_tokens, doc_id) AS n_tokens,
+              |  arg_min(quality, doc_id) AS quality
+              |FROM q WHERE quality >= 0.5 GROUP BY text ORDER BY doc_id""".stripMargin))
+  )
+
+  val defs: Seq[QDef] =
+    parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =
