@@ -474,7 +474,7 @@ object Queries {
 
     QDef("q33_media_features",
       // Stubbed decode (deterministic fake) — plumbing is real; rows-only.
-      (s, d) => Multimodal.extractFeatures(s,
+      (s, d) => Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload"),
       None),

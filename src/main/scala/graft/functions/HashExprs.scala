@@ -91,15 +91,18 @@ object HashExprs {
       hashes(i - k + 1) = h
       i += 1
     }
+    // true winnowing: minimum of EVERY sliding w-window (monotonic deque,
+    // O(n)) — alignment-independent, so any shared substring of length
+    // >= k+w-1 contributes a shared fingerprint
     val mins = scala.collection.mutable.SortedSet.empty[Long]
+    val deque = new java.util.ArrayDeque[Int]()
     var j = 0
     while (j < hashes.length) {
-      var m = hashes(j)
-      var t = j + 1
-      val end = math.min(j + w, hashes.length)
-      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
-      mins += m
-      j += w
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(j)) deque.pollLast()
+      deque.addLast(j)
+      if (deque.peekFirst() <= j - w) deque.pollFirst()
+      if (j >= w - 1 || j == hashes.length - 1) mins += hashes(deque.peekFirst())
+      j += 1
     }
     new GenericArrayData(mins.toArray)
   }

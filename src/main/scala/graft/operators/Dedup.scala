@@ -26,14 +26,18 @@ import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `survivorCol` per key.
-    * One shuffle on the key; min_by avoids a sort.
+    * One shuffle on the key; min_by avoids a sort. Ties on survivorCol
+    * are broken by the full remaining-column tuple, so the surviving ROW
+    * is a deterministic function of the data regardless of partitioning
+    * (bare min_by would let merge order pick among tied rows).
     */
   def exact(df: DataFrame, keyCols: Seq[String], survivorCol: String): DataFrame = {
     val others = df.columns.filterNot(c => keyCols.contains(c) || c == survivorCol)
+    val orderKey = struct((survivorCol +: others).map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(
         min(col(survivorCol)).as(survivorCol),
-        others.map(c => min_by(col(c), col(survivorCol)).as(c)): _*)
+        others.map(c => min_by(col(c), orderKey).as(c)): _*)
   }
 
   /** Per-doc distinct word n-gram shingle sets: (id, shingles). */
@@ -58,7 +62,10 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    // recomputed (cheap, narrow) rather than cached: pinning the full
+    // per-doc shingle sets in executor storage for the session lifetime
+    // is the wrong trade at corpus scale
+    val sets = shingleSets(docs, idCol, textCol, n)
 
     val sigs = sets.select(col("id"),
       HashExprs.minhashSignature(col("sh"), numHashes).as("sig"))

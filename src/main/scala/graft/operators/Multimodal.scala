@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,7 +33,7 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       hex(substring(col(binCol), 1, 4)).as("header_hex"),
       when(substring(col(binCol), 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
-        .when(substring(col(binCol), 1, 4) === lit("PNG".getBytes("ISO-8859-1")), "png")
+        .when(substring(col(binCol), 1, 4) === lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
         .when(substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "riff")
         .otherwise("unknown").as("format_guess"))
 
@@ -66,7 +66,7 @@ object Multimodal {
     * they live, rows stream through the stubbed decoder one batch at a
     * time (constant memory).
     */
-  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
     val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>

@@ -51,6 +51,20 @@ object Similarity {
     def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** Per-query bounded top-k reduction of (query_id, neighbor_id, cos)
+    * scores: map-side partial aggregation, then rank emission. Shared by
+    * the exact and IVF paths.
+    */
+  private def emitTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), Encoders.product[TopItem])
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("item.id").as("neighbor_id"), col("item.cos").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors. Output: (query_id, rank, neighbor_id, cos), rank 1..k,
     * ordered by cos desc with neighbor_id as the deterministic tie-break.
@@ -63,13 +77,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
-    val topk = udaf(new TopKAgg(k), Encoders.product[TopItem])
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "item")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("item.id").as("neighbor_id"), col("item.cos").as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    emitTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: nlist centroid cells, queries probe nprobe
@@ -85,12 +93,12 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val n = c.count()
-    val step = math.max(1L, n / nlist)
-    val centroids = c
-      .withColumn("rn", row_number().over(Window.orderBy(col("cid"))))
-      .filter((col("rn") - 1) % step === 0).limit(nlist)
-      .select(col("rn").as("cell"), col("cv").as("centv"))
+    // deterministic centroid sample without a corpus count or global
+    // sort: orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // heaps of nlist rows); ranking the nlist survivors is trivial
+    val centroids = c.orderBy(col("cid")).limit(nlist)
+      .withColumn("cell", row_number().over(Window.orderBy(col("cid"))))
+      .select(col("cell"), col("cv").as("centv"))
 
     // nearest cell per corpus vector (narrow: centroids broadcast)
     val wc = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("cell"))
@@ -112,12 +120,6 @@ object Similarity {
       .filter(col("query_id") =!= col("cid"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
-    val topk = udaf(new TopKAgg(k), Encoders.product[TopItem])
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "item")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("item.id").as("neighbor_id"), col("item.cos").as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    emitTopK(scored, k)
   }
 }

@@ -81,6 +81,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_rid").as[Option[Long]].head()
     assert(out.contains(77L))
   }
+
+  test("null payload on the latest right row is returned, not skipped") {
+    val left = Seq((1L, 150L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 50L, Some(900L)), (1L, 100L, Option.empty[Long]))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid")
+      .select("asof_rid", "asof_matched").as[(Option[Long], Boolean)].head()
+    assert(out == (None, true)) // matched ts=100, whose payload is null
+    // and a genuinely unmatched left row reports matched=false
+    val none = AsOfJoin.joinAsOf(
+      Seq((2L, 10L, 9L)).toDF("k", "t", "lid"), right, "k", "t", "t", "rid")
+      .select("asof_matched").as[Boolean].head()
+    assert(!none)
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {

@@ -41,6 +41,20 @@ class SourcesSpec extends AnyFunSuite {
     roundTrip("orc")
   }
 
+  test("binary format sniffing recognizes jpeg/png/riff magic numbers") {
+    import graft.operators.Multimodal
+    val rows = Seq(
+      (1L, Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)),
+      (2L, Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt).map(_.toByte)),
+      (3L, "RIFFxxxx".getBytes("US-ASCII")),
+      (4L, "hello".getBytes("US-ASCII")))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val got = Multimodal.binaryMeta(df, "id", "payload")
+      .select("id", "format_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "jpeg", 2L -> "png", 3L -> "riff", 4L -> "unknown"))
+  }
+
   test("csv/json scans still push filters down to the source") {
     val dir = Files.createTempDirectory("graft-src-push").toString + "/t"
     sample.write.format("csv").option("header", "true").save(dir)

@@ -56,9 +56,10 @@ class StreamingSpec extends AnyFunSuite {
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-late")
-    def nanos(hhmm: String): Long = {
-      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000000L
-    }
+    // TZ-independent epoch construction (session is UTC; the JVM default
+    // zone must not leak into the fixture)
+    def nanos(hhmm: String): Long =
+      java.time.Instant.parse(s"2024-01-01T$hhmm:00Z").toEpochMilli * 1000000L
     def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
       // schema-compatible with events: (event_id, ts-nanos, user_id, event_type, value, props)
       rows.map { case (id, ts, et) => (id, ts, 1L, et, 1.0, "{}") }
@@ -81,7 +82,7 @@ class StreamingSpec extends AnyFunSuite {
       // batch 2: a LATE event in the 00:00 window (beyond the 2h watermark)
       writeBatch("b2", Seq((3L, nanos("00:20"), "view"), (4L, nanos("05:10"), "view")))
       q.processAllAvailable()
-      val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val h0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
       val cnt = spark.table("late_agg").filter(col("hour_ms") === h0)
         .select("cnt").as[Long].collect()
       assert(cnt.toSeq == Seq(1L), s"late event must be dropped, got $cnt")

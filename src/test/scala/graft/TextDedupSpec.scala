@@ -84,6 +84,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     val overlap02 = fps(0).toSet.intersect(fps(2).toSet).size
     assert(overlap01 > 0 && overlap02 == 0)
   }
+
+  test("winnowing is alignment-independent (prefix shift keeps shared fingerprints)") {
+    // the winnowing guarantee: any shared substring of length >= k+w-1
+    // yields a shared fingerprint, regardless of byte offset
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away tonight"
+    val fps = Seq(base, "zq " + base)
+      .toDF("t").select(HashExprs.rollingFingerprints(col("t")).as("f"))
+      .as[Seq[Long]].collect()
+    val inter = fps(0).toSet.intersect(fps(1).toSet).size
+    assert(inter > 0, s"shifted copy shares no fingerprints: ${fps(0).take(5)} vs ${fps(1).take(5)}")
+    // and most fingerprints of the shorter doc should survive the shift
+    assert(inter * 2 >= fps(0).size, s"only $inter of ${fps(0).size} survived")
+  }
+
+  test("exact dedup survivor is deterministic under ties and repartitioning") {
+    val rows = Seq((1L, "k", "b"), (1L, "k", "a"), (1L, "k", "c"))
+    val out1 = graft.operators.Dedup.exact(rows.toDF("id", "key", "v"), Seq("key"), "id")
+      .select("v").as[String].head()
+    val out2 = graft.operators.Dedup.exact(
+      rows.toDF("id", "key", "v").repartition(7), Seq("key"), "id")
+      .select("v").as[String].head()
+    assert(out1 == "a" && out2 == "a") // min over the (id, v) tuple
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
