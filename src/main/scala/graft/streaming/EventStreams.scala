@@ -30,6 +30,26 @@ object EventStreams {
       .select(col("event_type"), unix_millis(col("window.start")).as("hour_ms"),
         col("cnt"), col("sum_value"))
 
+  /** Stream-stream join: each click joined to the same user's views from
+    * the preceding `windowMinutes`. Watermarks on both sides bound the
+    * join state store (views older than click-watermark + range are
+    * evicted). Works identically on batch DataFrames — the test asserts
+    * stream == batch.
+    */
+  def clickViewJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"))
+  }
+
   case class Ev(user_id: Long, event_id: Long, ts_ms: Long)
   case class SessionState(sessionNo: Long, lastMs: Long, nEvents: Long, startMs: Long)
   case class SessionOut(user_id: Long, session_no: Long, n_events: Long,

@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream time-range join == batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val stream = EventStreams.readEventsStream(spark, dir.toString, TestSpark.sf0001)
+    val q = EventStreams.clickViewJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("click_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+      val want = EventStreams.clickViewJoin(
+        Tables.load(spark, TestSpark.sf0001, "events"))
+        .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-late")
