@@ -98,6 +98,13 @@ object Bench {
     val total = results.map(_._2).sum
     val rows = li.count()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes}""")
+    // CSV export parity with the reference bench (benches/benchmark.cpp:233-276)
+    sys.env.get("SPARK_GRAFT_BENCH_CSV").foreach { path =>
+      val csv = "benchmark,seconds,rows,rows_per_sec\n" + results.map { case (k, v) =>
+        s"$k,$v,$rows,${rows / v}"
+      }.mkString("\n") + "\n"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), csv)
+    }
     spark.stop()
   }
 }

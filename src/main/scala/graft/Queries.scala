@@ -676,6 +676,26 @@ object Queries {
   )
 
   private val pipeline = Seq(
+    QDef("q49_asof_forward",
+      // Forward as-of: for each view, the same user's NEXT click at or
+      // after it (conversion attribution).
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOfJoin.joinAsOf(views, clicks, "user_id", "ts", "ts", "event_id",
+          AsOfJoin.Forward, toleranceMs = None)
+          .select(col("event_id"), col("user_id"), col("asof_event_id").as("next_click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT v.event_id, v.user_id, c.event_id AS next_click_id
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') v
+             |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c
+             |  ON v.user_id = c.user_id AND v.ts <= c.ts
+             |ORDER BY v.event_id""".stripMargin)),
+
     QDef("q48_curation_pipeline",
       // The end-to-end training-data curation composition: quality
       // filter -> exact dedup (min-id survivor) -> curated projection.

@@ -33,7 +33,26 @@ object AsOfJoin {
   def joinAsOf(
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      payloadCol: String): DataFrame = {
+      payloadCol: String): DataFrame =
+    joinAsOf(left, right, keyCol, leftTsCol, rightTsCol, payloadCol,
+      Backward, toleranceMs = None)
+
+  sealed trait Direction
+  /** Latest right row with rightTs <= leftTs. */
+  case object Backward extends Direction
+  /** Earliest right row with rightTs >= leftTs. */
+  case object Forward extends Direction
+
+  /** Full form: `direction` picks backward (most recent prior fact) or
+    * forward (next upcoming fact); `toleranceMs` bounds |rightTs-leftTs|
+    * (timestamp columns only) — a match farther away reports
+    * asof_matched=false with a null payload, pandas merge_asof-style.
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      payloadCol: String, direction: Direction,
+      toleranceMs: Option[Long]): DataFrame = {
     val leftCols = left.columns
     val carryType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", right.schema(rightTsCol).dataType),
@@ -55,16 +74,32 @@ object AsOfJoin {
 
     // Right rows sort before left rows at equal ts (__side 0 < 1), so a
     // same-timestamp right row is visible to the left row. The carry is
-    // the whole latest right ROW (struct never null for right rows), so a
-    // null payload on the latest row is returned as null, not skipped.
+    // the whole nearest right ROW (struct never null for right rows), so
+    // a null payload on that row is returned as null, not skipped.
+    // Forward mode is the time-mirrored window (desc order, same frame).
+    val ord = direction match {
+      case Backward => Seq(col("__ts").asc, col("__side").asc)
+      case Forward => Seq(col("__ts").desc, col("__side").asc)
+    }
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(rAligned)
+    val carried = l.unionByName(rAligned)
       .withColumn("__last", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumn(s"asof_$payloadCol", col("__last.p"))
-      .withColumn("asof_matched", col("__last").isNotNull)
+    def asMs(c: org.apache.spark.sql.Column) =
+      left.schema(leftTsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_millis(c)
+        case _ => c.cast("long") // numeric ts columns: tolerance in native units
+      }
+    val inTolerance = toleranceMs match {
+      case None => col("__last").isNotNull
+      case Some(tol) =>
+        col("__last").isNotNull && abs(asMs(col("__last.ts")) - asMs(col("__ts"))) <= tol
+    }
+    carried
+      .withColumn(s"asof_$payloadCol", when(inTolerance, col("__last.p")))
+      .withColumn("asof_matched", inTolerance)
       .drop("__ts", "__side", "__carry", "__last")
   }
 }

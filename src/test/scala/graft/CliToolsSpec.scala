@@ -56,4 +56,18 @@ class CliToolsSpec extends AnyFunSuite {
     assert(out.contains("[id]") && out.contains("[region]"))
     assert(out.contains("min=") && out.contains("max="))
   }
+
+  test("parquet subsumes the reference's per-column encodings (SURVEY §1.4)") {
+    // the low-cardinality region/status columns must come out
+    // dictionary-encoded, ids PLAIN-ish — the writer picks per page what
+    // the reference made a schema-level user choice
+    val dir = Files.createTempDirectory("graft-enc").toString + "/t"
+    DataGen.cliTable(spark, 10000, 42).coalesce(1).write.parquet(dir)
+    val file = Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val out = Inspect.describe(file.toString)
+    val regionLine = out.linesIterator.find(_.contains("[region]")).get
+    assert(regionLine.contains("RLE_DICTIONARY") || regionLine.contains("PLAIN_DICTIONARY"),
+      regionLine)
+  }
 }

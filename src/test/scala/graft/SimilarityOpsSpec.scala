@@ -82,6 +82,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.contains(77L))
   }
 
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val left = Seq((1L, 100L, 10L), (1L, 260L, 11L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 900L), (1L, 200L, 901L), (1L, 250L, 902L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid",
+      AsOfJoin.Forward, toleranceMs = None)
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(901L)) // t=100 -> next right at t=200
+    assert(out(11L).isEmpty)        // nothing at or after t=260
+  }
+
+  test("tolerance bounds the as-of match distance") {
+    val left = Seq((1L, 500L, 10L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 900L)).toDF("k", "t", "rid")
+    val near = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid",
+      AsOfJoin.Backward, toleranceMs = Some(1000L))
+      .select("asof_rid", "asof_matched").as[(Option[Long], Boolean)].head()
+    assert(near == (Some(900L), true))
+    val far = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid",
+      AsOfJoin.Backward, toleranceMs = Some(100L))
+      .select("asof_rid", "asof_matched").as[(Option[Long], Boolean)].head()
+    assert(far == (None, false)) // 400 native units away > 100
+  }
+
   test("null payload on the latest right row is returned, not skipped") {
     val left = Seq((1L, 150L, 1L)).toDF("k", "t", "lid")
     val right = Seq((1L, 50L, Some(900L)), (1L, 100L, Option.empty[Long]))
