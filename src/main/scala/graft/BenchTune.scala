@@ -84,12 +84,13 @@ object BenchTune {
     println(f"[tune] scan_4col_reused_noop=${minT(li4.write.mode("overwrite").format("noop").save())}%.3f")
     val agg1 = li.agg(sum(col("l_extendedprice")))
     println(f"[tune] agg_reused=${minT({ agg1.collect(); () })}%.3f")
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     val gb1 = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)), sum(col("l_quantity")), min(col("l_quantity")), max(col("l_quantity")))
       .orderBy(col("l_returnflag"))
     println(f"[tune] groupby_reused_shuffle1=${minT({ gb1.collect(); () })}%.3f")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
 
     val variants: Seq[(String, Map[String, String])] = Seq(
       "base" -> Map(),

@@ -27,20 +27,36 @@ object VectorFunctions {
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 
-  /** Sign-LSH bucket id: `bits` hyperplane-sign bits packed into a long.
+  /** Signed projection of `vec` onto pseudo-random hyperplane `p`.
     * Hyperplane components are pseudo-random in [-1,1), derived from
     * xxhash64 so every executor derives identical planes — no broadcast
     * of random state needed at cluster scale.
     */
-  def signLshBucket(vec: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
-          x.cast("double") *
-            ((pmod(xxhash64(lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  private def hyperplaneProjection(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
+        x.cast("double") *
+          ((pmod(xxhash64(lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-LSH bucket id: `bits` hyperplane-sign bits packed into a long. */
+  def signLshBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      when(hyperplaneProjection(vec, p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded sign-LSH: `bands` bucket ids of `bitsPerBand` sign bits each
+    * (distinct hyperplanes per band). Two vectors are LSH candidates when
+    * ANY band matches — OR-amplification, so near-identical-but-not-
+    * bit-identical vectors (one noisy projection flipping a sign) still
+    * collide with high probability: at cos 0.99, P(bit) ≈ 0.971,
+    * P(any of 4 8-bit bands) ≈ 1-(1-0.971^8)^4 ≈ 0.998.
+    */
+  def signLshBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val p = b * bitsPerBand + i
+        when(hyperplaneProjection(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 }

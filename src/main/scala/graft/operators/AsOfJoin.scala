@@ -54,6 +54,12 @@ object AsOfJoin {
       payloadCol: String, direction: Direction,
       toleranceMs: Option[Long]): DataFrame = {
     val leftCols = left.columns
+    val reserved = Seq("__ts", "__side", "__carry", "__last",
+      s"asof_$payloadCol", "asof_matched")
+    val collisions = leftCols.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"joinAsOf would overwrite left column(s) ${collisions.mkString(", ")} — " +
+        "rename them first (chained as-of joins: alias the previous asof_* outputs)")
     val carryType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", right.schema(rightTsCol).dataType),
       org.apache.spark.sql.types.StructField("p", right.schema(payloadCol).dataType)))

@@ -25,18 +25,19 @@ import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
   */
 object Dedup {
 
-  /** Exact dedup: keep the row with the smallest `survivorCol` per key.
-    * One shuffle on the key; min_by avoids a sort. Ties on survivorCol
-    * are broken by the full remaining-column tuple, so the surviving ROW
-    * is a deterministic function of the data regardless of partitioning
-    * (bare min_by would let merge order pick among tied rows).
+  /** Exact dedup: keep the minimal row per key, ordered by survivorCol
+    * first (nulls first, per struct ordering) with the remaining-column
+    * tuple as tie-break. Every output column comes from the SAME
+    * orderKey-minimal row — a deterministic function of the data
+    * regardless of partitioning, never a synthetic mix of tied rows.
+    * One shuffle on the key; min_by avoids a sort.
     */
   def exact(df: DataFrame, keyCols: Seq[String], survivorCol: String): DataFrame = {
     val others = df.columns.filterNot(c => keyCols.contains(c) || c == survivorCol)
     val orderKey = struct((survivorCol +: others).map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(
-        min(col(survivorCol)).as(survivorCol),
+        min_by(col(survivorCol), orderKey).as(survivorCol),
         others.map(c => min_by(col(c), orderKey).as(c)): _*)
   }
 
@@ -64,8 +65,13 @@ object Dedup {
     val r = numHashes / bands
     // recomputed (cheap, narrow) rather than cached: pinning the full
     // per-doc shingle sets in executor storage for the session lifetime
-    // is the wrong trade at corpus scale
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // is the wrong trade at corpus scale.
+    // Empty shingle sets (docs shorter than n tokens) are excluded up
+    // front: they all share the sentinel signature, which would funnel
+    // every short doc of the corpus into one bucket (an O(M^2) hot key)
+    // and their pairwise Jaccard is 0/0-undefined anyway. Matches the
+    // oracle's WHERE len(tk) >= n.
+    val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
 
     val sigs = sets.select(col("id"),
       HashExprs.minhashSignature(col("sh"), numHashes).as("sig"))
@@ -98,6 +104,10 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
     withSets
+      // uni > 0 guard: two empty sets give 0/0, which under Spark's
+      // default ANSI mode is a DIVIDE_BY_ZERO error, not NaN (empty sets
+      // are also pre-filtered upstream; this keeps the helper total)
+      .filter(uni > 0)
       .select(col("id_a"), col("id_b"), inter.as("inter"), uni.as("uni"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -111,7 +121,7 @@ object Dedup {
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
     val pairs = sets.select(col("id").as("id_a"))
       .crossJoin(sets.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
@@ -148,20 +158,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding near-dup pairs: sign-LSH bucketing then exact cosine
-    * verification. Identical/near-identical vectors always share a bucket
-    * (equal inputs hash identically), so recall at cosine thresholds near
-    * 1.0 is exact; no all-pairs compare happens.
+  /** Embedding near-dup pairs: banded sign-LSH (OR-amplified — any of
+    * `bands` bucket matches makes a candidate) then exact cosine
+    * verification. Identical vectors always collide (equal inputs hash
+    * identically); near-identical vectors survive a flipped sign bit in
+    * one band because another band still matches (≈0.998 recall at
+    * cos 0.99 with 4×8 bits). No all-pairs compare happens.
     */
   def embeddingNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, threshold: Double = 0.99): DataFrame = {
-    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.signLshBucket(col(vecCol), bits).as("bucket"))
+      bands: Int = 4, bitsPerBand: Int = 8,
+      threshold: Double = 0.99): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = v.select(col("id"), posexplode(
+      VectorFunctions.signLshBandBuckets(col("v"), bands, bitsPerBand))
+      .as(Seq("band", "bucket")))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))

@@ -68,6 +68,9 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      // failed fetches (null payload/id) are the NORMAL case in a web
+      // corpus: dropped here rather than NPE-ing the task
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
     val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
       rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))

@@ -34,19 +34,35 @@ object Similarity {
     * per group).
     */
   class TopKAgg(k: Int) extends Aggregator[TopItem, TopKBuf, TopKBuf] {
-    private def trim(s: Seq[TopItem]): Seq[TopItem] =
-      s.sortBy(x => (-x.cos, x.id)).take(k)
+    // buffer invariant: items sorted by (cos desc, id asc), size <= k.
+    // reduce is O(k) insertion into the sorted buffer (no re-sort in the
+    // per-row hot path); merge is an O(k) sorted-merge.
+    private def beats(a: TopItem, b: TopItem): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
     def zero: TopKBuf = TopKBuf(Vector.empty)
-    def reduce(b: TopKBuf, a: TopItem): TopKBuf =
-      if (b.items.size < k) TopKBuf(trim(b.items :+ a))
+    def reduce(b: TopKBuf, a: TopItem): TopKBuf = {
+      val items = b.items
+      if (items.size >= k && !beats(a, items.last)) b
       else {
-        val worst = b.items.last
-        if (a.cos > worst.cos || (a.cos == worst.cos && a.id < worst.id))
-          TopKBuf(trim(b.items :+ a))
-        else b
+        val idx = items.indexWhere(x => beats(a, x)) match {
+          case -1 => items.size
+          case i => i
+        }
+        TopKBuf((items.take(idx) :+ a) ++ items.drop(idx).take(k - idx - 1))
       }
-    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = TopKBuf(trim(x.items ++ y.items))
-    def finish(r: TopKBuf): TopKBuf = TopKBuf(trim(r.items))
+    }
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      val out = Vector.newBuilder[TopItem]
+      var (i, j, n) = (0, 0, 0)
+      val (xs, ys) = (x.items, y.items)
+      while (n < k && (i < xs.size || j < ys.size)) {
+        val takeX = j >= ys.size || (i < xs.size && beats(xs(i), ys(j)))
+        if (takeX) { out += xs(i); i += 1 } else { out += ys(j); j += 1 }
+        n += 1
+      }
+      TopKBuf(out.result())
+    }
+    def finish(r: TopKBuf): TopKBuf = r
     def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
@@ -93,10 +109,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // deterministic centroid sample without a corpus count or global
-    // sort: orderBy+limit plans as TakeOrderedAndProject (per-partition
-    // heaps of nlist rows); ranking the nlist survivors is trivial
-    val centroids = c.orderBy(col("cid")).limit(nlist)
+    // deterministic pseudo-random centroid sample without a corpus count
+    // or global sort: order by a hash of the id (uniform over the corpus,
+    // so centroids don't cluster in one ingestion-order corner) + limit,
+    // which plans as TakeOrderedAndProject (per-partition nlist-heaps)
+    val centroids = c.orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
       .withColumn("cell", row_number().over(Window.orderBy(col("cid"))))
       .select(col("cell"), col("cv").as("centv"))
 

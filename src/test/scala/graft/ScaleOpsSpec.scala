@@ -34,6 +34,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.count() == 10000)
   }
 
+  test("salted join handles FULLY identical fact rows (the sentinel-record pathology)") {
+    // value-derived salting would give all of these one salt; positional
+    // salting must still produce the complete join output
+    val hot = spark.range(5000).select(lit(1L).as("k"), lit("dup").as("payload"))
+    val dim = Seq((1L, "x")).toDF("k", "v")
+    assert(SkewJoin.saltedJoin(hot, dim, "k", 8).count() == 5000)
+    // and reserved-name collision fails fast instead of corrupting
+    assertThrows[IllegalArgumentException] {
+      SkewJoin.saltedJoin(hot.withColumn("__salt", lit(1)), dim, "k", 8)
+    }
+  }
+
   test("custom expressions callable from SQL after register()") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -106,6 +106,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(far == (None, false)) // 400 native units away > 100
   }
 
+  test("as-of join refuses to clobber reserved/output column names") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "asof_rid")
+    val right = Seq((1L, 90L, 900L)).toDF("k", "t", "rid")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid")
+    }
+  }
+
   test("null payload on the latest right row is returned, not skipped") {
     val left = Seq((1L, 150L, 1L)).toDF("k", "t", "lid")
     val right = Seq((1L, 50L, Some(900L)), (1L, 100L, Option.empty[Long]))

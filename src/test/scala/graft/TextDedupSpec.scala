@@ -139,6 +139,43 @@ class DedupSpec extends AnyFunSuite {
     assert(sim.subsetOf(exactLoose))
   }
 
+  test("short docs (empty shingle sets) neither crash nor flood the LSH buckets") {
+    val docs = Seq(
+      (1L, "hi"), (2L, "hi"), (3L, "yo there"),
+      (4L, "a b c d e f g h i j k l m"), (5L, "a b c d e f g h i j k l m")
+    ).toDF("doc_id", "text")
+    val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the identical long docs pair up; sub-n-token docs are excluded
+    assert(lsh == Set((4L, 5L)) && exact == Set((4L, 5L)))
+  }
+
+  test("exact dedup with null survivor values keeps one consistent source row") {
+    val df = Seq(
+      (Option.empty[Long], "k", "b"), (Some(5L), "k", "a")
+    ).toDF("id", "key", "v")
+    val out = Dedup.exact(df, Seq("key"), "id").head()
+    // nulls-first ordering: the (null, "b") row is the orderKey minimum,
+    // and BOTH output columns come from it — never a synthetic mix
+    assert(out.isNullAt(out.fieldIndex("id")) && out.getAs[String]("v") == "b")
+  }
+
+  test("embedding near-dup finds noisy (not bit-identical) duplicates") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // re-encoded copy: every component scaled by 1+1e-4 (cos ~ 1.0 but
+    // floats differ, so some hyperplane projections can flip sign)
+    val noisy = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(emb.unionByName(noisy), "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + 10000)).toSet
+    val recall = pairs.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.95, s"banded sign-LSH recall $recall below 0.95")
+  }
+
   test("embedding near-dup finds planted duplicates exactly") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
