@@ -76,4 +76,64 @@ object Multimodal {
       rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }(enc)
   }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** STUB resize: a real deployment swaps the body for a codec resize;
+    * the contract — bounded output dimensions, new payload bytes, narrow
+    * partition-wise execution — is the production shape. The fake output
+    * payload is a deterministic function of (input bytes, target box).
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val meta = fakeDecode(id, bytes)
+        val (w0, h0) = (meta.getInt(1), meta.getInt(2))
+        val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+        val (w, h) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+        // fake "resized" payload: truncate proportionally to area ratio
+        val outLen = math.max(4, (bytes.length * (w.toLong * h) / (w0.toLong * h0)).toInt)
+        Row(id, w, h, bytes.take(math.min(outLen, bytes.length)))
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling: emits every `stride`-th frame of a "video"
+    * payload as its own row (1 input row -> n_frames/stride output rows
+    * via flatMap — the explode-shaped transform a real sampler needs).
+    * Frame bytes are a deterministic slice of the payload.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): DataFrame = {
+    require(stride > 0)
+    val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = fakeDecode(id, bytes).getInt(3)
+        (0 until n by stride).iterator.map { f =>
+          val chunk = math.max(1, bytes.length / n)
+          val start = math.min(f * chunk, math.max(0, bytes.length - 1))
+          Row(id, f, bytes.slice(start, math.min(start + chunk, bytes.length)))
+        }
+      }
+    }(enc)
+  }
 }
