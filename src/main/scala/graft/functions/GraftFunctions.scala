@@ -35,6 +35,11 @@ object GraftFunctions {
       case Seq(c, k, w) => HashExprs.RollingFingerprints(c, intArg(k), intArg(w))
       case _ => throw new IllegalArgumentException("rolling_fingerprints(text[, k, w])")
     }))
+  // Note: the Column-composition functions (TextFunctions/VectorFunctions)
+  // are deliberately NOT SQL-registered — a composed Column converted back
+  // to an Expression carries unresolved ColumnNode wrappers that Spark 4's
+  // analyzer rejects inside a function builder. Their SQL equivalents are
+  // plain built-in expressions (see the oracle SQL in Queries.scala).
 
   /** Register into a live session (temp functions). */
   def register(spark: SparkSession): Unit =
