@@ -676,6 +676,22 @@ object Queries {
   )
 
   private val pipeline = Seq(
+    QDef("q50_grouping_id",
+      // grouping() indicators distinguish data NULLs from rollup
+      // subtotal rows — the standard grouping-sets disambiguator.
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     QDef("q49_asof_forward",
       // Forward as-of: for each view, the same user's NEXT click at or
       // after it (conversion attribution).
