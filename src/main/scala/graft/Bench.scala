@@ -97,7 +97,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rows = li.count()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes}""")
+    // Reproducible baseline math, emitted alongside the measurements:
+    // BASELINE.md publishes per-query ms at 1M rows (85.23 / 78.91 /
+    // 72.45 / 95.67); the scaled baseline is (ref_ms/1000) * rows/1e6
+    // and ratio = ours_sec / baseline_scaled_sec. README quotes these
+    // numbers by this formula — anyone can recompute them from this line.
+    val refSecPerM = Map(
+      "full_scan" -> 0.08523, "filtered_scan" -> 0.07891,
+      "aggregation" -> 0.07245, "group_by" -> 0.09567)
+    val scale = rows / 1e6
+    val baseQs = results.map { case (k, _) =>
+      "\"" + k + "\":" + refSecPerM(k) * scale }.mkString("{", ",", "}")
+    val ratioQs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v / (refSecPerM(k) * scale) }.mkString("{", ",", "}")
+    val baseTotal = results.map { case (k, _) => refSecPerM(k) * scale }.sum
+    val ratio = total / baseTotal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes,"baseline_scaled":$baseQs,"baseline_scaled_total":$baseTotal,"ratio_vs_baseline":$ratioQs,"ratio_total":$ratio}""")
     // CSV export parity with the reference bench (benches/benchmark.cpp:233-276)
     sys.env.get("SPARK_GRAFT_BENCH_CSV").foreach { path =>
       val csv = "benchmark,seconds,rows,rows_per_sec\n" + results.map { case (k, v) =>

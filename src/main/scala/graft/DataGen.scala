@@ -47,6 +47,23 @@ object DataGen {
       element_at(regions, (u(seed, 3, 8L) + 1).cast("int")).as("region"))
   }
 
+  /** Write a generated table with the reference's ENCODING choices made
+    * real in the Parquet footer (SURVEY.md §1.4): writer v2 so sequential
+    * ids land in DELTA_BINARY_PACKED (the reference's DELTA,
+    * src/encoding.cpp:255-361 — dictionary is force-disabled for `id`,
+    * where every value is distinct and a dictionary could never win) and
+    * low-cardinality strings land in RLE_DICTIONARY (the reference's
+    * DICTIONARY + RLE, src/encoding.cpp:364-438). ParquetFormatSpec
+    * asserts these encodings from the written footer, which is what makes
+    * the §1.4 subsumption claim checkable rather than asserted.
+    */
+  def write(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (10000 * 64).toString) // ~10k-row groups
+      .option("parquet.writer.version", "v2")
+      .option("parquet.enable.dictionary#id", "false")
+      .parquet(out)
+
   /** `graft.DataGen <outPath> <rows> [seed] [--bench]` — mirrors the
     * reference CLI's `write <path> <rows> [seed]` (src/cli.cpp:29-118).
     * Row-group sizing via parquet.block.size replaces flushRowGroup
@@ -59,9 +76,7 @@ object DataGen {
     val bench = args.contains("--bench")
     val spark = GraftSession.local("graft-datagen")
     val df = if (bench) benchTable(spark, rows, seed) else cliTable(spark, rows, seed)
-    df.write.mode("overwrite")
-      .option("parquet.block.size", (10000 * 64).toString) // ~10k-row groups
-      .parquet(out)
+    write(df, out)
     println(s"wrote $rows rows to $out (seed=$seed, schema=${if (bench) "bench" else "cli"})")
     spark.stop()
   }

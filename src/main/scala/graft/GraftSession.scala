@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Session factory with the engine's standard configuration.
   *
@@ -39,6 +41,33 @@ object GraftSession {
       SparkSession.builder().master(s"local[$cpus]").appName(appName)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerMetricsLogger(s)
     s
+  }
+
+  /** Surfaces `df.observe("graft.*", ...)` counters (e.g. LSH oversized-
+    * bucket drops) in the executor log when the observed query actually
+    * runs — coverage caps are never silent, and the metric costs zero
+    * extra passes (it piggybacks on the job that computes the result).
+    * Idempotent per session.
+    */
+  def registerMetricsLogger(s: SparkSession): Unit = synchronized {
+    val marker = "graft.metricsLogger.registered"
+    if (s.conf.getOption(marker).isEmpty) {
+      s.conf.set(marker, "true")
+      s.listenerManager.register(new QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.")) {
+              val nonZero = row.schema.fieldNames.zip(row.toSeq).collect {
+                case (f, v: Long) if v != 0L => s"$f=$v"
+              }
+              if (nonZero.nonEmpty) log.warn(s"$name: ${nonZero.mkString(" ")}")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+    }
   }
 }

@@ -468,15 +468,26 @@ object Queries {
         "doc_id", "payload")
         .select("doc_id", "n_bytes", "header_hex")
         .orderBy(col("doc_id")),
+      // header_hex must slice BYTES, not characters: Spark takes the
+      // first 4 bytes of the UTF-8 payload, so the oracle slices the
+      // first 8 hex digits of the full blob hex (byte semantics even for
+      // multibyte text — char-based substr(text,1,4) would diverge).
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  hex(encode(substr(text, 1, 4))) AS header_hex
+             |  substr(hex(encode(text)), 1, 8) AS header_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QDef("q33_media_features",
       // Stubbed decode (deterministic fake) — plumbing is real; rows-only.
+      // The raw array<float> feature column is folded to a scalar
+      // xxhash64 for the driver dump (pandas canonicalization cannot
+      // sort/hash ndarray cells); the full vector is still asserted
+      // element-wise in MultimodalOpsSpec.
       (s, d) => Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload"),
+        "doc_id", "payload")
+        .select(col("id"), col("width"), col("height"), col("n_frames"),
+          xxhash64(col("feature")).as("feature_hash"))
+        .orderBy(col("id")),
       None),
 
     QDef("q34_asof_join",
@@ -514,14 +525,24 @@ object Queries {
       Some(jaccardOracle)),
 
     QDef("q37_approx_distinct",
-      // HLL++ sketch result is implementation-specific — rows-only; the
-      // exact-distinct cross-check lives in the ScalaTest suite.
+      // exact_parts is oracle-checked. The HLL++ sketch value itself is
+      // implementation-specific, so the approx path is gated by a
+      // relative-error bound computed Spark-side: `approx_within_5pct`
+      // must come out true for every group, and the oracle asserts the
+      // literal TRUE — an out-of-bound sketch breaks the hash match.
+      // (rsd=0.02, so 5% is a 2.5-sigma margin; the hash family is
+      // deterministic, making the check reproducible, not flaky.)
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") / col("exact_parts")
+            <= 0.05).as("approx_within_5pct"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QDef("q38_simhash_neardup",
       // SimHash block-LSH near-dup pairs; hash-family-specific, rows-only

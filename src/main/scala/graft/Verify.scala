@@ -11,6 +11,7 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.registerMetricsLogger(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -27,8 +27,9 @@ object AsOfJoin {
     * whose payload is null, because the carry-forward is a non-null
     * struct per right ROW, not per payload value). Ties on (key, ts)
     * between a left and right row count the right row as visible;
-    * right-right ts ties resolve to the larger (ts, payload) struct
-    * (make (key, ts) unique upstream for full determinism).
+    * right-right ts ties resolve to the larger (ts, payload) struct —
+    * enforced by the window ordering, so the result is value-determined
+    * (requires an orderable payload type, which all atomic types are).
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame,
@@ -60,6 +61,18 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"joinAsOf would overwrite left column(s) ${collisions.mkString(", ")} — " +
         "rename them first (chained as-of joins: alias the previous asof_* outputs)")
+    // tolerance units are resolved per side from each column's OWN type
+    // (ms for timestamps, native units for numerics) — the two sides must
+    // agree in kind, otherwise "tol" would silently compare milliseconds
+    // against raw numeric ticks. Checked up front, before plan analysis.
+    val lIsTs = left.schema(leftTsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val rIsTs = right.schema(rightTsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    if (toleranceMs.isDefined) require(lIsTs == rIsTs,
+      s"joinAsOf tolerance needs ts columns of the same kind on both sides: " +
+        s"left $leftTsCol is ${left.schema(leftTsCol).dataType}, " +
+        s"right $rightTsCol is ${right.schema(rightTsCol).dataType}")
     val carryType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", right.schema(rightTsCol).dataType),
       org.apache.spark.sql.types.StructField("p", right.schema(payloadCol).dataType)))
@@ -82,10 +95,15 @@ object AsOfJoin {
     // same-timestamp right row is visible to the left row. The carry is
     // the whole nearest right ROW (struct never null for right rows), so
     // a null payload on that row is returned as null, not skipped.
+    // __carry last in the ordering makes the documented right-right
+    // tie-break real: among right rows with equal (key, ts), last() sees
+    // the largest (ts, payload) struct — value-determined, not
+    // partition-layout-determined. (Left rows all have null __carry and
+    // a distinct __side, so the extra key never reorders left vs right.)
     // Forward mode is the time-mirrored window (desc order, same frame).
     val ord = direction match {
-      case Backward => Seq(col("__ts").asc, col("__side").asc)
-      case Forward => Seq(col("__ts").desc, col("__side").asc)
+      case Backward => Seq(col("__ts").asc, col("__side").asc, col("__carry").asc)
+      case Forward => Seq(col("__ts").desc, col("__side").asc, col("__carry").asc)
     }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(ord: _*)
@@ -93,15 +111,13 @@ object AsOfJoin {
     val carried = l.unionByName(rAligned)
       .withColumn("__last", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    def asMs(c: org.apache.spark.sql.Column) =
-      left.schema(leftTsCol).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_millis(c)
-        case _ => c.cast("long") // numeric ts columns: tolerance in native units
-      }
     val inTolerance = toleranceMs match {
       case None => col("__last").isNotNull
       case Some(tol) =>
-        col("__last").isNotNull && abs(asMs(col("__last.ts")) - asMs(col("__ts"))) <= tol
+        def asMs(isTs: Boolean)(c: org.apache.spark.sql.Column) =
+          if (isTs) unix_millis(c) else c.cast("long")
+        col("__last").isNotNull &&
+          abs(asMs(rIsTs)(col("__last.ts")) - asMs(lIsTs)(col("__ts"))) <= tol
     }
     carried
       .withColumn(s"asof_$payloadCol", when(inTolerance, col("__last.p")))

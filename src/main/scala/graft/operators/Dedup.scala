@@ -60,8 +60,9 @@ object Dedup {
   def minHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
     val r = numHashes / bands
     // recomputed (cheap, narrow) rather than cached: pinning the full
     // per-doc shingle sets in executor storage for the session lifetime
@@ -82,8 +83,39 @@ object Dedup {
       .as(Seq("band", "bucket")))
       .select(col("id"), col("band"), col("bucket"))
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // Degenerate-bucket cap: a boilerplate shingle shared by millions of
+    // docs would turn one (band, bucket) into an O(M^2) candidate bomb.
+    // Buckets over maxBucketSize are dropped — NEVER silently: the drop
+    // count is emitted as an observed metric ("graft.minhash_lsh" /
+    // dropped_band_buckets, logged by GraftSession's listener when the
+    // query runs, zero extra passes over the data). A doc in one hot
+    // bucket keeps its other (bands-1) buckets, so only pairs whose
+    // EVERY matching band is oversized are lost — at web scale those are
+    // exact-duplicate boilerplate clusters, which belong to [[exact]]
+    // dedup upstream, not to LSH.
+    // The window count shuffles on the same (band, bucket) key the
+    // candidate self-join needs, so the exchange is reused, not added.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    def capped(observed: Boolean) = {
+      val counted = banded.withColumn("__n", count(lit(1)).over(wb))
+      // the metric node may appear only once per query (CheckAnalysis
+      // rejects a duplicated CollectMetrics name), so only the left side
+      // of the self-join carries it
+      // observed metrics forbid DISTINCT aggregates; the bucket count is
+      // still exact without one: every row of an oversized bucket
+      // contributes 1/__n, so each dropped bucket sums to exactly 1
+      val maybeObserved = if (observed) counted.observe("graft.minhash_lsh",
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("oversized_rows"),
+        round(sum(when(col("__n") > maxBucketSize,
+          lit(1.0) / col("__n")).otherwise(0.0))).cast("long")
+          .as("dropped_band_buckets"))
+      else counted
+      maybeObserved.filter(col("__n") <= maxBucketSize).drop("__n")
+    }
+
+    val a = capped(observed = true).alias("a")
+    val b = capped(observed = false).alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -117,11 +149,22 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs (no LSH): correct for any
     * threshold but O(N^2) compare — the verification oracle for
     * [[minHashNearDupPairs]] and the right tool only for small N.
+    *
+    * The cartesian is structurally fenced, not just documented: the
+    * operator counts the input up front (one cheap narrow pass) and
+    * refuses to build the pair plan beyond `maxDocs` rows, so pointing
+    * it at a corpus-sized table fails fast with a pointer to the LSH
+    * path instead of launching an O(N^2) job.
     */
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxDocs: Long = 100000): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
+    val nDocs = sets.count()
+    require(nDocs <= maxDocs,
+      s"exactJaccardPairs is an all-pairs O(N^2) verification oracle: got " +
+        s"$nDocs docs > maxDocs=$maxDocs. Use minHashNearDupPairs for corpus-" +
+        "scale near-dup detection (LSH-then-verify, no all-pairs stage).")
     val pairs = sets.select(col("id").as("id_a"))
       .crossJoin(sets.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
@@ -143,6 +186,12 @@ object Dedup {
   def simHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    // 4 blocks of 16 bits guarantee (pigeonhole) that any pair within
+    // Hamming distance d <= 3 shares at least one untouched block; a
+    // larger d would silently lose pairs, so it is rejected, not allowed.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of range: 4x16-bit block LSH guarantees " +
+        "candidate recall only for maxHamming <= 3 (pigeonhole over 4 blocks)")
     val fp = simHashFingerprints(docs, idCol, textCol, n)
     val blocks = fp.select(col("id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>

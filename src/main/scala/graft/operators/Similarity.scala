@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -34,15 +34,20 @@ object Similarity {
     * per group).
     */
   class TopKAgg(k: Int) extends Aggregator[TopItem, TopKBuf, TopKBuf] {
-    // buffer invariant: items sorted by (cos desc, id asc), size <= k.
-    // reduce is O(k) insertion into the sorted buffer (no re-sort in the
-    // per-row hot path); merge is an O(k) sorted-merge.
+    // buffer invariant: items sorted by (cos desc, id asc), size <= k,
+    // ids unique. reduce is O(k) insertion into the sorted buffer (no
+    // re-sort in the per-row hot path); merge is an O(k) sorted-merge.
+    // The id-dedup makes the aggregator idempotent under duplicate
+    // (cos, id) inputs — required by the IVF path, where a corpus vector
+    // replicated into nassign cells can meet the same query in more than
+    // one probed cell.
     private def beats(a: TopItem, b: TopItem): Boolean =
       a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
     def zero: TopKBuf = TopKBuf(Vector.empty)
     def reduce(b: TopKBuf, a: TopItem): TopKBuf = {
       val items = b.items
-      if (items.size >= k && !beats(a, items.last)) b
+      if (items.exists(_.id == a.id)) b
+      else if (items.size >= k && !beats(a, items.last)) b
       else {
         val idx = items.indexWhere(x => beats(a, x)) match {
           case -1 => items.size
@@ -53,12 +58,13 @@ object Similarity {
     }
     def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
       val out = Vector.newBuilder[TopItem]
+      val seen = scala.collection.mutable.HashSet.empty[Long]
       var (i, j, n) = (0, 0, 0)
       val (xs, ys) = (x.items, y.items)
       while (n < k && (i < xs.size || j < ys.size)) {
         val takeX = j >= ys.size || (i < xs.size && beats(xs(i), ys(j)))
-        if (takeX) { out += xs(i); i += 1 } else { out += ys(j); j += 1 }
-        n += 1
+        val item = if (takeX) { i += 1; xs(i - 1) } else { j += 1; ys(j - 1) }
+        if (seen.add(item.id)) { out += item; n += 1 }
       }
       TopKBuf(out.result())
     }
@@ -96,44 +102,96 @@ object Similarity {
     emitTopK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: nlist centroid cells, queries probe nprobe
-    * cells. Centroids are taken deterministically from the corpus (every
-    * (N/nlist)-th vector by id) — production would plug k-means centroids
-    * into the same plumbing (broadcast centroids, cell-partitioned corpus,
-    * cell-pruned search).
+  /** Unit-normalize a centroid so cosine argmax reduces to a plain dot
+    * product (|v| is constant across cells for a given row, so it cancels
+    * out of the argmax; zero vectors stay zero).
+    */
+  private def unitize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  /** Dot product of a vector column with a driver-side literal centroid —
+    * a single narrow codegen'd expression, no join, no shuffle.
+    */
+  private def dotLit(v: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(v, typedlit(cent.toSeq), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The `nprobe` nearest cells of `v` given literal unit centroids, as an
+    * int array ordered nearest-first. Pure expression — the scale-critical
+    * property: cell assignment of N corpus vectors is a NARROW map over
+    * the scan (the old shape, crossJoin(centroids) + row_number window,
+    * pushed N*nlist rows through an Exchange just to pick an argmax).
+    * Ties: equal dot products resolve to the lowest cell id.
+    */
+  private def bestCells(v: Column, unitCents: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = array(unitCents.zipWithIndex.map { case (ct, i) =>
+      struct((-dotLit(v, ct)).as("negdot"), lit(i).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** IVF (inverted-file) ANN: nlist centroid cells, queries probe the
+    * nprobe nearest cells. Index build = seed centroids with a
+    * deterministic id-hash sample of the corpus, then `kmeansIters`
+    * Lloyd refinements; like fitting any ANN index this is a driver
+    * action, but each iteration is one narrow assignment pass plus a
+    * map-side-combined groupBy whose shuffle carries only
+    * nlist x dim partial sums — never the corpus.
     *
     * Output: (query_id, rank, neighbor_id, cos) — approximate top-k.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+      nassign: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // deterministic pseudo-random centroid sample without a corpus count
+    // deterministic pseudo-random centroid seed without a corpus count
     // or global sort: order by a hash of the id (uniform over the corpus,
     // so centroids don't cluster in one ingestion-order corner) + limit,
     // which plans as TakeOrderedAndProject (per-partition nlist-heaps)
-    val centroids = c.orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
-      .withColumn("cell", row_number().over(Window.orderBy(col("cid"))))
-      .select(col("cell"), col("cv").as("centv"))
+    var cents: Array[Array[Double]] = c
+      .orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
+      .select(col("cv")).collect()
+      .map(r => unitize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
+    val dim = cents.head.length
 
-    // nearest cell per corpus vector (narrow: centroids broadcast)
-    val wc = Window.partitionBy(col("cid")).orderBy(col("d").desc, col("cell"))
-    val corpusCells = c.crossJoin(broadcast(centroids))
-      .withColumn("d", VectorFunctions.cosine(col("cv"), col("centv")))
-      .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") === 1)
-      .select(col("cell"), col("cid"), col("cv"))
+    for (_ <- 1 to kmeansIters) {
+      val assigned = c.withColumn("cell", element_at(bestCells(col("cv"), cents, 1), 1))
+      val dimSums = (0 until dim).map(i =>
+        sum(element_at(col("cv"), i + 1).cast("double")).as(s"s$i"))
+      val rows = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect()
+      val next = cents.clone()
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cell) = unitize(Array.tabulate(dim)(i => r.getDouble(2 + i) / n))
+      }
+      cents = next // cells with no members keep their previous centroid
+    }
 
+    // replicated assignment: each corpus vector lands in its `nassign`
+    // nearest cells (IVF replica lists — storage x nassign, and probe
+    // cost stays nprobe/nlist per replica). A neighbor straddling a cell
+    // boundary is reachable through its second-nearest cell, which is
+    // what lifts recall on weakly-clustered (near-uniform) embeddings;
+    // duplicate (query, neighbor) meetings are deduped inside TopKAgg.
+    val corpusCells = c
+      .select(col("cid"), col("cv"),
+        explode(bestCells(col("cv"), cents, nassign)).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cell"))
-    val queryCells = q.crossJoin(broadcast(centroids))
-      .withColumn("d", VectorFunctions.cosine(col("qv"), col("centv")))
-      .withColumn("crk", row_number().over(wq))
-      .filter(col("crk") <= nprobe)
-      .select(col("cell"), col("query_id"), col("qv"))
+    val queryCells = q
+      .select(col("query_id"), col("qv"),
+        explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
 
-    val scored = queryCells.join(corpusCells, "cell")
+    // one hash join on cell (queries broadcast: the probe list is tiny
+    // next to the corpus), exact cosine on the original vectors
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
       .filter(col("query_id") =!= col("cid"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))

@@ -51,38 +51,72 @@ object EventStreams {
   }
 
   case class Ev(user_id: Long, event_id: Long, ts_ms: Long)
+  case class EvT(user_id: Long, event_id: Long, ts_ms: Long, et: java.sql.Timestamp)
   case class SessionState(sessionNo: Long, lastMs: Long, nEvents: Long, startMs: Long)
   case class SessionOut(user_id: Long, session_no: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
-  /** Stateful gap sessionization: emits a session row when `gapMs` of
-    * event-time silence passes (processing-time timeout stands in for
-    * event-time timeout in this local harness). Same output contract as
-    * Sessionize.sessions.
+  /** Stateful gap sessionization with a REAL event-time timeout: a session
+    * row is emitted either when a later event for the same user arrives
+    * past the gap, or — for idle users — when the watermark passes
+    * `lastMs + gapMs` and the registered EventTimeTimeout fires, so open
+    * sessions close without needing another event. Same output contract
+    * as Sessionize.sessions (session numbering continues across timeout
+    * closes: a small closed-sentinel state per user is retained instead
+    * of removed, keeping stream numbering equal to the batch mirror;
+    * production deployments that don't need stable numbering can remove
+    * state on timeout for strictly watermark-bounded state).
+    *
+    * `watermarkDelayMs` is how much event-time lateness is tolerated
+    * before events are dropped. Per-group buffering is bounded by one
+    * micro-batch per key (the within-batch sort), not by session length.
+    * In batch execution the watermark/timeout machinery is inert (Spark
+    * semantics) and the final open session per user is emitted by the
+    * batch mirror Sessionize.sessions instead.
     */
-  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      watermarkDelayMs: Long = 0L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val withEventTime = events
+      .withColumn("et", timestamp_millis(col("ts_ms")))
+      .withWatermark("et", s"$watermarkDelayMs milliseconds")
+      .as[EvT]
+    withEventTime.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          // Sorted within-group processing; in production pair this with
-          // a watermark so late data beyond the gap is dropped not resorted.
-          val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            if (st.lastMs == Long.MinValue) {
-              st = SessionState(1L, e.ts_ms, 1L, e.ts_ms)
-            } else if (e.ts_ms - st.lastMs > gapMs) {
-              out += SessionOut(userId, st.sessionNo, st.nEvents, st.startMs, st.lastMs)
-              st = SessionState(st.sessionNo + 1, e.ts_ms, 1L, e.ts_ms)
-            } else {
-              st = st.copy(lastMs = e.ts_ms, nEvents = st.nEvents + 1)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[EvT], state: GroupState[SessionState]) =>
+          // closed-sentinel: lastMs == Long.MinValue, sessionNo = last closed
+          val closed = SessionState(0L, Long.MinValue, 0L, 0L)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(closed.copy(sessionNo = st.sessionNo))
+            Iterator.single(
+              SessionOut(userId, st.sessionNo, st.nEvents, st.startMs, st.lastMs))
+          } else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_ms, e.event_id))
+            var st = state.getOption.getOrElse(closed)
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              if (st.lastMs == Long.MinValue) {
+                st = SessionState(st.sessionNo + 1, e.ts_ms, 1L, e.ts_ms)
+              } else if (e.ts_ms - st.lastMs > gapMs) {
+                out += SessionOut(userId, st.sessionNo, st.nEvents, st.startMs, st.lastMs)
+                st = SessionState(st.sessionNo + 1, e.ts_ms, 1L, e.ts_ms)
+              } else {
+                st = st.copy(lastMs = e.ts_ms, nEvents = st.nEvents + 1)
+              }
             }
+            state.update(st)
+            // fire when the watermark passes the gap after the last event;
+            // must be strictly above the current watermark (API contract).
+            // getCurrentWatermarkMs throws in batch execution, where the
+            // timeout is inert anyway — skip registration there.
+            try {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(st.lastMs + gapMs + 1, wm + 1))
+            } catch { case _: UnsupportedOperationException => }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

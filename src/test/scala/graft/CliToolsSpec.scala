@@ -58,16 +58,47 @@ class CliToolsSpec extends AnyFunSuite {
   }
 
   test("parquet subsumes the reference's per-column encodings (SURVEY §1.4)") {
-    // the low-cardinality region/status columns must come out
-    // dictionary-encoded, ids PLAIN-ish — the writer picks per page what
-    // the reference made a schema-level user choice
+    // DataGen.write uses parquet writer v2: the sequential id column must
+    // land in DELTA_BINARY_PACKED (the reference's DELTA encoder,
+    // src/encoding.cpp:255-361) and the low-cardinality region column in
+    // RLE_DICTIONARY (the reference's DICTIONARY+RLE,
+    // src/encoding.cpp:364-438) — asserted from the written footer, so
+    // the §1.4 encoding-subsumption claim is checked, not assumed.
     val dir = Files.createTempDirectory("graft-enc").toString + "/t"
-    DataGen.cliTable(spark, 10000, 42).coalesce(1).write.parquet(dir)
+    DataGen.write(DataGen.cliTable(spark, 10000, 42).coalesce(1), dir)
     val file = Files.list(java.nio.file.Paths.get(dir))
       .filter(_.toString.endsWith(".parquet")).findFirst().get()
     val out = Inspect.describe(file.toString)
+    val idLine = out.linesIterator.find(_.contains("[id]")).get
+    assert(idLine.contains("DELTA_BINARY_PACKED"), idLine)
     val regionLine = out.linesIterator.find(_.contains("[region]")).get
     assert(regionLine.contains("RLE_DICTIONARY") || regionLine.contains("PLAIN_DICTIONARY"),
       regionLine)
+  }
+
+  test("Inspect prints per-page value counts and min/max (src/cli.cpp:151-166 parity)") {
+    // small page size -> several pages per column chunk; every page of the
+    // value column must report its own count and min/max from the page
+    // header, matching the reference's per-page PageStats print.
+    val dir = Files.createTempDirectory("graft-pages").toString + "/t"
+    DataGen.cliTable(spark, 20000, 42).coalesce(1)
+      .write.option("parquet.page.size", "4096")
+      .option("parquet.page.row.count.limit", "5000").parquet(dir)
+    val file = Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val out = Inspect.describe(file.toString)
+    val lines = out.linesIterator.toSeq
+    val valueIdx = lines.indexWhere(_.contains("[value]"))
+    assert(valueIdx >= 0, out)
+    val pageLines = lines.drop(valueIdx + 1).takeWhile(_.trim.startsWith("page"))
+    assert(pageLines.size >= 2, s"expected multiple pages, got:\n$out")
+    val dataPages = pageLines.filter(_.contains("data"))
+    assert(dataPages.nonEmpty)
+    dataPages.foreach { l =>
+      assert(l.contains("values=") && l.contains("min=") && l.contains("max="), l)
+    }
+    // per-page counts must sum to the chunk's value count
+    val counts = dataPages.map(_.split("values=")(1).split(" ")(0).toLong)
+    assert(counts.sum == 20000L, counts)
   }
 }

@@ -109,6 +109,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout closes idle sessions without further events") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-idle")
+    def ms(hhmm: String): Long =
+      java.time.Instant.parse(s"2024-01-01T$hhmm:00Z").toEpochMilli
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_ms").coalesce(1)
+        .write.parquet(dir.resolve(name).toString)
+    // batch 1: user 1 has a two-event session then goes idle forever
+    writeBatch("b1", Seq((1L, 1L, ms("00:00")), (1L, 2L, ms("00:05"))))
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ms LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .as[EventStreams.Ev]
+    val q = EventStreams.sessionize(stream, 1800000L) // 30-minute gap
+      .writeStream.outputMode("append").format("memory")
+      .queryName("idle_sessions").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a DIFFERENT user's event two hours later pushes the
+      // watermark past user 1's gap — user 1 never sends another event
+      writeBatch("b2", Seq((2L, 3L, ms("02:00"))))
+      q.processAllAvailable()
+      def read() = spark.table("idle_sessions")
+        .select("user_id", "session_no", "n_events", "start_ms", "end_ms")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // the timeout fires in a no-data micro-batch after the watermark
+      // advances; poll briefly rather than race it
+      val deadline = System.currentTimeMillis() + 15000
+      var got = read()
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100); got = read()
+      }
+      assert(got == Set((1L, 1L, 2L, ms("00:00"), ms("00:05"))),
+        s"idle session for user 1 must close via event-time timeout, got $got")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionize (closed sessions)") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))

@@ -162,6 +162,59 @@ class DedupSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("id")) && out.getAs[String]("v") == "b")
   }
 
+  test("exactJaccardPairs refuses corpus-sized input (cartesian fence)") {
+    val docs = Seq.tabulate(5)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", maxDocs = 3)
+    }
+    assert(ex.getMessage.contains("minHashNearDupPairs"))
+    // and under the fence it still works
+    assert(Dedup.exactJaccardPairs(docs, "doc_id", "text", maxDocs = 10).count() == 0L)
+  }
+
+  test("simhash rejects maxHamming > 3 (pigeonhole guarantee would not hold)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("LSH bucket cap drops degenerate boilerplate buckets, not the rest, and logs it") {
+    // 30 identical boilerplate docs: every band-bucket of theirs has 30
+    // members. With cap 10 those buckets are dropped (exact-dup clusters
+    // belong to Dedup.exact upstream); the small distinct near-dup pair
+    // in its own 2-member buckets must still be found.
+    val boiler = Seq.tabulate(30)(i =>
+      (i.toLong, "free prize click here now winner winner chicken dinner"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog tonight"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    // capture the observed drop metric (GraftSession's logger consumes the
+    // same metric; listener delivery is async, so poll briefly)
+    @volatile var dropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("graft.minhash_lsh").foreach { row =>
+          dropped = row.getAs[Long]("dropped_band_buckets")
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", maxBucketSize = 10)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((100L, 101L)), s"got $pairs")
+      val deadline = System.currentTimeMillis() + 10000
+      while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(dropped > 0, "oversized-bucket drop count must be observed, never silent")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("embedding near-dup finds noisy (not bit-identical) duplicates") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
