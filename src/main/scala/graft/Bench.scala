@@ -89,8 +89,9 @@ object Bench {
       "group_by" -> (() => { groupBy.collect(); () }))
 
     val results = shapes.map { case (name, f) =>
-      f() // warm-up, discarded
-      name -> (1 to 3).map(_ => time(f())).min
+      f(); f() // warm-ups, discarded (second run lets C2 finish compiling
+               // the generated code so timed runs measure steady state)
+      name -> (1 to 5).map(_ => time(f())).min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
