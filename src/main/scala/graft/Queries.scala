@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, ColeQuery, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, ColeQuery, Dedup, Multimodal, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -412,12 +412,34 @@ object Queries {
               |FROM tok ORDER BY doc_id""".stripMargin)),
 
     QDef("q28_langid",
-      // Heuristic model output — rows-only check.
+      // The heuristic is deterministic arithmetic (per-language stopword
+      // hit counts, argmax with list-order tie-break), so it IS
+      // SQL-expressible: the oracle recomputes the same argmax with a
+      // CASE chain where an earlier language wins ties (>=), matching
+      // langId's negated-rank struct ordering.
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
           col("lang").as("lang_true"))
         .orderBy(col("doc_id")),
-      None),
+      Some(s"""$tokCte,
+              |sc AS (
+              |  SELECT doc_id,
+              |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+              |    len(list_filter(tk, x -> list_contains(['le','la','de','et','un','une','est','les'], x))) AS s_fr,
+              |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ein','ist','nicht','mit'], x))) AS s_de,
+              |    len(list_filter(tk, x -> list_contains(['el','la','de','y','un','una','es','los'], x))) AS s_es,
+              |    len(list_filter(tk, x -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1'], x))) AS s_zh
+              |  FROM tok
+              |)
+              |SELECT d.doc_id,
+              |  CASE WHEN s_en=0 AND s_fr=0 AND s_de=0 AND s_es=0 AND s_zh=0 THEN 'und'
+              |       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+              |       WHEN s_es >= s_zh THEN 'es'
+              |       ELSE 'zh' END AS lang_pred,
+              |  d.lang AS lang_true
+              |FROM sc JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     QDef("q29_fingerprint",
       // Winnowed rolling-hash fingerprints — hash-family-specific; rows-only.
@@ -764,8 +786,82 @@ object Queries {
               |FROM q WHERE quality >= 0.5 GROUP BY text ORDER BY doc_id""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Curation round 2: normalization, PII redaction, deterministic splits and
+  // stratified sampling (engine-portable md5 hash — the oracle recomputes
+  // the exact per-row assignment, not just aggregate proportions).
+  // ---------------------------------------------------------------------------
+
+  // shared by q53/q54: the same portable uniform draw the Spark side uses
+  private val uCte =
+    """WITH u AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents
+      |)""".stripMargin
+
+  private val curationOps = Seq(
+    QDef("q51_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalize(col("text")).as("norm_text"),
+          length(TextFunctions.normalize(col("text"))).cast("bigint").as("n_chars_norm"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef("q52_redact",
+      // The fixture plants an email and a phone per row (the corpus text
+      // itself carries none), so the redaction pass is actually exercised
+      // and the oracle checks the masked output byte-for-byte.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redactPii(
+            concat(lit("contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567 re: "), col("text"))).as("redacted"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(
+             |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 re: ' || text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef("q53_split",
+      // Deterministic 80/10/10 split: per-row assignment oracle-checked
+      // (the thresholds are written as the same left-to-right double
+      // additions on both sides, so even the 0.8+0.1 rounding agrees).
+      (s, d) => Splits.hashSplit(
+        t(s, d, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id")),
+      Some(s"""$uCte
+              |SELECT doc_id,
+              |  CASE WHEN u < 0.8 THEN 'train'
+              |       WHEN u < 0.8 + 0.1 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM u ORDER BY doc_id""".stripMargin)),
+
+    QDef("q54_stratified_sample",
+      // Per-stratum downsampling by the same portable hash; exact row
+      // membership (not just counts) must match the oracle.
+      (s, d) => Splits.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
+        .orderBy(col("doc_id")),
+      Some(s"""$uCte
+              |SELECT doc_id, lang FROM u
+              |WHERE u < CASE WHEN lang = 'en' THEN 0.5
+              |               WHEN lang = 'fr' THEN 0.25
+              |               ELSE 0.1 END
+              |ORDER BY doc_id""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
-    parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline
+    parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++ curationOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -66,6 +66,25 @@ object TextFunctions {
     lenScore * 0.4 + stopScore * 0.3 + shapeScore * 0.3
   }
 
+  /** Canonical text normalization for dedup/fingerprint pipelines:
+    * lowercase, strip non-alphanumerics to spaces, collapse runs of
+    * spaces, trim. Kept to regex/char-class constructs whose semantics
+    * are identical in Java regex and RE2, so the DuckDB oracle reproduces
+    * it exactly.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** Mask email addresses and simple phone patterns — the redaction pass
+    * a training corpus gets before anything else. Pure codegen'd regexp
+    * (no UDF); patterns avoid lookaround so every regex engine agrees.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
   /** Heuristic language ID: argmax over per-language stopword hit counts,
     * ties broken by language-list order, "und" when nothing matches.
     * (N-gram-profile language ID distilled to the signal available for

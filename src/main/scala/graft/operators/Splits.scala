@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training-data
+  * pipelines: train/val/test assignment and per-stratum subsampling as
+  * pure narrow expressions of a key column.
+  *
+  * Why not `df.sample` / `df.randomSplit`: those draw from a
+  * partition-seeded RNG, so results change under repartitioning, retries,
+  * and backfills — at 100 TB a re-run would silently move documents
+  * between train and test. Here the assignment is a function of the KEY
+  * alone (first 8 hex digits of md5, a public, engine-portable hash):
+  *  - stable under any partitioning, cluster size, or re-ingestion;
+  *  - zero shuffle, zero RNG state, fully codegen'd;
+  *  - reproducible by any other engine (the DuckDB oracles recompute the
+  *    exact assignment), unlike seed-dependent xxhash64 families;
+  *  - salt-able: different salts give independent draws, so a holdout
+  *    resample doesn't correlate with the previous one.
+  *
+  * The reference engine has no sampling surface (its own scope list,
+  * /root/reference/README.md:127-138); north-star extension.
+  */
+object Splits {
+
+  /** Portable uniform draw in [0,1): `md5(key || salt)` first 32 bits over
+    * 2^32. Exactly representable in double (k / 2^32, both powers of two),
+    * so threshold comparisons agree bit-for-bit across engines.
+    */
+  def portableUniform(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Assign each row a split label by key hash. `weights` are taken as
+    * given (not normalized): thresholds are the left-to-right prefix sums
+    * — the same IEEE additions an oracle engine performs — and the last
+    * label absorbs any remainder, so a weight list summing under 1.0
+    * still labels every row.
+    */
+  def hashSplit(
+      df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+      outCol: String = "split", salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "hashSplit needs at least one positive-weight label")
+    val u = portableUniform(col(keyCol), salt)
+    val thresholds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = weights.zip(thresholds).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), bound), els) =>
+      when(u < bound, name).otherwise(els)
+    }
+    df.withColumn(outCol, label)
+  }
+
+  /** Keep a deterministic `fractions(stratum)` share of each stratum
+    * (`defaultFraction` for strata not listed) — the standard corpus
+    * re-balancing primitive (downsample boilerplate-heavy sources, keep
+    * all of the rare ones). One narrow filter; no shuffle, no count pass.
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val u = portableUniform(col(keyCol), salt)
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (els, (k, f)) => when(col(strataCol) === k, f).otherwise(els)
+    }
+    df.filter(u < frac)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Splits
+
+/** Deterministic splitting/sampling and the curation scalar functions. */
+class SplitsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashSplit is deterministic and partitioning-independent") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").select("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Splits.hashSplit(docs, "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    val b = Splits.hashSplit(docs.repartition(13), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must be a pure function of the key")
+    // every row labeled; proportions near the weights (binomial tolerance)
+    assert(a.size == docs.count())
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(math.abs(trainFrac - 0.8) < 0.08, s"train fraction $trainFrac")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("hashSplit with a different salt draws independently") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").select("doc_id")
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val s1 = Splits.hashSplit(docs, "doc_id", splits, salt = "run1")
+      .as[(Long, String)].collect().toMap
+    val s2 = Splits.hashSplit(docs, "doc_id", splits, salt = "run2")
+      .as[(Long, String)].collect().toMap
+    val agree = s1.count { case (k, v) => s2(k) == v }.toDouble / s1.size
+    assert(agree > 0.35 && agree < 0.65,
+      s"independent draws should agree ~50%, got $agree")
+  }
+
+  test("stratifiedSample keeps per-stratum shares and is monotone in the fraction") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val small = Splits.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.3), defaultFraction = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Splits.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.6), defaultFraction = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // same hash, larger threshold: strictly grows, never reshuffles
+    assert(small.subsetOf(large), "raising fractions must only ADD rows")
+    assert(small.nonEmpty && large.size > small.size)
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val out = Seq("  Hello, WORLD!!  42  ").toDF("t")
+      .select(TextFunctions.normalize(col("t"))).as[String].head()
+    assert(out == "hello world 42")
+  }
+
+  test("redactPii masks emails and phone patterns, leaves the rest") {
+    val out = Seq("write a.b-c@x-mail.co.uk or call 555-123-4567 today")
+      .toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].head()
+    assert(out == "write <EMAIL> or call <PHONE> today")
+  }
+}
