@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real and tested: schema contract,
   * binary columns through Parquet, partition-preserving mapPartitions with
   * an explicit row encoder (the Scala analogue of mapInPandas batch
-  * processing). The actual media decode is STUBBED (this container ships
-  * no image/audio codecs): [[fakeDecode]] derives deterministic
-  * pseudo-features from the bytes, clearly marked, so pipelines and tests
-  * exercise every seam except the codec call itself.
+  * processing). Image METADATA extraction is also real: format sniffing
+  * and width/height come from pure header parsing ([[parseImageDims]] —
+  * PNG/BMP/GIF/JPEG, no codec library). Only PIXEL-level work is STUBBED
+  * (this container ships no image/audio codecs): [[fakeDecode]] derives
+  * deterministic pseudo-features from the bytes, clearly marked, so
+  * pipelines and tests exercise every seam except the pixel codec call.
   *
   * At 100 TB: payloads never leave executors, feature extraction is a
   * narrow transformation (no shuffle), and output rows are small fixed
@@ -34,8 +36,53 @@ object Multimodal {
       hex(substring(col(binCol), 1, 4)).as("header_hex"),
       when(substring(col(binCol), 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
         .when(substring(col(binCol), 1, 4) === lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
+        .when(substring(col(binCol), 1, 3) === lit("GIF".getBytes("US-ASCII")), "gif")
+        .when(substring(col(binCol), 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
         .when(substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "riff")
         .otherwise("unknown").as("format_guess"))
+
+  /** REAL (not stubbed) image dimension extraction by pure header
+    * parsing — no codec library involved, so it runs anywhere: PNG IHDR
+    * (big-endian dims at bytes 16/20), BMP BITMAPINFOHEADER (little-
+    * endian at 18/22, height may be negative for top-down files), GIF
+    * logical screen descriptor (little-endian at 6/8), JPEG by walking
+    * marker segments to the first SOFn frame header. Returns
+    * (format, width, height); None for unrecognized or truncated
+    * payloads.
+    */
+  private[graft] def parseImageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG segments to the first SOFn (C0-CF minus C4/C8/CC)
+      var i = 2
+      var out: Option[(String, Int, Int)] = None
+      var ok = true
+      while (ok && out.isEmpty && i + 9 < b.length) {
+        if (u8(i) != 0xff) ok = false // desynced: corrupt stream
+        else {
+          val m = u8(i + 1)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            out = Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+          else {
+            val len = be16(i + 2)
+            if (len < 2) ok = false else i += 2 + len
+          }
+        }
+      }
+      out
+    } else None
+  }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -61,10 +108,13 @@ object Multimodal {
     Row(id, width, height, nFrames, feature.toSeq)
   }
 
-  /** Partition-wise "decode" of (id, payload) into typed media features.
+  /** Partition-wise decode of (id, payload) into typed media features.
     * Narrow transformation: each partition's payloads are processed where
-    * they live, rows stream through the stubbed decoder one batch at a
-    * time (constant memory).
+    * they live, rows stream through the decoder one batch at a time
+    * (constant memory). Width/height come from REAL header parsing when
+    * the payload is a recognized image format ([[parseImageDims]] — no
+    * codec needed); only the pixel-level feature vector falls back to the
+    * stub for everything (this container ships no pixel codecs).
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
@@ -73,7 +123,15 @@ object Multimodal {
       .filter(col(idCol).isNotNull && col(binCol).isNotNull)
     val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
-      rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val fake = fakeDecode(id, bytes)
+        parseImageDims(bytes) match {
+          case Some((_, w, h)) => Row(id, w, h, 1, fake.get(4))
+          case None => fake
+        }
+      }
     }(enc)
   }
 
@@ -98,7 +156,10 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val meta = fakeDecode(id, bytes)
-        val (w0, h0) = (meta.getInt(1), meta.getInt(2))
+        val (w0, h0) = parseImageDims(bytes) match {
+          case Some((_, w, h)) => (math.max(1, w), math.max(1, h))
+          case None => (meta.getInt(1), meta.getInt(2))
+        }
         val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
         val (w, h) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
         // fake "resized" payload: truncate proportionally to area ratio

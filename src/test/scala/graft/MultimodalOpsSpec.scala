@@ -24,6 +24,60 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(out.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
   }
 
+  // hand-built minimal format headers (spec-conformant prefixes)
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array() ++
+      Array[Byte](8, 2, 0, 0, 0)
+    sig ++ ihdr
+  }
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).position(18)
+    b.putInt(w).putInt(h)
+    b.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 6 + 11)
+    b.putShort(0xffd8.toShort)                   // SOI
+    b.putShort(0xffe0.toShort).putShort(4).putShort(0) // APP0, len 4
+    b.putShort(0xffc0.toShort).putShort(9).put(8.toByte) // SOF0, len 9
+      .putShort(h.toShort).putShort(w.toShort)
+    b.array()
+  }
+
+  test("image dimensions come from REAL header parsing (png/bmp/gif/jpeg)") {
+    assert(Multimodal.parseImageDims(pngBytes(640, 480)).contains(("png", 640, 480)))
+    assert(Multimodal.parseImageDims(bmpBytes(123, 77)).contains(("bmp", 123, 77)))
+    assert(Multimodal.parseImageDims(bmpBytes(123, -77)).contains(("bmp", 123, 77))) // top-down BMP
+    assert(Multimodal.parseImageDims(gifBytes(320, 200)).contains(("gif", 320, 200)))
+    assert(Multimodal.parseImageDims(jpegBytes(1920, 1080)).contains(("jpeg", 1920, 1080)))
+    assert(Multimodal.parseImageDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseImageDims(pngBytes(1, 1).take(10)).isEmpty) // truncated
+  }
+
+  test("extractFeatures reports real dims for recognized formats, stub otherwise") {
+    val rows = Seq(
+      (1L, pngBytes(640, 480)), (2L, jpegBytes(32, 16)), (3L, "plain text".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(rows, "doc_id", "payload")
+      .select("id", "width", "height").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((640, 480)))
+    assert(out(2L) == ((32, 16)))
+    assert(out(3L)._1 >= 64) // unrecognized payload takes the stub path
+    // formatGuess agrees with the parser on the new magics
+    val guesses = Multimodal.binaryMeta(rows, "doc_id", "payload")
+      .select("doc_id", "format_guess").as[(Long, String)].collect().toMap
+    assert(guesses == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
+  }
+
   test("resize bounds dimensions and shrinks payloads, preserving aspect") {
     val out = Multimodal.resize(payloads, "doc_id", "payload", 128, 128).collect()
     assert(out.nonEmpty)
