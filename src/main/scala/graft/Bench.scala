@@ -66,6 +66,10 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench")
     ).config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // bigger decode batches amortize per-batch dispatch in the scan
+      // shapes (default 4096); memory cost is batch x columns, trivial
+      // for the 4-column bench projection
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
