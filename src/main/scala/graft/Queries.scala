@@ -857,7 +857,23 @@ object Queries {
               |WHERE u < CASE WHEN lang = 'en' THEN 0.5
               |               WHEN lang = 'fr' THEN 0.25
               |               ELSE 0.1 END
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q55_token_budget",
+      // Per-language LLM token budgeting with the BPE-ish pre-tokenizer
+      // count — the regex is restricted to constructs RE2 (DuckDB) and
+      // Java regex (Spark) split identically, so the budget is
+      // oracle-checked to the token.
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextFunctions.bpeishTokenCount(col("text"))).as("tok_budget"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang,
+             |  CAST(sum(len(regexp_extract_all(text,
+             |    '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+|''| +'))) AS BIGINT) AS tok_budget,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   val defs: Seq[QDef] =

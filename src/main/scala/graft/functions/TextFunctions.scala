@@ -30,6 +30,21 @@ object TextFunctions {
   /** Count of non-empty whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 and
+    * Java regex treat identically (no lookahead): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, leftovers.
+    */
+  private val bpeishPattern =
+    "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+|'| +"
+
+  /** BPE-ish token count: the standard cheap estimator for LLM token
+    * budgets (a BPE tokenizer's merge count is bounded by its
+    * pre-tokenizer split count, and tracks it closely on natural text).
+    * Pure codegen'd regexp; cross-engine exact, so oracle-checkable.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+
   private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les"),

@@ -63,4 +63,12 @@ class SplitsSpec extends AnyFunSuite {
       .toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].head()
     assert(out == "write <EMAIL> or call <PHONE> today")
   }
+
+  test("bpeishTokenCount splits like a GPT-2-style pre-tokenizer") {
+    val counts = Seq(
+      "I've got 42 cats, don't I?", // I|'ve| got| 42| cats|,| don|'t| I|?
+      "", "hello").toDF("t")
+      .select(TextFunctions.bpeishTokenCount(col("t"))).as[Long].collect().toSeq
+    assert(counts == Seq(10L, 0L, 1L))
+  }
 }
