@@ -45,6 +45,24 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_quantity:double>"), plan.take(2000))
   }
 
+  test("MIN/MAX/COUNT are answered from parquet footers (aggregate pushdown)") {
+    // the Spark subsumption of the reference answering aggregates from
+    // page stats without decoding data: with aggregatePushdown on (set
+    // in GraftSession), an unfiltered MIN/MAX/COUNT plans as
+    // PushedAggregation on the scan. The rewrite only exists on the
+    // DataSource V2 read path, so scope this read to V2.
+    val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = Tables.load(spark, TestSpark.sf0001, "lineitem")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"),
+        plan.take(2000))
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+  }
+
   test("broadcast hint produces a broadcast join for dim tables") {
     val plan = Queries.queries("q07_join_broadcast")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString

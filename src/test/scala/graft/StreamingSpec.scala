@@ -109,6 +109,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deterministic hashSplit labels a stream identically to batch") {
+    // the split is a pure key-hash expression, so the same row gets the
+    // same label whether it arrives in a micro-batch or a batch scan —
+    // exactly what RNG-seeded sample() cannot promise
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val stream = EventStreams.readEventsStream(spark, dir.toString, TestSpark.sf0001)
+    val weights = Seq("train" -> 0.8, "holdout" -> 0.2)
+    val q = graft.operators.Splits.hashSplit(
+      stream.select("event_id"), "event_id", weights)
+      .writeStream.outputMode("append").format("memory").queryName("split_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("split_stream").as[(Long, String)].collect().toMap
+      val want = graft.operators.Splits.hashSplit(
+        Tables.load(spark, TestSpark.sf0001, "events").select("event_id"),
+        "event_id", weights).as[(Long, String)].collect().toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("event-time timeout closes idle sessions without further events") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-idle")
