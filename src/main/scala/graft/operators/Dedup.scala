@@ -94,7 +94,11 @@ object Dedup {
     // exact-duplicate boilerplate clusters, which belong to [[exact]]
     // dedup upstream, not to LSH.
     // The window count shuffles on the same (band, bucket) key the
-    // candidate self-join needs, so the exchange is reused, not added.
+    // candidate self-join needs, so the exchange is reused, not added —
+    // and ReuseExchange dedups the banded-signature exchange across the
+    // two self-join sides even though only one carries the metrics node
+    // (verified: 2 ReusedExchange under a forced shuffle join), so the
+    // shingle+minhash map work runs once at scale.
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
     def capped(observed: Boolean) = {
