@@ -24,10 +24,13 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   */
 object Inspect {
 
-  /** Decode a page-statistics value by physical type for display. */
+  /** Decode a page-statistics value by physical type for display. An
+    * all-null page stores EMPTY min/max byte arrays in the ColumnIndex
+    * (null_pages[i]=true), so emptiness is as normal as absence.
+    */
   private def statValue(bytes: Array[Byte], t: PrimitiveTypeName): String =
-    if (bytes == null) "?"
-    else t match {
+    if (bytes == null || bytes.isEmpty) "?"
+    else try t match {
       case PrimitiveTypeName.INT32 =>
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toString
       case PrimitiveTypeName.INT64 =>
@@ -39,6 +42,9 @@ object Inspect {
       case PrimitiveTypeName.BINARY =>
         new String(bytes, StandardCharsets.UTF_8)
       case _ => bytes.map("%02x".format(_)).mkString
+    } catch { // truncated stats in a malformed file: show raw, don't abort
+      case _: java.nio.BufferUnderflowException =>
+        bytes.map("%02x".format(_)).mkString
     }
 
   /** One display line per page of a column chunk:

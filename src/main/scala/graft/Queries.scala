@@ -549,21 +549,22 @@ object Queries {
     QDef("q37_approx_distinct",
       // exact_parts is oracle-checked. The HLL++ sketch value itself is
       // implementation-specific, so the approx path is gated by a
-      // relative-error bound computed Spark-side: `approx_within_5pct`
+      // relative-error bound computed Spark-side: `approx_within_10pct`
       // must come out true for every group, and the oracle asserts the
       // literal TRUE — an out-of-bound sketch breaks the hash match.
-      // (rsd=0.02, so 5% is a 2.5-sigma margin; the hash family is
-      // deterministic, making the check reproducible, not flaky.)
+      // (rsd=0.02, so 10% is a 5-sigma margin: still catches a broken
+      // sketch outright, while a healthy sketch passes on ANY dataset,
+      // not just this one — the gate must not fail on regenerated data.)
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx") - col("exact_parts")).cast("double") / col("exact_parts")
-            <= 0.05).as("approx_within_5pct"))
+            <= 0.10).as("approx_within_10pct"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-             |  TRUE AS approx_within_5pct
+             |  TRUE AS approx_within_10pct
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QDef("q38_simhash_neardup",

@@ -29,7 +29,8 @@ object AsOfJoin {
     * between a left and right row count the right row as visible;
     * right-right ts ties resolve to the larger (ts, payload) struct —
     * enforced by the window ordering, so the result is value-determined
-    * (requires an orderable payload type, which all atomic types are).
+    * for orderable payload types (all atomic types are); unorderable
+    * payloads (e.g. map) keep layout-dependent ties instead of failing.
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame,
@@ -100,10 +101,15 @@ object AsOfJoin {
     // the largest (ts, payload) struct — value-determined, not
     // partition-layout-determined. (Left rows all have null __carry and
     // a distinct __side, so the extra key never reorders left vs right.)
+    // Unorderable payload types (map, ...) can't join the ordering: for
+    // them ties stay layout-dependent rather than failing analysis.
     // Forward mode is the time-mirrored window (desc order, same frame).
+    val payloadOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(right.schema(payloadCol).dataType)
+    val tieBreak = if (payloadOrderable) Seq(col("__carry").asc) else Seq.empty
     val ord = direction match {
-      case Backward => Seq(col("__ts").asc, col("__side").asc, col("__carry").asc)
-      case Forward => Seq(col("__ts").desc, col("__side").asc, col("__carry").asc)
+      case Backward => Seq(col("__ts").asc, col("__side").asc) ++ tieBreak
+      case Forward => Seq(col("__ts").desc, col("__side").asc) ++ tieBreak
     }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(ord: _*)

@@ -25,6 +25,10 @@ import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  // per-invocation suffix for observed-metric names (duplicate
+  // CollectMetrics names in one query are an analysis error)
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup: keep the minimal row per key, ordered by survivorCol
     * first (nulls first, per struct ordering) with the remaining-column
     * tuple as tie-break. Every output column comes from the SAME
@@ -108,8 +112,12 @@ object Dedup {
       // of the self-join carries it
       // observed metrics forbid DISTINCT aggregates; the bucket count is
       // still exact without one: every row of an oversized bucket
-      // contributes 1/__n, so each dropped bucket sums to exactly 1
-      val maybeObserved = if (observed) counted.observe("graft.minhash_lsh",
+      // contributes 1/__n, so each dropped bucket sums to exactly 1.
+      // The metric name is unique per invocation (CheckAnalysis rejects
+      // duplicate CollectMetrics names, so two LSH calls composed into
+      // one query must not collide).
+      val maybeObserved = if (observed) counted.observe(
+        s"graft.minhash_lsh.${metricSeq.incrementAndGet()}",
         sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("oversized_rows"),
         round(sum(when(col("__n") > maxBucketSize,
           lit(1.0) / col("__n")).otherwise(0.0))).cast("long")
@@ -163,12 +171,14 @@ object Dedup {
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDocs: Long = 100000): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
-    val nDocs = sets.count()
+    // fence on the RAW row count (an upper bound on shingled docs): one
+    // cheap count, no shingling work spent before the refusal
+    val nDocs = docs.count()
     require(nDocs <= maxDocs,
       s"exactJaccardPairs is an all-pairs O(N^2) verification oracle: got " +
         s"$nDocs docs > maxDocs=$maxDocs. Use minHashNearDupPairs for corpus-" +
         "scale near-dup detection (LSH-then-verify, no all-pairs stage).")
+    val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
     val pairs = sets.select(col("id").as("id_a"))
       .crossJoin(sets.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))

@@ -57,6 +57,9 @@ object Layout {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.anyNull,
+      s"zorderValue needs a non-empty input with non-null values in " +
+        s"${colNames.mkString(", ")} (min/max came back null)")
     zorderExpr(colNames.zipWithIndex.map { case (c, i) =>
       (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
     })

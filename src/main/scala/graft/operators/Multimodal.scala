@@ -69,6 +69,7 @@ object Multimodal {
       var ok = true
       while (ok && out.isEmpty && i + 9 < b.length) {
         if (u8(i) != 0xff) ok = false // desynced: corrupt stream
+        else if (u8(i + 1) == 0xff) i += 1 // spec-legal 0xFF fill byte
         else {
           val m = u8(i + 1)
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
@@ -128,7 +129,9 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val fake = fakeDecode(id, bytes)
         parseImageDims(bytes) match {
-          case Some((_, w, h)) => Row(id, w, h, 1, fake.get(4))
+          // clamp like resize(): a valid magic with zeroed/absurd IHDR
+          // dims must not emit 0/negative geometry rows
+          case Some((_, w, h)) => Row(id, math.max(1, w), math.max(1, h), 1, fake.get(4))
           case None => fake
         }
       }

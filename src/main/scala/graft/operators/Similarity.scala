@@ -155,7 +155,9 @@ object Similarity {
     var cents: Array[Array[Double]] = c
       .orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
       .select(col("cv")).collect()
-      .map(r => unitize(r.getSeq[Float](0).map(_.toDouble).toArray))
+      // Number, not Float: the vector column may be array<float> (the
+      // testdata) or array<double> — both must work, as in bruteForceTopK
+      .map(r => unitize(r.getSeq[Number](0).map(_.doubleValue).toArray))
     require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
     val dim = cents.head.length
 

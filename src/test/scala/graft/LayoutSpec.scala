@@ -82,6 +82,14 @@ class LayoutSpec extends AnyFunSuite {
     assert(zBoth <= zId && zBoth <= zValue)
   }
 
+  test("zorderValue fails fast with a clear message on empty input") {
+    val empty = DataGen.cliTable(spark, 10, 1).filter(col("id") < 0).select("id", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderValue(empty, Seq("id", "value"))
+    }
+    assert(ex.getMessage.contains("non-empty"))
+  }
+
   test("z-order range predicate reaches the scan as PushedFilters on both columns") {
     val base = Files.createTempDirectory("graft-zscan").toString
     Layout.writeZOrdered(

@@ -60,6 +60,9 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseImageDims(jpegBytes(1920, 1080)).contains(("jpeg", 1920, 1080)))
     assert(Multimodal.parseImageDims("not an image".getBytes).isEmpty)
     assert(Multimodal.parseImageDims(pngBytes(1, 1).take(10)).isEmpty) // truncated
+    // spec-legal 0xFF fill bytes before a marker must not desync the walk
+    val withFill = jpegBytes(64, 32).patch(2, Array(0xff.toByte, 0xff.toByte), 0)
+    assert(Multimodal.parseImageDims(withFill).contains(("jpeg", 64, 32)))
   }
 
   test("extractFeatures reports real dims for recognized formats, stub otherwise") {

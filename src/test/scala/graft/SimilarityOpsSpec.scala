@@ -57,6 +57,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 for nprobe=4/nlist=16")
   }
 
+  test("ivfTopK accepts array<double> vectors too (regression)") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val out = Similarity.ivfTopK(emb.filter(col("vec_id") < 2), emb,
+      "vec_id", "embedding", 3)
+    assert(out.count() == 6)
+  }
+
   test("ivfTopK cell assignment is narrow: no Exchange between corpus scan and cell tag") {
     // the plan from the corpus scan to the cell-tagged side of the join
     // must contain no shuffle: cell assignment is a literal-centroid
@@ -152,6 +160,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.joinAsOf(left, right, "k", "t", "t", "rid",
         AsOfJoin.Backward, toleranceMs = Some(1000L))
     }
+  }
+
+  test("unorderable (map) payloads still join, with layout-dependent ties") {
+    val left = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, Map("a" -> 1L))).toDF("k", "t", "m")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "t", "m")
+      .select("asof_m").collect()
+    assert(out.head.getMap[String, Long](0).toMap == Map("a" -> 1L))
   }
 
   test("null payload on the latest right row is returned, not skipped") {

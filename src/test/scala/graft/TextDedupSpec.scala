@@ -198,8 +198,9 @@ class DedupSpec extends AnyFunSuite {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
-        qe.observedMetrics.get("graft.minhash_lsh").foreach { row =>
-          dropped = row.getAs[Long]("dropped_band_buckets")
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.minhash_lsh"))
+            dropped = row.getAs[Long]("dropped_band_buckets")
         }
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
@@ -213,6 +214,17 @@ class DedupSpec extends AnyFunSuite {
       while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(dropped > 0, "oversized-bucket drop count must be observed, never silent")
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("two LSH invocations compose into one query (unique metric names)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val x = Dedup.minHashNearDupPairs(docs, "doc_id", "text", bands = 16)
+      .select("id_a", "id_b")
+    val y = Dedup.minHashNearDupPairs(docs, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    // duplicate CollectMetrics names would fail analysis here
+    assert(x.unionByName(y).distinct().count() == 1L)
   }
 
   test("embedding near-dup finds noisy (not bit-identical) duplicates") {
