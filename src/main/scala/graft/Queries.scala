@@ -874,7 +874,21 @@ object Queries {
              |  CAST(sum(len(regexp_extract_all(text,
              |    '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+|''| +'))) AS BIGINT) AS tok_budget,
              |  count(*) AS n_docs
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QDef("q56_semantic_dedup",
+      // SemDeDup over the re-crawl corpus (each vector unioned with an
+      // id-shifted exact clone; no natural pair reaches cos 0.99): the
+      // min-id survivor rule must keep exactly the originals, which the
+      // oracle states in closed form.
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val recrawl = emb.unionByName(
+          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.semanticDedup(recrawl, "vec_id", "embedding")
+          .select("vec_id").orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id FROM embeddings ORDER BY vec_id"""))
   )
 
   val defs: Seq[QDef] =

@@ -221,6 +221,35 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic deduplication (public method: cluster the
+    * embedding space, compare only within clusters): spherical-k-means
+    * cells via [[Similarity.fitCentroids]], then drop every item that
+    * has a LOWER-id neighbor with cosine >= threshold in its cell —
+    * the greedy min-id survivor rule: deterministic, one pass, no
+    * iterative connected components. Returns the surviving rows.
+    *
+    * Scale: pairwise work is bounded per cell (choose
+    * nlist ~ corpusSize / targetCellSize to keep cells bounded; AQE
+    * splits skewed cells), cell assignment is a narrow argmax — the
+    * cluster-scoped alternative to [[embeddingNearDupPairs]]' LSH when
+    * near-dup groups should follow the corpus's semantic structure.
+    */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, nlist: Int = 16, kmeansIters: Int = 3): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = Similarity.fitCentroids(vecs, idCol, vecCol, nlist, kmeansIters)
+    val cells = Similarity.assignCells(v, "v", cents)
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val dropped = a.join(b,
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+    v.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("v").as(vecCol))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH (OR-amplified — any of
     * `bands` bucket matches makes a candidate) then exact cosine
     * verification. Identical vectors always collide (equal inputs hash

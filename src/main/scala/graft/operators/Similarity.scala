@@ -132,36 +132,27 @@ object Similarity {
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
   }
 
-  /** IVF (inverted-file) ANN: nlist centroid cells, queries probe the
-    * nprobe nearest cells. Index build = seed centroids with a
-    * deterministic id-hash sample of the corpus, then `kmeansIters`
-    * Lloyd refinements; like fitting any ANN index this is a driver
-    * action, but each iteration is one narrow assignment pass plus a
-    * map-side-combined groupBy whose shuffle carries only
-    * nlist x dim partial sums — never the corpus.
-    *
-    * Output: (query_id, rank, neighbor_id, cos) — approximate top-k.
+  /** Fit `nlist` spherical-k-means centroids over a vector column: seed
+    * with a deterministic id-hash sample (uniform over the corpus, no
+    * count or global sort — plans as TakeOrderedAndProject), then
+    * `iters` Lloyd refinements. Like fitting any index this is a driver
+    * action, but each iteration is one NARROW assignment pass plus a
+    * map-side-combined groupBy whose shuffle carries only nlist x dim
+    * partial sums — never the corpus. Returns unit-normalized centroids.
     */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
-      nassign: Int = 2): DataFrame = {
+  def fitCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[Array[Double]] = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // deterministic pseudo-random centroid seed without a corpus count
-    // or global sort: order by a hash of the id (uniform over the corpus,
-    // so centroids don't cluster in one ingestion-order corner) + limit,
-    // which plans as TakeOrderedAndProject (per-partition nlist-heaps)
     var cents: Array[Array[Double]] = c
       .orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
       .select(col("cv")).collect()
       // Number, not Float: the vector column may be array<float> (the
       // testdata) or array<double> — both must work, as in bruteForceTopK
       .map(r => unitize(r.getSeq[Number](0).map(_.doubleValue).toArray))
-    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
+    require(cents.nonEmpty, "fitCentroids needs a non-empty corpus")
     val dim = cents.head.length
-
-    for (_ <- 1 to kmeansIters) {
+    for (_ <- 1 to iters) {
       val assigned = c.withColumn("cell", element_at(bestCells(col("cv"), cents, 1), 1))
       val dimSums = (0 until dim).map(i =>
         sum(element_at(col("cv"), i + 1).cast("double")).as(s"s$i"))
@@ -176,6 +167,30 @@ object Similarity {
       }
       cents = next // cells with no members keep their previous centroid
     }
+    cents
+  }
+
+  /** Tag each row with the id of its nearest centroid — one narrow
+    * codegen'd argmax over the scan, no join, no shuffle. Shared by the
+    * IVF search path and cluster-scoped operators (semantic dedup).
+    */
+  def assignCells(
+      df: DataFrame, vecCol: String, cents: Array[Array[Double]],
+      outCol: String = "cell"): DataFrame =
+    df.withColumn(outCol, element_at(bestCells(col(vecCol), cents, 1), 1))
+
+  /** IVF (inverted-file) ANN: nlist centroid cells, queries probe the
+    * nprobe nearest cells. Index build = [[fitCentroids]].
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — approximate top-k.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+      nassign: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cents = fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
 
     // replicated assignment: each corpus vector lands in its `nassign`
     // nearest cells (IVF replica lists — storage x nassign, and probe

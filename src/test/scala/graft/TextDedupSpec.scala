@@ -241,6 +241,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"banded sign-LSH recall $recall below 0.95")
   }
 
+  test("semanticDedup keeps exactly the min-id member of each duplicate group") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val recrawl = emb.unionByName(
+      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val survivors = Dedup.semanticDedup(recrawl, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    val originals = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors == originals)
+    // and on a corpus with no near-dups, nothing is dropped
+    val untouched = Dedup.semanticDedup(emb, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(untouched == originals)
+  }
+
   test("embedding near-dup finds planted duplicates exactly") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
