@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, ColeQuery, Dedup, Multimodal, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, Multimodal, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -888,7 +888,43 @@ object Queries {
         Dedup.semanticDedup(recrawl, "vec_id", "embedding")
           .select("vec_id").orderBy(col("vec_id"))
       },
-      Some("""SELECT vec_id FROM embeddings ORDER BY vec_id"""))
+      Some("""SELECT vec_id FROM embeddings ORDER BY vec_id""")),
+
+    QDef("q57_dedup_groups",
+      // Transitive near-dup GROUP formation: connected components over
+      // the 0.6-Jaccard pair graph, component = min member id. The
+      // oracle recomputes reachability with a recursive CTE — the
+      // iterative min-label propagation must match closed-form graph
+      // reachability exactly.
+      (s, d) => {
+        val pairs = Dedup.exactJaccardPairs(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
+        Components.connectedComponents(pairs, "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |),
+             |tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM tri a, tri b WHERE a.doc_id < b.doc_id
+             |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+             |),
+             |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+             |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+             |r(id, m) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT r.id, e.b FROM r JOIN e ON r.m = e.a
+             |)
+             |SELECT id, min(m) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

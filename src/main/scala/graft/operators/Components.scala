@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the dedup-group
+  * former: transitive near-duplicate clusters (A~B, B~C but A!~C)
+  * collapse to one canonical component labeled by the minimum member
+  * id, which greedy pairwise survivor rules cannot do.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each round every node takes the min of its own and its
+  * neighbors' labels; stop when a round changes no label. Rounds needed
+  * = graph diameter (near-dup graphs are shallow stars and short
+  * chains), and each round is ONE shuffle join plus a map-side-combined
+  * groupBy — the same per-round cost profile as public MapReduce CC
+  * formulations (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14, whose large-star/small-star variant is the drop-in
+  * upgrade if diameters grow). The driver holds only the convergence
+  * flag; labels stay distributed, and localCheckpoint() truncates the
+  * otherwise-growing plan lineage each round (the standard Spark
+  * iterative-algorithm pattern).
+  */
+object Components {
+
+  /** Components of the graph formed by `edges`: one output row (id,
+    * comp) per distinct endpoint, comp = min node id reachable from id.
+    * Deterministic for any input partitioning.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("comp")), "b")
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr_comp"))
+        .select(col("a").as("id"), col("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("comp").as("new_comp"))
+        .join(labels, "id")
+        .filter(col("new_comp") =!= col("comp"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "graph diameter exceeds the bound; raise maxIters")
+    labels
+  }
+}

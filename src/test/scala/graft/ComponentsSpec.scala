@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, pairs, and self-loops get min-id components") {
+    val out = cc(Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("a long chain needs multiple propagation rounds and still converges") {
+    // path 10-9-...-0: diameter 10, so the min label walks one hop per
+    // round — exercises the iteration + convergence logic, not just the
+    // one-round case
+    val out = cc((0L until 10L).map(i => (i, i + 1)))
+    assert(out == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("components equal brute-force union-find on a mixed graph, any partitioning") {
+    val edges = Seq(
+      (4L, 9L), (9L, 1L), (12L, 4L), // star+chain -> comp 1
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle -> comp 20
+      (30L, 31L)) // pair -> comp 30
+    // brute force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Components.connectedComponents(
+      edges.toDF("s", "d").repartition(5), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("non-convergence within maxIters raises instead of returning wrong labels") {
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIters = 2)
+        .collect()
+    }
+  }
+}
