@@ -924,7 +924,64 @@ object Queries {
              |  UNION
              |  SELECT r.id, e.b FROM r JOIN e ON r.m = e.a
              |)
-             |SELECT id, min(m) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin))
+             |SELECT id, min(m) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
+    QDef("q58_repetition",
+      // Gopher-style repetition signal: duplicate word-bigram fraction
+      // (0 = clean prose, -> 1 = looping boilerplate). Exact rational.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.duplicateBigramFraction(col("text")).as("dup_bigram_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""$tokCte,
+              |bg AS (
+              |  SELECT doc_id, CASE WHEN len(tk) >= 2
+              |    THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+              |    ELSE [] END AS b
+              |  FROM tok
+              |)
+              |SELECT doc_id, CASE WHEN len(b) > 0
+              |  THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+              |  ELSE 0.0 END AS dup_bigram_frac
+              |FROM bg ORDER BY doc_id""".stripMargin)),
+
+    QDef("q59_decontaminate",
+      // Benchmark decontamination: per-doc fraction of trigram shingles
+      // overlapping a (small, broadcast) benchmark shingle set — here
+      // docs 0..19 stand in for the benchmark. The benchmark union is
+      // one aggregated array broadcast to every executor; the per-doc
+      // work is a narrow array_intersect, never a shuffle of the corpus.
+      (s, d) => {
+        val sh = Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", 3)
+        val bench = sh.filter(col("id") < 20)
+          .agg(array_distinct(flatten(collect_list(col("sh")))).as("bsh"))
+        val contaminated = size(array_intersect(col("sh"), col("bsh")))
+        sh.crossJoin(broadcast(bench))
+          .select(col("id").as("doc_id"),
+            size(col("sh")).cast("bigint").as("n_shingles"),
+            contaminated.cast("bigint").as("n_contaminated"),
+            when(size(col("sh")) > 0,
+              contaminated.cast("double") / size(col("sh")))
+              .otherwise(lit(0.0)).as("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$tokCte,
+              |tri AS (
+              |  SELECT doc_id, CASE WHEN len(tk) >= 3
+              |    THEN list_distinct(list_transform(range(1, len(tk) - 1),
+              |      i -> array_to_string(tk[i:i+2], ' ')))
+              |    ELSE [] END AS sh
+              |  FROM tok
+              |),
+              |bench AS (
+              |  SELECT list_distinct(flatten(list(sh))) AS bsh FROM tri WHERE doc_id < 20
+              |)
+              |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+              |  CAST(len(list_intersect(sh, bsh)) AS BIGINT) AS n_contaminated,
+              |  CASE WHEN len(sh) > 0
+              |    THEN CAST(len(list_intersect(sh, bsh)) AS DOUBLE) / len(sh)
+              |    ELSE 0.0 END AS contamination
+              |FROM tri, bench ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -100,6 +100,26 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
+  /** All word bigrams of a token array WITHOUT dedup (position-sensitive,
+    * unlike [[shingles]]) — the denominator of repetition measures.
+    */
+  private def allBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => array_join(slice(toks, i + lit(1), lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Duplicate word-bigram fraction, a Gopher-style repetition signal:
+    * 1 - distinct/total bigrams (0 for clean prose, -> 1 for looping
+    * boilerplate). Exact rational; 0 on docs shorter than two tokens.
+    */
+  def duplicateBigramFraction(text: Column): Column = {
+    val bg = allBigrams(tokens(text))
+    when(size(bg) > 0,
+      lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+      .otherwise(lit(0.0))
+  }
+
   /** Heuristic language ID: argmax over per-language stopword hit counts,
     * ties broken by language-list order, "und" when nothing matches.
     * (N-gram-profile language ID distilled to the signal available for

@@ -64,6 +64,16 @@ class SplitsSpec extends AnyFunSuite {
     assert(out == "write <EMAIL> or call <PHONE> today")
   }
 
+  test("duplicateBigramFraction: 0 for clean prose, high for loops, 0 for short docs") {
+    val out = Seq(
+      "the quick brown fox jumps",   // all bigrams distinct -> 0
+      "spam spam spam spam spam",    // one distinct of 4 bigrams -> 0.75
+      "one", "")                     // too short -> 0
+      .toDF("t").select(TextFunctions.duplicateBigramFraction(col("t")))
+      .as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.75, 0.0, 0.0))
+  }
+
   test("bpeishTokenCount splits like a GPT-2-style pre-tokenizer") {
     val counts = Seq(
       "I've got 42 cats, don't I?", // I|'ve| got| 42| cats|,| don|'t| I|?
