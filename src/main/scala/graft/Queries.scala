@@ -308,6 +308,13 @@ object Queries {
   // text analysis, multimodal, sessionization, as-of join.
   // ---------------------------------------------------------------------------
 
+  /** Id offset for planted-clone fixtures (q31/q56): far above any real
+    * vec_id at ANY scale factor, so clone ids can never collide with
+    * originals (a +10000 shift would collide once the table reaches
+    * 10000 rows). Appears as the literal 1099511627776 in the oracles.
+    */
+  private val CloneShift = 1L << 40
+
   /** Shared DuckDB CTE: whitespace tokens / distinct word-trigram shingles. */
   private val tokCte =
     """WITH tok AS (
@@ -479,10 +486,10 @@ object Queries {
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val recrawl = emb.unionByName(
-          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
         Dedup.embeddingNearDupPairs(recrawl, "vec_id", "embedding")
       },
-      Some("""SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings ORDER BY id_a""")),
+      Some("""SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b FROM embeddings ORDER BY id_a""")),
 
     QDef("q32_binary_meta",
       (s, d) => Multimodal.binaryMeta(
@@ -884,7 +891,7 @@ object Queries {
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val recrawl = emb.unionByName(
-          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
         Dedup.semanticDedup(recrawl, "vec_id", "embedding")
           .select("vec_id").orderBy(col("vec_id"))
       },

@@ -20,12 +20,19 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** All word n-grams of a token array, position-sensitive (duplicates
+    * kept) — the one place the n-gram construction lives, so the Spark
+    * and oracle idioms stay aligned.
+    */
+  private def allNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct word n-gram shingles ("a b c" strings) of a token array. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(allNgrams(toks, n))
 
   /** Count of non-empty whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -100,21 +107,12 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
-  /** All word bigrams of a token array WITHOUT dedup (position-sensitive,
-    * unlike [[shingles]]) — the denominator of repetition measures.
-    */
-  private def allBigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => array_join(slice(toks, i + lit(1), lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
-
   /** Duplicate word-bigram fraction, a Gopher-style repetition signal:
     * 1 - distinct/total bigrams (0 for clean prose, -> 1 for looping
     * boilerplate). Exact rational; 0 on docs shorter than two tokens.
     */
   def duplicateBigramFraction(text: Column): Column = {
-    val bg = allBigrams(tokens(text))
+    val bg = allNgrams(tokens(text), 2)
     when(size(bg) > 0,
       lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
       .otherwise(lit(0.0))

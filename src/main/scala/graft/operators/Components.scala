@@ -42,20 +42,20 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // every label id has a neighbor-min row (sym is symmetric, labels
+      // are exactly sym's endpoints), so the join is inner, and carrying
+      // the previous label lets the convergence check be a plain filter
+      // on the materialized checkpoint — no second join per round
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_comp"))
         .select(col("a").as("id"), col("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint()
-      val changed = next.select(col("id"), col("comp").as("new_comp"))
-        .join(labels, "id")
-        .filter(col("new_comp") =!= col("comp"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter(col("comp") =!= col("prev")).limit(1).count() == 0
+      labels = next.drop("prev")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -223,16 +223,22 @@ object Dedup {
 
   /** SemDeDup-style semantic deduplication (public method: cluster the
     * embedding space, compare only within clusters): spherical-k-means
-    * cells via [[Similarity.fitCentroids]], then drop every item that
-    * has a LOWER-id neighbor with cosine >= threshold in its cell —
-    * the greedy min-id survivor rule: deterministic, one pass, no
-    * iterative connected components. Returns the surviving rows.
+    * cells via [[Similarity.fitCentroids]], within-cell pairs with
+    * cosine >= threshold form the near-dup graph, and exactly ONE
+    * member — the minimum id — of each connected near-dup GROUP
+    * survives ([[Components.connectedComponents]] over the pair graph,
+    * so chains A~B~C collapse to one survivor even when A!~C, the
+    * standard near-dup-group semantics; a one-hop drop rule would
+    * delete chain members whose only near-duplicate was itself
+    * deleted). Deterministic for any partitioning.
     *
     * Scale: pairwise work is bounded per cell (choose
     * nlist ~ corpusSize / targetCellSize to keep cells bounded; AQE
-    * splits skewed cells), cell assignment is a narrow argmax — the
-    * cluster-scoped alternative to [[embeddingNearDupPairs]]' LSH when
-    * near-dup groups should follow the corpus's semantic structure.
+    * splits skewed cells), cell assignment is a narrow argmax, and the
+    * component pass runs only over near-dup pairs (a tiny fraction of
+    * the corpus) — the cluster-scoped alternative to
+    * [[embeddingNearDupPairs]]' LSH when near-dup groups should follow
+    * the corpus's semantic structure.
     */
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
@@ -242,10 +248,13 @@ object Dedup {
     val cells = Similarity.assignCells(v, "v", cents)
     val a = cells.alias("a")
     val b = cells.alias("b")
-    val dropped = a.join(b,
-        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dropped = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("comp"))
+      .select("id")
     v.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("v").as(vecCol))
   }

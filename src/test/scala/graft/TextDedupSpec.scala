@@ -113,6 +113,9 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // clone-id offset for planted-duplicate fixtures: far above any real id
+  private val CloneShift = 1L << 40
+
   test("exact dedup keeps min-survivor row per key") {
     val df = Seq((3L, "x", "c3"), (1L, "x", "c1"), (2L, "y", "c2")).toDF("id", "k", "payload")
     val out = Dedup.exact(df, Seq("k"), "id").orderBy("k")
@@ -232,11 +235,11 @@ class DedupSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"))
     // re-encoded copy: every component scaled by 1+1e-4 (cos ~ 1.0 but
     // floats differ, so some hyperplane projections can flip sign)
-    val noisy = emb.select((col("vec_id") + 10000).as("vec_id"),
+    val noisy = emb.select((col("vec_id") + CloneShift).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
     val pairs = Dedup.embeddingNearDupPairs(emb.unionByName(noisy), "vec_id", "embedding")
       .as[(Long, Long)].collect().toSet
-    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + 10000)).toSet
+    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + CloneShift)).toSet
     val recall = pairs.intersect(planted).size.toDouble / planted.size
     assert(recall >= 0.95, s"banded sign-LSH recall $recall below 0.95")
   }
@@ -245,7 +248,7 @@ class DedupSpec extends AnyFunSuite {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val recrawl = emb.unionByName(
-      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
     val survivors = Dedup.semanticDedup(recrawl, "vec_id", "embedding")
       .select("vec_id").as[Long].collect().toSet
     val originals = emb.select("vec_id").as[Long].collect().toSet
@@ -260,10 +263,10 @@ class DedupSpec extends AnyFunSuite {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val recrawl = emb.unionByName(
-      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
     val pairs = Dedup.embeddingNearDupPairs(recrawl, "vec_id", "embedding")
       .as[(Long, Long)].collect().toSet
-    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + 10000)).toSet
+    val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + CloneShift)).toSet
     assert(pairs == planted)
   }
 }
