@@ -93,9 +93,13 @@ object Bench {
       "group_by" -> (() => { groupBy.collect(); () }))
 
     val results = shapes.map { case (name, f) =>
-      f(); f() // warm-ups, discarded (second run lets C2 finish compiling
-               // the generated code so timed runs measure steady state)
-      name -> (1 to 5).map(_ => time(f())).min
+      // warm-ups, discarded: C2 compilation of the generated code and OS
+      // page cache settle before anything is timed
+      (1 to 3).foreach(_ => f())
+      // min of 7: the steady-state floor (GC pauses and scheduler jitter
+      // only ever ADD time, so min is the right statistic for comparing
+      // against the reference's warm single-run numbers)
+      name -> (1 to 7).map(_ => time(f())).min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
