@@ -119,4 +119,25 @@ class PropertiesSpec extends AnyFunSuite {
         twice.orderBy("category").collect().toSeq, s"seed=$s")
     }
   }
+
+  test("connected components == union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (s <- 1 to 5) {
+      val edges = sample(edgeGen, s)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.operators.Components.connectedComponents(
+        edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$s")
+    }
+  }
 }
