@@ -20,8 +20,22 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 when either vector has zero norm. Delegates to
+    * the native codegen'd [[VectorExprs.CosineSimilarity]] (one fused
+    * loop, no per-row lambda dispatch or intermediate arrays — Spark's
+    * higher-order functions are interpreted). [[cosineComposed]] keeps
+    * the declarative formulation as the bit-equality reference.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.CosineSimilarity(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The composed (zip_with/aggregate) cosine — same math, same strict
+    * left-to-right accumulation; used to cross-check the native
+    * expression and as the pattern reference for new vector ops.
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn > 0, d / nn).otherwise(lit(0.0))

@@ -19,6 +19,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(cs(0) - 1.0) < 1e-12 && math.abs(cs(1)) < 1e-12)
   }
 
+  test("native cosine expression == composed HOF cosine, bit-equal, codegen == interpreted") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv")).crossJoin(emb)
+    def vals(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        VectorFunctions.cosine(col("qv"), col("embedding")).as("native"),
+        VectorFunctions.cosineComposed(col("qv"), col("embedding")).as("composed"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val withCodegen = vals(q)
+    // strict left-to-right accumulation means the native kernel must be
+    // BIT-equal to the declarative formulation, not just close
+    withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(vals(q) == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // double arrays go through the same kernel
+    val d = q.select(
+      VectorFunctions.cosine(col("qv").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+      .as[Double].collect()
+    assert(d.length == withCodegen.length)
+    d.zip(withCodegen).foreach { case (dd, (_, n, _)) => assert(math.abs(dd - n) < 1e-12) }
+  }
+
   test("bruteForceTopK returns correct neighbors on a tiny fixture") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.3f))
