@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression for cosine similarity over embedding
@@ -76,5 +76,76 @@ object VectorExprs {
     override def prettyName: String = "cosine_similarity"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** Hyperplane components are a pure function of (plane, dim index):
+    * pmod(xxhash64(p, j), 2001)/1000 - 1 in [-1, 1) — exactly the
+    * derivation of VectorFunctions.hyperplaneProjection, so executors
+    * (and this cache) agree with no coordinated state. Materialized once
+    * per (planes, dim) per JVM instead of re-hashed per row.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dim), _ =>
+      Array.tabulate(nPlanes)(p => Array.tabulate(dim)(j =>
+        (Math.floorMod(XXH64.hashInt(j, XXH64.hashInt(p, 42L)), 2001L) - 1000L) / 1000.0)))
+
+  /** Banded sign-LSH kernel: all `bands` bucket ids in one pass over the
+    * vector (dense mat-vec against the cached plane matrix + sign
+    * packing) — replaces bands*bitsPerBand interpreted zip_with/aggregate
+    * evaluations per row.
+    */
+  def signLshKernel(v: ArrayData, isFloat: Boolean, bands: Int, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val planes = planeMatrix(bands * bits, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val row = planes(b * bits + i)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          acc += x * row(j)
+          j += 1
+        }
+        if (acc >= 0) bucket += (1L << i)
+        i += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class SignLshBands(child: Expression, bands: Int, bitsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bands needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      signLshKernel(input.asInstanceOf[ArrayData], isFloat, bands, bitsPerBand)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.signLshKernel(" +
+          s"$c, $isFloat, $bands, $bitsPerBand);")
+
+    override def prettyName: String = "sign_lsh_bands"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 }

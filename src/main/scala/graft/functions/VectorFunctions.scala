@@ -65,8 +65,21 @@ object VectorFunctions {
     * bit-identical vectors (one noisy projection flipping a sign) still
     * collide with high probability: at cos 0.99, P(bit) ≈ 0.971,
     * P(any of 4 8-bit bands) ≈ 1-(1-0.971^8)^4 ≈ 0.998.
+    *
+    * Delegates to the native [[VectorExprs.SignLshBands]] (one fused
+    * mat-vec per row against a per-JVM cached plane matrix, instead of
+    * bands*bitsPerBand interpreted higher-order aggregates);
+    * [[signLshBandBucketsComposed]] keeps the declarative formulation as
+    * the bit-equality reference.
     */
   def signLshBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.SignLshBands(
+      org.apache.spark.sql.GraftBridge.expression(vec), bands, bitsPerBand))
+
+  /** The composed formulation of [[signLshBandBuckets]] — same hash
+    * family, same arithmetic; cross-checked bit-equal in tests.
+    */
+  def signLshBandBucketsComposed(vec: Column, bands: Int, bitsPerBand: Int): Column =
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { i =>
         val p = b * bitsPerBand + i

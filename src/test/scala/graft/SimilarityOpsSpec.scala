@@ -44,6 +44,19 @@ class SimilaritySpec extends AnyFunSuite {
     d.zip(withCodegen).foreach { case (dd, (_, n, _)) => assert(math.abs(dd - n) < 1e-12) }
   }
 
+  test("native sign-LSH bands == composed HOF formulation, bit-equal, codegen == interpreted") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    def vals() = emb.select(col("vec_id"),
+      VectorFunctions.signLshBandBuckets(col("embedding"), 4, 8).as("native"),
+      VectorFunctions.signLshBandBucketsComposed(col("embedding"), 4, 8).as("composed"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
+    val withCodegen = vals()
+    withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(vals() == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("bruteForceTopK returns correct neighbors on a tiny fixture") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.3f))
