@@ -148,4 +148,81 @@ object VectorExprs {
     override def prettyName: String = "sign_lsh_bands"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** Nearest-cells kernel: dot the vector against every (unit) centroid
+    * in one fused pass, then emit the `nprobe` cell ids ordered by
+    * (dot desc, cell asc) — the same order as sorting
+    * struct(-dot, cell) ascending, so results are bit-identical to the
+    * composed formulation. Selection is an O(nlist * nprobe) insertion
+    * (both are small constants).
+    */
+  def nearestCellsKernel(
+      v: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val dim = v.numElements()
+    val n = cents.length
+    val dots = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val row = cents(c)
+      val m = math.min(dim, row.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * row(j)
+        j += 1
+      }
+      dots(c) = acc
+      c += 1
+    }
+    val k = math.min(nprobe, n)
+    val best = new Array[Int](k)
+    var filled = 0
+    c = 0
+    while (c < n) {
+      // insertion position among current best by (dot desc, cell asc);
+      // cells are scanned in ascending order so equal dots keep cell asc
+      var pos = filled
+      while (pos > 0 && dots(best(pos - 1)) < dots(c)) pos -= 1
+      if (pos < k) {
+        val upto = math.min(filled, k - 1)
+        var m = upto
+        while (m > pos) { best(m) = best(m - 1); m -= 1 }
+        best(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(best.take(filled))
+  }
+
+  case class NearestCells(child: Expression, cents: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells needs an array<float|double> input, got ${other.simpleString}")
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      nearestCellsKernel(input.asInstanceOf[ArrayData], isFloat, cents, nprobe)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the centroid matrix rides along as a codegen object reference
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.nearestCellsKernel(" +
+          s"$c, $isFloat, $centsRef, $nprobe);")
+    }
+
+    override def prettyName: String = "nearest_cells"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }

@@ -124,8 +124,22 @@ object Similarity {
     * the scan (the old shape, crossJoin(centroids) + row_number window,
     * pushed N*nlist rows through an Exchange just to pick an argmax).
     * Ties: equal dot products resolve to the lowest cell id.
+    *
+    * Native codegen'd kernel (one fused pass over all centroids —
+    * VectorExprs.NearestCells); [[bestCellsComposed]] is the
+    * bit-equality reference.
     */
-  private def bestCells(v: Column, unitCents: Array[Array[Double]], nprobe: Int): Column = {
+  private[graft] def bestCells(v: Column, unitCents: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.VectorExprs.NearestCells(
+        org.apache.spark.sql.GraftBridge.expression(v), unitCents, nprobe))
+
+  /** Composed formulation of [[bestCells]]: per-cell dot via zip_with +
+    * aggregate, sort of (negdot, cell) structs, slice. Same ordering and
+    * tie-break; kept as the cross-check reference.
+    */
+  private[graft] def bestCellsComposed(
+      v: Column, unitCents: Array[Array[Double]], nprobe: Int): Column = {
     val scored = array(unitCents.zipWithIndex.map { case (ct, i) =>
       struct((-dotLit(v, ct)).as("negdot"), lit(i).as("cell"))
     }: _*)

@@ -57,6 +57,20 @@ class SimilaritySpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("native nearest-cells == composed sort formulation, codegen == interpreted") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 16, 2)
+    def vals() = emb.select(col("vec_id"),
+      Similarity.bestCells(col("embedding"), cents, 4).as("native"),
+      Similarity.bestCellsComposed(col("embedding"), cents, 4).as("composed"))
+      .as[(Long, Seq[Int], Seq[Int])].collect().sortBy(_._1).toSeq
+    val withCodegen = vals()
+    withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(vals() == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("bruteForceTopK returns correct neighbors on a tiny fixture") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.3f))
