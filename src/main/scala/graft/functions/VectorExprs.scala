@@ -6,39 +6,83 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression for cosine similarity over embedding
-  * columns.
+/** Native Catalyst expressions for the vector/similarity hot path.
   *
-  * Why not the `zip_with`/`aggregate` composition ([[VectorFunctions]]
-  * keeps it for reference): Spark's higher-order functions are
-  * interpreted (CodegenFallback) — every row pays lambda dispatch and a
-  * materialized intermediate array per operation, and the surrounding
-  * stage falls out of whole-stage codegen. This expression reads the two
-  * `ArrayData` buffers in ONE fused loop with no allocation, and
-  * `doGenCode` emits a static kernel call so the stage stays fused —
-  * the difference is a large constant factor on the similarity family
-  * (brute-force top-k scoring, LSH verification, semantic dedup), which
-  * is corpus x queries sized at 100 TB.
+  * Why not the `zip_with`/`aggregate` compositions ([[VectorFunctions]]
+  * keeps them as cross-check references): Spark's higher-order functions
+  * are interpreted (CodegenFallback) — every row pays lambda dispatch
+  * and materialized intermediate arrays per operation, and the
+  * surrounding stage falls out of whole-stage codegen. These expressions
+  * read the `ArrayData` buffers in fused allocation-free loops and
+  * `doGenCode` emits a static kernel call so the stage stays fused — a
+  * large constant factor on work that is corpus x queries sized at
+  * 100 TB.
   *
-  * The accumulation order (strict left-to-right, double) is identical to
-  * the higher-order formulation, so results are bit-equal — asserted in
-  * SimilarityOpsSpec.
+  * Semantics contract (asserted bit-equal to the composed forms in
+  * SimilarityOpsSpec): strict left-to-right double accumulation, and
+  * DEGENERATE inputs resolve exactly the way the composed forms'
+  * null-absorbing guards resolved them — a null array element or a
+  * length mismatch yields cosine 0.0 / all-zero LSH buckets /
+  * first-cells probe order, never a crash and never a silently
+  * truncated "confident" score. Element types float/double/int/long are
+  * accepted (the composed forms cast to double).
   */
 object VectorExprs {
 
-  /** Shared kernel (interpreted eval and codegen call the same code).
-    * Accumulates dot and both squared norms in one pass; cosine is 0
-    * when either norm is 0 (same guard as the composed version).
+  // element-kind codes for the kernels (avoids per-element type dispatch
+  // through DataType objects in the hot loop)
+  final val KindFloat = 0
+  final val KindDouble = 1
+  final val KindInt = 2
+  final val KindLong = 3
+
+  private def elemKind(dt: DataType): Int = dt.asInstanceOf[ArrayType].elementType match {
+    case FloatType => KindFloat
+    case DoubleType => KindDouble
+    case IntegerType => KindInt
+    case LongType => KindLong
+    case other => throw new IllegalStateException(s"unchecked element type $other")
+  }
+
+  private def checkVectorType(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name needs an array<float|double|int|long> input, got ${other.simpleString}")
+  }
+
+  @inline private def readElem(a: ArrayData, i: Int, kind: Int): Double = kind match {
+    case KindFloat => a.getFloat(i).toDouble
+    case KindDouble => a.getDouble(i)
+    case KindInt => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
+  }
+
+  private def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared cosine kernel. Degenerate inputs (length mismatch, null
+    * elements, zero norms) score 0.0 — identical to the composed
+    * formulation, where any of these nulled the dot/norms and the
+    * `when(nn > 0).otherwise(0.0)` guard absorbed it.
     */
-  def cosineKernel(a: ArrayData, b: ArrayData, floatA: Boolean, floatB: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineKernel(a: ArrayData, b: ArrayData, kindA: Int, kindB: Int): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || hasNullElement(a) || hasNullElement(b)) return 0.0
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (floatA) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (floatB) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = readElem(a, i, kindA)
+      val y = readElem(b, i, kindB)
       dot += x * y
       na += x * x
       nb += y * y
@@ -53,25 +97,21 @@ object VectorExprs {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
 
-    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity needs array<float|double> inputs, " +
-          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
-    }
-
-    private def isFloat(e: Expression): Boolean =
-      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("cosine_similarity", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkVectorType("cosine_similarity", right.dataType)
+        case fail => fail
+      }
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
       cosineKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-        isFloat(left), isFloat(right))
+        elemKind(left.dataType), elemKind(right.dataType))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (c1, c2) =>
         s"${ev.value} = graft.functions.VectorExprs.cosineKernel(" +
-          s"$c1, $c2, ${isFloat(left)}, ${isFloat(right)});")
+          s"$c1, $c2, ${elemKind(left.dataType)}, ${elemKind(right.dataType)});")
 
     override def prettyName: String = "cosine_similarity"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -94,11 +134,13 @@ object VectorExprs {
 
   /** Banded sign-LSH kernel: all `bands` bucket ids in one pass over the
     * vector (dense mat-vec against the cached plane matrix + sign
-    * packing) — replaces bands*bitsPerBand interpreted zip_with/aggregate
-    * evaluations per row.
+    * packing). Empty vectors and null elements give all-zero buckets
+    * (the composed form's null projections set no bits).
     */
-  def signLshKernel(v: ArrayData, isFloat: Boolean, bands: Int, bits: Int): ArrayData = {
+  def signLshKernel(v: ArrayData, kind: Int, bands: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
+    if (dim == 0 || hasNullElement(v))
+      return new GenericArrayData(new Array[Long](bands))
     val planes = planeMatrix(bands * bits, dim)
     val out = new Array[Long](bands)
     var b = 0
@@ -110,8 +152,7 @@ object VectorExprs {
         var acc = 0.0
         var j = 0
         while (j < dim) {
-          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-          acc += x * row(j)
+          acc += readElem(v, j, kind) * row(j)
           j += 1
         }
         if (acc >= 0) bucket += (1L << i)
@@ -128,22 +169,17 @@ object VectorExprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"sign_lsh_bands needs an array<float|double> input, got ${other.simpleString}")
-    }
-
-    private def isFloat: Boolean =
-      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("sign_lsh_bands", child.dataType)
 
     override protected def nullSafeEval(input: Any): Any =
-      signLshKernel(input.asInstanceOf[ArrayData], isFloat, bands, bitsPerBand)
+      signLshKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType),
+        bands, bitsPerBand)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.VectorExprs.signLshKernel(" +
-          s"$c, $isFloat, $bands, $bitsPerBand);")
+          s"$c, ${elemKind(child.dataType)}, $bands, $bitsPerBand);")
 
     override def prettyName: String = "sign_lsh_bands"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -151,43 +187,45 @@ object VectorExprs {
 
   /** Nearest-cells kernel: dot the vector against every (unit) centroid
     * in one fused pass, then emit the `nprobe` cell ids ordered by
-    * (dot desc, cell asc) — the same order as sorting
-    * struct(-dot, cell) ascending, so results are bit-identical to the
-    * composed formulation. Selection is an O(nlist * nprobe) insertion
-    * (both are small constants).
+    * (dot desc, cell asc) under the same TOTAL double order array_sort
+    * uses (java.lang.Double.compare: NaN sorts worst, like the composed
+    * form's null-last struct sort). Degenerate vectors (null elements,
+    * length != centroid dim) probe the first cells 0..nprobe-1 — the
+    * composed form's all-null dots sorted by cell id.
     */
   def nearestCellsKernel(
-      v: ArrayData, isFloat: Boolean,
+      v: ArrayData, kind: Int,
       cents: Array[Array[Double]], nprobe: Int): ArrayData = {
-    val dim = v.numElements()
     val n = cents.length
-    val dots = new Array[Double](n)
+    val k = math.min(nprobe, n)
+    val dim = if (n > 0) cents(0).length else 0
+    if (v.numElements() != dim || hasNullElement(v))
+      return new GenericArrayData(Array.tabulate(k)(identity))
+    // negated dots: ascending java.lang.Double.compare order == the
+    // composed sort's (negdot asc, cell asc), including NaN-last
+    val neg = new Array[Double](n)
     var c = 0
     while (c < n) {
       val row = cents(c)
-      val m = math.min(dim, row.length)
       var acc = 0.0
       var j = 0
-      while (j < m) {
-        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        acc += x * row(j)
+      while (j < dim) {
+        acc += readElem(v, j, kind) * row(j)
         j += 1
       }
-      dots(c) = acc
+      neg(c) = -acc
       c += 1
     }
-    val k = math.min(nprobe, n)
     val best = new Array[Int](k)
     var filled = 0
     c = 0
     while (c < n) {
-      // insertion position among current best by (dot desc, cell asc);
-      // cells are scanned in ascending order so equal dots keep cell asc
       var pos = filled
-      while (pos > 0 && dots(best(pos - 1)) < dots(c)) pos -= 1
+      // move left while the resident is strictly worse (greater negdot);
+      // ties keep the earlier (lower) cell first — cells scan ascending
+      while (pos > 0 && java.lang.Double.compare(neg(best(pos - 1)), neg(c)) > 0) pos -= 1
       if (pos < k) {
-        val upto = math.min(filled, k - 1)
-        var m = upto
+        var m = math.min(filled, k - 1)
         while (m > pos) { best(m) = best(m - 1); m -= 1 }
         best(pos) = c
         if (filled < k) filled += 1
@@ -197,29 +235,31 @@ object VectorExprs {
     new GenericArrayData(best.take(filled))
   }
 
-  case class NearestCells(child: Expression, cents: Array[Array[Double]], nprobe: Int)
+  /** `cents` is a Seq-of-Seq so the case class keeps structural
+    * equality/canonicalization (an Array field would compare by
+    * reference and defeat common-subexpression elimination).
+    */
+  case class NearestCells(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"nearest_cells needs an array<float|double> input, got ${other.simpleString}")
-    }
+    @transient private lazy val centArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
 
-    private def isFloat: Boolean =
-      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("nearest_cells", child.dataType)
 
     override protected def nullSafeEval(input: Any): Any =
-      nearestCellsKernel(input.asInstanceOf[ArrayData], isFloat, cents, nprobe)
+      nearestCellsKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType),
+        centArr, nprobe)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       // the centroid matrix rides along as a codegen object reference
-      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.VectorExprs.nearestCellsKernel(" +
-          s"$c, $isFloat, $centsRef, $nprobe);")
+          s"$c, ${elemKind(child.dataType)}, $centsRef, $nprobe);")
     }
 
     override def prettyName: String = "nearest_cells"

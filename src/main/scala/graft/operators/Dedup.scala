@@ -243,7 +243,11 @@ object Dedup {
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, nlist: Int = 16, kmeansIters: Int = 3): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // null embeddings can't be near-duplicates of anything: kept as
+    // survivors untouched would be wrong (they're not comparable) —
+    // dropped at the boundary like the other embedding operators
+    val v = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = Similarity.fitCentroids(vecs, idCol, vecCol, nlist, kmeansIters)
     val cells = Similarity.assignCells(v, "v", cents)
     val a = cells.alias("a")
@@ -270,7 +274,8 @@ object Dedup {
       vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, bitsPerBand: Int = 8,
       threshold: Double = 0.99): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = v.select(col("id"), posexplode(
       VectorFunctions.signLshBandBuckets(col("v"), bands, bitsPerBand))
       .as(Seq("band", "bucket")))

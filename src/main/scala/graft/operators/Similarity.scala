@@ -94,8 +94,12 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // null embeddings (failed encodes) are normal in a web corpus:
+    // dropped explicitly at the operator boundary, never scored
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
@@ -132,7 +136,8 @@ object Similarity {
   private[graft] def bestCells(v: Column, unitCents: Array[Array[Double]], nprobe: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.VectorExprs.NearestCells(
-        org.apache.spark.sql.GraftBridge.expression(v), unitCents, nprobe))
+        org.apache.spark.sql.GraftBridge.expression(v),
+        unitCents.map(_.toSeq).toSeq, nprobe))
 
   /** Composed formulation of [[bestCells]]: per-cell dot via zip_with +
     * aggregate, sort of (negdot, cell) structs, slice. Same ordering and
@@ -157,7 +162,8 @@ object Similarity {
   def fitCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Array[Array[Double]] = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     var cents: Array[Array[Double]] = c
       .orderBy(xxhash64(col("cid")), col("cid")).limit(nlist)
       .select(col("cv")).collect()
@@ -203,7 +209,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
       nassign: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val cents = fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
 
     // replicated assignment: each corpus vector lands in its `nassign`
@@ -215,7 +222,8 @@ object Similarity {
     val corpusCells = c
       .select(col("cid"), col("cv"),
         explode(bestCells(col("cv"), cents, nassign)).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val queryCells = q
       .select(col("query_id"), col("qv"),
         explode(bestCells(col("qv"), cents, nprobe)).as("cell"))

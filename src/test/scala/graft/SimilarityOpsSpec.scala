@@ -19,6 +19,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(cs(0) - 1.0) < 1e-12 && math.abs(cs(1)) < 1e-12)
   }
 
+  // run f with expression codegen fully OFF (wholeStage=false alone still
+  // compiles projections — NO_CODEGEN forces the interpreted eval path)
+  private def withInterpreted[A](f: => A): A = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("native cosine expression == composed HOF cosine, bit-equal, codegen == interpreted") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
     val q = emb.filter(col("vec_id") === 0)
@@ -32,9 +43,7 @@ class SimilaritySpec extends AnyFunSuite {
     // strict left-to-right accumulation means the native kernel must be
     // BIT-equal to the declarative formulation, not just close
     withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try assert(vals(q) == withCodegen)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withInterpreted(vals(q)) == withCodegen)
     // double arrays go through the same kernel
     val d = q.select(
       VectorFunctions.cosine(col("qv").cast("array<double>"),
@@ -42,6 +51,36 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Double].collect()
     assert(d.length == withCodegen.length)
     d.zip(withCodegen).foreach { case (dd, (_, n, _)) => assert(math.abs(dd - n) < 1e-12) }
+  }
+
+  test("vector expressions on degenerate inputs match the composed null-absorbing guards") {
+    // mismatched dims and int arrays: composed gives 0.0 / exact double math
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f, 3f)), // length mismatch -> 0.0
+      (Seq(0f, 0f), Seq(1f, 1f))      // zero norm -> 0.0
+    ).toDF("a", "b")
+    val cs = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(cs.toSeq == Seq(0.0, 0.0))
+    // int arrays accepted (composed cast-to-double semantics)
+    val ci = Seq((Seq(1, 2), Seq(1, 2))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(ci - 1.0) < 1e-12)
+    // empty vector: native LSH buckets == composed (all-zero)
+    val empty = Seq(Seq.empty[Float]).toDF("v")
+    val nb = empty.select(VectorFunctions.signLshBandBuckets(col("v"), 4, 8))
+      .as[Seq[Long]].head()
+    val cb = empty.select(VectorFunctions.signLshBandBucketsComposed(col("v"), 4, 8))
+      .as[Seq[Long]].head()
+    assert(nb == cb && nb == Seq(0L, 0L, 0L, 0L))
+    // null embeddings are dropped at the operator boundary, not scored
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select("vec_id", "embedding").limit(50)
+    val withNull = emb.unionByName(
+      Seq((99999L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.bruteForceTopK(
+      withNull.filter(col("vec_id") < 2), withNull, "vec_id", "embedding", 3)
+    assert(out.filter(col("neighbor_id") === 99999L).count() == 0)
+    assert(out.count() > 0)
   }
 
   test("native sign-LSH bands == composed HOF formulation, bit-equal, codegen == interpreted") {
@@ -52,9 +91,7 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
     val withCodegen = vals()
     withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try assert(vals() == withCodegen)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withInterpreted(vals()) == withCodegen)
   }
 
   test("native nearest-cells == composed sort formulation, codegen == interpreted") {
@@ -66,9 +103,7 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Seq[Int], Seq[Int])].collect().sortBy(_._1).toSeq
     val withCodegen = vals()
     withCodegen.foreach { case (id, n, c) => assert(n == c, s"vec $id: $n != $c") }
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try assert(vals() == withCodegen)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withInterpreted(vals()) == withCodegen)
   }
 
   test("bruteForceTopK returns correct neighbors on a tiny fixture") {
