@@ -898,14 +898,19 @@ object Queries {
       Some("""SELECT vec_id FROM embeddings ORDER BY vec_id""")),
 
     QDef("q57_dedup_groups",
-      // Transitive near-dup GROUP formation: connected components over
-      // the 0.6-Jaccard pair graph, component = min member id. The
-      // oracle recomputes reachability with a recursive CTE — the
-      // iterative min-label propagation must match closed-form graph
-      // reachability exactly.
+      // Transitive near-dup GROUP formation ON THE SCALE PATH: the pair
+      // graph comes from MinHash-LSH (no all-pairs stage anywhere), then
+      // connected components, component = min member id. At threshold
+      // 0.6 the banding is retuned to 64 bands of r=2: candidate
+      // probability at j=0.6 is 1-(1-0.6^2)^64 ≈ 1-4e-13, so the
+      // verified pair set equals the exact-Jaccard graph and the oracle
+      // recomputes reachability with a recursive CTE — iterative
+      // min-label propagation must match closed-form graph reachability
+      // exactly. (exactJaccardPairs is retired to test/oracle use only.)
       (s, d) => {
-        val pairs = Dedup.exactJaccardPairs(
-          t(s, d, "documents"), "doc_id", "text", threshold = 0.6)
+        val pairs = Dedup.minHashNearDupPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          numHashes = 128, bands = 64, threshold = 0.6)
         Components.connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },

@@ -8,18 +8,22 @@ import org.apache.spark.sql.functions._
   * collapse to one canonical component labeled by the minimum member
   * id, which greedy pairwise survivor rules cannot do.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with its
-  * own id; each round every node takes the min of its own and its
-  * neighbors' labels; stop when a round changes no label. Rounds needed
-  * = graph diameter (near-dup graphs are shallow stars and short
-  * chains), and each round is ONE shuffle join plus a map-side-combined
-  * groupBy — the same per-round cost profile as public MapReduce CC
-  * formulations (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14, whose large-star/small-star variant is the drop-in
-  * upgrade if diameters grow). The driver holds only the convergence
-  * flag; labels stay distributed, and localCheckpoint() truncates the
-  * otherwise-growing plan lineage each round (the standard Spark
-  * iterative-algorithm pattern).
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with its own id; each round every node takes the min
+  * of (its own label, its neighbors' labels, its LABEL'S label); stop
+  * when a round changes no label. The third term is the label-doubling
+  * shortcut of classic PRAM connectivity (Shiloach & Vishkin, JACM'82;
+  * the same shortcutting that powers Kiveris et al.'s large-star/
+  * small-star rounds in "Connected Components in MapReduce and Beyond",
+  * SoCC'14): once node x points at label m, next round it inherits m's
+  * label directly, so label-chain length halves per round and rounds
+  * needed are O(log diameter) rather than diameter — a path graph of
+  * 100 nodes converges in ~9 rounds, 1M nodes in ~21. Each round is two
+  * hash joins (neighbor lookup + jump lookup) plus a map-side-combined
+  * groupBy. The driver holds only the convergence flag; labels stay
+  * distributed, and localCheckpoint() truncates the otherwise-growing
+  * plan lineage each round (the standard Spark iterative-algorithm
+  * pattern).
   */
 object Components {
 
@@ -45,13 +49,18 @@ object Components {
       // every label id has a neighbor-min row (sym is symmetric, labels
       // are exactly sym's endpoints), so the join is inner, and carrying
       // the previous label lets the convergence check be a plain filter
-      // on the materialized checkpoint — no second join per round
+      // on the materialized checkpoint — no second job per round
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_comp"))
         .select(col("a").as("id"), col("nbr_comp"))
-      val next = labels.join(nbrMin, "id")
-        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"),
+      // pointer jump: every label value is itself a node id (labels are
+      // mins over node ids, initialized to self), so the lookup join is
+      // inner-total; comp[comp] <= comp by the same monotonicity
+      val jump = labels.select(col("id").as("comp"), col("comp").as("jump_comp"))
+      val next = labels.join(nbrMin, "id").join(jump, "comp")
+        .select(col("id"),
+          least(col("comp"), col("nbr_comp"), col("jump_comp")).as("comp"),
           col("comp").as("prev"))
         .localCheckpoint()
       converged = next.filter(col("comp") =!= col("prev")).limit(1).count() == 0
@@ -60,7 +69,8 @@ object Components {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds — " +
-        "graph diameter exceeds the bound; raise maxIters")
+        "label doubling covers diameter 2^rounds, so this indicates a bug " +
+        "or an adversarial graph; raise maxIters")
     labels
   }
 }

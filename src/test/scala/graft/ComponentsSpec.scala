@@ -46,6 +46,14 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("diameter-100 path converges in O(log diameter) rounds (pointer jumping)") {
+    // path 0-1-...-100: plain min-label propagation needs 100 rounds and
+    // would blow the default maxIters=25; label doubling covers distance
+    // 2^rounds, so this must converge well inside the default bound
+    val out = cc((0L until 100L).map(i => (i, i + 1)))
+    assert(out == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
   test("non-convergence within maxIters raises instead of returning wrong labels") {
     val chain = (0L until 8L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {

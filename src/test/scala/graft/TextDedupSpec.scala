@@ -133,6 +133,20 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("minhash-LSH at threshold 0.6 with retuned bands == exact jaccard (q57 scale path)") {
+    // q57's dedup-group pair source: 64 bands of r=2 put the S-curve knee
+    // well below 0.6 (candidate prob at j=0.6 is 1-(1-0.36)^64 ≈ 1-4e-13),
+    // so LSH-then-verify must equal the all-pairs graph exactly
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 64, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("simhash near-dup pairs are a subset of exact jaccard pairs at 0.6") {
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
     val sim = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
