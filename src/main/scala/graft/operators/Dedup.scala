@@ -185,11 +185,77 @@ object Dedup {
     verifyJaccard(pairs, sets, threshold)
   }
 
-  /** 64-bit SimHash fingerprint per document over word n-gram shingles. */
+  /** 64-bit SimHash fingerprint per document over word n-gram shingles
+    * (XXH64 family — the fast native-kernel path).
+    */
   def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"),
       HashExprs.simhash64(
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("simhash"))
+
+  /** Majority-vote 32-bit simhash half over md5-derived per-shingle
+    * hashes: bit j is set iff strictly more than half the shingles have
+    * bit j set in `hex8(md5(shingle))[off..off+8)` — exactly the native
+    * kernel's vote rule, over a hash family every SQL engine can
+    * recompute (md5 is bit-identical everywhere; XXH64 is not).
+    */
+  private def md5VoteHalf(sh: Column, off: Int): Column = {
+    val hs = transform(sh, s => conv(substring(md5(s), off, 8), 16, 10).cast("long"))
+    (0 until 32).map { j =>
+      when(lit(2) * size(filter(hs, h => h.bitwiseAND(lit(1L << j)) =!= lit(0L))) > size(hs),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Portable SimHash fingerprints as two 32-bit halves (id, sim_hi,
+    * sim_lo) — same Charikar construction as [[simHashFingerprints]] but
+    * over an md5-derived hash family, so the fingerprints (and the
+    * near-dup pairs built from them) are recomputable in plain SQL and
+    * the catalog entries carry full cross-engine oracles (q25/q38). The
+    * XXH64 native-kernel family stays the throughput path; this one is
+    * the verification-grade family. Two non-negative 32-bit halves
+    * instead of one signed 64-bit word keep every downstream operation
+    * (block split, xor, popcount) in arithmetic both engines define
+    * identically on signed integers.
+    */
+  def simHashFingerprintsPortable(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), md5VoteHalf(col("sh"), 1).as("sim_hi"),
+        md5VoteHalf(col("sh"), 9).as("sim_lo"))
+
+  /** SimHash near-dup pairs over the PORTABLE family: 4 16-bit block
+    * buckets (pigeonhole recall guarantee for hamming <= 3, as in
+    * [[simHashNearDupPairs]]), true-Hamming verification, output
+    * (id_a, id_b, hamming). Empty shingle sets are excluded up front —
+    * they all share the all-zero fingerprint, which would both pair
+    * unrelated sub-n-token docs and funnel them into one hot bucket.
+    */
+  def simHashNearDupPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of range: 4x16-bit block LSH guarantees " +
+        "candidate recall only for maxHamming <= 3 (pigeonhole over 4 blocks)")
+    val fp = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
+      .select(col("id"), md5VoteHalf(col("sh"), 1).as("hi"),
+        md5VoteHalf(col("sh"), 9).as("lo"))
+    // halves are non-negative 32-bit values, so shift/mask == the
+    // oracle's // 65536 and % 65536 integer arithmetic
+    val blocks = fp.select(col("id"), col("hi"), col("lo"), posexplode(array(
+      shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(0xffffL))))
+      .as(Seq("blk", "key")))
+    val a = blocks.alias("a"); val b = blocks.alias("b")
+    val hamming = (bit_count(col("a.hi").bitwiseXOR(col("b.hi")))
+      + bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("long")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** SimHash near-dup pairs: bucket by rotated fingerprint blocks (each
     * pair within Hamming distance `maxHamming` of a 64-bit fingerprint
@@ -206,7 +272,11 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming out of range: 4x16-bit block LSH guarantees " +
         "candidate recall only for maxHamming <= 3 (pigeonhole over 4 blocks)")
-    val fp = simHashFingerprints(docs, idCol, textCol, n)
+    // empty shingle sets (sub-n-token docs) all share one fingerprint:
+    // excluding them avoids both meaningless pairs and a hot bucket,
+    // matching the minhash path's boundary rule
+    val fp = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
+      .select(col("id"), HashExprs.simhash64(col("sh")).as("simhash"))
     val blocks = fp.select(col("id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))

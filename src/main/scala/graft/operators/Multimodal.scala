@@ -12,12 +12,16 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real and tested: schema contract,
   * binary columns through Parquet, partition-preserving mapPartitions with
   * an explicit row encoder (the Scala analogue of mapInPandas batch
-  * processing). Image METADATA extraction is also real: format sniffing
-  * and width/height come from pure header parsing ([[parseImageDims]] —
-  * PNG/BMP/GIF/JPEG, no codec library). Only PIXEL-level work is STUBBED
-  * (this container ships no image/audio codecs): [[fakeDecode]] derives
+  * processing). IMAGE work is real end-to-end: format sniffing and
+  * width/height come from pure header parsing ([[parseImageDims]] —
+  * PNG/BMP/GIF/JPEG, no codec library), and PIXEL-level features (mean
+  * RGB + 8-bin luminance histogram) come from a real decode through the
+  * JDK's built-in `javax.imageio` codecs ([[decodeImageFeatures]] —
+  * headless, no external dependency). Only AUDIO/VIDEO payloads (and
+  * undecodable blobs) take the STUB path: [[fakeDecode]] derives
   * deterministic pseudo-features from the bytes, clearly marked, so
-  * pipelines and tests exercise every seam except the pixel codec call.
+  * pipelines and tests exercise every seam except an external media
+  * codec call.
   *
   * At 100 TB: payloads never leave executors, feature extraction is a
   * narrow transformation (no shuffle), and output rows are small fixed
@@ -92,10 +96,61 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB — deterministic fake decode. A real deployment replaces the body
-    * with a codec call (e.g. JNI JPEG decode); everything around it —
-    * batch iteration, schema, encoder, partitioning — is the production
-    * path and stays unchanged.
+  /** Luminance histogram bin count (feature layout: 3 mean-RGB values
+    * followed by [[LumaBins]] histogram fractions).
+    */
+  final val LumaBins = 8
+
+  /** REAL pixel decode via the JDK's bundled `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP — headless, zero external dependencies). Feature
+    * vector: [meanR, meanG, meanB, lumaHist0..7] where luma =
+    * 0.299 r + 0.587 g + 0.114 b (ITU-R BT.601) binned into 8 equal
+    * 32-value buckets and emitted as fractions of the pixel count.
+    * For solid-color images the means equal the sample values exactly
+    * (the closed-form property the q60 oracle checks).
+    * None for payloads no installed reader accepts (audio, video,
+    * truncated or non-image bytes) — those fall to the [[fakeDecode]]
+    * stub path.
+    */
+  private[graft] def decodeImageFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      // no temp-file cache: decode stays in-memory on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        // one batched ARGB fetch: uniform across raster layouts
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        val hist = new Array[Long](LumaBins)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          sr += r; sg += g; sb += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          hist(math.min(LumaBins - 1, (luma / 32.0).toInt)) += 1
+          i += 1
+        }
+        val n = px.length.toDouble
+        val feature = new Array[Float](3 + LumaBins)
+        feature(0) = (sr / n).toFloat
+        feature(1) = (sg / n).toFloat
+        feature(2) = (sb / n).toFloat
+        var j = 0
+        while (j < LumaBins) { feature(3 + j) = (hist(j) / n).toFloat; j += 1 }
+        Some((w, h, feature))
+      }
+    } catch { case _: Exception => None } // corrupt stream: stub path, not a task failure
+
+  /** STUB — deterministic fake decode, now reached only for payloads
+    * `javax.imageio` cannot read (audio/video/undecodable): a real
+    * deployment replaces the body with a media codec call (e.g. JNI
+    * ffmpeg); everything around it — batch iteration, schema, encoder,
+    * partitioning — is the production path and stays unchanged.
     */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
     var h = 1125899906842597L // deterministic FNV-ish fold of the payload
@@ -112,10 +167,11 @@ object Multimodal {
   /** Partition-wise decode of (id, payload) into typed media features.
     * Narrow transformation: each partition's payloads are processed where
     * they live, rows stream through the decoder one batch at a time
-    * (constant memory). Width/height come from REAL header parsing when
-    * the payload is a recognized image format ([[parseImageDims]] — no
-    * codec needed); only the pixel-level feature vector falls back to the
-    * stub for everything (this container ships no pixel codecs).
+    * (constant memory). Decodable images get REAL pixel features
+    * ([[decodeImageFeatures]] — JDK ImageIO, no external codec); payloads
+    * ImageIO rejects but whose header parses ([[parseImageDims]]) get
+    * real dims with stub features; everything else (audio/video/opaque)
+    * takes the stub path entirely.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
@@ -127,15 +183,48 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val fake = fakeDecode(id, bytes)
-        parseImageDims(bytes) match {
-          // clamp like resize(): a valid magic with zeroed/absurd IHDR
-          // dims must not emit 0/negative geometry rows
-          case Some((_, w, h)) => Row(id, math.max(1, w), math.max(1, h), 1, fake.get(4))
-          case None => fake
+        decodeImageFeatures(bytes) match {
+          case Some((w, h, feature)) => Row(id, w, h, 1, feature.toSeq)
+          case None =>
+            val fake = fakeDecode(id, bytes)
+            parseImageDims(bytes) match {
+              // clamp like resize(): a valid magic with zeroed/absurd IHDR
+              // dims must not emit 0/negative geometry rows
+              case Some((_, w, h)) => Row(id, math.max(1, w), math.max(1, h), 1, fake.get(4))
+              case None => fake
+            }
         }
       }
     }(enc)
+  }
+
+  /** Deterministic 24-bit BMP writer (bottom-up rows, 4-byte row padding,
+    * BGR sample order) — fixture/test infrastructure: a pure function
+    * from a pixel function to spec-conformant bytes, so oracle-checked
+    * queries (q60) can plant images whose decoded features are known in
+    * closed form without shipping binary fixtures.
+    */
+  private[graft] def syntheticBmp(w: Int, h: Int)(pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up
+    while (y >= 0) {
+      val rowStart = b.position()
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pix(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      while (b.position() < rowStart + rowBytes) b.put(0.toByte)
+      y -= 1
+    }
+    b.array()
   }
 
   val resizedSchema: StructType = StructType(Seq(

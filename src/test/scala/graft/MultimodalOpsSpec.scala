@@ -81,6 +81,55 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(guesses == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
   }
 
+  test("REAL pixel decode: solid-color BMP yields exact mean RGB and a 1.0 histogram bin") {
+    // (r,g,b) = (200, 100, 50): luma = 0.299*200 + 0.587*100 + 0.114*50 =
+    // 124.2 -> bin 3; solid color means decode exactly
+    val bmp = Multimodal.syntheticBmp(5, 3)((_, _) => (200, 100, 50))
+    val out = Multimodal.extractFeatures(
+      Seq((7L, bmp)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    assert(out.getAs[Int]("width") == 5 && out.getAs[Int]("height") == 3)
+    val f = out.getAs[scala.collection.Seq[Float]]("feature")
+    assert(f.length == 3 + Multimodal.LumaBins)
+    assert(f(0) == 200.0f && f(1) == 100.0f && f(2) == 50.0f)
+    assert(f(3 + 3) == 1.0f && f.drop(3).sum == 1.0f)
+  }
+
+  test("REAL pixel decode: two-color image averages exactly; padding rows don't leak") {
+    // 2x1: red (255,0,0) luma 76.245 -> bin 2; blue (0,0,255) luma 29.07
+    // -> bin 0. Width 2 forces 2 pad bytes per BMP row, which must not
+    // contribute pixels.
+    val bmp = Multimodal.syntheticBmp(2, 1)((x, _) => if (x == 0) (255, 0, 0) else (0, 0, 255))
+    val out = Multimodal.extractFeatures(
+      Seq((1L, bmp)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    val f = out.getAs[scala.collection.Seq[Float]]("feature")
+    assert(f(0) == 127.5f && f(1) == 0.0f && f(2) == 127.5f)
+    assert(f(3 + 0) == 0.5f && f(3 + 2) == 0.5f)
+  }
+
+  test("REAL pixel decode: PNG written by ImageIO decodes to the same features as the BMP") {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 2).foreach(y =>
+      img.setRGB(x, y, (30 << 16) | (60 << 8) | 90)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = Multimodal.extractFeatures(
+      Seq((1L, baos.toByteArray), (2L, Multimodal.syntheticBmp(4, 2)((_, _) => (30, 60, 90))))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getAs[scala.collection.Seq[Float]]("feature")
+      == out(1).getAs[scala.collection.Seq[Float]]("feature"))
+    assert(out(0).getAs[Int]("width") == 4 && out(0).getAs[Int]("height") == 2)
+  }
+
+  test("corrupt image bytes fall back to the stub path, never fail the task") {
+    // valid BMP magic + garbage body: ImageIO rejects it, header parse
+    // still supplies dims, and the row survives
+    val broken = Multimodal.syntheticBmp(3, 3)((_, _) => (1, 2, 3)).take(40)
+    val out = Multimodal.extractFeatures(
+      Seq((5L, broken)).toDF("doc_id", "payload"), "doc_id", "payload").collect()
+    assert(out.length == 1)
+  }
+
   test("resize bounds dimensions and shrinks payloads, preserving aspect") {
     val out = Multimodal.resize(payloads, "doc_id", "payload", 128, 128).collect()
     assert(out.nonEmpty)

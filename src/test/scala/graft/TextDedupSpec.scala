@@ -156,6 +156,25 @@ class DedupSpec extends AnyFunSuite {
     assert(sim.subsetOf(exactLoose))
   }
 
+  test("portable md5 simhash: deterministic 32-bit halves, pairs stay within loose jaccard") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val fps = Dedup.simHashFingerprintsPortable(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(fps.forall { case (_, hi, lo) =>
+      hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32) })
+    // identical text -> identical fingerprint (same doc loaded twice)
+    val twice = Dedup.simHashFingerprintsPortable(docs.unionByName(docs), "doc_id", "text")
+      .distinct().count()
+    assert(twice == fps.length)
+    // on this corpus (planted pairs at j>=0.8, noise below 0.2) any sane
+    // family only pairs planted near-dups: subset of the 0.6 graph
+    val p = Dedup.simHashNearDupPairsPortable(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactLoose = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p.subsetOf(exactLoose))
+  }
+
   test("short docs (empty shingle sets) neither crash nor flood the LSH buckets") {
     val docs = Seq(
       (1L, "hi"), (2L, "hi"), (3L, "yo there"),
