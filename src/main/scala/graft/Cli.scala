@@ -47,6 +47,17 @@ object Cli {
     loop(args, ColeQuery.Query())
   }
 
+  /** The `sql` subcommand's work, session passed in (testable without the
+    * process-lifecycle spin-up/stop): registered tables + graft's SQL
+    * functions, then plain ANSI SQL.
+    */
+  private[graft] def runSql(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, query: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    spark.sql(query)
+  }
+
   private def show(df: DataFrame): Unit = {
     val rows = df.limit(21).collect()
     println(df.columns.mkString(" | "))
@@ -65,10 +76,8 @@ object Cli {
       finally spark.stop()
     case "sql" :: sfDir :: query :: Nil =>
       val spark = GraftSession.local("graft-cli")
-      try {
-        Tables.registerAll(spark, sfDir)
-        show(spark.sql(query))
-      } finally spark.stop()
+      try show(runSql(spark, sfDir, query))
+      finally spark.stop()
     case _ =>
       System.err.println(
         """usage: graft.Cli query <parquet> [--select a,b] [--where col op val]... [--agg fn col] [--groupby cols]

@@ -42,6 +42,10 @@ object GraftSession {
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     registerMetricsLogger(s)
+    // SQL names for the native expressions (cosine_similarity, simhash64,
+    // nearest_cells, ...) so the CLI `sql` passthrough covers the
+    // north-star operators, not just built-ins
+    graft.functions.GraftFunctions.register(s)
     s
   }
 

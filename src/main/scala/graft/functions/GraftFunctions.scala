@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL registration of graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(...)")` works alongside the Column API.
@@ -23,6 +25,22 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
+  /** A foldable literal centroid matrix (e.g. `array(array(1.0, 0.0), ...)`
+    * — any numeric element type, normalized through a cast to
+    * array<array<double>>) for the SQL form of nearest_cells. The Column
+    * API takes the matrix as driver-side data ([[Similarity.fitCentroids]]
+    * output); SQL callers inline it as a literal, which is also how a
+    * saved index would be spliced into generated SQL.
+    */
+  private def centsArg(e: Expression): Seq[Seq[Double]] = {
+    require(e.foldable, "nearest_cells centroids must be a foldable array literal")
+    val ad = Cast(e, ArrayType(ArrayType(DoubleType))).eval(null).asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val row = ad.getArray(i)
+      (0 until row.numElements()).map(row.getDouble).toList
+    }.toList
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (args => HashExprs.SimHash64(args.head)),
     "minhash_signature" -> (args => args match {
@@ -34,6 +52,20 @@ object GraftFunctions {
       case Seq(c) => HashExprs.RollingFingerprints(c, 8, 16)
       case Seq(c, k, w) => HashExprs.RollingFingerprints(c, intArg(k), intArg(w))
       case _ => throw new IllegalArgumentException("rolling_fingerprints(text[, k, w])")
+    }),
+    "cosine_similarity" -> (args => args match {
+      case Seq(a, b) => VectorExprs.CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException("cosine_similarity(vec, vec)")
+    }),
+    "sign_lsh_bands" -> (args => args match {
+      case Seq(v) => VectorExprs.SignLshBands(v, 4, 8)
+      case Seq(v, bands, bits) => VectorExprs.SignLshBands(v, intArg(bands), intArg(bits))
+      case _ => throw new IllegalArgumentException("sign_lsh_bands(vec[, bands, bitsPerBand])")
+    }),
+    "nearest_cells" -> (args => args match {
+      case Seq(v, cents) => VectorExprs.NearestCells(v, centsArg(cents), 1)
+      case Seq(v, cents, nprobe) => VectorExprs.NearestCells(v, centsArg(cents), intArg(nprobe))
+      case _ => throw new IllegalArgumentException("nearest_cells(vec, centroids[, nprobe])")
     }))
   // Note: the Column-composition functions (TextFunctions/VectorFunctions)
   // are deliberately NOT SQL-registered — a composed Column converted back

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -51,6 +51,16 @@ object VectorExprs {
       s"$name needs an array<float|double|int|long> input, got ${other.simpleString}")
   }
 
+  /** Accepted vector types for implicit input casting: the four native
+    * element kinds pass through UNCHANGED (no cast on the hot path); any
+    * other numeric array — notably array<decimal>, which is what SQL
+    * literals like `array(1.0, 0.0)` parse to under ANSI mode — is
+    * implicitly cast to array<double>, so the SQL-registered forms accept
+    * the same inputs as the built-ins without a manual CAST.
+    * (TypeCollection is private[sql]; surfaced via GraftBridge.)
+    */
+  private val VectorTypes = org.apache.spark.sql.GraftBridge.vectorInputTypes
+
   @inline private def readElem(a: ArrayData, i: Int, kind: Int): Double = kind match {
     case KindFloat => a.getFloat(i).toDouble
     case KindDouble => a.getDouble(i)
@@ -93,9 +103,10 @@ object VectorExprs {
   }
 
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes, VectorTypes)
 
     override def checkInputDataTypes(): TypeCheckResult =
       checkVectorType("cosine_similarity", left.dataType) match {
@@ -165,9 +176,10 @@ object VectorExprs {
   }
 
   case class SignLshBands(child: Expression, bands: Int, bitsPerBand: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
 
     override def checkInputDataTypes(): TypeCheckResult =
       checkVectorType("sign_lsh_bands", child.dataType)
@@ -240,9 +252,10 @@ object VectorExprs {
     * reference and defeat common-subexpression elimination).
     */
   case class NearestCells(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
 
     @transient private lazy val centArr: Array[Array[Double]] =
       cents.map(_.toArray).toArray

@@ -24,6 +24,19 @@ class CliToolsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Cli.parseQueryArgs(List("--bogus")))
   }
 
+  test("CLI sql passthrough covers the north-star functions (cosine_similarity over embeddings)") {
+    // same code path as `graft.Cli sql <dir> "<query>"` minus the
+    // process-lifecycle session spin-up/stop (the shared test session is
+    // reused; GraftSession.local applies the identical registration)
+    val out = Cli.runSql(spark, TestSpark.sf0001,
+      """SELECT vec_id, cosine_similarity(embedding, embedding) AS self_cos,
+        |       element_at(nearest_cells(embedding, array(array(1.0), array(0.0))), 1) AS cell
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin)
+      .collect()
+    assert(out.length == 5)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-12))
+  }
+
   test("DataGen is deterministic, distribution-correct, and partitioning-independent") {
     val a = DataGen.cliTable(spark, 5000, 42).collect().sortBy(_.getLong(0))
     val b = DataGen.cliTable(spark, 5000, 42).repartition(7).collect().sortBy(_.getLong(0))

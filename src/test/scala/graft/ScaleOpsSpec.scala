@@ -58,6 +58,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("fsz") >= 1)
   }
 
+  test("vector kernels callable from SQL: cosine, sign-LSH, nearest-cells") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0, 0.0), array(1.0, 0.0)) AS c1,
+        |       cosine_similarity(array(1.0, 0.0), array(0.0, 2.0)) AS c0,
+        |       size(sign_lsh_bands(array(0.5, -0.5), 4, 8)) AS nb,
+        |       nearest_cells(array(1.0, 0.0),
+        |         array(array(0.0, 1.0), array(1.0, 0.0)), 2) AS cells
+        |""".stripMargin).head()
+    assert(r.getAs[Double]("c1") == 1.0 && r.getAs[Double]("c0") == 0.0)
+    assert(r.getAs[Int]("nb") == 4)
+    assert(r.getAs[scala.collection.Seq[Int]]("cells") == Seq(1, 0))
+    // non-literal centroids are rejected, not silently mis-planned
+    assertThrows[Exception] {
+      spark.sql("SELECT nearest_cells(array(1.0), array(array(rand())))").head()
+    }
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // a derived session (shared context, fresh state) picks up injections
     // applied through the registry path; builder-time extension classes
