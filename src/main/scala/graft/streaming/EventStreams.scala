@@ -120,6 +120,41 @@ object EventStreams {
       }
   }
 
+  /** Streaming ADMISSION dedup for embedding ingest: drop vectors whose
+    * banded sign-LSH signature was already admitted within the watermark
+    * window ([[graft.functions.VectorFunctions.signLshBandBuckets]] — the
+    * same bucketing [[graft.operators.Dedup.embeddingNearDupPairs]] joins
+    * on). Identical vectors hash to identical signatures on every
+    * executor (deterministic XXH64-derived hyperplanes, no coordinated
+    * state), so exact re-crawls and signature-identical near-exact
+    * duplicates are rejected at the door;
+    * `dropDuplicatesWithinWatermark` keeps per-signature state only
+    * until the watermark passes, so state is bounded by arrival rate x
+    * delay, never corpus size. Spark defines
+    * dropDuplicatesWithinWatermark only for streaming plans, so in batch
+    * execution this operator substitutes the plain dropDuplicates on the
+    * same signature key (the batch semantics of "admitted once") — the
+    * stream==batch equivalence StreamingSpec asserts.
+    *
+    * Scoping (the deliberate contract): near-dup PAIR FORMATION
+    * (embeddingNearDupPairs / minHashNearDupPairs) stays batch-only.
+    * Banded LSH pairing needs a self-join where both sides' buckets stay
+    * live indefinitely — unbounded stream-stream join state — so the
+    * scale pattern is this admission filter on the stream plus periodic
+    * batch near-dup sweeps over the admitted corpus.
+    */
+  def admitNewEmbeddings(vecs: DataFrame, vecCol: String, tsCol: String,
+      delay: String, bands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    val keyed = vecs.filter(col(vecCol).isNotNull)
+      .withColumn("__sig",
+        graft.functions.VectorFunctions.signLshBandBuckets(col(vecCol), bands, bitsPerBand))
+    val deduped =
+      if (vecs.isStreaming)
+        keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("__sig")
+      else keyed.dropDuplicates("__sig")
+    deduped.drop("__sig")
+  }
+
   /** Read an events directory as a file stream (one parquet file per
     * micro-batch when `maxFilesPerTrigger` is set), for local smoke tests
     * driving the streaming operators with deterministic input.

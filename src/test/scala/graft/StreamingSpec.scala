@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding admission dedup: clones within the watermark are rejected, == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embed-admit")
+    def ms(hhmm: String): Long =
+      java.time.Instant.parse(s"2024-01-01T$hhmm:00Z").toEpochMilli
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // batch 1: the corpus; batch 2: an exact re-crawl (shifted ids) ten
+    // minutes later — inside the 1-hour admission window
+    emb.withColumn("ts_ms", lit(ms("00:00"))).coalesce(1)
+      .write.parquet(dir.resolve("b1").toString)
+    emb.select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding"))
+      .withColumn("ts_ms", lit(ms("00:10"))).coalesce(1)
+      .write.parquet(dir.resolve("b2").toString)
+    val schema = emb.withColumn("ts_ms", lit(0L)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStreams.admitNewEmbeddings(stream, "embedding", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("admit").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("admit").select("vec_id").as[Long].collect()
+      // batch mirror: the same operator on the unioned batch input
+      val batchIn = spark.read.parquet(dir.toString + "/*")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val want = EventStreams.admitNewEmbeddings(batchIn, "embedding", "ts", "1 hour")
+      // the survivor CHOICE is arrival-order/partition dependent; the
+      // admitted multiplicity is not: one row per distinct signature
+      assert(kept.length == want.count())
+      // and the re-crawl was actually rejected: nothing from the clone
+      // id range survives (its signatures were all admitted in batch 1)
+      assert(kept.forall(_ < (1L << 40)), s"clone ids admitted: ${kept.filter(_ >= (1L << 40)).take(5).toSeq}")
+      assert(kept.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionize (closed sessions)") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
