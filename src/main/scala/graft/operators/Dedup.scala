@@ -60,13 +60,25 @@ object Dedup {
     * below j≈0.5 almost never become candidates.
     *
     * Output: (id_a, id_b, inter, uni, jaccard), id_a < id_b.
+    *
+    * `maxBucketSize = 0` (the default) derives the cap from corpus size:
+    * `max(1000, 4 * sqrt(N))`, so the worst case a single degenerate
+    * bucket can contribute is ~16N candidate pairs — the quadratic term
+    * stays LINEAR in corpus size at every scale, instead of a constant
+    * cap that is simultaneously too tight for 10B docs and too loose for
+    * 100k. N is read with one `count()` on the input (footer-only for a
+    * parquet-backed frame); pass an explicit cap to skip that job.
     */
   def minHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
+    require(maxBucketSize == 0 || maxBucketSize > 1,
+      "maxBucketSize must allow at least one pair (or 0 = adaptive)")
+    val bucketCap =
+      if (maxBucketSize > 0) maxBucketSize.toLong
+      else math.max(1000L, 4L * math.sqrt(docs.count().toDouble).toLong)
     val r = numHashes / bands
     // recomputed (cheap, narrow) rather than cached: pinning the full
     // per-doc shingle sets in executor storage for the session lifetime
@@ -89,7 +101,7 @@ object Dedup {
 
     // Degenerate-bucket cap: a boilerplate shingle shared by millions of
     // docs would turn one (band, bucket) into an O(M^2) candidate bomb.
-    // Buckets over maxBucketSize are dropped — NEVER silently: the drop
+    // Buckets over the cap are dropped — NEVER silently: the drop
     // count is emitted as an observed metric ("graft.minhash_lsh" /
     // dropped_band_buckets, logged by GraftSession's listener when the
     // query runs, zero extra passes over the data). A doc in one hot
@@ -118,12 +130,12 @@ object Dedup {
       // one query must not collide).
       val maybeObserved = if (observed) counted.observe(
         s"graft.minhash_lsh.${metricSeq.incrementAndGet()}",
-        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("oversized_rows"),
-        round(sum(when(col("__n") > maxBucketSize,
+        sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("oversized_rows"),
+        round(sum(when(col("__n") > bucketCap,
           lit(1.0) / col("__n")).otherwise(0.0))).cast("long")
           .as("dropped_band_buckets"))
       else counted
-      maybeObserved.filter(col("__n") <= maxBucketSize).drop("__n")
+      maybeObserved.filter(col("__n") <= bucketCap).drop("__n")
     }
 
     val a = capped(observed = true).alias("a")

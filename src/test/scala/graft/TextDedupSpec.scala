@@ -188,6 +188,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == Set((4L, 5L)) && exact == Set((4L, 5L)))
   }
 
+  test("adaptive bucket cap bounds a clone army with no explicit cap") {
+    // 1200 identical docs share one bucket in EVERY band; the adaptive
+    // cap (max(1000, 4*sqrt(N)) = 1000 here) drops them, so the O(M^2)
+    // candidate bomb never forms, while the genuine near-dup pair among
+    // ordinary docs is untouched. Exact-duplicate armies belong to
+    // Dedup.exact upstream — that is the documented contract.
+    val army = spark.range(1200).select(col("id").as("doc_id"),
+      lit("spam boilerplate terms repeated across the entire crawl forever and ever").as("text"))
+    val real = Seq(
+      (100001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (100002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(army.unionByName(real), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((100001L, 100002L)))
+  }
+
   test("exact dedup with null survivor values keeps one consistent source row") {
     val df = Seq(
       (Option.empty[Long], "k", "b"), (Some(5L), "k", "a")
