@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, Multimodal, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1110,8 +1110,116 @@ object Queries {
              |FROM range(0, 64) t(i) ORDER BY doc_id""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Round 3: snapshot maintenance (MERGE/upsert, CDC apply) and fuzzy
+  // entity resolution — the between-rebuild operations of a continuously
+  // re-crawled corpus. Base side never shuffles in any of these plans.
+  // ---------------------------------------------------------------------------
+
+  private val maintenanceOps = Seq(
+    QDef("q61_merge_upsert",
+      // MERGE semantics: updated rows (x2 totalprice on every 10th key)
+      // replace, brand-new keys (shifted by 2^40) insert, everything
+      // else passes through. One anti join + union; updates broadcast.
+      (s, d) => {
+        val base = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.filter(col("o_orderkey") % 100 === 7)
+            .select((col("o_orderkey") + CloneShift).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")))
+        Merge.upsert(base, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |u AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+             |  FROM base WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 1099511627776, o_custkey, o_totalprice
+             |  FROM base WHERE o_orderkey % 100 = 7
+             |)
+             |SELECT * FROM (
+             |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+             |  UNION ALL SELECT * FROM u
+             |) ORDER BY o_orderkey""".stripMargin)),
+
+    QDef("q62_cdc_apply",
+      // CDC feed: two updates on every 7th key (latest seq wins), a
+      // delete on keys = 3 mod 11 (delete beats the updates where both
+      // apply: it carries the highest seq), inserts on keys = 5 mod 13.
+      // Sequence numbers are distinct per key, so the survivor is
+      // unambiguous and both engines state it in closed form.
+      (s, d) => {
+        val base = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+        val changes = base.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), concat(col("c_name"), lit(" v1")).as("c_name"),
+            col("c_acctbal"), lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), concat(col("c_name"), lit(" v2")).as("c_name"),
+              col("c_acctbal"), lit(2L).as("seq"), lit("U").as("op")))
+          .unionByName(base.filter(col("c_custkey") % 11 === 3)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              lit(3L).as("seq"), lit("D").as("op")))
+          .unionByName(base.filter(col("c_custkey") % 13 === 5)
+            .select((col("c_custkey") + CloneShift).as("c_custkey"),
+              lit("new customer").as("c_name"), lit(0.0).as("c_acctbal"),
+              lit(1L).as("seq"), lit("I").as("op")))
+        Merge.applyChanges(base, changes, Seq("c_custkey"), "seq", "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |ch AS (
+             |  SELECT c_custkey, c_name || ' v1' AS c_name, c_acctbal, 1 AS seq, 'U' AS op
+             |  FROM base WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name || ' v2', c_acctbal, 2, 'U' FROM base WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal, 3, 'D' FROM base WHERE c_custkey % 11 = 3
+             |  UNION ALL
+             |  SELECT c_custkey + 1099511627776, 'new customer', 0.0, 1, 'I' FROM base WHERE c_custkey % 13 = 5
+             |),
+             |latest AS (
+             |  SELECT c_custkey, arg_max(op, seq) AS op, arg_max(c_name, seq) AS c_name,
+             |         arg_max(c_acctbal, seq) AS c_acctbal
+             |  FROM ch GROUP BY c_custkey
+             |)
+             |SELECT c_custkey, c_name, c_acctbal FROM (
+             |  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+             |) ORDER BY c_custkey""".stripMargin)),
+
+    QDef("q63_fuzzy_join",
+      // Entity resolution: five typo'd probe names (first char mangled)
+      // matched back against the part catalog at edit distance <= 1.
+      // Both engines run the identical Levenshtein DP, so match sets AND
+      // distances hash-match. Probe side broadcast; corpus scan narrow.
+      (s, d) => {
+        val parts = t(s, d, "part").select("p_partkey", "p_name")
+        val probe = parts.filter(col("p_partkey") < 5)
+          .select(col("p_partkey").as("probe_id"),
+            concat(lit("x"), expr("substring(p_name, 2)")).as("probe_name"))
+        FuzzyJoin.byEditDistance(parts, probe, "p_name", "probe_name", 1)
+          .select(col("probe_id"), col("probe_name"), col("p_partkey"),
+            col("p_name"), col("edit_dist"))
+          .orderBy(col("probe_id"), col("p_partkey"))
+      },
+      Some("""WITH probe AS (
+             |  SELECT p_partkey AS probe_id, 'x' || substr(p_name, 2) AS probe_name
+             |  FROM part WHERE p_partkey < 5
+             |)
+             |SELECT probe_id, probe_name, p_partkey, p_name,
+             |  CAST(levenshtein(p_name, probe_name) AS BIGINT) AS edit_dist
+             |FROM part, probe
+             |WHERE abs(length(p_name) - length(probe_name)) <= 1
+             |  AND levenshtein(p_name, probe_name) <= 1
+             |ORDER BY probe_id, p_partkey""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
-    parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++ curationOps
+    parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
+      curationOps ++ maintenanceOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

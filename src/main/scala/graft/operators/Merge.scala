@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-table maintenance: MERGE/upsert and CDC change application
+  * over plain parquet directories — the operations a continuously
+  * re-crawled training corpus needs between full rebuilds, expressed so
+  * the BASE (the 100 TB side) is never shuffled.
+  *
+  * The reference engine is write-once/read-many with no update surface
+  * (its own scope list, /root/reference/README.md:127-138); these are
+  * north-star extensions in the spirit of SQL MERGE, built from
+  * declarative joins so Catalyst picks broadcast plans when the
+  * change set is small (the overwhelmingly common case).
+  */
+object Merge {
+
+  private def requireDisjointKeys(df: DataFrame, keyCols: Seq[String], what: String): Unit =
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"$what must contain every key column ${keyCols.mkString("(", ", ", ")")}")
+
+  /** SQL `MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+    * INSERT` for snapshot rewrites: every key present in `updates`
+    * takes the update row; all other base rows pass through.
+    *
+    * Scale shape: `updates` is deduplicated on the key (latest writer
+    * wins is the caller's contract — pass a pre-deduplicated frame or
+    * use [[applyChanges]] for seq-ordered feeds), then the base side is
+    * ONE left-anti hash join on the key — broadcastable when updates
+    * are small, so the 100 TB base never shuffles — plus a union.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    requireDisjointKeys(base, keyCols, "base")
+    requireDisjointKeys(updates, keyCols, "updates")
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"schema mismatch: base ${base.columns.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Apply a CDC change feed to a snapshot: `changes` carries the full
+    * row plus an operation column (`I`/`U`/`D`) and a monotonically
+    * increasing sequence column; for each key only the HIGHEST-seq
+    * change applies (ties broken by the full row tuple, so the result
+    * is a deterministic function of the data under any partitioning —
+    * the [[Dedup.exact]] survivor rule). A final `D` deletes the key;
+    * `I`/`U` replace (or insert) the row.
+    *
+    * Shuffle budget: one map-side-combined groupBy over the (small)
+    * change feed + one anti join against its keys — the base scans
+    * narrow and never shuffles when the feed broadcasts.
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    requireDisjointKeys(base, keyCols, "base")
+    requireDisjointKeys(changes, keyCols, "changes")
+    val payload = base.columns.toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every base column; missing " +
+        payload.filterNot(changes.columns.contains).mkString(", "))
+    // latest change per key: max_by over (seq, payload-tuple) — the
+    // deterministic-under-ties survivor pattern
+    val orderKey = struct(col(seqCol) +: payload.filterNot(keyCols.contains).map(col): _*)
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(col(opCol) +: payload.filterNot(keyCols.contains).map(col): _*),
+        orderKey).as("__c"))
+      .select(keyCols.map(col) :+ col("__c.*"): _*)
+    val upserts = latest.filter(col(opCol) =!= "D").select(payload.map(col): _*)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+}
