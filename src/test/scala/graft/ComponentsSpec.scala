@@ -54,6 +54,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out == (0L to 100L).map(_ -> 0L).toMap)
   }
 
+  test("random graphs: components == union-find, 8 seeded instances") {
+    // deterministic pseudo-random edge sets of mixed shape (stars,
+    // chains, cliques emerge naturally at ~1.5 edges/node); each
+    // instance cross-checked against driver-side union-find
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(80)
+      val edges = Seq.fill((n * 3) / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = cc(edges)
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("non-convergence within maxIters raises instead of returning wrong labels") {
     val chain = (0L until 8L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {
