@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Profile, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1214,7 +1214,49 @@ object Queries {
              |FROM part, probe
              |WHERE abs(length(p_name) - length(probe_name)) <= 1
              |  AND levenshtein(p_name, probe_name) <= 1
-             |ORDER BY probe_id, p_partkey""".stripMargin))
+             |ORDER BY probe_id, p_partkey""".stripMargin)),
+
+    QDef("q64_profile",
+      // Snapshot QA: per-column null/distinct/min/max in ONE aggregation
+      // pass (long-format unpivot via stack — no per-column jobs).
+      // exact=true here so the oracle can state distinct counts; the
+      // operator's default is the HLL++ path for wide tables.
+      (s, d) => Profile.summarize(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true),
+      Some("""WITH s AS (
+             |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |    CAST(min(l_orderkey) AS DOUBLE) AS min_value, CAST(max(l_orderkey) AS DOUBLE) AS max_value
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*),
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+             |    CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*),
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |    NULL, NULL
+             |  FROM lineitem
+             |)
+             |SELECT * FROM s ORDER BY "column"""".stripMargin)),
+
+    QDef("q65_vocab_topk",
+      // Vocabulary heavy hitters: corpus-wide token frequencies, top 20
+      // with a unique tie-break. Explode is narrow; partial aggregation
+      // combines map-side; the global top-k plans as
+      // TakeOrderedAndProject (no full sort).
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20),
+      Some(s"""$tokCte
+              |SELECT token, count(*) AS cnt
+              |FROM (SELECT unnest(tk) AS token FROM tok)
+              |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -51,6 +51,26 @@ class MergeSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a9"))
   }
 
+  test("profile: one-pass long-format stats, numeric min/max, null counting") {
+    val df = Seq(
+      (1L, Some(2.0), "x"), (2L, None, "y"), (3L, Some(5.5), "x")
+    ).toDF("id", "v", "s")
+    val out = graft.operators.Profile.summarize(df, Seq("id", "v", "s"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(out("v") == ((3L, 1L, 2L, Some(2.0), Some(5.5))))
+    assert(out("s") == ((3L, 0L, 2L, None, None)))
+    // approx path stays close on small-cardinality data
+    val approx = graft.operators.Profile.summarize(df, Seq("id"))
+      .select("n_distinct").as[Long].head()
+    assert(approx == 3L)
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Profile.summarize(df, Seq("nope"))
+    }
+  }
+
   test("fuzzy join finds bounded-edit matches with exact distances") {
     val corpus = Seq((1L, "cold widget"), (2L, "small widget"), (3L, "blue rod"))
       .toDF("id", "name")
