@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Profile, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, BloomJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1259,9 +1259,258 @@ object Queries {
               |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Training-data layout & retrieval surface (round 3): sequence packing,
+  // chunking, BM25, bloom-prefiltered joins, integer PageRank, temperature
+  // mixing, non-parquet sources, event transition matrices.
+  // ---------------------------------------------------------------------------
+
+  /** BM25 weight for one (doc, term) in identical SQL on both engines:
+    * every operation is written once here so the evaluation order (and
+    * therefore the IEEE result) coincides; only ln() can differ (by at
+    * most 1 ulp), absorbed by the round(..., 6) on the final score.
+    */
+  private def bm25W(n: String, df: String, tf: String, dl: String, avgdl: String) =
+    s"ln(1 + ($n - $df + 0.5) / ($df + 0.5)) * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * $dl / $avgdl))"
+
+  private val bm25Terms = Seq("join", "vector", "stream", "window")
+
+  /** PageRank oracle: unrolled damped iterations as nested CTEs (DuckDB
+    * recursive CTEs cannot carry aggregates over the recursive term).
+    * Integer micro-unit arithmetic matches [[PageRank.run]] exactly.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, CAST(150000 + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank // d.deg) AS mass
+         |    FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS cnt
+       |  FROM customer JOIN orders ON o_custkey = c_custkey
+       |    JOIN lineitem ON l_orderkey = o_orderkey
+       |    JOIN supplier ON s_suppkey = l_suppkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT src, dst FROM pairs ORDER BY cnt DESC, src, dst LIMIT 120
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), n AS (
+       |  SELECT n_nationkey AS node FROM nation
+       |), r0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n
+       |),
+       |$steps
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  private val trainingOps = Seq(
+    QDef("q66_pack_sequences",
+      // Concatenate-then-slice packing into 2048-token context windows,
+      // sharded by source: the layout step between curation and training.
+      // Pure integer window arithmetic -> bit-exact cross-engine.
+      (s, d) => Packing.packByBudget(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", 2048L)
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS strt
+             |  FROM tok
+             |)
+             |SELECT doc_id, source, n_tokens,
+             |  strt // 2048 AS bin, strt % 2048 AS bin_offset
+             |FROM w ORDER BY source, doc_id""".stripMargin)),
+
+    QDef("q67_chunks",
+      // RAG-style overlapping chunking: 200-char windows every 150 chars.
+      // Narrow explode of a codegen'd transform; no UDF, no shuffle
+      // before the (presentation-only) global sort.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"), 200, 150)).as("c"))
+        .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
+          col("c.chunk_text").as("chunk_text"),
+          length(col("c.chunk_text")).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_start")),
+      Some("""WITH g AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text), 1), 150)) AS cs
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+             |  substr(text, cs, 200) AS chunk_text,
+             |  CAST(length(substr(text, cs, 200)) AS BIGINT) AS chunk_len
+             |FROM g ORDER BY doc_id, chunk_start""".stripMargin)),
+
+    QDef("q68_bm25",
+      // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term set,
+      // top 15. df/tf/dl are exact integers; the weight formula is the
+      // SAME SQL string on both engines (bm25W) so evaluation order
+      // matches; per-doc term weights are summed in FIXED written order
+      // (w1+w2+w3+w4), never through an order-free SUM over doubles.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+        val st = dl.agg(count(lit(1)).cast("long").as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+          .filter(col("tok").isin(bm25Terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).cast("long").as("tf"))
+        val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+        val w = tf.join(dfc, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+          .withColumn("w", expr(bm25W("n", "df", "tf", "dl", "avgdl")))
+        val byTerm = bm25Terms.zipWithIndex.map { case (term, i) =>
+          max(when(col("tok") === term, col("w"))).as(s"w$i")
+        }
+        val score = bm25Terms.indices
+          .map(i => coalesce(col(s"w$i"), lit(0.0)))
+          .reduceLeft(_ + _)
+        w.groupBy(col("doc_id")).agg(byTerm.head, byTerm.tail: _*)
+          .select(col("doc_id"), round(score, 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(15)
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t, i) =>
+                     s"max(CASE WHEN tok = '$t' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q69_bloom_semi",
+      // Bloom-prefiltered fact-dim semi join, aggregated: the runtime-
+      // filter shape made explicit. The bloom removes non-matching fact
+      // rows before the join; the exact join removes false positives, so
+      // the result equals the plain semi join the oracle states.
+      (s, d) => BloomJoin.semiJoin(
+        t(s, d, "lineitem"), "l_suppkey",
+        t(s, d, "supplier").filter(col("s_nationkey") < 5), "s_suppkey",
+        expectedItems = 10000L)
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)""".stripMargin)),
+
+    QDef("q70_pagerank",
+      // Integer PageRank (5 damped iterations) over the nation trade
+      // graph: top-120 (customer-nation -> supplier-nation) flow edges.
+      // Micro-unit integer arithmetic -> bit-exact vs the unrolled-CTE
+      // oracle; see operators/PageRank.scala for the scale shape.
+      (s, d) => {
+        val edges = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("src"), col("dst")).limit(120)
+          .select(col("src"), col("dst"))
+        val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
+        PageRank.run(s, edges, nodes, 5).orderBy(col("node"))
+      },
+      Some(pagerankOracle(5))),
+
+    QDef("q71_mix_sample",
+      // Temperature-0.5 language rebalancing: stratum s keeps a
+      // sqrt(min_count/count_s) share via the portable md5 draw, so the
+      // EXACT surviving row set is cross-engine reproducible (sqrt and
+      // the draw are both correctly-rounded IEEE ops).
+      (s, d) => Splits.temperatureBalance(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", salt = "mix")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+             |), m AS (
+             |  SELECT min(n) AS minn FROM c
+             |), r AS (
+             |  SELECT lang, sqrt(CAST(minn AS DOUBLE) / n) AS rate FROM c CROSS JOIN m
+             |)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN r ON d.lang = r.lang
+             |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8)) AS UBIGINT)
+             |    / 4294967296.0 < r.rate
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QDef("q72_format_roundtrip",
+      // Non-parquet sources as first-class citizens: the same relation
+      // written to and read back from CSV and JSON, joined, equal to the
+      // parquet original (which is what the oracle states). Exercises
+      // the full write->list->parse path of both connectors.
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-q72").toString
+        val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        sup.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+        sup.write.mode("overwrite").json(s"$dir/json")
+        val csv = s.read.option("header", "true").schema(sup.schema).csv(s"$dir/csv")
+        val json = s.read.schema(sup.schema).json(s"$dir/json")
+        csv.as("c").join(json.as("j"), "s_suppkey")
+          .select(col("s_suppkey"), col("c.s_name").as("s_name"),
+            col("j.s_nationkey").as("s_nationkey"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    QDef("q73_transitions",
+      // First-order event transition matrix (Markov counts): lag within
+      // each user's time-ordered stream, then one map-side-combined
+      // count per (prev, next) pair. The per-user window is the only
+      // wide op and is bounded by per-user history.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .orderBy(col("prev_type"), col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events
+             |)
+             |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM g WHERE prev_type IS NOT NULL
+             |GROUP BY prev_type, event_type
+             |ORDER BY prev_type, event_type""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
-      curationOps ++ maintenanceOps
+      curationOps ++ maintenanceOps ++ trainingOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -118,6 +118,23 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Overlapping fixed-size character chunks for retrieval/RAG indexing:
+    * windows of `size` chars starting every `step` chars (overlap =
+    * size - step). Returns an array of (chunk_start, chunk_text) structs;
+    * 1-based starts so the Spark and SQL substring idioms coincide.
+    * Narrow, codegen'd, no UDF; the array explodes to one row per chunk
+    * downstream. Empty text yields a single empty chunk (start 1), so no
+    * document silently disappears from the index.
+    */
+  def chunks(text: Column, size: Int, step: Int): Column = {
+    require(size > 0 && step > 0, "chunk size and step must be positive")
+    transform(
+      sequence(lit(1), greatest(length(text), lit(1)), lit(step)),
+      start => struct(
+        start.cast("long").as("chunk_start"),
+        text.substr(start, lit(size)).as("chunk_text")))
+  }
+
   /** Heuristic language ID: argmax over per-language stopword hit counts,
     * ties broken by language-list order, "und" when nothing matches.
     * (N-gram-profile language ID distilled to the signal available for

@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-prefiltered semi join — the runtime-filter pattern for the
+  * 100 TB fact-dim shape: build a compact bloom filter over the SMALL
+  * side's join keys, push `might_contain` into the big side's scan as a
+  * narrow filter, THEN run the exact join. The bloom eliminates the
+  * (typically dominant) non-matching fraction of the fact table before
+  * any shuffle or broadcast-probe work; false positives are removed by
+  * the exact join, so results are bit-identical to a plain semi join.
+  *
+  * This is the same plan Spark's adaptive `InjectRuntimeFilter` aims for;
+  * here it is explicit and unconditional, so the pattern is available
+  * even where the optimizer's heuristics decline (no selective filter
+  * detected, creation-side cost vetoes, non-equi compound keys).
+  *
+  * Scale accounting: the bloom build is one partial-aggregate pass over
+  * the dim side producing a few MB (n=1M keys at 3% fpp ~ 0.9 MB); it
+  * ships to executors as a literal in the filter expression. The filter
+  * itself is codegen'd (`BloomFilterMightContain` has full codegen) and
+  * sits directly above the scan, so a 99%-non-matching fact table sends
+  * ~1% of its rows to the join.
+  *
+  * The reference engine's only join surface is its hash join
+  * (/root/reference/src/execution.cpp:339-401); pre-join sketch filtering
+  * is a north-star extension.
+  */
+object BloomJoin {
+
+  /** Serialized bloom filter over `keyCol` of `dim` (long-typed keys:
+    * inserted with putLong, tested with mightContainLong — the two sides
+    * of `spark.util.sketch.BloomFilter`'s long path).
+    */
+  def buildBloom(dim: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+    val bf = dim.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `might_contain(bloomBytes, key)` as a codegen'd Column. */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftBridge.expression(key)))
+
+  /** Exact semi join of `fact` against `dim`, bloom-prefiltered on the
+    * fact side. `expectedItems` sizes the filter; pass the dim-side key
+    * cardinality (or an upper bound).
+    */
+  def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bloom = buildBloom(dim, dimKey, expectedItems, fpp)
+    fact.filter(mightContain(bloom, col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+}

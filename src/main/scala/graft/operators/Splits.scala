@@ -52,6 +52,35 @@ object Splits {
     df.withColumn(outCol, label)
   }
 
+  /** Balance strata toward the smallest one with temperature-0.5
+    * downsampling: stratum `s` keeps a `sqrt(min_count / count_s)` share
+    * of its rows (the alpha=0.5 point of the standard `p ~ count^alpha`
+    * multilingual/multi-source mixing rule — large strata shrink, small
+    * ones are kept whole-ish, ratios compress by the square root).
+    *
+    * Per-row keep/drop is the same portable md5 draw as
+    * [[stratifiedSample]], so the selection is reproducible across
+    * engines, partitionings and re-runs. alpha is fixed at 0.5 because
+    * sqrt is IEEE-correctly-rounded in every engine (pow is not), which
+    * keeps the rate — and therefore the exact selected row set —
+    * bit-identical cross-engine and oracle-checkable.
+    *
+    * Cost: one map-side-combined count per stratum (tiny result,
+    * broadcast back), then a narrow filter. No other shuffle.
+    */
+  def temperatureBalance(
+      df: DataFrame, keyCol: String, strataCol: String,
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minc = counts.agg(min(col("__n")).as("__minn"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col(strataCol),
+        sqrt(col("__minn").cast("double") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(portableUniform(col(keyCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Keep a deterministic `fractions(stratum)` share of each stratum
     * (`defaultFraction` for strata not listed) — the standard corpus
     * re-balancing primitive (downsample boilerplate-heavy sources, keep
