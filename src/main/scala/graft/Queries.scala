@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, BloomJoin, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1508,9 +1508,102 @@ object Queries {
              |ORDER BY prev_type, event_type""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Data-quality gate, distribution profiling, retrieval index.
+  // ---------------------------------------------------------------------------
+
+  /** Shared Spark/DuckDB SQL for the q75 bucket id so both engines run
+    * the identical IEEE expression (subtract, multiply, divide, floor).
+    */
+  private def bucketExpr(x: String, mn: String, mx: String, k: Int) =
+    s"CAST(CASE WHEN $mx = $mn THEN 0 ELSE least(${k - 1}, floor(($x - $mn) * $k.0 / ($mx - $mn))) END AS BIGINT)"
+
+  private val qualityOps = Seq(
+    QDef("q74_checks",
+      // Admission gate over lineitem: the row-local checks fold into one
+      // aggregation pass; the FK check is one broadcast anti join. Exact
+      // integer violation counts -> bit-exact cross-engine.
+      (s, d) => Checks.run(t(s, d, "lineitem"), Seq(
+        Checks.NotNull("l_orderkey"),
+        Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+        Checks.InRange("l_quantity", 1.0, 50.0),
+        Checks.Accepted("l_returnflag", Seq("A", "N", "R")),
+        Checks.RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+        .orderBy(col("check")),
+      Some("""WITH gate AS (
+             |  SELECT 'not_null(l_orderkey)' AS "check",
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique(l_orderkey,l_linenumber)',
+             |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range(l_quantity,1.0,50.0)',
+             |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |                   AND (l_quantity < 1.0 OR l_quantity > 50.0)
+             |                  THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'accepted(l_returnflag)',
+             |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |                   AND l_returnflag NOT IN ('A', 'N', 'R')
+             |                  THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'ref_integrity(l_orderkey)',
+             |    CAST((SELECT count(*) FROM lineitem
+             |          WHERE l_orderkey IS NOT NULL
+             |            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+             |)
+             |SELECT "check", violations, violations = 0 AS passed
+             |FROM gate ORDER BY "check"""".stripMargin)),
+
+    QDef("q75_histogram",
+      // Equi-width 20-bucket histogram of l_extendedprice from global
+      // min/max: two passes (tiny stats row broadcast back), bucket id
+      // is the SAME SQL expression on both engines (bucketExpr) so the
+      // float ops agree bit-for-bit; max lands in the last bucket.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(st))
+          .select(expr(bucketExpr("l_extendedprice", "mn", "mx", 20)).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).cast("long").as("cnt"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+              |)
+              |SELECT ${bucketExpr("l_extendedprice", "mn", "mx", 20)} AS bucket,
+              |  CAST(count(*) AS BIGINT) AS cnt
+              |FROM lineitem CROSS JOIN s
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QDef("q76_inverted_index",
+      // Posting lists for the retrieval terms: distinct sorted doc ids
+      // per term. One shuffle on the term key; lists bounded by document
+      // frequency (for full-vocabulary indexes the posting list would be
+      // bucketed by (term, doc_id div B) — here df is catalog-small).
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(bm25Terms: _*))
+        .groupBy(col("tok"))
+        .agg(count_distinct(col("doc_id")).cast("long").as("n_docs"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))
+        .orderBy(col("tok")),
+      Some(s"""$tokCte
+              |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  list_sort(list(DISTINCT doc_id)) AS postings
+              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |GROUP BY tok ORDER BY tok""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
-      curationOps ++ maintenanceOps ++ trainingOps
+      curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =
