@@ -1581,6 +1581,45 @@ object Queries {
               |FROM lineitem CROSS JOIN s
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QDef("q77_hll_sketch",
+      // Mergeable distinct-count sketches (Apache DataSketches HLL via
+      // hll_sketch_agg): the incremental-pipeline primitive — per-batch
+      // sketches union without rescanning history. Driver-checked with
+      // the q37 literal-TRUE gate pattern: the estimate must land within
+      // 5% of the exact count, which the oracle states as TRUE.
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).cast("long").as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") <=
+            col("n_exact") * 0.05).as("within_5pct"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS within_5pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef("q78_approx_quantile",
+      // Quantile sketch with an in-query error certificate: the rank of
+      // approx_percentile's median must sit within the sketch's rank
+      // bound (n/accuracy + 1) of n/2 — recomputed against the data, so
+      // the gate is evidence, not trust. Oracle states the certificate.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ap = li.agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx"),
+          count(lit(1)).cast("long").as("n"))
+        li.crossJoin(broadcast(ap))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+              .as("rank_of_median"))
+          .select(col("n"),
+            (abs(col("rank_of_median") - col("n") * 0.5) <=
+              col("n").cast("double") / 1000.0 + 1.0).as("within_rank_error"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS within_rank_error
+             |FROM lineitem""".stripMargin)),
+
     QDef("q76_inverted_index",
       // Posting lists for the retrieval terms: distinct sorted doc ids
       // per term. One shuffle on the term key; lists bounded by document

@@ -199,6 +199,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // --- Sketches ---------------------------------------------------------------
+
+  test("hll: union of per-part sketches == one-pass sketch (mergeability)") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val whole = ev.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"), lit(12))).as("est")).head().getLong(0)
+    // split by parity, sketch each part, union the sketches
+    val parts = ev.withColumn("part", pmod(col("event_id"), lit(2)))
+      .groupBy("part").agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = parts.agg(hll_sketch_estimate(
+      hll_union_agg(col("sk"))).as("est")).head().getLong(0)
+    assert(merged == whole,
+      "incremental per-batch sketches must merge to the batch answer")
+  }
+
+  test("sketch gates hold at sf0.001 (q77 within 5%, q78 within rank error)") {
+    val hll = Queries.queries("q77_hll_sketch")(spark, TestSpark.sf0001).collect()
+    assert(hll.nonEmpty && hll.forall(_.getAs[Boolean]("within_5pct")))
+    val q = Queries.queries("q78_approx_quantile")(spark, TestSpark.sf0001).head()
+    assert(q.getAs[Boolean]("within_rank_error"))
+  }
+
   // --- Transition matrix -----------------------------------------------------
 
   test("transition counts match a hand-built fixture") {
