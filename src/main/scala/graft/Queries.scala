@@ -1279,6 +1279,31 @@ object Queries {
     * recursive CTEs cannot carry aggregates over the recursive term).
     * Integer micro-unit arithmetic matches [[PageRank.run]] exactly.
     */
+  /** Shared oracle CTE: the nation trade graph (top-120 customer-nation ->
+    * supplier-nation flow edges) used by q70 and q79.
+    */
+  private val tradeEdgesCte =
+    """pairs AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS cnt
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |    JOIN lineitem ON l_orderkey = o_orderkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT src, dst FROM pairs ORDER BY cnt DESC, src, dst LIMIT 120
+      |)""".stripMargin
+
+  /** The same trade graph on the Spark side. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("src"), col("dst")).limit(120)
+      .select(col("src"), col("dst"))
+
   private def pagerankOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
@@ -1288,15 +1313,7 @@ object Queries {
          |    FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
          |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS cnt
-       |  FROM customer JOIN orders ON o_custkey = c_custkey
-       |    JOIN lineitem ON l_orderkey = o_orderkey
-       |    JOIN supplier ON s_suppkey = l_suppkey
-       |  GROUP BY 1, 2
-       |), edges AS (
-       |  SELECT src, dst FROM pairs ORDER BY cnt DESC, src, dst LIMIT 120
-       |), deg AS (
+    s"""WITH $tradeEdgesCte, deg AS (
        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
        |), n AS (
        |  SELECT n_nationkey AS node FROM nation
@@ -1427,18 +1444,38 @@ object Queries {
       // Micro-unit integer arithmetic -> bit-exact vs the unrolled-CTE
       // oracle; see operators/PageRank.scala for the scale shape.
       (s, d) => {
-        val edges = t(s, d, "customer")
-          .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
-          .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-          .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
-          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("src"), col("dst")).limit(120)
-          .select(col("src"), col("dst"))
         val nodes = t(s, d, "nation").select(col("n_nationkey").as("node"))
-        PageRank.run(s, edges, nodes, 5).orderBy(col("node"))
+        PageRank.run(s, tradeEdges(s, d), nodes, 5).orderBy(col("node"))
       },
       Some(pagerankOracle(5))),
+
+    QDef("q79_triangles",
+      // Triangle counting on the undirected trade graph with the node-
+      // ordering trick: edges stored once as (a < b), each triangle
+      // matched exactly once as a<b<c — the standard way to count
+      // triangles by joins without 6x duplication (at web scale the
+      // ordering would be by degree to bound the skew of the join keys).
+      (s, d) => {
+        val und = tradeEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") < col("b")).distinct()
+        val e1 = und.select(col("a").as("a1"), col("b").as("b1"))
+        val e2 = und.select(col("a").as("a2"), col("b").as("b2"))
+        val e3 = und.select(col("a").as("a3"), col("b").as("b3"))
+        val tri = e1.join(e2, col("b1") === col("a2"))
+          .join(e3, col("a1") === col("a3") && col("b2") === col("b3"))
+          .agg(count(lit(1)).cast("long").as("n_triangles"))
+        und.agg(count(lit(1)).cast("long").as("n_edges")).crossJoin(tri)
+      },
+      Some(s"""WITH $tradeEdgesCte, und AS (
+              |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM edges WHERE src <> dst
+              |)
+              |SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+              |  CAST(count(*) AS BIGINT) AS n_triangles
+              |FROM und e1 JOIN und e2 ON e1.b = e2.a
+              |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin)),
 
     QDef("q71_mix_sample",
       // Temperature-0.5 language rebalancing: stratum s keeps a

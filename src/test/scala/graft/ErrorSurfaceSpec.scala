@@ -52,4 +52,27 @@ class ErrorSurfaceSpec extends AnyFunSuite {
       .compile(f1).count()
     assert(out == 1)
   }
+
+  test("round-3 operators refuse bad configuration eagerly") {
+    val df = Seq((1L, "a", 3L)).toDF("id", "shard", "n")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Packing.packByBudget(df, "shard", "id", "n", 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.functions.TextFunctions.chunks(org.apache.spark.sql.functions.col("t"), 0, 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.functions.TextFunctions.chunks(org.apache.spark.sql.functions.col("t"), 10, 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.PageRank.run(spark, df.selectExpr("id AS src", "n AS dst"),
+        df.selectExpr("id AS node"), 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Checks.run(df, Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Checks.Unique(Seq.empty)
+    }
+  }
 }
