@@ -57,8 +57,9 @@ object BloomJoin {
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bloom = buildBloom(dim, dimKey, expectedItems, fpp)
+    // no distinct() on the dim keys: left_semi already ignores build-side
+    // duplicates, so deduplicating first would only add an aggregate
     fact.filter(mightContain(bloom, col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

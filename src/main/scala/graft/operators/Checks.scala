@@ -86,12 +86,16 @@ object Checks {
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
+    val names = checks.map(_.name)
+    require(names.distinct == names,
+      s"duplicate check names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     val local = checks.flatMap(c => violationCount(c).map(c.name -> _))
     val localDf: Option[DataFrame] = if (local.isEmpty) None else Some {
       val aggs = local.map { case (n, c) => c.cast("long").as(n) }
       val one = df.agg(aggs.head, aggs.tail: _*)
-      // unpivot the single row to (check, violations)
-      val stacked = local.map { case (n, _) => s"'${n.replace("'", "")}', `$n`" }
+      // unpivot the single row to (check, violations); '' escapes any
+      // quote inside a check name so the name survives verbatim
+      val stacked = local.map { case (n, _) => s"'${n.replace("'", "''")}', `$n`" }
       one.selectExpr(
         s"stack(${local.size}, ${stacked.mkString(", ")}) AS (check, violations)")
     }

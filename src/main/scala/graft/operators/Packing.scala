@@ -29,7 +29,12 @@ object Packing {
   /** Adds `bin` (which context window the document starts in) and
     * `bin_offset` (token offset of the document inside that bin), both
     * BIGINT, from a running token sum per `shardCol` ordered by
-    * `orderCol`. `sizeCol` must be non-negative; `budget` > 0.
+    * `orderCol`. `sizeCol` must be non-negative; `budget` > 0;
+    * `orderCol` must be UNIQUE within each shard — the concatenation
+    * order (and therefore every start offset) is defined by it. The
+    * frame is ROWS, not the default RANGE, so a violated uniqueness
+    * precondition degrades to an arbitrary order among the tied rows
+    * rather than silently double-counting all peers at the tied key.
     */
   def packByBudget(
       df: DataFrame, shardCol: String, orderCol: String, sizeCol: String,
@@ -37,6 +42,7 @@ object Packing {
       offsetCol: String = "bin_offset"): DataFrame = {
     require(budget > 0, "packByBudget needs a positive token budget")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = (sum(col(sizeCol)).over(w) - col(sizeCol)).cast("long")
     df.withColumn("__pack_start", start)
       .withColumn(binCol, expr(s"__pack_start div $budget"))

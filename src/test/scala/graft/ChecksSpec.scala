@@ -69,6 +69,12 @@ class ChecksSpec extends AnyFunSuite {
     assert(rows("unique(l_orderkey,l_linenumber)") == (expectDups, false))
   }
 
+  test("duplicate check names are rejected eagerly") {
+    assertThrows[IllegalArgumentException] {
+      Checks.run(dirty, Seq(NotNull("id"), NotNull("id")))
+    }
+  }
+
   test("histogram bucket expression: constant column lands in bucket 0") {
     val st = Seq(5.0, 5.0).toDF("x").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     val out = Seq(5.0, 5.0).toDF("x").crossJoin(st)

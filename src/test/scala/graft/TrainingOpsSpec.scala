@@ -41,6 +41,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packing with tied order keys never double-counts (ROWS frame)") {
+    // three docs share order key 1: RANGE would give all of them the
+    // same start (sum of all peers); ROWS yields distinct consecutive
+    // prefix sums in some tie order — token mass is conserved
+    val df = Seq(("s", 1L, 10L), ("s", 1L, 20L), ("s", 1L, 30L), ("s", 2L, 5L))
+      .toDF("shard", "k", "n")
+    val rows = graft.operators.Packing.packByBudget(df, "shard", "k", "n", 100L)
+      .select(col("bin") * 100 + col("bin_offset"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (start, n) =>
+      assert(start == cum, s"start $start != prefix sum $cum")
+      cum += n
+    }
+    assert(cum == 65L)
+  }
+
   test("packing is invariant under repartitioning") {
     val sized = docs.select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
