@@ -48,6 +48,58 @@ object BenchTune {
     }
   }
 
+  /** `--ops [rows]`: generate a synthetic document corpus at `rows`
+    * (default 1M docs of 30 hash-derived tokens) across 32 files and
+    * measure the training-data operators' throughput with real
+    * parallelism — the scale evidence for the curation surface that the
+    * 6k-doc testdata cannot give.
+    */
+  private def opsDemo(spark: SparkSession, rows: Long): Unit = {
+    import graft.functions.{HashExprs, TextFunctions}
+    import graft.operators.{Checks, Dedup, Packing, Splits}
+    import org.apache.spark.sql.GraftBridge
+    val dir = s"/tmp/graft-ops-$rows"
+    if (!new java.io.File(dir).exists()) {
+      spark.range(rows).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(500)))), " ")
+          .as("text"),
+        pmod(col("id"), lit(20)).cast("string").as("source"))
+        .repartition(32).write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    def minT(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).min }
+    def drain(d: DataFrame): Unit =
+      d.write.mode("overwrite").format("noop").save()
+    val sized = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val sig = docs.select(col("doc_id"), GraftBridge.column(
+      HashExprs.MinHashSignature(GraftBridge.expression(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)), 128))
+      .as("sig"))
+    val r = Seq(
+      "token_quality" -> minT(drain(docs.select(
+        TextFunctions.tokenCount(col("text")),
+        TextFunctions.qualityScore(col("text"))))),
+      "pack_sequences" -> minT(
+        Packing.packByBudget(sized, "source", "doc_id", "n_tokens", 2048L)
+          .agg(max(col("bin"))).collect()),
+      "minhash_128" -> minT(drain(sig)),
+      "dedup_exact" -> minT(
+        Dedup.exact(docs.select("doc_id", "text"), Seq("text"), "doc_id")
+          .agg(count(lit(1))).collect()),
+      "temperature_mix" -> minT(
+        Splits.temperatureBalance(docs, "doc_id", "source")
+          .agg(count(lit(1))).collect()),
+      "quality_gate" -> minT(
+        Checks.run(docs, Seq(Checks.NotNull("text"),
+          Checks.Unique(Seq("doc_id")))).collect()))
+    r.foreach { case (n, t) =>
+      println(f"[ops] $n%s: $t%.3f s  (${rows / t / 1e6}%.1f M docs/s)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,6 +108,13 @@ object BenchTune {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--ops")) {
+      val rows = args.dropWhile(_ != "--ops").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
+      opsDemo(spark, rows)
+      spark.stop()
+      return
+    }
     if (args.contains("--scale")) {
       val rows = args.dropWhile(_ != "--scale").drop(1).headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)

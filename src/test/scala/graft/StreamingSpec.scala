@@ -53,6 +53,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate == batch gate (row-local checks, complete mode)") {
+    // the admission deployment: the same Checks aggregation runs per
+    // microbatch (one streaming agg — row-local checks only; FK checks
+    // are a stream-static anti join and live in their own query)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val checks = Seq(
+      graft.operators.Checks.NotNull("user_id"),
+      graft.operators.Checks.InRange("value", 0.0, 1000000.0),
+      graft.operators.Checks.Accepted("event_type",
+        Seq("click", "view", "purchase", "signup", "error")))
+    val stream = EventStreams.readEventsStream(spark, dir.toString, TestSpark.sf0001)
+    val q = graft.operators.Checks.run(stream, checks)
+      .writeStream.outputMode("complete").format("memory").queryName("gate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gate").as[(String, Long, Boolean)].collect().toSet
+      val want = graft.operators.Checks
+        .run(Tables.load(spark, TestSpark.sf0001, "events"), checks)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream time-range join == batch join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
     java.nio.file.Files.copy(
