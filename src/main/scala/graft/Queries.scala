@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1670,18 +1670,84 @@ object Queries {
     QDef("q76_inverted_index",
       // Posting lists for the retrieval terms: distinct sorted doc ids
       // per term. One shuffle on the term key; lists bounded by document
-      // frequency (for full-vocabulary indexes the posting list would be
-      // bucketed by (term, doc_id div B) — here df is catalog-small).
+      // frequency (full-vocabulary buckets: q80). The list is emitted as
+      // a comma-joined string because the driver's pandas canonicalizer
+      // cannot sort/hash ndarray cells (same constraint as q33); the
+      // array form itself is asserted in RetrievalOpsSpec.
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .filter(col("tok").isin(bm25Terms: _*))
         .groupBy(col("tok"))
-        .agg(count_distinct(col("doc_id")).cast("long").as("n_docs"),
-          sort_array(collect_set(col("doc_id"))).as("postings"))
+        // size-of-set, not count_distinct: a distinct agg next to
+        // collect_set would trigger the distinct-expansion double shuffle
+        .agg(sort_array(collect_set(col("doc_id"))).as("postings_arr"))
+        .select(col("tok"),
+          size(col("postings_arr")).cast("long").as("n_docs"),
+          array_join(transform(col("postings_arr"), _.cast("string")), ",")
+            .as("postings"))
         .orderBy(col("tok")),
       Some(s"""$tokCte
               |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-              |  list_sort(list(DISTINCT doc_id)) AS postings
+              |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+              |    x -> CAST(x AS VARCHAR)), ',') AS postings
+              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |GROUP BY tok ORDER BY tok""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------------------
+  // Retrieval-index surface (round 4): bucketed full-vocabulary inverted
+  // index and the bucket-merging term lookup over it.
+  // ---------------------------------------------------------------------------
+
+  /** Doc-id bucket width for the vocabulary-index catalog entries (small so
+    * the catalog corpus actually exercises multi-bucket terms; production
+    * would use ~1e6).
+    */
+  private val IndexBucket = 64L
+
+  /** One (doc_id, tok) row per token occurrence of every document. */
+  private def docPostings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+
+  private val retrievalOps = Seq(
+    QDef("q80_vocab_index",
+      // Full-VOCABULARY bucketed inverted index: every token of every
+      // document, posting lists keyed (term, doc_id div 64) so each array
+      // stays bounded regardless of document frequency — the scale path
+      // the q76 flat index cannot offer. One shuffle on the composite key
+      // (plan audited in RetrievalOpsSpec). Postings string-joined for
+      // the driver's canonicalizer; array form asserted in ScalaTest.
+      (s, d) => InvertedIndex.build(docPostings(s, d), IndexBucket)
+        .select(col("tok"), col("bucket"), col("n_docs"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy(col("tok"), col("bucket")),
+      Some(s"""$tokCte
+              |SELECT tok, doc_id // $IndexBucket AS bucket,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+              |    x -> CAST(x AS VARCHAR)), ',') AS postings
+              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |GROUP BY tok, bucket ORDER BY tok, bucket""".stripMargin)),
+
+    QDef("q81_index_lookup",
+      // Term lookup THROUGH the bucketed index: build + bucket-merge must
+      // reproduce the flat q76 posting lists exactly (same oracle shape),
+      // proving concatenation in bucket order reassembles the globally
+      // sorted list. Catalyst pushes the term filter below the build's
+      // group-by, so only the requested terms shuffle.
+      (s, d) => InvertedIndex.lookup(
+          InvertedIndex.build(docPostings(s, d), IndexBucket), bm25Terms)
+        .select(col("tok"), col("n_docs"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy(col("tok")),
+      Some(s"""$tokCte
+              |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+              |    x -> CAST(x AS VARCHAR)), ',') AS postings
               |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
               |WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
               |GROUP BY tok ORDER BY tok""".stripMargin))
@@ -1689,7 +1755,7 @@ object Queries {
 
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
-      curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps
+      curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.InvertedIndex
+
+/** Bucketed inverted index: the array form behind the catalog's
+  * string-joined postings, bucket-merge correctness across bucket widths,
+  * and the one-shuffle build plan.
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def postings(dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+
+  /** Flat reference posting lists: term -> globally sorted distinct ids. */
+  private def flat(dir: String): Map[String, Seq[Long]] =
+    postings(dir).groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("q76 string postings encode exactly the sorted distinct doc-id array") {
+    val expect = flat(TestSpark.sf0001)
+    val got = Queries.queries("q76_inverted_index")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (tok, nDocs, joined) =>
+      val arr = expect(tok)
+      assert(nDocs == arr.size, s"$tok n_docs")
+      assert(joined == arr.mkString(","), s"$tok postings")
+    }
+  }
+
+  test("bucket merge reassembles the flat posting lists at any bucket width") {
+    val expect = flat(TestSpark.sf0001)
+    for (b <- Seq(7L, 64L, 1L << 40)) {
+      val merged = InvertedIndex.lookup(
+          InvertedIndex.build(postings(TestSpark.sf0001), b), expect.keys.toSeq)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+        .toMap
+      assert(merged.keySet == expect.keySet, s"B=$b vocab")
+      expect.foreach { case (tok, arr) =>
+        assert(merged(tok) == ((arr.size.toLong, arr)), s"B=$b term $tok")
+      }
+    }
+  }
+
+  test("fixture premise: some term spans multiple buckets at the catalog width") {
+    val multi = InvertedIndex.build(postings(TestSpark.sf0001), 64L)
+      .groupBy(col("tok")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(multi > 0, "catalog bucket width must actually split some term")
+  }
+
+  test("posting arrays are bounded by the bucket width") {
+    val over = InvertedIndex.build(postings(TestSpark.sf0001), 16L)
+      .filter(size(col("postings")) > 16).count()
+    assert(over == 0L)
+  }
+
+  test("index build is one shuffle on the composite (tok, bucket) key") {
+    val built = InvertedIndex.build(postings(TestSpark.sf0001), 64L)
+    built.collect() // materialize so AQE finalizes the plan
+    // AQE's toString prints the final plan followed by the initial plan;
+    // count shuffles in the final section only
+    val plan = built.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, plan.take(3000))
+  }
+
+  test("build rejects a non-positive bucket width") {
+    assertThrows[IllegalArgumentException] {
+      InvertedIndex.build(postings(TestSpark.sf0001), 0L)
+    }
+  }
+}
