@@ -472,13 +472,35 @@ object Queries {
               |FROM sc JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     QDef("q29_fingerprint",
-      // Winnowed rolling-hash fingerprints — hash-family-specific; rows-only.
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), HashExprs.rollingFingerprints(col("text")).as("fp"))
-        .select(col("doc_id"), size(col("fp")).cast("bigint").as("n_fp"),
-          element_at(col("fp"), 1).as("min_fp"))
+      // Winnowed fingerprints over the PORTABLE md5 gram-hash family
+      // (k=8, w=16): min of every 16-window of consecutive 8-gram hashes,
+      // deduplicated and sorted — fully recomputed by the oracle, the
+      // same family switch that made q25/q38 oracle-checkable. The XXH64
+      // kernel variant stays the throughput path (TextDedupSpec). The
+      // fingerprint set is emitted comma-joined (driver canonicalizer
+      // cannot hash array cells); array form asserted in TextDedupSpec.
+      (s, d) => Dedup.winnowedFingerprintsPortable(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_join(transform(col("fp"), _.cast("string")), ",").as("fp_csv"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+             |      i -> CAST(CAST('0x' || substr(md5(substr(text, i, 8)), 1, 8) AS UBIGINT) AS BIGINT)) AS hs
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(hs) >= 16
+             |      THEN list_transform(generate_series(16, len(hs)),
+             |        j -> list_min(hs[j - 15:j]))
+             |      ELSE [list_min(hs)] END AS mins
+             |  FROM h
+             |)
+             |SELECT doc_id, CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+             |  array_to_string(list_transform(list_sort(list_distinct(mins)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS fp_csv
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     QDef("q30_cosine_topk",
       // Exact brute-force ANN baseline. Rank-5/6 cosine gaps in this data

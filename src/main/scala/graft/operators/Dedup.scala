@@ -269,6 +269,38 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowed document fingerprints over the PORTABLE md5 hash family
+    * (id, fp: array<long>) — the same Schleimer et al. winnowing scheme
+    * as [[graft.functions.HashExprs.RollingFingerprints]] (min hash of
+    * every `w`-window of consecutive k-gram hashes, deduplicated and
+    * sorted; one window of all grams when a document has fewer than `w`)
+    * but with per-gram hashes `hex8(md5(gram))` instead of a rolling
+    * XXH64 polynomial, so any SQL engine recomputes the fingerprints
+    * bit-for-bit (q29's oracle does). The XXH64 kernel stays the
+    * throughput path; this is the verification-grade family.
+    *
+    * Everything is per-row array arithmetic (sequence/transform/slice) —
+    * no explode, no window function, NO shuffle: the narrow shape that
+    * survives 100 TB. Cost is O(grams * w) per document vs the kernel's
+    * O(grams) deque, the price of staying SQL-expressible.
+    */
+  def winnowedFingerprintsPortable(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    require(k > 0 && w > 0, "winnowing needs positive gram size and window")
+    val txt = col(textCol)
+    val grams = sequence(lit(1), greatest(length(txt) - (k - 1), lit(1)))
+    val hashes = transform(grams,
+      i => conv(substring(md5(txt.substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+    docs.select(col(idCol).as("id"), hashes.as("hs"))
+      .select(col("id"),
+        when(size(col("hs")) >= w,
+          transform(sequence(lit(w), size(col("hs"))),
+            j => array_min(slice(col("hs"), j - (w - 1), lit(w)))))
+          .otherwise(array(array_min(col("hs")))).as("mins"))
+      .select(col("id"), array_sort(array_distinct(col("mins"))).as("fp"))
+  }
+
   /** SimHash near-dup pairs: bucket by rotated fingerprint blocks (each
     * pair within Hamming distance `maxHamming` of a 64-bit fingerprint
     * shares at least one of the 4 16-bit blocks when maxHamming <= 3),

@@ -98,6 +98,57 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(inter * 2 >= fps(0).size, s"only $inter of ${fps(0).size} survived")
   }
 
+  /** Plain-Scala reference of the portable winnowing family (md5 gram
+    * hashes, min per complete w-window, one window when grams < w).
+    */
+  private def winnowRef(text: String, k: Int = 8, w: Int = 16): Seq[Long] = {
+    val m = math.max(text.length - k + 1, 1)
+    val hs = (1 to m).map { i =>
+      val gram = text.substring(i - 1, math.min(i - 1 + k, text.length))
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val mins =
+      if (hs.size >= w) (w to hs.size).map(j => hs.slice(j - w, j).min)
+      else Seq(hs.min)
+    mins.distinct.sorted
+  }
+
+  test("portable winnowing matches the scala reference on fixture docs") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "short", "x", "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val got = graft.operators.Dedup.winnowedFingerprintsPortable(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == winnowRef(t), s"doc $i")
+    }
+  }
+
+  test("portable winnowing keeps the shared-substring guarantee") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away tonight"
+    val fps = graft.operators.Dedup.winnowedFingerprintsPortable(
+        Seq((0L, base), (1L, "zq " + base), (2L, "completely different words everywhere"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L).intersect(fps(1L)).nonEmpty, "shifted copy must share fingerprints")
+    assert(fps(0L).intersect(fps(2L)).isEmpty, "unrelated docs must not")
+  }
+
+  test("q29 csv output encodes exactly the portable fingerprint arrays") {
+    val expect = graft.operators.Dedup.winnowedFingerprintsPortable(
+        Tables.load(spark, TestSpark.sf0001, "documents"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val rows = Queries.queries("q29_fingerprint")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val arr = expect(r.getLong(0))
+      assert(r.getLong(1) == arr.size && r.getString(2) == arr.mkString(","))
+    }
+  }
+
   test("exact dedup survivor is deterministic under ties and repartitioning") {
     val rows = Seq((1L, "k", "b"), (1L, "k", "a"), (1L, "k", "c"))
     val out1 = graft.operators.Dedup.exact(rows.toDF("id", "key", "v"), Seq("key"), "id")
