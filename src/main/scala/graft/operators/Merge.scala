@@ -60,9 +60,13 @@ object Merge {
     require(payload.forall(changes.columns.contains),
       s"changes must carry every base column; missing " +
         payload.filterNot(changes.columns.contains).mkString(", "))
-    // latest change per key: max_by over (seq, payload-tuple) — the
-    // deterministic-under-ties survivor pattern
-    val orderKey = struct(col(seqCol) +: payload.filterNot(keyCols.contains).map(col): _*)
+    // latest change per key: max_by over (seq, op, payload-tuple) — the
+    // deterministic-under-ties survivor pattern. opCol is part of the
+    // order key: without it, two changes identical in (key, seq,
+    // payload) but differing in op ('U' vs 'D') would pick a
+    // partition-order-dependent winner
+    val orderKey = struct(col(seqCol) +: col(opCol) +:
+      payload.filterNot(keyCols.contains).map(col): _*)
     val latest = changes.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(col(opCol) +: payload.filterNot(keyCols.contains).map(col): _*),
         orderKey).as("__c"))
