@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, Splits}
+import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -37,6 +37,22 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Per-invocation unique scratch directory for queries that exercise
+    * write paths (q72/q83): concurrent verify/bench processes must never
+    * race on a shared path (overwrite mode could interleave with the
+    * other process's read). Best-effort deleted on JVM exit.
+    */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Exception => () }))
+    p.toString
+  }
 
   final case class QDef(name: String, fn: QueryFn, oracle: Option[String])
 
@@ -1472,24 +1488,14 @@ object Queries {
       Some(pagerankOracle(5))),
 
     QDef("q79_triangles",
-      // Triangle counting on the undirected trade graph with the node-
-      // ordering trick: edges stored once as (a < b), each triangle
-      // matched exactly once as a<b<c — the standard way to count
-      // triangles by joins without 6x duplication (at web scale the
-      // ordering would be by degree to bound the skew of the join keys).
-      (s, d) => {
-        val und = tradeEdges(s, d)
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .filter(col("a") < col("b")).distinct()
-        val e1 = und.select(col("a").as("a1"), col("b").as("b1"))
-        val e2 = und.select(col("a").as("a2"), col("b").as("b2"))
-        val e3 = und.select(col("a").as("a3"), col("b").as("b3"))
-        val tri = e1.join(e2, col("b1") === col("a2"))
-          .join(e3, col("a1") === col("a3") && col("b2") === col("b3"))
-          .agg(count(lit(1)).cast("long").as("n_triangles"))
-        und.agg(count(lit(1)).cast("long").as("n_edges")).crossJoin(tri)
-      },
+      // Triangle counting on the undirected trade graph with DEGREE-
+      // ordered edge orientation (Triangles.count): each triangle is
+      // matched exactly once as one wedge + one closing edge, and
+      // orienting by (degree, id) bounds every join key's multiplicity
+      // by O(sqrt(m)) — the skew-proof variant the r3 id-ordering
+      // conceded. The count is orientation-invariant, so the oracle is
+      // unchanged.
+      (s, d) => Triangles.countTriangles(tradeEdges(s, d), "src", "dst"),
       Some(s"""WITH $tradeEdgesCte, und AS (
               |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
               |  FROM edges WHERE src <> dst
@@ -1527,9 +1533,9 @@ object Queries {
       // parquet original (which is what the oracle states). Exercises
       // the full write->list->parse path of both connectors.
       (s, d) => {
-        // fixed per-process path + overwrite mode: repeated verify runs
-        // re-use the same directory instead of accumulating temp copies
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-q72-roundtrip"
+        // unique per-invocation dir (shutdown-hook cleaned): two
+        // concurrent verify/bench processes must not race on one path
+        val dir = scratchDir("q72")
         val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         sup.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
         sup.write.mode("overwrite").json(s"$dir/json")
@@ -1772,7 +1778,101 @@ object Queries {
               |    x -> CAST(x AS VARCHAR)), ',') AS postings
               |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
               |WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
-              |GROUP BY tok ORDER BY tok""".stripMargin))
+              |GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    QDef("q82_audio_decode",
+      // REAL audio decode (JDK javax.sound.sampled, no external codec),
+      // oracle-checked in closed form: 64 planted square-wave WAVs from
+      // the deterministic syntheticWav writer. A square wave of integer
+      // amplitude A has rms EXACTLY A/32768 (every IEEE partial sum of
+      // the identical squared samples is exactly representable) and
+      // floor((n-1)/half_period) sign transitions, so both engines
+      // compute identical doubles.
+      (s, _) => {
+        import s.implicits._
+        val wavs = (0 until 64).map { i =>
+          val n = 800 + i
+          val half = 1 + i % 8
+          val amp = 256 * (1 + i % 56)
+          (i.toLong, Multimodal.syntheticWav(8000 + 100 * i, n)(
+            idx => (if ((idx / half) % 2 == 0) amp else -amp).toShort))
+        }.toDF("doc_id", "payload")
+        Multimodal.extractAudioFeatures(wavs, "doc_id", "payload")
+          .select(col("id").as("doc_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_channels").cast("long").as("n_channels"),
+            col("n_samples"), col("rms"), col("zcr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS doc_id,
+             |  CAST(8000 + 100 * i AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS n_channels,
+             |  CAST(800 + i AS BIGINT) AS n_samples,
+             |  CAST(256 * (1 + i % 56) AS DOUBLE) / 32768.0 AS rms,
+             |  CAST((799 + i) // (1 + i % 8) AS DOUBLE) / (799 + i) AS zcr
+             |FROM range(0, 64) t(i) ORDER BY doc_id""".stripMargin)),
+
+    QDef("q83_sketch_store",
+      // PERSISTED sketch state end-to-end: two disjoint event batches
+      // each reduce to per-key HLL sketch bytes appended to a parquet
+      // stats table; the corpus-wide estimate then comes from unioning
+      // the PERSISTED sketches — no history rescan. Gates (literal-TRUE
+      // pattern): the merged-from-storage estimate must equal the
+      // one-pass whole-corpus sketch exactly (HLL union is lossless over
+      // a partition of the data) and land within 5% of the exact count.
+      (s, d) => {
+        val dir = scratchDir("q83")
+        val ev = t(s, d, "events")
+        SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          Seq("event_type"), "user_id", 0L, dir)
+        SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          Seq("event_type"), "user_id", 1L, dir)
+        val merged = SketchStore.mergedEstimates(s, dir, Seq("event_type"))
+        val whole = ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).cast("long").as("n_exact"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+              .as("whole_est"))
+        merged.join(whole, "event_type")
+          .select(col("event_type"), col("n_batches"), col("n_exact"),
+            (col("est") === col("whole_est")).as("merged_eq_whole"),
+            (abs(col("est") - col("n_exact")).cast("double") <=
+              col("n_exact") * 0.05).as("within_5pct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(2 AS BIGINT) AS n_batches,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS merged_eq_whole, TRUE AS within_5pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef("q84_ivf_persisted",
+      // IVF index persistence end-to-end: fit centroids once, save the
+      // index to parquet, LOAD it back, and search with the loaded
+      // centroids. Parquet round-trips doubles exactly and the search
+      // path is deterministic given centroids, so loaded-index results
+      // must equal fresh-index results ROW FOR ROW — gated in-query
+      // with null-safe equality over a full outer join on (query, rank)
+      // (q83's literal-TRUE pattern). n_results = k is exact.
+      (s, d) => {
+        val dir = scratchDir("q84")
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 16, 3)
+        Similarity.saveIndex(s, cents, dir)
+        val loaded = Similarity.loadIndex(s, dir)
+        def run(cs: Array[Array[Double]], out: String) =
+          Similarity.ivfSearch(q, emb, "vec_id", "embedding", 5, cs,
+            nprobe = 6, nassign = 3)
+            .select(col("query_id"), col("rank"), col("neighbor_id").as(out))
+        run(cents, "n_fresh")
+          .join(run(loaded, "n_loaded"), Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_fresh") <=> col("n_loaded")).as("loaded_eq_fresh"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS loaded_eq_fresh
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * PNG/BMP/GIF/JPEG, no codec library), and PIXEL-level features (mean
   * RGB + 8-bin luminance histogram) come from a real decode through the
   * JDK's built-in `javax.imageio` codecs ([[decodeImageFeatures]] —
-  * headless, no external dependency). Only AUDIO/VIDEO payloads (and
-  * undecodable blobs) take the STUB path: [[fakeDecode]] derives
-  * deterministic pseudo-features from the bytes, clearly marked, so
-  * pipelines and tests exercise every seam except an external media
-  * codec call.
+  * headless, no external dependency). AUDIO work is real too: WAV/PCM
+  * payloads decode through the JDK's built-in `javax.sound.sampled`
+  * ([[decodeAudioFeatures]] — sample rate, channels, frame count, RMS
+  * energy, zero-crossing rate; same zero-dependency move as ImageIO).
+  * Only VIDEO payloads (and undecodable blobs) take the STUB path:
+  * [[fakeDecode]] derives deterministic pseudo-features from the bytes,
+  * clearly marked, so pipelines and tests exercise every seam except an
+  * external video codec call.
   *
   * At 100 TB: payloads never leave executors, feature extraction is a
   * narrow transformation (no shuffle), and output rows are small fixed
@@ -146,11 +149,13 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // corrupt stream: stub path, not a task failure
 
-  /** STUB — deterministic fake decode, now reached only for payloads
-    * `javax.imageio` cannot read (audio/video/undecodable): a real
-    * deployment replaces the body with a media codec call (e.g. JNI
-    * ffmpeg); everything around it — batch iteration, schema, encoder,
-    * partitioning — is the production path and stays unchanged.
+  /** STUB — deterministic fake decode, reached only for payloads
+    * `javax.imageio` cannot read inside [[extractFeatures]] (video and
+    * undecodable blobs; audio has its own REAL path through
+    * [[extractAudioFeatures]]): a real deployment replaces the body with
+    * a video codec call (e.g. JNI ffmpeg); everything around it — batch
+    * iteration, schema, encoder, partitioning — is the production path
+    * and stays unchanged.
     */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
     var h = 1125899906842597L // deterministic FNV-ish fold of the payload
@@ -224,6 +229,105 @@ object Multimodal {
       while (b.position() < rowStart + rowBytes) b.put(0.toByte)
       y -= 1
     }
+    b.array()
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false)))
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU containers, any PCM layout the JDK converts to 16-bit
+    * signed — headless, zero external dependencies; the same
+    * zero-dependency move that made image decode real). Features over
+    * channel 0 of the normalized [-1,1) samples:
+    *  - `rms` = sqrt(mean(x^2)) — for a constant-amplitude square wave of
+    *    amplitude A this is EXACTLY A/32768 in IEEE double (every partial
+    *    sum is exactly representable), the closed-form property the q82
+    *    oracle checks;
+    *  - `zcr` = sign transitions (negative <-> non-negative) between
+    *    consecutive samples, divided by n-1.
+    * None for payloads the JDK cannot parse as audio (images, video,
+    * truncated streams) — those stay on their own paths.
+    */
+  private[graft] def decodeAudioFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Double, Double)] =
+    try {
+      val base = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f0 = base.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+          f0.getSampleRate, false)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target, base)
+        val data = ais.readAllBytes()
+        val frame = target.getChannels * 2
+        val n = data.length / frame
+        if (n == 0) None
+        else {
+          var sumSq = 0.0
+          var crossings = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val off = i * frame // channel 0 leads each frame
+            val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
+            val x = s / 32768.0
+            sumSq += x * x
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+          Some((f0.getSampleRate.toInt, target.getChannels, n.toLong,
+            math.sqrt(sumSq / n), zcr))
+        }
+      } finally base.close()
+    } catch { case _: Exception => None } // not audio: caller's fallback path
+
+  /** Partition-wise audio feature extraction of (id, payload) rows.
+    * Narrow transformation (payloads never leave their partition); rows
+    * the JDK cannot parse as audio are dropped — in a web corpus,
+    * non-audio bytes under an audio column are the normal case, not a
+    * task failure.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioFeatures(r.getAs[Array[Byte]](1)).map {
+          case (sr, ch, n, rms, zcr) => Row(r.getLong(0), sr, ch, n, rms, zcr)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic canonical WAV writer (RIFF/WAVE, 16-bit signed PCM
+    * little-endian, mono) — fixture/test infrastructure, the audio twin
+    * of [[syntheticBmp]]: oracle-checked queries (q82) plant waveforms
+    * whose decoded features are known in closed form without shipping
+    * binary fixtures.
+    */
+  private[graft] def syntheticWav(sampleRate: Int, n: Int)(sample: Int => Short): Array[Byte] = {
+    require(sampleRate > 0 && n > 0)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val dataLen = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    b.put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < n) { b.putShort(sample(i)); i += 1 }
     b.array()
   }
 

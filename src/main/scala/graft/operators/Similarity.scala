@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -199,19 +199,49 @@ object Similarity {
       outCol: String = "cell"): DataFrame =
     df.withColumn(outCol, element_at(bestCells(col(vecCol), cents, 1), 1))
 
-  /** IVF (inverted-file) ANN: nlist centroid cells, queries probe the
-    * nprobe nearest cells. Index build = [[fitCentroids]].
+  /** Persist a fitted IVF index (the centroid table) to parquet:
+    * (cell: int, centroid: array<double>). Separating index BUILD from
+    * SEARCH is the production shape — fit once on a sample, save, then
+    * every search job loads the (tiny) index instead of re-running
+    * Lloyd iterations over the corpus.
+    */
+  def saveIndex(spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    require(cents.nonEmpty, "cannot save an empty index")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nlist x dim doubles: one small file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF index. Parquet round-trips doubles exactly, so
+    * a loaded index searches bit-identically to the freshly fitted one
+    * (asserted in SimilarityOpsSpec and gated in-query by q84).
+    */
+  def loadIndex(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).orderBy("cell").collect()
+    require(rows.nonEmpty, s"no index at $path")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"index at $path is missing cell $i")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** IVF search against PREBUILT centroids (fit via [[fitCentroids]], or
+    * [[loadIndex]] from a persisted index): queries probe the `nprobe`
+    * nearest cells. The centroids enter the plan as literals inside the
+    * codegen'd NearestCells expression — assignment stays a narrow map
+    * over the scan, exactly as in the fit-inline path.
     *
     * Output: (query_id, rank, neighbor_id, cos) — approximate top-k.
     */
-  def ivfTopK(
+  def ivfSearch(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
-      nassign: Int = 2): DataFrame = {
+      cents: Array[Array[Double]],
+      nprobe: Int = 4, nassign: Int = 2): DataFrame = {
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val cents = fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
 
     // replicated assignment: each corpus vector lands in its `nassign`
     // nearest cells (IVF replica lists — storage x nassign, and probe
@@ -236,4 +266,17 @@ object Similarity {
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     emitTopK(scored, k)
   }
+
+  /** IVF (inverted-file) ANN, fit-inline convenience: builds the index
+    * with [[fitCentroids]] and searches it with [[ivfSearch]].
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — approximate top-k.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+      nassign: Int = 2): DataFrame =
+    ivfSearch(queries, corpus, idCol, vecCol, k,
+      fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters), nprobe, nassign)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, mergeable sketch state — the incremental-pipeline shape of
+  * approximate distinct counting. Each ingest batch reduces to one tiny
+  * row of Apache DataSketches HLL bytes per key, appended to a parquet
+  * stats table; corpus-wide estimates then come from unioning the
+  * persisted sketches WITHOUT rescanning any history. At 100 TB this is
+  * the difference between a per-batch O(batch) scan and a per-question
+  * O(all-data) scan: the stats table stays KBs per batch regardless of
+  * corpus size, and HLL union is associative/commutative so batches can
+  * land in any order, from any executor, even concurrently (parquet
+  * append is directory-atomic per task file).
+  *
+  * The reference engine has no sketch surface (its README scope list,
+  * /root/reference/README.md:127-138); north-star extension. In-query
+  * mergeability is proven by q77; THIS is the storage surface (q83).
+  */
+object SketchStore {
+
+  /** Default HLL precision: 2^12 registers, ~1.6% relative error. */
+  final val DefaultLgK = 12
+
+  /** Reduces one ingest batch to per-key sketch rows and appends them to
+    * the stats table at `path`: (keyCols..., batch_id, lgk, sketch).
+    * One map-side-combined aggregation over the batch — the only pass
+    * over the raw data this key ever needs.
+    */
+  def appendBatch(
+      batch: DataFrame, keyCols: Seq[String], valueCol: String,
+      batchId: Long, path: String, lgK: Int = DefaultLgK): Unit = {
+    require(keyCols.nonEmpty, "appendBatch needs at least one key column")
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("lgk", lit(lgK))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Distinct-count estimates per key across EVERY persisted batch: one
+    * scan of the stats table (KBs per batch), one union aggregation.
+    * Output: (keyCols..., n_batches, est).
+    */
+  def mergedEstimates(
+      spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+}

@@ -148,6 +148,49 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(frames.zipWithIndex.forall { case (f, i) => f == i * 4 })
   }
 
+  test("REAL audio decode: square-wave WAV yields exact closed-form features") {
+    import spark.implicits._
+    // amplitude 8192, half-period 4, 1000 samples at 16 kHz
+    val wav = Multimodal.syntheticWav(16000, 1000)(
+      i => (if ((i / 4) % 2 == 0) 8192 else -8192).toShort)
+    val r = Multimodal.extractAudioFeatures(
+      Seq((7L, wav)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getInt(1) == 16000 && r.getInt(2) == 1 && r.getLong(3) == 1000L)
+    assert(r.getDouble(4) == 8192.0 / 32768.0, "rms must be exactly A/32768")
+    assert(r.getDouble(5) == (999 / 4).toDouble / 999, "zcr must be exact")
+  }
+
+  test("audio decode: silence has zero rms and zero crossings") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWav(8000, 100)(_ => 0.toShort)
+    val r = Multimodal.extractAudioFeatures(
+      Seq((1L, wav)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("non-audio and truncated payloads are dropped, not task failures") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWav(8000, 50)(_ => 100.toShort)
+    val rows = Multimodal.extractAudioFeatures(Seq(
+      (1L, wav),
+      (2L, "not audio at all".getBytes("UTF-8")),
+      (3L, wav.take(30)), // truncated inside the header
+      (4L, Multimodal.syntheticBmp(4, 4)((_, _) => (1, 2, 3)))
+    ).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L))
+  }
+
+  test("binaryMeta sniffs WAV payloads as riff containers") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWav(8000, 10)(_ => 5.toShort)
+    val fmt = Multimodal.binaryMeta(
+      Seq((1L, wav)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .select("format_guess").head().getString(0)
+    assert(fmt == "riff")
+  }
+
   test("compaction rewrites a many-small-files directory to few right-sized files") {
     val base = Files.createTempDirectory("graft-compact")
     val inDir = base.resolve("in").toString

@@ -152,6 +152,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count() == 6)
   }
 
+  test("persisted IVF index: load returns the saved centroids bit-for-bit") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.saveIndex(spark, cents, dir)
+    val loaded = Similarity.loadIndex(spark, dir)
+    assert(loaded.length == cents.length)
+    cents.zip(loaded).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.toSeq == b.toSeq, s"centroid $i drifted through parquet")
+    }
+  }
+
+  test("search after reload equals fresh-fit search row for row") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 16, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx2").toString
+    Similarity.saveIndex(spark, cents, dir)
+    def results(cs: Array[Array[Double]]) =
+      Similarity.ivfSearch(q, emb, "vec_id", "embedding", 5, cs,
+        nprobe = 6, nassign = 3)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .collect().map(_.toString).toSeq
+    assert(results(cents) == results(Similarity.loadIndex(spark, dir)))
+  }
+
+  test("loadIndex rejects a gappy or empty index eagerly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bad").toString
+    Seq((0, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(dir)
+    assertThrows[IllegalArgumentException] { Similarity.loadIndex(spark, dir) }
+  }
+
   test("ivfTopK cell assignment is narrow: no Exchange between corpus scan and cell tag") {
     // the plan from the corpus scan to the cell-tagged side of the join
     // must contain no shuffle: cell assignment is a literal-centroid

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchStore
+
+/** Persisted sketch state: merged-from-storage estimates must equal the
+  * one-pass whole-data sketch no matter how the data was batched.
+  */
+class SketchStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("merging persisted batches equals the one-pass sketch for any batching") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val whole = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"),
+        lit(SketchStore.DefaultLgK))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (nBatches <- Seq(2, 5)) {
+      val dir = Files.createTempDirectory(s"graft-sketch-$nBatches").toString
+      (0 until nBatches).foreach { b =>
+        SketchStore.appendBatch(
+          ev.filter(pmod(col("event_id"), lit(nBatches)) === b),
+          Seq("event_type"), "user_id", b.toLong, dir)
+      }
+      val merged = SketchStore.mergedEstimates(spark, dir, Seq("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(merged.map(_._1).toSet == whole.keySet)
+      merged.foreach { case (k, nb, est) =>
+        assert(nb == nBatches.toLong, s"$k batch count")
+        assert(est == whole(k), s"$k: merged $est != whole ${whole(k)}")
+      }
+    }
+  }
+
+  test("the merge plan scans only the stats table, never the raw data") {
+    val dir = Files.createTempDirectory("graft-sketch-plan").toString
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    SketchStore.appendBatch(ev, Seq("event_type"), "user_id", 0L, dir)
+    val plan = SketchStore.mergedEstimates(spark, dir, Seq("event_type"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sketch-plan"))
+    assert(!plan.contains("events.parquet"))
+  }
+
+  test("appendBatch rejects empty key lists eagerly") {
+    assertThrows[IllegalArgumentException] {
+      SketchStore.appendBatch(
+        Tables.load(spark, TestSpark.sf0001, "events"),
+        Seq.empty, "user_id", 0L, "/tmp/never-written")
+    }
+  }
+}
