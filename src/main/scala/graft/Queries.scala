@@ -1872,7 +1872,85 @@ object Queries {
       },
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS loaded_eq_fresh
-             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q85_video_decode",
+      // REAL video decode: 48 planted RIFF-AVI containers (AviContainer,
+      // pure-JDK writer/parser) whose frames are solid-color BMPs, frame
+      // features through the ACTUAL ImageIO decode path. Closed-form
+      // oracle: container metadata is exact by construction, and each
+      // sampled frame's mean channel is the exact planted integer, so
+      // the video mean is one exact double division (sum of small ints /
+      // count) both engines compute identically. stride=2 samples every
+      // other frame — the flatMap/explode shape of a production frame
+      // sampler.
+      (s, _) => {
+        import s.implicits._
+        val vids = (0 until 48).map { i =>
+          val (w, h) = (8 + (i % 5) * 4, 6 + (i % 3) * 4)
+          val frames = (0 until 3 + i % 6).map { f =>
+            Multimodal.syntheticBmp(w, h)((_, _) =>
+              ((i * 7 + f * 13) % 256, (i * 11 + f * 17) % 256, (i * 19 + f * 23) % 256))
+          }
+          (i.toLong, AviContainer.syntheticAvi(w, h, 33333 + i, frames))
+        }.toDF("doc_id", "payload")
+        Multimodal.extractVideoFeatures(vids, "doc_id", "payload", stride = 2)
+          .select(col("id").as("doc_id"), col("n_frames"),
+            col("us_per_frame").cast("long").as("us_per_frame"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_sampled"), col("mean_r"), col("mean_g"), col("mean_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT i, 3 + i % 6 AS n_frames FROM range(0, 48) t(i)),
+             |f AS (SELECT i, n_frames,
+             |        unnest(generate_series(0, n_frames - 1, 2)) AS f
+             |      FROM v)
+             |SELECT CAST(i AS BIGINT) AS doc_id,
+             |  CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+             |  CAST(33333 + i AS BIGINT) AS us_per_frame,
+             |  CAST(8 + (i % 5) * 4 AS BIGINT) AS width,
+             |  CAST(6 + (i % 3) * 4 AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_sampled,
+             |  CAST(sum((i * 7 + f * 13) % 256) AS DOUBLE) / count(*) AS mean_r,
+             |  CAST(sum((i * 11 + f * 17) % 256) AS DOUBLE) / count(*) AS mean_g,
+             |  CAST(sum((i * 19 + f * 23) % 256) AS DOUBLE) / count(*) AS mean_b
+             |FROM f GROUP BY i ORDER BY doc_id""".stripMargin)),
+
+    QDef("q86_image_resize",
+      // REAL image resize: planted solid-color BMPs resampled into a
+      // 64x64 box (nearest-neighbor, deterministic BMP re-encode), then
+      // decoded BACK through the real ImageIO path — the output
+      // dimensions follow the same IEEE floor arithmetic in both
+      // engines (floor(w0 * least(1.0, 64/w0, 64/h0))), and a solid
+      // color must survive resample + re-encode + decode exactly.
+      (s, _) => {
+        import s.implicits._
+        val imgs = (0 until 48).map { i =>
+          val (w0, h0) = (16 + (i % 10) * 9, 12 + (i % 7) * 13)
+          (i.toLong, Multimodal.syntheticBmp(w0, h0)((_, _) =>
+            ((i * 5) % 256, (i * 9) % 256, (i * 3 + 7) % 256)))
+        }.toDF("doc_id", "payload")
+        val resized = Multimodal.resize(imgs, "doc_id", "payload", 64, 64)
+        Multimodal.extractFeatures(resized, "id", "payload")
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            element_at(col("feature"), 1).cast("double").as("mean_r"),
+            element_at(col("feature"), 2).cast("double").as("mean_g"),
+            element_at(col("feature"), 3).cast("double").as("mean_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT i, 16 + (i % 10) * 9 AS w0, 12 + (i % 7) * 13 AS h0
+             |           FROM range(0, 48) t(i)),
+             |s AS (SELECT *, least(1.0, 64.0 / w0, 64.0 / h0) AS sc FROM v)
+             |SELECT CAST(i AS BIGINT) AS doc_id,
+             |  GREATEST(1, CAST(FLOOR(w0 * sc) AS BIGINT)) AS width,
+             |  GREATEST(1, CAST(FLOOR(h0 * sc) AS BIGINT)) AS height,
+             |  CAST((i * 5) % 256 AS DOUBLE) AS mean_r,
+             |  CAST((i * 9) % 256 AS DOUBLE) AS mean_g,
+             |  CAST((i * 3 + 7) % 256 AS DOUBLE) AS mean_b
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types._
   * payloads decode through the JDK's built-in `javax.sound.sampled`
   * ([[decodeAudioFeatures]] — sample rate, channels, frame count, RMS
   * energy, zero-crossing rate; same zero-dependency move as ImageIO).
-  * Only VIDEO payloads (and undecodable blobs) take the STUB path:
-  * [[fakeDecode]] derives deterministic pseudo-features from the bytes,
-  * clearly marked, so pipelines and tests exercise every seam except an
-  * external video codec call.
+  * VIDEO is real for MJPEG-style RIFF-AVI containers: frame extraction
+  * is pure container parsing ([[AviContainer]]) and each extracted frame
+  * is an image the ImageIO path decodes for real
+  * ([[extractVideoFeatures]], [[sampleFrames]]). [[resize]] really
+  * rescales ImageIO-decodable images. Only payloads NONE of those
+  * readers accept (inter-frame codecs like H.264, undecodable blobs)
+  * take the STUB path: [[fakeDecode]] derives deterministic
+  * pseudo-features from the bytes, clearly marked, so pipelines and
+  * tests exercise every seam except an external codec call.
   *
   * At 100 TB: payloads never leave executors, feature extraction is a
   * narrow transformation (no shuffle), and output rows are small fixed
@@ -45,6 +50,10 @@ object Multimodal {
         .when(substring(col(binCol), 1, 4) === lit(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
         .when(substring(col(binCol), 1, 3) === lit("GIF".getBytes("US-ASCII")), "gif")
         .when(substring(col(binCol), 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
+        .when(substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+          substring(col(binCol), 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+        .when(substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+          substring(col(binCol), 9, 4) === lit("AVI ".getBytes("US-ASCII")), "avi")
         .when(substring(col(binCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "riff")
         .otherwise("unknown").as("format_guess"))
 
@@ -337,13 +346,56 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** STUB resize: a real deployment swaps the body for a codec resize;
-    * the contract — bounded output dimensions, new payload bytes, narrow
-    * partition-wise execution — is the production shape. The fake output
-    * payload is a deterministic function of (input bytes, target box).
+  /** Box-fit target dimensions: downscale-only, aspect preserved. The
+    * same IEEE double arithmetic is expressible in SQL
+    * (`floor(w0 * least(1.0, maxW/w0, maxH/h0))`), the closed-form
+    * property the q86 oracle checks.
+    */
+  private[graft] def fitBox(w0: Int, h0: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+    (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+  }
+
+  /** REAL downscale of one decoded image: nearest-neighbor resample into
+    * the fit box, re-encoded with the deterministic [[syntheticBmp]]
+    * writer (pixel-exact, no quantization — a solid color stays the same
+    * solid color, the q86 closed-form property). None for payloads
+    * ImageIO cannot decode.
+    */
+  private[graft] def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Byte])] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = fitBox(img.getWidth, img.getHeight, maxW, maxH)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val px = out.getRGB(0, 0, w, h, null, 0, w)
+        val bmp = syntheticBmp(w, h) { (x, y) =>
+          val p = px(y * w + x)
+          ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        }
+        Some((w, h, bmp))
+      }
+    } catch { case _: Exception => None } // corrupt stream: stub path, not a task failure
+
+  /** Image resize, REAL for everything ImageIO decodes: actual
+    * nearest-neighbor resample into the (maxW, maxH) box, deterministic
+    * BMP re-encode ([[resizeImage]]). Narrow partition-wise execution;
+    * payloads no reader accepts keep the disclosed STUB contract
+    * (bounded fake dims, deterministic fake payload) so undecodable
+    * blobs still flow through the pipeline instead of failing tasks.
     */
   def resize(df: DataFrame, idCol: String, binCol: String,
       maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
       .filter(col(idCol).isNotNull && col(binCol).isNotNull)
     val enc = RowEncoder.encoderFor(resizedSchema)
@@ -351,16 +403,20 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val meta = fakeDecode(id, bytes)
-        val (w0, h0) = parseImageDims(bytes) match {
-          case Some((_, w, h)) => (math.max(1, w), math.max(1, h))
-          case None => (meta.getInt(1), meta.getInt(2))
+        resizeImage(bytes, maxW, maxH) match {
+          case Some((w, h, bmp)) => Row(id, w, h, bmp)
+          case None =>
+            // STUB fallback for undecodable payloads: fake dims, payload
+            // truncated proportionally to the area ratio
+            val meta = fakeDecode(id, bytes)
+            val (w0, h0) = parseImageDims(bytes) match {
+              case Some((_, w, h)) => (math.max(1, w), math.max(1, h))
+              case None => (meta.getInt(1), meta.getInt(2))
+            }
+            val (w, h) = fitBox(w0, h0, maxW, maxH)
+            val outLen = math.max(4, (bytes.length * (w.toLong * h) / (w0.toLong * h0)).toInt)
+            Row(id, w, h, bytes.take(math.min(outLen, bytes.length)))
         }
-        val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
-        val (w, h) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
-        // fake "resized" payload: truncate proportionally to area ratio
-        val outLen = math.max(4, (bytes.length * (w.toLong * h) / (w0.toLong * h0)).toInt)
-        Row(id, w, h, bytes.take(math.min(outLen, bytes.length)))
       }
     }(enc)
   }
@@ -370,10 +426,13 @@ object Multimodal {
     StructField("frame_no", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
-  /** STUB frame sampling: emits every `stride`-th frame of a "video"
-    * payload as its own row (1 input row -> n_frames/stride output rows
-    * via flatMap — the explode-shaped transform a real sampler needs).
-    * Frame bytes are a deterministic slice of the payload.
+  /** Frame sampling, REAL for RIFF-AVI payloads: every `stride`-th frame
+    * chunk of the container is emitted as its own row with its ACTUAL
+    * bytes (1 input row -> ceil(n_frames/stride) output rows via flatMap
+    * — the explode-shaped transform), each a self-contained image the
+    * ImageIO path decodes downstream. Payloads that do not parse as AVI
+    * keep the disclosed STUB contract (deterministic fake frame count,
+    * payload-slice frame bytes).
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): DataFrame = {
     require(stride > 0)
@@ -384,11 +443,71 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val n = fakeDecode(id, bytes).getInt(3)
-        (0 until n by stride).iterator.map { f =>
-          val chunk = math.max(1, bytes.length / n)
-          val start = math.min(f * chunk, math.max(0, bytes.length - 1))
-          Row(id, f, bytes.slice(start, math.min(start + chunk, bytes.length)))
+        AviContainer.parseAvi(bytes) match {
+          case Some(avi) =>
+            (0 until avi.frames.length by stride).iterator.map { f =>
+              Row(id, f, avi.frames(f))
+            }
+          case None =>
+            val n = fakeDecode(id, bytes).getInt(3)
+            (0 until n by stride).iterator.map { f =>
+              val chunk = math.max(1, bytes.length / n)
+              val start = math.min(f * chunk, math.max(0, bytes.length - 1))
+              Row(id, f, bytes.slice(start, math.min(start + chunk, bytes.length)))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("us_per_frame", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_sampled", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL video feature extraction for RIFF-AVI payloads: container
+    * metadata (frame count, frame period, declared dims) from
+    * [[AviContainer.parseAvi]], pixel statistics from an ACTUAL ImageIO
+    * decode of every `stride`-th frame ([[decodeImageFeatures]] — the
+    * same real path images take). `mean_r/g/b` average the per-frame
+    * mean channels over the sampled frames; for solid-color planted
+    * frames every per-frame mean is an exact small integer and the
+    * video mean is one exact double division — the closed-form property
+    * the q85 oracle checks. Rows that do not parse as AVI, or whose
+    * sampled frames ImageIO cannot decode, are dropped — in a web
+    * corpus, non-video bytes under a video column are the normal case,
+    * not a task failure.
+    */
+  def extractVideoFeatures(df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride > 0)
+    val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+    val enc = RowEncoder.encoderFor(videoFeatureSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        AviContainer.parseAvi(bytes).flatMap { avi =>
+          val sampled = (0 until avi.frames.length by stride)
+            .flatMap(f => decodeImageFeatures(avi.frames(f)))
+          if (sampled.isEmpty) None
+          else {
+            var (sr, sg, sb) = (0.0, 0.0, 0.0)
+            sampled.foreach { case (_, _, feat) =>
+              sr += feat(0); sg += feat(1); sb += feat(2)
+            }
+            val n = sampled.length.toDouble
+            Some(Row(id, avi.frames.length.toLong, avi.usPerFrame,
+              avi.width, avi.height, sampled.length.toLong,
+              sr / n, sg / n, sb / n))
+          }
         }
       }
     }(enc)
