@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -43,14 +43,23 @@ object Queries {
     * race on a shared path (overwrite mode could interleave with the
     * other process's read). Best-effort deleted on JVM exit.
     */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // One static hook for all scratch dirs: per-invocation hooks would
+  // accumulate unbounded threads across repeated verify/bench runs in a
+  // long-lived JVM.
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import scala.jdk.CollectionConverters._
+    scratchDirs.asScala.foreach { p =>
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: Exception => () }
+    }
+  }))
+
   private def scratchDir(tag: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      } catch { case _: Exception => () }))
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -1839,7 +1848,11 @@ object Queries {
               col("n_exact") * 0.05).as("within_5pct"))
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, CAST(2 AS BIGINT) AS n_batches,
+      // n_batches is computed per key (distinct event_id parities seen
+      // for the event_type), not hardcoded: a key whose events all share
+      // one parity legitimately has a single sketch row.
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_batches,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
              |  TRUE AS merged_eq_whole, TRUE AS within_5pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

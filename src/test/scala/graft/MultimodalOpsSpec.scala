@@ -182,13 +182,13 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(rows == Set(1L))
   }
 
-  test("binaryMeta sniffs WAV payloads as riff containers") {
+  test("binaryMeta sniffs WAV payloads as wav") {
     import spark.implicits._
     val wav = Multimodal.syntheticWav(8000, 10)(_ => 5.toShort)
     val fmt = Multimodal.binaryMeta(
       Seq((1L, wav)).toDF("doc_id", "payload"), "doc_id", "payload")
       .select("format_guess").head().getString(0)
-    assert(fmt == "riff")
+    assert(fmt == "wav")
   }
 
   test("compaction rewrites a many-small-files directory to few right-sized files") {
