@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -1963,7 +1963,56 @@ object Queries {
              |  CAST((i * 5) % 256 AS DOUBLE) AS mean_r,
              |  CAST((i * 9) % 256 AS DOUBLE) AS mean_g,
              |  CAST((i * 3 + 7) % 256 AS DOUBLE) AS mean_b
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QDef("q87_write_control",
+      // O3 writer-side layout control (reference: per-column EncodingType
+      // include/format.h:52, encoding switch src/format.cpp:271-284,
+      // row-group flush src/format.cpp:380-420): write lineitem with
+      // explicit 64KB row groups, writer v2, and dictionary disabled for
+      // two columns, then VERIFY FROM THE FOOTERS that the requested
+      // layout landed — DELTA_BINARY_PACKED on the sorted int64 key,
+      // DELTA_BYTE_ARRAY (no dict page) on the dict-off string, a
+      // dictionary page on the low-cardinality flag, and >=2 row groups.
+      // coalesce(1) makes row-group accounting single-file-deterministic
+      // for the gate; a production write would keep its partitioning.
+      // Round-trip totals are the oracle-checked values (integral-valued
+      // l_quantity -> exact order-independent double sum).
+      (s, d) => {
+        val dir = scratchDir("q87")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_linestatus")
+        ParquetWrite.write(li.coalesce(1), s"$dir/t",
+          ParquetWrite.WriteSpec(
+            rowGroupBytes = 64 << 10, pageBytes = 16 << 10,
+            writerVersion = "v2",
+            dictionaryOverrides =
+              Map("l_orderkey" -> false, "l_linestatus" -> false),
+            sortWithinPartitions = Seq("l_orderkey")))
+        val layout = ParquetWrite.describe(s"$dir/t")
+        def chunks(c: String) = layout.filter(_.column == c)
+        val multiGroups = layout.map(x => (x.file, x.rowGroup)).distinct.size >= 2
+        val deltaKey = chunks("l_orderkey").nonEmpty && chunks("l_orderkey")
+          .forall(c => !c.hasDict && c.encodings.contains("DELTA_BINARY_PACKED"))
+        val statusNoDict = chunks("l_linestatus").nonEmpty && chunks("l_linestatus")
+          .forall(c => !c.hasDict && c.encodings.contains("DELTA_BYTE_ARRAY"))
+        val flagDict = chunks("l_returnflag").nonEmpty &&
+          chunks("l_returnflag").forall(_.hasDict)
+        s.read.parquet(s"$dir/t")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .select(col("n_rows"), col("sum_qty"),
+            lit(multiGroups).as("multi_row_groups"),
+            lit(deltaKey).as("delta_int_key"),
+            lit(statusNoDict).as("status_no_dict"),
+            lit(flagDict).as("flag_dict"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  sum(l_quantity) AS sum_qty,
+             |  TRUE AS multi_row_groups, TRUE AS delta_int_key,
+             |  TRUE AS status_no_dict, TRUE AS flag_dict
+             |FROM lineitem""".stripMargin))
   )
 
   val defs: Seq[QDef] =
