@@ -576,18 +576,56 @@ object Queries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QDef("q33_media_features",
-      // Stubbed decode (deterministic fake) — plumbing is real; rows-only.
-      // The raw array<float> feature column is folded to a scalar
-      // xxhash64 for the driver dump (pandas canonicalization cannot
-      // sort/hash ndarray cells); the full vector is still asserted
-      // element-wise in MultimodalOpsSpec.
-      (s, d) => Multimodal.extractFeatures(
-        t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload")
-        .select(col("id"), col("width"), col("height"), col("n_frames"),
-          xxhash64(col("feature")).as("feature_hash"))
-        .orderBy(col("id")),
-      None),
+      // Stubbed decode (deterministic fake) — plumbing is real, and the
+      // stub itself is now FULLY oracle-checked: fakeDecode's FNV-style
+      // byte fold (h = h*31 + byte, wrapping mod 2^64) and the shift/mask
+      // feature arithmetic are recomputed end-to-end by DuckDB via
+      // list_reduce over hex-sliced payload bytes in HUGEINT mod-2^64
+      // arithmetic (two's-complement wrap, arithmetic shifts as exact
+      // floor divisions, float32 ops via FLOAT4 casts). Text payloads are
+      // never ImageIO-decodable, so every row deterministically takes the
+      // stub path. The feature vector is emitted as 8 scalar doubles
+      // (pandas canonicalization cannot sort/hash ndarray cells).
+      (s, d) => {
+        val media = Multimodal.extractFeatures(
+          t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload")
+        val feats = (0 until 8).map(j =>
+          element_at(col("feature"), j + 1).cast("double").as(s"f$j"))
+        media.select(Seq(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames")) ++ feats: _*)
+          .orderBy(col("id"))
+      },
+      // 2^(7j) divisors for j=0..7; (x - ((x%d+d)%d))//d is exact floor
+      // division on HUGEINT (DuckDB // truncates toward zero), matching
+      // Scala's arithmetic >> on negatives.
+      Some("""WITH raw AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+             |bl AS (SELECT doc_id, list_transform(generate_series(1, length(hx)//2),
+             |         i -> CAST('0x'||substr(hx, 2*i-1, 2) AS INT)) AS b FROM raw),
+             |fu AS (SELECT doc_id, list_reduce(
+             |        list_prepend(CAST(1125899906842597 AS HUGEINT), b),
+             |        (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+             |      FROM bl),
+             |hh AS (SELECT doc_id,
+             |        CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+             |             THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS hs
+             |       FROM fu),
+             |sh AS (SELECT doc_id, hs,
+             |        (hs - ((hs % 1024 + 1024) % 1024)) // 1024 AS hs10,
+             |        (hs - ((hs % 1048576 + 1048576) % 1048576)) // 1048576 AS hs20,
+             |        list_transform([1, 128, 16384, 2097152, 268435456,
+             |                        34359738368, 4398046511104, 562949953421312], d ->
+             |          CAST(CAST((((hs - ((hs % d + d) % d)) // d) % 65536 + 65536) % 65536 AS FLOAT4)
+             |            / CAST(65535 AS FLOAT4) * CAST(2 AS FLOAT4) - CAST(1 AS FLOAT4) AS DOUBLE)) AS fs
+             |       FROM hh)
+             |SELECT doc_id AS id,
+             |  CAST(64 + abs(hs) % 1024 AS BIGINT) AS width,
+             |  CAST(64 + abs(hs10) % 1024 AS BIGINT) AS height,
+             |  CAST(1 + abs(hs20) % 32 AS BIGINT) AS n_frames,
+             |  fs[1] AS f0, fs[2] AS f1, fs[3] AS f2, fs[4] AS f3,
+             |  fs[5] AS f4, fs[6] AS f5, fs[7] AS f6, fs[8] AS f7
+             |FROM sh ORDER BY id""".stripMargin)),
 
     QDef("q34_asof_join",
       // For each click, the most recent view by the same user at or before
