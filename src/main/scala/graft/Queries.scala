@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -2050,7 +2050,94 @@ object Queries {
              |  sum(l_quantity) AS sum_qty,
              |  TRUE AS multi_row_groups, TRUE AS delta_int_key,
              |  TRUE AS status_no_dict, TRUE AS flag_dict
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    QDef("q88_zorder_skipping",
+      // Z-order layout -> PROVEN row-group skipping: lineitem is written
+      // clustered on the Morton interleave of (l_partkey, l_suppkey)
+      // with small row groups, then the footers' per-row-group min/max —
+      // the exact stats a pruned scan consults — are checked against a
+      // 2-D range box (quarter of each dimension's span, computed with
+      // the same left-to-right double arithmetic in both engines): a
+      // majority of row groups must be skippable for the box. A
+      // single-column sort can only tighten ONE dimension; the interleave
+      // tightens both, which is the whole point of the layout at 100 TB.
+      // The box aggregate itself is oracle-checked against DuckDB.
+      (s, d) => {
+        val dir = scratchDir("q88")
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        ParquetWrite.write(
+          li.withColumn("__z", Layout.zorderValue(li, Seq("l_partkey", "l_suppkey")))
+            .repartitionByRange(4, col("__z"))
+            .sortWithinPartitions(col("__z")).drop("__z"),
+          s"$dir/t",
+          ParquetWrite.WriteSpec(rowGroupBytes = 32 << 10, pageBytes = 8 << 10))
+        val r = li.agg(
+          min(col("l_partkey")).cast("double"), max(col("l_partkey")).cast("double"),
+          min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head()
+        val (pmn, pmx, smn, smx) =
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        val (plo, phi) = (pmn + 0.25 * (pmx - pmn), pmn + 0.5 * (pmx - pmn))
+        val (slo, shi) = (smn + 0.25 * (smx - smn), smn + 0.5 * (smx - smn))
+        val stats = ParquetWrite.rowGroupStats(s"$dir/t", Set("l_partkey", "l_suppkey"))
+          .groupBy(cs => (cs.file, cs.rowGroup))
+        val overlapping = stats.count { case (_, cols) =>
+          val p = cols.find(_.column == "l_partkey").get
+          val sp = cols.find(_.column == "l_suppkey").get
+          p.min <= phi && p.max >= plo && sp.min <= shi && sp.max >= slo
+        }
+        val prunedFrac = 1.0 - overlapping.toDouble / stats.size
+        s.read.parquet(s"$dir/t")
+          .filter(col("l_partkey") >= plo && col("l_partkey") <= phi &&
+            col("l_suppkey") >= slo && col("l_suppkey") <= shi)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .select(col("n_rows"), col("sum_qty"),
+            lit(stats.size >= 8).as("many_row_groups"),
+            lit(prunedFrac >= 0.5).as("zorder_prunes_majority"))
+      },
+      Some("""WITH r AS (SELECT CAST(min(l_partkey) AS DOUBLE) AS pmn,
+             |                  CAST(max(l_partkey) AS DOUBLE) AS pmx,
+             |                  CAST(min(l_suppkey) AS DOUBLE) AS smn,
+             |                  CAST(max(l_suppkey) AS DOUBLE) AS smx FROM lineitem),
+             |b AS (SELECT pmn + 0.25 * (pmx - pmn) AS plo, pmn + 0.5 * (pmx - pmn) AS phi,
+             |             smn + 0.25 * (smx - smn) AS slo, smn + 0.5 * (smx - smn) AS shi FROM r)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty,
+             |  TRUE AS many_row_groups, TRUE AS zorder_prunes_majority
+             |FROM lineitem, b
+             |WHERE l_partkey >= plo AND l_partkey <= phi
+             |  AND l_suppkey >= slo AND l_suppkey <= shi""".stripMargin)),
+
+    QDef("q89_partition_pruning",
+      // Hive-style partitioned layout -> directory-level pruning: events
+      // written partitioned by event_type, then a two-type filtered scan
+      // must show non-trivial PartitionFilters in its physical plan —
+      // i.e. the filter prunes whole partition DIRECTORIES at listing
+      // time, before a single footer is opened. That is the coarsest and
+      // cheapest skipping tier at 100 TB (partition -> row group -> page).
+      // Per-type aggregates over the partitioned copy are oracle-checked.
+      (s, d) => {
+        val dir = scratchDir("q89")
+        ParquetWrite.write(t(s, d, "events"), s"$dir/t",
+          ParquetWrite.WriteSpec(partitionBy = Seq("event_type")))
+        val filtered = s.read.parquet(s"$dir/t")
+          .filter(col("event_type").isin("click", "view"))
+        val plan = filtered.queryExecution.executedPlan.toString
+        val pruned = raw"PartitionFilters: \[[^\]]*event_type".r
+          .findFirstIn(plan).isDefined
+        filtered.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            count_distinct(col("user_id")).cast("long").as("n_users"))
+          .select(col("event_type"), col("n_events"), col("n_users"),
+            lit(pruned).as("partition_pruned"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  TRUE AS partition_pruned
+             |FROM events WHERE event_type IN ('click', 'view')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -45,7 +45,12 @@ object ParquetWrite {
       /** Cluster rows within each output file for tight column stats. */
       sortWithinPartitions: Seq[String] = Nil,
       /** 0 = unlimited; >0 caps rows per output file. */
-      maxRecordsPerFile: Long = 0L)
+      maxRecordsPerFile: Long = 0L,
+      /** Hive-style partition columns (`col=value/` directories): the
+        * layout that lets a filtered scan prune whole directories at
+        * file-listing time — before any footer is read.
+        */
+      partitionBy: Seq[String] = Nil)
 
   def write(df: DataFrame, path: String, spec: WriteSpec = WriteSpec(),
       mode: String = "overwrite"): Unit = {
@@ -66,6 +71,8 @@ object ParquetWrite {
     }
     if (spec.maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", spec.maxRecordsPerFile.toString)
+    if (spec.partitionBy.nonEmpty)
+      w = w.partitionBy(spec.partitionBy: _*)
     w.parquet(path)
   }
 
@@ -76,6 +83,44 @@ object ParquetWrite {
   final case class ChunkLayout(
       file: String, rowGroup: Int, column: String, rows: Long,
       encodings: Set[String], hasDict: Boolean)
+
+  /** Per-row-group numeric min/max of the requested columns across every
+    * parquet part file under `dir` — the footer statistics a stats-pruned
+    * scan consults. Footer reads only; lets a caller PROVE how many row
+    * groups a range predicate can skip (the reference's stats-based page
+    * skipping, src/execution.cpp:48-71, observed from the outside).
+    */
+  final case class ChunkStats(
+      file: String, rowGroup: Int, column: String, rows: Long,
+      min: Double, max: Double)
+
+  def rowGroupStats(dir: String, cols: Set[String]): Seq[ChunkStats] = {
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric stats value: $other")
+    }
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.flatMap { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+        case (rg, i) => rg.getColumns.asScala.toSeq
+          .filter(c => cols.contains(c.getPath.toDotString))
+          .map { c =>
+            val s = c.getStatistics
+            require(s != null && s.hasNonNullValue,
+              s"missing footer stats for ${c.getPath.toDotString}")
+            ChunkStats(st.getPath.getName, i, c.getPath.toDotString,
+              rg.getRowCount, num(s.genericGetMin), num(s.genericGetMax))
+          }
+      } finally reader.close()
+    }
+  }
 
   /** Per-row-group, per-column encodings of every parquet part file under
     * `dir` — footer reads only, no data pages touched.

@@ -81,6 +81,34 @@ class ParquetWriteSpec extends AnyFunSuite {
     assert(total == li.count())
   }
 
+  test("partitionBy lands hive-style directories; filtered scan prunes at listing time") {
+    val dir = tmpDir() + "/t"
+    ParquetWrite.write(Tables.load(spark, TestSpark.sf0001, "events"), dir,
+      WriteSpec(partitionBy = Seq("event_type")))
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("event_type=")), s"got $subdirs")
+    val filtered = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"no partition filters in plan:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
+  test("rowGroupStats surfaces the footer min/max a pruned scan consults") {
+    val dir = tmpDir() + "/t"
+    ParquetWrite.write(lineitem.coalesce(1).sortWithinPartitions("l_orderkey"), dir,
+      WriteSpec(rowGroupBytes = 64 << 10))
+    val stats = ParquetWrite.rowGroupStats(dir, Set("l_orderkey"))
+    assert(stats.nonEmpty)
+    val (lo, hi) = (stats.map(_.min).min, stats.map(_.max).max)
+    val r = lineitem.agg(
+      org.apache.spark.sql.functions.min("l_orderkey"),
+      org.apache.spark.sql.functions.max("l_orderkey")).head()
+    assert(lo == r.getLong(0).toDouble && hi == r.getLong(1).toDouble)
+  }
+
   test("maxRecordsPerFile splits output files") {
     val dir = tmpDir() + "/t"
     val n = lineitem.count()
