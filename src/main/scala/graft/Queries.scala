@@ -2078,8 +2078,13 @@ object Queries {
           min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head()
         val (pmn, pmx, smn, smx) =
           (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-        val (plo, phi) = (pmn + 0.25 * (pmx - pmn), pmn + 0.5 * (pmx - pmn))
-        val (slo, shi) = (smn + 0.25 * (smx - smn), smn + 0.5 * (smx - smn))
+        // integral box bounds: a long-vs-long comparison reaches
+        // PushedFilters (a double literal would cast the column and
+        // block pushdown — the skipping would then never happen)
+        val (plo, phi) = (math.ceil(pmn + 0.25 * (pmx - pmn)).toLong,
+          math.floor(pmn + 0.5 * (pmx - pmn)).toLong)
+        val (slo, shi) = (math.ceil(smn + 0.25 * (smx - smn)).toLong,
+          math.floor(smn + 0.5 * (smx - smn)).toLong)
         val stats = ParquetWrite.rowGroupStats(s"$dir/t", Set("l_partkey", "l_suppkey"))
           .groupBy(cs => (cs.file, cs.rowGroup))
         val overlapping = stats.count { case (_, cols) =>
@@ -2101,8 +2106,10 @@ object Queries {
              |                  CAST(max(l_partkey) AS DOUBLE) AS pmx,
              |                  CAST(min(l_suppkey) AS DOUBLE) AS smn,
              |                  CAST(max(l_suppkey) AS DOUBLE) AS smx FROM lineitem),
-             |b AS (SELECT pmn + 0.25 * (pmx - pmn) AS plo, pmn + 0.5 * (pmx - pmn) AS phi,
-             |             smn + 0.25 * (smx - smn) AS slo, smn + 0.5 * (smx - smn) AS shi FROM r)
+             |b AS (SELECT CAST(ceil(pmn + 0.25 * (pmx - pmn)) AS BIGINT) AS plo,
+             |             CAST(floor(pmn + 0.5 * (pmx - pmn)) AS BIGINT) AS phi,
+             |             CAST(ceil(smn + 0.25 * (smx - smn)) AS BIGINT) AS slo,
+             |             CAST(floor(smn + 0.5 * (smx - smn)) AS BIGINT) AS shi FROM r)
              |SELECT CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty,
              |  TRUE AS many_row_groups, TRUE AS zorder_prunes_majority
              |FROM lineitem, b
