@@ -2144,7 +2144,43 @@ object Queries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              |  TRUE AS partition_pruned
              |FROM events WHERE event_type IN ('click', 'view')
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef("q90_cdc_incremental",
+      // Incremental CDC with the stale-change guard (Merge.cdcApply, the
+      // batch core of the streaming cdcIngest sink): snapshot = first
+      // event per user; the feed mixes (a) fresh upserts (each user's
+      // second event), (b) a FULL REPLAY of the initial snapshot (seq ==
+      // snapshot seq -> guard must drop every row; an unguarded apply
+      // would let the replay beat fresh rows for users without a second
+      // event... and at-least-once delivery makes replays normal, not
+      // exceptional), and (c) deletes for user_id % 5 == 0 re-sequenced
+      // above everything. Final state is closed-form: per surviving user
+      // the rk-2 row if one exists, else the rk-1 row.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+          .withColumn("rk", row_number().over(w))
+        val base = ev.filter(col("rk") === 1).drop("rk")
+        val fresh = ev.filter(col("rk") === 2).drop("rk").withColumn("op", lit("U"))
+        val replay = base.withColumn("op", lit("U"))
+        val deletes = base.filter(pmod(col("user_id"), lit(5)) === 0)
+          .withColumn("event_id", col("event_id") + (1L << 40))
+          .withColumn("op", lit("D"))
+        Merge.cdcApply(base,
+          fresh.unionByName(replay).unionByName(deletes),
+          Seq("user_id"), "event_id", "op")
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, event_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rk
+             |  FROM events),
+             |m AS (SELECT user_id, least(2, max(rk)) AS pick FROM r
+             |      WHERE user_id % 5 <> 0 GROUP BY user_id)
+             |SELECT r.user_id, r.event_type, r.event_id
+             |FROM r JOIN m ON r.user_id = m.user_id AND r.rk = m.pick
+             |ORDER BY r.user_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

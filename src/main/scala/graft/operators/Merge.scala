@@ -75,4 +75,34 @@ object Merge {
     base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(upserts)
   }
+
+  /** [[applyChanges]] with a stale-change guard for INCREMENTAL feeds:
+    * the snapshot carries `seqCol` as part of its payload, and any change
+    * whose seq is at-or-below the snapshot's for the key is dropped
+    * before applying. Replaying a micro-batch (at-least-once delivery)
+    * or receiving upserts out of order across batches then converges to
+    * the same snapshot — idempotent-by-seq, which is the property a
+    * file-based streaming sink needs for exactly-once SEMANTICS without
+    * transactional storage. Caveat (standard CDC): a delete drops the
+    * key's seq memory, so a stale pre-delete upsert arriving AFTER the
+    * delete would resurrect the row — feeds with deletes must arrive
+    * key-ordered (or keep tombstones; out of scope here, disclosed).
+    *
+    * Same shuffle shape as [[applyChanges]] plus one broadcastable join
+    * of the change feed against the snapshot's (key, seq) projection —
+    * the base is scanned narrow for that projection and still never
+    * shuffles.
+    */
+  def cdcApply(
+      snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(snapshot.columns.contains(seqCol),
+      s"snapshot must carry $seqCol for the stale-change guard")
+    val baseSeq = snapshot.select(
+      keyCols.map(col) :+ col(seqCol).as("__base_seq"): _*)
+    val fresh = changes.join(baseSeq, keyCols, "left")
+      .filter(col("__base_seq").isNull || col(seqCol) > col("__base_seq"))
+      .drop("__base_seq")
+    applyChanges(snapshot, fresh, keyCols, seqCol, opCol)
+  }
 }

@@ -162,6 +162,55 @@ object EventStreams {
     * file-stream source itself requires `eventsDir` to be a directory of
     * parquet files.
     */
+  /** Continuous CDC ingestion: maintain a parquet snapshot from a change
+    * stream via foreachBatch + [[graft.operators.Merge.cdcApply]].
+    * Versions alternate under `stateDir/v<N>` with a `_CURRENT` pointer
+    * file advanced only AFTER the new version is fully written — readers
+    * resolving the pointer never observe a partial snapshot, and a crash
+    * between write and pointer-advance just re-applies the batch, which
+    * the stale-seq guard makes a no-op (idempotent-by-seq). This is the
+    * continuously-updated-corpus shape at 100 TB: each micro-batch costs
+    * one broadcastable join + anti join against the change set; the
+    * snapshot itself is never shuffled.
+    *
+    * Call [[initCdcState]] once before starting the query.
+    */
+  def cdcIngest(
+      changes: DataFrame, stateDir: String, keyCols: Seq[String],
+      seqCol: String, opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cur = readCdcVersion(stateDir)
+        val snap = spark.read.parquet(s"$stateDir/v$cur")
+        graft.operators.Merge.cdcApply(snap, batch, keyCols, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
+        writeCdcVersion(stateDir, cur + 1)
+      }
+      .start()
+
+  def initCdcState(initial: DataFrame, stateDir: String): Unit = {
+    initial.write.mode("overwrite").parquet(s"$stateDir/v0")
+    writeCdcVersion(stateDir, 0)
+  }
+
+  /** The snapshot readers see: whatever version `_CURRENT` points at. */
+  def currentCdcSnapshot(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readCdcVersion(stateDir)}")
+
+  private def readCdcVersion(stateDir: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stateDir, "_CURRENT"))).trim.toLong
+
+  private def writeCdcVersion(stateDir: String, v: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(stateDir, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "_CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def readEventsStream(spark: SparkSession, eventsDir: String, schemaDir: String): DataFrame = {
     val schema = graft.Tables.load(spark, schemaDir, "events").schema
     spark.readStream

@@ -253,4 +253,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == closed)
     assert(got.nonEmpty)
   }
+
+  test("streaming CDC ingestion: micro-batched cdcApply == one batch cdcApply") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc")
+    val feedDir = base.resolve("feed"); java.nio.file.Files.createDirectory(feedDir)
+    val stateDir = base.resolve("state").toString
+    java.nio.file.Files.createDirectory(base.resolve("state"))
+
+    // per-user event log as a CDC feed: key=user_id, seq=event_id,
+    // payload=(event_type, event_id); initial snapshot = first event per
+    // user, upsert feed = the rest, delete feed = purchases (re-sequenced
+    // above everything so they are globally latest)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+    val initial = ev.filter(col("rk") === 1).drop("rk")
+    val upserts = ev.filter(col("rk") > 1).drop("rk").withColumn("op", lit("U"))
+    // even user_ids only, so the final snapshot keeps the odd ones
+    val deletes = ev.filter(col("event_type") === "purchase" &&
+        pmod(col("user_id"), lit(2)) === 0).drop("rk")
+      .withColumn("event_id", col("event_id") + (1L << 40))
+      .withColumn("op", lit("D"))
+
+    EventStreams.initCdcState(initial, stateDir)
+    // upserts split into 3 files: arrival order is irrelevant for U-only
+    // batches under the stale-seq guard
+    upserts.repartition(3).write.mode("append").parquet(feedDir.toString)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(upserts.schema))
+      .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+    val q = EventStreams.cdcIngest(stream, stateDir,
+      Seq("user_id"), "event_id", "op")
+    try {
+      q.processAllAvailable()
+      // deletes land AFTER the upserts have drained -> ordered arrival
+      deletes.write.mode("append").parquet(feedDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = EventStreams.currentCdcSnapshot(spark, stateDir)
+      .as[(Long, String, Long)].collect().toSet
+    val want = graft.operators.Merge.cdcApply(
+      initial, upserts.unionByName(deletes), Seq("user_id"), "event_id", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < initial.count())
+  }
 }
