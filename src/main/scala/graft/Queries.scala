@@ -1576,9 +1576,10 @@ object Queries {
 
     QDef("q72_format_roundtrip",
       // Non-parquet sources as first-class citizens: the same relation
-      // written to and read back from CSV and JSON, joined, equal to the
-      // parquet original (which is what the oracle states). Exercises
-      // the full write->list->parse path of both connectors.
+      // written to and read back from CSV, JSON and ORC (the three
+      // non-parquet formats Spark bundles), joined, equal to the parquet
+      // original (which is what the oracle states). Exercises the full
+      // write->list->parse path of all three connectors.
       (s, d) => {
         // unique per-invocation dir (shutdown-hook cleaned): two
         // concurrent verify/bench processes must not race on one path
@@ -1586,11 +1587,14 @@ object Queries {
         val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         sup.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
         sup.write.mode("overwrite").json(s"$dir/json")
+        sup.write.mode("overwrite").orc(s"$dir/orc")
         val csv = s.read.option("header", "true").schema(sup.schema).csv(s"$dir/csv")
         val json = s.read.schema(sup.schema).json(s"$dir/json")
+        val orc = s.read.orc(s"$dir/orc")
         csv.as("c").join(json.as("j"), "s_suppkey")
+          .join(orc.as("o"), "s_suppkey")
           .select(col("s_suppkey"), col("c.s_name").as("s_name"),
-            col("j.s_nationkey").as("s_nationkey"))
+            col("o.s_nationkey").as("s_nationkey"))
           .orderBy(col("s_suppkey"))
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey
