@@ -51,6 +51,26 @@ class MergeSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a9"))
   }
 
+  test("cdcApply: stale changes dropped; replaying an applied batch is a no-op") {
+    // snapshot carries seq; k=1 is at seq 5 already
+    val snap = Seq((1L, "a", 5L), (2L, "b", 1L)).toDF("k", "v", "seq")
+    val changes = Seq(
+      (1L, "aSTALE", 4L, "U"), // below snapshot seq -> guard drops it
+      (1L, "aOLD", 5L, "U"),   // at snapshot seq -> dropped too (not >)
+      (2L, "b2", 2L, "U"),     // fresh -> applies
+      (9L, "new", 1L, "I")     // unknown key -> applies
+    ).toDF("k", "v", "seq", "op")
+    val once = Merge.cdcApply(snap, changes, Seq("k"), "seq", "op")
+    val want = Map(1L -> ("a", 5L), 2L -> ("b2", 2L), 9L -> ("new", 1L))
+    assert(once.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap == want)
+    // at-least-once delivery: applying the SAME batch to the updated
+    // snapshot must change nothing (idempotent-by-seq)
+    val twice = Merge.cdcApply(once, changes, Seq("k"), "seq", "op")
+    assert(twice.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap == want)
+  }
+
   test("profile: one-pass long-format stats, numeric min/max, null counting") {
     val df = Seq(
       (1L, Some(2.0), "x"), (2L, None, "y"), (3L, Some(5.5), "x")
