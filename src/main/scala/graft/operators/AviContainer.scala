@@ -104,7 +104,9 @@ object AviContainer {
         val id = tag(i)
         val len = le32(i + 4)
         val body = i + 8
-        if (len < 0 || body + len > to) return false // corrupt length field
+        // long arithmetic: a near-MaxInt corrupt length must not wrap
+        // body+len negative and sneak past the bound
+        if (len < 0 || body.toLong + len > to) return false // corrupt length field
         id match {
           case "LIST" if len >= 4 =>
             val listType = tag(body)

@@ -269,6 +269,11 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val f0 = base.getFormat
+        // corrupt headers can carry garbage (negative/zero) rates or
+        // channel counts through the JDK parser; reject before they
+        // poison downstream arithmetic (found by MediaCorruptionSpec)
+        if (!(f0.getSampleRate > 0 && f0.getSampleRate <= 4e6f &&
+            f0.getChannels > 0 && f0.getChannels <= 64)) return None
         val target = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
