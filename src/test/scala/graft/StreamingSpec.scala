@@ -301,4 +301,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty && got.size < initial.count())
   }
+
+  test("streaming sketch-store maintenance: merged stream sketches == one-pass batch sketch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sketch-stream")
+    val feedDir = s"$base/feed"
+    val streamStore = s"$base/stream-store"
+    val batchStore = s"$base/batch-store"
+
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("event_type"), col("user_id"))
+    // several files -> several micro-batches with maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").parquet(feedDir)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.sketchIngest(stream, Seq("event_type"), "user_id",
+      streamStore, s"$base/_checkpoint")
+    try q.processAllAvailable() finally q.stop()
+
+    graft.operators.SketchStore.appendBatch(
+      ev, Seq("event_type"), "user_id", batchId = 0L, batchStore)
+
+    def est(path: String): Map[String, Long] =
+      graft.operators.SketchStore.mergedEstimates(spark, path, Seq("event_type"))
+        .select(col("event_type"), col("est").cast("long"))
+        .as[(String, Long)].collect().toMap
+    // HLL union is register-wise max: N-batch merge == single-pass, exactly
+    assert(est(streamStore) == est(batchStore))
+    // and it really was incremental: every key saw multiple batches
+    val nb = graft.operators.SketchStore
+      .mergedEstimates(spark, streamStore, Seq("event_type"))
+      .select(col("n_batches")).as[Long].collect()
+    assert(nb.nonEmpty && nb.forall(_ > 1))
+  }
 }
