@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -2184,7 +2184,78 @@ object Queries {
              |      WHERE user_id % 5 <> 0 GROUP BY user_id)
              |SELECT r.user_id, r.event_type, r.event_id
              |FROM r JOIN m ON r.user_id = m.user_id AND r.rk = m.pick
-             |ORDER BY r.user_id""".stripMargin))
+             |ORDER BY r.user_id""".stripMargin)),
+
+    QDef("q91_weighted_sample",
+      // Efraimidis-Spirakis weighted sampling without replacement, weight
+      // = token count: u^(1/w) scores from the portable md5 uniform, top
+      // 20 win. Plans as TakeOrderedAndProject (k rows per partition, no
+      // global sort); the oracle recomputes the identical score. The
+      // score column itself is intentionally NOT output (pow's last ulp
+      // is libm-specific; the SELECTION is stable because score gaps at
+      // this n are ~1e-3, astronomically wider than 1-ulp drift).
+      (s, d) => {
+        val w = TextFunctions.tokenCount(col("text"))
+        Splits.weightedSample(
+          t(s, d, "documents").select(col("doc_id"), w.as("w")),
+          "doc_id", "w", k = 20, salt = "ws")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, w,
+             |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS UBIGINT)
+             |          / 4294967296.0,
+             |        1.0 / CAST(w AS DOUBLE)) AS score
+             |  FROM w WHERE CAST(w AS DOUBLE) > 0
+             |)
+             |SELECT doc_id, w FROM s
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QDef("q92_heavy_hitters",
+      // Misra-Gries heavy hitters with m=8 counters over a planted
+      // skewed key stream (2 hot keys ~1/6 of the stream each + one
+      // singleton key per remaining doc — the hot-key shape the uniform
+      // testdata lacks). The MG guarantees ARE the oracle gates: every
+      // key with true count > N/(m+1) must be present in the summary
+      // (`found`), with `est <= exact` and `exact - est <= N/(m+1)`
+      // (`bounds_ok`) — all computed in exact integer arithmetic and
+      // asserted as literal TRUE by DuckDB, which also recomputes the
+      // guaranteed-heavy key set and exact counts. A broken sketch
+      // (wrong eviction, bad merge) breaks `found` or `bounds_ok`.
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("heavy_"), pmod(col("doc_id"), lit(2)).cast("string")))
+            .otherwise(concat(lit("tail_"), col("doc_id").cast("string")))
+            .as("k"))
+        val mg = HeavyHitters.summarize(keyed, "k", m = 8)
+        val exact = keyed.groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("exact_cnt"))
+        val n = keyed.agg(count(lit(1)).cast("long").as("n"))
+        exact.crossJoin(n) // n is one row: broadcast-literal join
+          .filter(col("exact_cnt") * 9 > col("n")) // exact > N/(m+1), m=8
+          .join(mg, col("k") === col("key"), "left")
+          .select(col("k"), col("exact_cnt"),
+            col("est").isNotNull.as("found"),
+            (col("est") <= col("exact_cnt") &&
+              (col("exact_cnt") - col("est")) * 9 <= col("n")).as("bounds_ok"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT CASE WHEN doc_id % 3 = 0
+             |              THEN 'heavy_' || CAST(doc_id % 2 AS VARCHAR)
+             |              ELSE 'tail_' || CAST(doc_id AS VARCHAR) END AS k
+             |  FROM documents
+             |), exact AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM keyed GROUP BY k
+             |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
+             |SELECT k, exact_cnt, TRUE AS found, TRUE AS bounds_ok
+             |FROM exact, n WHERE exact_cnt * 9 > n
+             |ORDER BY k""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -98,4 +98,29 @@ object Splits {
     }
     df.filter(u < frac)
   }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis): each row draws `u = portableUniform(key)`,
+    * scores `u^(1/w)`, and the k largest scores win — exactly a weighted
+    * draw without replacement, with the same determinism contract as
+    * every other sampler here (a function of the key alone, stable under
+    * partitioning/retries/backfills, recomputable by any engine).
+    *
+    * Plans as TakeOrderedAndProject: each partition forwards at most k
+    * rows, no global sort — the quality-weighted corpus subset selection
+    * at 100 TB costs one scan plus a k-row-per-partition gather.
+    * Non-positive weights are excluded (a zero-weight row can never win).
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, "weightedSample needs k > 0")
+    val score = pow(portableUniform(col(keyCol), salt),
+      lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("_ws_score", score)
+      .orderBy(col("_ws_score").desc, col(keyCol))
+      .limit(k)
+      .drop("_ws_score")
+  }
 }

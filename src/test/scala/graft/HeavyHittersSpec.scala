@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.HeavyHitters
+
+/** The Misra-Gries guarantees, asserted where they are provable:
+  * exactness below capacity, the N/(m+1) bound above it, and bound
+  * preservation under arbitrary partitioning (= arbitrary merge trees).
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("below capacity the summary IS the exact histogram") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("event_type").as("k"))
+    val exact = ev.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(exact.size <= 16, "fixture premise: event_type cardinality <= m")
+    val got = HeavyHitters.summarize(ev, "k", m = 16)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+  }
+
+  test("guaranteed-heavy keys survive eviction with in-bound estimates, any partitioning") {
+    // 2 hot keys (1000 each) drowned in 3000 singletons; N = 5000, m = 8
+    // -> threshold N/(m+1) ~ 556: the hot keys are guaranteed present
+    val stream = ((1 to 1000).map(_ => "hot_a") ++ (1 to 1000).map(_ => "hot_b")
+      ++ (1 to 3000).map(i => s"tail_$i"))
+    val n = stream.size.toLong
+    for (parts <- Seq(1, 4, 32)) {
+      val df = stream.toDF("k").repartition(parts)
+      val got = HeavyHitters.summarize(df, "k", m = 8)
+        .as[(String, Long)].collect().toMap
+      assert(got.size <= 8, s"parts=$parts: more than m counters")
+      for (hot <- Seq("hot_a", "hot_b")) {
+        val est = got.getOrElse(hot, fail(s"parts=$parts: $hot evicted"))
+        assert(est <= 1000L, s"parts=$parts: MG must never overcount")
+        assert(1000L - est <= n / 9 + 1, s"parts=$parts: est $est out of bound")
+      }
+    }
+  }
+
+  test("null keys are excluded, not counted") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
+    val got = HeavyHitters.summarize(df, "k", m = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+}

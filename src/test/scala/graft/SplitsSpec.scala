@@ -81,4 +81,38 @@ class SplitsSpec extends AnyFunSuite {
       .select(TextFunctions.bpeishTokenCount(col("t"))).as[Long].collect().toSeq
     assert(counts == Seq(10L, 0L, 1L))
   }
+
+  test("weightedSample matches the brute-force E-S draw and ignores partitioning") {
+    val rows = (1L to 300L).map(id => (id, 1L + id % 17)) // weights 1..17
+    val df = rows.toDF("id", "w")
+    val got = Splits.weightedSample(df, "id", "w", k = 25)
+      .as[(Long, Long)].collect().toSet
+    // brute-force mirror of the same score: u^(1/w) with the md5 uniform
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 4294967296.0
+    }
+    val want = rows.map { case (id, w) => (id, w, math.pow(u(id), 1.0 / w)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(25)
+      .map { case (id, w, _) => (id, w) }.toSet
+    assert(got == want)
+    val repart = Splits.weightedSample(df.repartition(7), "id", "w", k = 25)
+      .as[(Long, Long)].collect().toSet
+    assert(repart == got, "selection must not depend on partitioning")
+    // zero/negative weights can never be drawn
+    val withZero = (df.union(Seq((9999L, 0L), (9998L, -5L)).toDF("id", "w")))
+    val ids = Splits.weightedSample(withZero, "id", "w", k = 300)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(!ids.contains(9999L) && !ids.contains(9998L))
+  }
+
+  test("weightedSample favors heavy rows: weight-17 rows beat weight-1 rows in aggregate") {
+    val rows = (1L to 300L).map(id => (id, if (id % 2 == 0) 17L else 1L))
+    val sampled = Splits.weightedSample(rows.toDF("id", "w"), "id", "w", k = 50)
+      .as[(Long, Long)].collect()
+    val heavy = sampled.count(_._2 == 17L)
+    assert(heavy > 35, s"expected the weight-17 class to dominate, got $heavy/50")
+  }
 }
