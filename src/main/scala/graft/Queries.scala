@@ -2255,7 +2255,23 @@ object Queries {
              |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
              |SELECT k, exact_cnt, TRUE AS found, TRUE AS bounds_ok
              |FROM exact, n WHERE exact_cnt * 9 > n
-             |ORDER BY k""".stripMargin))
+             |ORDER BY k""".stripMargin)),
+
+    QDef("q93_stratum_sample",
+      // Exactly-5-per-language sample via bottom-k of the portable md5
+      // uniform — the fixed-size-per-stratum selection q54's fractional
+      // keep can't promise. Per-row oracle: DuckDB recomputes the same
+      // rank and picks the same 5 doc_ids per lang.
+      (s, d) => Splits.stratumSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 5)
+        .orderBy(col("doc_id")),
+      Some(s"""$uCte
+             |SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+             |  FROM u)
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -81,4 +81,54 @@ object HeavyHitters {
       .select(explode(col("mg.entries")).as("e"))
       .select(col("e.key").as("key"), col("e.est").as("est"))
   }
+
+  /** Merge PERSISTED per-batch summaries (the [[SketchStore]] pattern for
+    * frequency: append each ingest batch's `(key, est)` rows, merge on
+    * read) without rescanning any batch. Mergeability means the result
+    * carries the same guarantee with the bounds ADDED: if batch i of
+    * length N_i was summarized with m_i >= m counters, every key with
+    * total frequency > sum(N_i/(m_i+1)) is present in the merge.
+    *
+    * Implementation: summing per-key ests is an ordinary group-by (ests
+    * are exact partials under the MG algebra), then one final MG prune to
+    * m entries — expressed as a single-group aggregate over the summed
+    * rows, which reuses [[MisraGries.merge]]'s prune via the Aggregator.
+    */
+  def mergeSummaries(summaries: DataFrame, m: Int): DataFrame = {
+    require(m > 0, "heavy-hitter merge needs at least one counter")
+    val summed = summaries
+      .groupBy(col("key")).agg(sum(col("est")).cast("long").as("est"))
+    val mgMerge = udaf(new MergeAgg(m), Encoders.product[Counter])
+    // product input encoder binds one argument per field
+    summed.agg(mgMerge(col("key"), col("est")).as("mg"))
+      .select(explode(col("mg.entries")).as("e"))
+      .select(col("e.key").as("key"), col("e.est").as("est"))
+  }
+
+  /** Persist one ingest batch's summary to the frequency stats table at
+    * `path` as `(key, est, batch_id)` rows — [[SketchStore.appendBatch]]'s
+    * shape for frequency instead of distinct counts. One summarize pass
+    * over the batch, <= m rows appended; [[mergeSummaries]] over
+    * `spark.read.parquet(path)` recovers the heavy hitters of the UNION
+    * of all batches without rescanning any of them.
+    */
+  def appendBatch(batch: DataFrame, keyCol: String, m: Int,
+      batchId: Long, path: String): Unit =
+    summarize(batch, keyCol, m)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Folds pre-counted `(key, est)` rows through the MG merge algebra —
+    * the reduce side treats each row as a one-key summary, so reduce and
+    * merge are the SAME pruning operation and any merge tree is valid.
+    */
+  private final class MergeAgg(m: Int) extends Aggregator[Counter, MGBuf, MGBuf] {
+    private val alg = new MisraGries(m)
+    def zero: MGBuf = MGBuf(Vector.empty)
+    def reduce(b: MGBuf, c: Counter): MGBuf = alg.merge(b, MGBuf(Vector(c)))
+    def merge(a: MGBuf, b: MGBuf): MGBuf = alg.merge(a, b)
+    def finish(r: MGBuf): MGBuf = r
+    def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  }
 }

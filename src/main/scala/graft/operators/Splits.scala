@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training-data
@@ -97,6 +98,31 @@ object Splits {
       case (els, (k, f)) => when(col(strataCol) === k, f).otherwise(els)
     }
     df.filter(u < frac)
+  }
+
+  /** Deterministic uniform k-sample PER STRATUM (bottom-k by the portable
+    * uniform): every stratum keeps exactly min(k, |stratum|) rows —
+    * the fixed-size-per-source subset builder (eval slices, per-language
+    * probes) where [[stratifiedSample]]'s fractional keep can't promise a
+    * count. Being hash-ranked, the selection is stable under
+    * partitioning/retries AND under corpus growth: a stratum's sample
+    * only changes where new keys hash below its current k-th rank.
+    *
+    * One exchange on the stratum key + per-stratum sort. A degenerate
+    * mega-stratum makes that sort wide; at that point take
+    * [[weightedSample]] with equal weights per stratum instead (bounded
+    * heap, no full sort) — for the many-strata/small-k shape here, the
+    * window is the simpler plan and AQE splits skewed strata.
+    */
+  def stratumSample(
+      df: DataFrame, keyCol: String, strataCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, "stratumSample needs k > 0")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(portableUniform(col(keyCol), salt), col(keyCol))
+    df.withColumn("_ss_rk", row_number().over(w))
+      .filter(col("_ss_rk") <= k)
+      .drop("_ss_rk")
   }
 
   /** Deterministic weighted sampling without replacement

@@ -213,6 +213,24 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous heavy-hitter maintenance, the frequency twin of
+    * [[sketchIngest]]: each micro-batch appends its <= m-entry
+    * Misra-Gries summary via [[graft.operators.HeavyHitters.appendBatch]];
+    * [[graft.operators.HeavyHitters.mergeSummaries]] over the stats table
+    * yields the heavy hitters of everything ingested so far, with the
+    * additive bound sum(N_i/(m+1)) — hot-key detection that never
+    * rescans the stream's history.
+    */
+  def heavyHitterIngest(
+      events: DataFrame, keyCol: String, m: Int,
+      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.HeavyHitters.appendBatch(batch, keyCol, m, batchId, path)
+      }
+      .start()
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

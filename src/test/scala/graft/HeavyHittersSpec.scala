@@ -48,4 +48,24 @@ class HeavyHittersSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("persisted per-batch summaries merge without rescan and keep the additive bound") {
+    // 3 ingest batches, each summarized independently (as a stream of
+    // appendBatch-style writes would persist them), then merged: the hot
+    // key spanning all batches must survive with the ADDED error bounds.
+    def batch(hot: Int, tag: String): Seq[String] =
+      (1 to hot).map(_ => "hot") ++ (1 to 400).map(i => s"${tag}_$i")
+    val batches = Seq(batch(300, "b1"), batch(250, "b2"), batch(350, "b3"))
+    val perBatch = batches.map(b =>
+      HeavyHitters.summarize(b.toDF("k"), "k", m = 8))
+    val merged = HeavyHitters.mergeSummaries(
+      perBatch.reduce(_ unionByName _), m = 8)
+      .as[(String, Long)].collect().toMap
+    assert(merged.size <= 8)
+    // total hot = 900; additive bound = sum(N_i/(m_i+1)) = (700+650+750)/9
+    val bound = batches.map(b => b.size.toLong / 9).sum
+    val est = merged.getOrElse("hot", fail("hot key lost in merge"))
+    assert(est <= 900L)
+    assert(900L - est <= bound + batches.size, s"est $est out of additive bound")
+  }
 }

@@ -108,6 +108,27 @@ class SplitsSpec extends AnyFunSuite {
     assert(!ids.contains(9999L) && !ids.contains(9998L))
   }
 
+  test("stratumSample keeps exactly min(k, stratum size) rows, stable under partitioning") {
+    val rows = (1L to 200L).map(id => (id, s"s${id % 7}")) ++
+      Seq((900L, "tiny"), (901L, "tiny")) // a stratum smaller than k
+    val df = rows.toDF("id", "stratum")
+    val got = Splits.stratumSample(df, "id", "stratum", k = 5)
+      .as[(Long, String)].collect()
+    val bySize = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert((0 until 7).forall(s => bySize(s"s$s") == 5))
+    assert(bySize("tiny") == 2)
+    val repart = Splits.stratumSample(df.repartition(11), "id", "stratum", k = 5)
+      .as[(Long, String)].collect()
+    assert(repart.toSet == got.toSet, "selection must not depend on partitioning")
+    // growth stability: adding rows only ever displaces by hash rank —
+    // a stratum's sample is a subset of {old sample} ∪ {new keys}
+    val grown = df.union(Seq((1000L, "s0"), (1001L, "s0")).toDF("id", "stratum"))
+    val after = Splits.stratumSample(grown, "id", "stratum", k = 5)
+      .as[(Long, String)].collect().filter(_._2 == "s0").map(_._1).toSet
+    val before = got.filter(_._2 == "s0").map(_._1).toSet
+    assert(after.subsetOf(before ++ Set(1000L, 1001L)))
+  }
+
   test("weightedSample favors heavy rows: weight-17 rows beat weight-1 rows in aggregate") {
     val rows = (1L to 300L).map(id => (id, if (id % 2 == 0) 17L else 1L))
     val sampled = Splits.weightedSample(rows.toDF("id", "w"), "id", "w", k = 50)

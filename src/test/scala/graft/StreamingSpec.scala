@@ -334,4 +334,37 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("n_batches")).as[Long].collect()
     assert(nb.nonEmpty && nb.forall(_ > 1))
   }
+
+  test("streaming heavy-hitter maintenance: merged per-batch summaries keep the MG guarantee") {
+    val base = java.nio.file.Files.createTempDirectory("graft-hh-stream")
+    val feedDir = s"$base/feed"
+    val store = s"$base/store"
+    // hot keys ~1/6 of the stream each, the rest singletons; 4 files ->
+    // 4 micro-batches, each summarized and appended independently
+    val m = 8
+    val stream = (1L to 1200L).map { i =>
+      if (i % 3 == 0) s"hot_${i % 2}" else s"tail_$i"
+    }
+    stream.toDF("k").repartition(4).write.mode("overwrite").parquet(feedDir)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.heavyHitterIngest(src, "k", m, store, s"$base/_cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val batches = spark.read.parquet(store)
+    assert(batches.select("batch_id").distinct().count() > 1, "not incremental")
+    val merged = graft.operators.HeavyHitters.mergeSummaries(batches, m)
+      .as[(String, Long)].collect().toMap
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // additive bound: each batch contributes N_i/(m+1)
+    val bound = stream.size.toLong / (m + 1) + 4 // +4: per-batch floor slack
+    for (hot <- Seq("hot_0", "hot_1")) {
+      val est = merged.getOrElse(hot, fail(s"$hot lost across batches"))
+      assert(est <= exact(hot), "MG must never overcount")
+      assert(exact(hot) - est <= bound, s"est $est for $hot out of bound")
+    }
+  }
 }
