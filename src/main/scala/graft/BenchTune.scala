@@ -121,6 +121,44 @@ object BenchTune {
     }
   }
 
+  /** `--skew [rows]`: quantify the salted-join skew mitigation. A fact
+    * table where ONE key owns 30% of all rows (the sentinel-record shape
+    * that pins one reducer at 100 TB) is joined to a non-broadcastable
+    * dim both ways — plain shuffle join with AQE skew splitting ON, and
+    * `SkewJoin.saltedJoin` — with result equality asserted. The point at
+    * toy scale is the mechanism (the hot key spreads over `buckets`
+    * reducers); the wall-clock gap grows with the hot key's share of
+    * total bytes.
+    */
+  private def skewDemo(spark: SparkSession, rows: Long): Unit = {
+    import graft.operators.SkewJoin
+    val nKeys = math.max(100L, rows / 100)
+    val fact = spark.range(rows).select(
+      when(pmod(col("id"), lit(10)) < 3, lit(0L)) // 30% on key 0
+        .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+      col("id").as("payload"))
+      .repartition(32).cache()
+    val dim = spark.range(nKeys).select(
+      col("id").as("k"), xxhash64(col("id")).as("attr")).cache()
+    fact.count(); dim.count()
+    // keep the dim off the broadcast path: this demo measures SHUFFLE skew
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    def drain(d: DataFrame): Long = // pmod keeps the ANSI sum in range
+      d.agg(count(lit(1)), sum(pmod(col("attr"), lit(1000000L))))
+        .collect().head.getLong(0)
+    def minT(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).min }
+    val plainN = drain(fact.join(dim, "k"))
+    val saltedN = drain(SkewJoin.saltedJoin(fact, dim, "k", buckets = 32))
+    require(plainN == saltedN, s"salted join changed the result: $plainN vs $saltedN")
+    val tPlain = minT(drain(fact.join(dim, "k")))
+    val tSalted = minT(drain(SkewJoin.saltedJoin(fact, dim, "k", buckets = 32)))
+    println(f"[skew] rows=$rows hot_share=0.30 plain_aqe=$tPlain%.2f s " +
+      f"salted_32=$tSalted%.2f s rows_match=$plainN")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+  }
+
   /** `--ivf`: recall-vs-nprobe sweep of the IVF ANN path at the given SF
     * dir's full embeddings table (sf0.1 = 6k vectors), against in-query
     * brute force over 50 query vectors. The scale evidence behind q35's
@@ -169,6 +207,13 @@ object BenchTune {
     }
     if (args.contains("--ivf")) {
       ivfSweep(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--skew")) {
+      val rows = args.dropWhile(_ != "--skew").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
+      skewDemo(spark, rows)
       spark.stop()
       return
     }
