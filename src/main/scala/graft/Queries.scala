@@ -1868,9 +1868,14 @@ object Queries {
       // each reduce to per-key HLL sketch bytes appended to a parquet
       // stats table; the corpus-wide estimate then comes from unioning
       // the PERSISTED sketches — no history rescan. Gates (literal-TRUE
-      // pattern): the merged-from-storage estimate must equal the
-      // one-pass whole-corpus sketch exactly (HLL union is lossless over
-      // a partition of the data) and land within 5% of the exact count.
+      // pattern): the merged-from-storage estimate must track the
+      // one-pass whole-corpus sketch within 1% and land within 5% of the
+      // exact count. (Not bit-equality: DataSketches HLL is exact in
+      // sparse/coupon mode — where sf0.01 lives — but above ~k/4
+      // distincts the union gadget's estimator can drift from the
+      // single-pass sketch by well under a percent, so equality is a
+      // small-cardinality artifact, verified false at sf0.1's 1500
+      // distinct users per key.)
       (s, d) => {
         val dir = scratchDir("q83")
         val ev = t(s, d, "events")
@@ -1885,7 +1890,8 @@ object Queries {
               .as("whole_est"))
         merged.join(whole, "event_type")
           .select(col("event_type"), col("n_batches"), col("n_exact"),
-            (col("est") === col("whole_est")).as("merged_eq_whole"),
+            (abs(col("est") - col("whole_est")) <= col("whole_est") * 0.01)
+              .as("merged_tracks_whole"),
             (abs(col("est") - col("n_exact")).cast("double") <=
               col("n_exact") * 0.05).as("within_5pct"))
           .orderBy(col("event_type"))
@@ -1896,7 +1902,7 @@ object Queries {
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_batches,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-             |  TRUE AS merged_eq_whole, TRUE AS within_5pct
+             |  TRUE AS merged_tracks_whole, TRUE AS within_5pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QDef("q84_ivf_persisted",
@@ -2271,7 +2277,72 @@ object Queries {
              |  SELECT doc_id, lang,
              |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
              |  FROM u)
-             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin))
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
+    QDef("q94_tpch_q5",
+      // TPC-H Q5 shape on the testdata schema: local-supplier revenue per
+      // nation in one region and a 1-year window. The 100 TB plan this
+      // declares: region/nation/supplier/customer all broadcast (none
+      // bigger than a few MB at any SF — nations and regions are
+      // cardinality-FIXED dimensions), so the ONLY shuffle is
+      // lineitem⋈orders on the orderkey, with the region+date filters
+      // pushed below it. The c_nationkey = s_nationkey equality ("local
+      // supplier") lands as a join condition on broadcast sides, never a
+      // post-join filter over the fact stream.
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    QDef("q95_tpch_q4",
+      // TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi
+      // join — the fact side shuffles once on the correlation key and
+      // lineitem is never materialized into the output. Priority counts
+      // over a 1-year window.
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = t(s, d, "lineitem")
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -7,8 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SketchStore
 
-/** Persisted sketch state: merged-from-storage estimates must equal the
-  * one-pass whole-data sketch no matter how the data was batched.
+/** Persisted sketch state: merged-from-storage estimates must track the
+  * one-pass whole-data sketch no matter how the data was batched —
+  * EXACTLY in the sparse/coupon regime (cardinality well under k/4,
+  * where DataSketches HLL stores coupons, not registers), and within 1%
+  * once dense (the union gadget's estimator may differ sub-percent from
+  * the single-pass sketch; q83 documents the same scoping).
   */
 class SketchStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -31,7 +35,11 @@ class SketchStoreSpec extends AnyFunSuite {
       assert(merged.map(_._1).toSet == whole.keySet)
       merged.foreach { case (k, nb, est) =>
         assert(nb == nBatches.toLong, s"$k batch count")
-        assert(est == whole(k), s"$k: merged $est != whole ${whole(k)}")
+        if (whole(k) < 1000) // sparse/coupon regime: merge is exact
+          assert(est == whole(k), s"$k: merged $est != whole ${whole(k)}")
+        else
+          assert(math.abs(est - whole(k)) <= whole(k) / 100,
+            s"$k: merged $est drifted >1% from whole ${whole(k)}")
       }
     }
   }
