@@ -354,12 +354,17 @@ object Queries {
        |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
        |  FROM tok WHERE len(tk) >= 3
        |),
+       |post AS (SELECT doc_id, unnest(sh) AS g FROM tri),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+       |),
        |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
        |    CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT)
        |      - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-       |  FROM tri a, tri b WHERE a.doc_id < b.doc_id
+       |  FROM cand JOIN tri a ON id_a = a.doc_id JOIN tri b ON id_b = b.doc_id
        |)
        |SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
        |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.8
@@ -1089,10 +1094,15 @@ object Queries {
              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
              |  FROM tok WHERE len(tk) >= 3
              |),
+             |post AS (SELECT doc_id, unnest(sh) AS g FROM tri),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+             |),
              |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM tri a, tri b WHERE a.doc_id < b.doc_id
-             |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN tri a ON id_a = a.doc_id JOIN tri b ON id_b = b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
              |),
              |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),

@@ -190,10 +190,25 @@ object Dedup {
       s"exactJaccardPairs is an all-pairs O(N^2) verification oracle: got " +
         s"$nDocs docs > maxDocs=$maxDocs. Use minHashNearDupPairs for corpus-" +
         "scale near-dup detection (LSH-then-verify, no all-pairs stage).")
+    require(threshold > 0,
+      "exactJaccardPairs needs threshold > 0 (candidate pruning keeps " +
+        "only pairs sharing a shingle; zero-overlap pairs have J = 0)")
     val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
-    val pairs = sets.select(col("id").as("id_a"))
-      .crossJoin(sets.select(col("id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
+    // EXACT with inverted-index candidate pruning: a pair with J >= any
+    // positive threshold shares at least one shingle, so joining the
+    // exploded postings on the shingle generates a superset of every
+    // qualifying pair, and the exact intersect/union verification below
+    // is unchanged. Same results as the naive cartesian, but compare
+    // count is sum over shingles of df^2 instead of N^2 — 12.5M pairs ->
+    // ~30k candidates on the sf0.1 corpus (651 s -> seconds). The fence
+    // stays: a corpus whose shingles are ubiquitous degenerates back to
+    // ~N^2 candidates, and the LSH path is the corpus-scale tool.
+    val posted = sets.select(col("id"), explode(col("sh")).as("g"))
+    val pairs = posted.as("pa")
+      .join(posted.as("pb"),
+        col("pa.g") === col("pb.g") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
     verifyJaccard(pairs, sets, threshold)
   }
 
