@@ -2355,9 +2355,49 @@ object Queries {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
+  /** Round 5: corpus-level structure — span dedup, tokenizer training. */
+  private val corpusOps = Seq(
+    QDef("q96_duplicate_spans",
+      // Span-level (ExactSubstr-style) duplicate detection: maximal runs
+      // of >= 8 consecutive tokens appearing verbatim in >= 2 distinct
+      // documents. Postings (one row per token position) -> one
+      // hash-partitioned gram aggregation -> per-doc islands merge.
+      // Oracle recomputes the identical pipeline: same tokenization,
+      // same positional grams, same gaps-and-islands window arithmetic.
+      (s, d) => Dedup.duplicateSpans(
+        t(s, d, "documents"), "doc_id", "text", minTokens = 8),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, len(tk) - 6)) AS pos,
+             |    unnest(list_transform(range(1, len(tk) - 6),
+             |      i -> array_to_string(tk[i:i+7], ' '))) AS gram
+             |  FROM tok WHERE len(tk) >= 8
+             |), dup AS (
+             |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+             |), p AS (
+             |  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM p
+             |), spans AS (
+             |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |    CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+             |  FROM isl GROUP BY doc_id, grp
+             |)
+             |SELECT s.doc_id, span_start, span_tokens,
+             |  array_to_string(tk[span_start:span_start+span_tokens-1], ' ') AS span_text
+             |FROM spans s JOIN tok USING (doc_id)
+             |ORDER BY doc_id, span_start""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
-      curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps
+      curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps ++
+      corpusOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -22,8 +22,12 @@ object TextFunctions {
 
   /** All word n-grams of a token array, position-sensitive (duplicates
     * kept) — the one place the n-gram construction lives, so the Spark
-    * and oracle idioms stay aligned.
+    * and oracle idioms stay aligned. Public because span-level dedup
+    * (Dedup.duplicateSpans) needs the positional grams, not the
+    * deduplicated shingle set.
     */
+  def ngrams(toks: Column, n: Int): Column = allNgrams(toks, n)
+
   private def allNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

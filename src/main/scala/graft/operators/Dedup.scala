@@ -423,4 +423,61 @@ object Dedup {
       .select("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Span-level duplicate detection (the "ExactSubstr" shape of
+    * suffix-array training-data dedup, at word-token granularity):
+    * every maximal run of >= minTokens consecutive tokens that also
+    * appears verbatim in at least one OTHER document. Whole-doc dedup
+    * misses these entirely — boilerplate headers, license blocks, and
+    * quoted passages duplicate at span level inside otherwise-unique
+    * documents, and span removal is what actually shrinks a crawl.
+    *
+    * Distributed shape (no suffix array — that is a single-machine
+    * structure; this is the shuffle-native equivalent):
+    *  1. one posting row per token position: (gram = the minTokens-token
+    *     window starting there, doc_id, pos) — rows scale with corpus
+    *     token count, embarrassingly parallel off the scan;
+    *  2. grams seen in >= 2 distinct docs survive one hash-partitioned
+    *     aggregation (partial_count_distinct combines map-side, so a
+    *     boilerplate gram in a billion docs still ships one partial row
+    *     per map task, not a billion);
+    *  3. duplicated positions merge into maximal spans per doc with the
+    *     classic islands step (pos - row_number() over the per-doc
+    *     window) — the only per-doc-bounded shuffle in the plan.
+    * At 100 TB the gram string would be replaced by its 64-bit hash as
+    * the shuffle key (collisions only ever ADD a candidate position);
+    * at oracle scale the exact string keeps DuckDB bit-identical.
+    *
+    * Output: (doc_id, span_start 1-based token index, span_tokens,
+    * span_text), one row per maximal duplicated span.
+    */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "a 1-token 'span' is vocabulary, not duplication")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= minTokens)
+    val grams = tok.select(col("doc_id"),
+      posexplode(TextFunctions.ngrams(col("tk"), minTokens)).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val dupPos = grams.join(dupGrams, "g").select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      .select(col("doc_id"),
+        (col("p0") + 1).cast("long").as("span_start"),
+        (col("p1") - col("p0") + minTokens).cast("long").as("span_tokens"))
+    spans.join(tok, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_tokens"),
+        array_join(slice(col("tk"), col("span_start").cast("int"),
+          col("span_tokens").cast("int")), " ").as("span_text"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 }

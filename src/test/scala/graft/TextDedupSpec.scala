@@ -370,4 +370,49 @@ class DedupSpec extends AnyFunSuite {
     val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + CloneShift)).toSet
     assert(pairs == planted)
   }
+
+  test("duplicateSpans finds exactly the planted cross-doc span, maximal") {
+    // docs 1 and 2 share a 10-token run at different offsets inside
+    // otherwise-unique text; doc 3 is unique filler. minTokens=8 means
+    // the run produces 3 overlapping duplicated 8-grams per doc, which
+    // must merge into ONE maximal span of 10 tokens — not three rows.
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"$shared zeta eta theta iota kappa unique1 unique2"),
+      (3L, "lone words that never repeat anywhere else at all truly")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 4L, 10L, shared),
+      (2L, 1L, 10L, shared)))
+  }
+
+  test("duplicateSpans keeps disjoint duplicated runs as separate spans") {
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$runA x1 x2 x3 $runB"),
+      (2L, s"pre1 pre2 $runA mid1 mid2 mid3 $runB post1")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 1L, 8L, runA), (1L, 12L, 8L, runB),
+      (2L, 3L, 8L, runA), (2L, 14L, 8L, runB)))
+  }
+
+  test("duplicateSpans: a 9-token shared run reports one 9-token span") {
+    // two overlapping duplicated 8-grams -> islands arithmetic must
+    // yield span_tokens = 9, not 8 or 16
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared"),
+      (2L, s"$shared v1 v2 v3 v4 v5 v6 v7")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq((1L, 3L, 9L, shared), (2L, 1L, 9L, shared)))
+  }
 }
