@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -2391,8 +2391,62 @@ object Queries {
              |SELECT s.doc_id, span_start, span_tokens,
              |  array_to_string(tk[span_start:span_start+span_tokens-1], ' ') AS span_text
              |FROM spans s JOIN tok USING (doc_id)
-             |ORDER BY doc_id, span_start""".stripMargin))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    QDef("q97_bpe_merges",
+      // Distributed BPE merge learning (tokenizer training): 6 rounds of
+      // corpus-wide adjacent-pair counting over the word-frequency
+      // vocabulary, greedy left-to-right merge application between
+      // rounds, ties broken (count desc, left, right). The oracle
+      // re-learns the same 6 merges in DuckDB with the loop UNROLLED
+      // into one CTE chain per round (the q70 PageRank pattern); merge
+      // application there is fixpoint-repeated non-overlapping string
+      // replace on ' l r '-delimited symbol strings, which equals the
+      // greedy fold (BpeSpec proves the equivalence property-style).
+      (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 6)
+        .orderBy(col("rank")),
+      Some(bpeOracleSql(6))),
   )
+
+  /** q97's oracle, generated: one (pairs -> counts -> argmax -> apply)
+    * CTE block per unrolled BPE round. Merge application repeats the
+    * non-overlapping replace 8 times — occurrences sharing a boundary
+    * space are deferred one pass, and 8 passes cover words far beyond
+    * any natural length (each pass at least halves what remains).
+    */
+  private def bpeOracleSql(k: Int): String = {
+    def rep(expr: String, n: Int, l: String, r: String): String =
+      if (n == 0) expr
+      else rep(s"replace($expr, ' ' || $l || ' ' || $r || ' ', " +
+        s"' ' || $l || $r || ' ')", n - 1, l, r)
+    val head =
+      """wf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w
+        |), w0 AS (
+        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf
+        |)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)), j -> tk[j])) AS l,
+         |         unnest(list_transform(range(1, len(tk)), j -> tk[j+1])) AS r,
+         |         freq
+         |  FROM (SELECT list_filter(string_split(trim(s), ' '), x -> x <> '') AS tk,
+         |               freq FROM w${i - 1})
+         |), c$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i GROUP BY l, r
+         |), m$i AS (
+         |  SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+         |), w$i AS (
+         |  SELECT ${rep("s", 8, s"m$i.l", s"m$i.r")} AS s, freq FROM w${i - 1}, m$i
+         |)""".stripMargin
+    }
+    val finalSelect = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m$i"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $head,\n${rounds.mkString(",\n")}\n$finalSelect\nORDER BY rank"
+  }
 
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++

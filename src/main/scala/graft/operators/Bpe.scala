@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE merge learning — the tokenizer-training half of an
+  * LLM data pipeline (the counting workload GPT-2's original
+  * single-machine trainer does in a Python dict, re-expressed as k
+  * aggregations over the cluster).
+  *
+  * Classic word-level BPE: words split into character symbols; each
+  * round counts adjacent symbol pairs weighted by word frequency, merges
+  * the most frequent pair corpus-wide (greedy, left-to-right,
+  * non-overlapping within a word), repeats.
+  *
+  * Scale shape: the corpus is touched ONCE (token explode -> word
+  * frequency table); every subsequent round runs over the VOCABULARY
+  * (unique words), which is orders of magnitude smaller and shrinks none
+  * — ~word-count-bounded state per round, map-side-combined pair-count
+  * aggregation, and a 1-row argmax `collect()` per round (the same
+  * driver-step shape as k-means centroids — the merge decision IS
+  * driver state, that collect is the algorithm, not a shortcut).
+  * Lineage is cut with localCheckpoint per round so the plan does not
+  * grow with the merge count.
+  *
+  * The reference engine has no text surface at all; this is a north-star
+  * operator (SURVEY.md §2 extension inventory).
+  */
+object Bpe {
+
+  /** Single character symbols of a word (unicode-safe, empties dropped —
+    * Spark's split("", -1) semantics keep a trailing empty string).
+    */
+  private def charSyms(w: Column): Column =
+    filter(split(w, ""), c => c =!= lit(""))
+
+  /** One greedy left-to-right, non-overlapping application of the merge
+    * (l, r) -> l+r to a symbol array, as a pure fold (codegen'd
+    * `aggregate`, no UDF): append each symbol unless the accumulator
+    * ends with `l` and the symbol is `r`, in which case replace the tail
+    * with the merged symbol. A freshly-merged tail equals l+r, never a
+    * bare `l` (r is non-empty), so overlapping occurrences are skipped
+    * exactly like the textbook scan.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Word-frequency vocabulary of a corpus: (syms: array<string>, freq). */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(charSyms(col("w")).as("syms"), col("freq"))
+
+  /** Learn the first `numMerges` BPE merges over the corpus.
+    *
+    * Ties broken deterministically by (count desc, left asc, right asc)
+    * — a total order, so the learned merge list is a pure function of
+    * the corpus regardless of partitioning.
+    *
+    * Output: (rank, left, right, pair_count), rank 1-based.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    var vocab = vocabulary(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(
+            element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"),
+          col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        vocab = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+}
