@@ -54,9 +54,9 @@ object BenchTune {
     * parallelism — the scale evidence for the curation surface that the
     * 6k-doc testdata cannot give.
     */
-  private def opsDemo(spark: SparkSession, rows: Long): Unit = {
+  private def opsDemo(spark: SparkSession, rows: Long, only: Set[String]): Unit = {
     import graft.functions.{HashExprs, TextFunctions}
-    import graft.operators.{Checks, Dedup, InvertedIndex, Packing, SketchStore, Splits, Triangles}
+    import graft.operators.{Bpe, Checks, Dedup, InvertedIndex, Packing, SketchStore, Splits, Triangles}
     import org.apache.spark.sql.GraftBridge
     val dir = s"/tmp/graft-ops-$rows"
     if (!new java.io.File(dir).exists()) {
@@ -78,29 +78,29 @@ object BenchTune {
       HashExprs.MinHashSignature(GraftBridge.expression(
         TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)), 128))
       .as("sig"))
-    val r = Seq(
-      "token_quality" -> minT(drain(docs.select(
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "token_quality" -> (() => drain(docs.select(
         TextFunctions.tokenCount(col("text")),
         TextFunctions.qualityScore(col("text"))))),
-      "pack_sequences" -> minT(
+      "pack_sequences" -> (() =>
         Packing.packByBudget(sized, "source", "doc_id", "n_tokens", 2048L)
           .agg(max(col("bin"))).collect()),
-      "minhash_128" -> minT(drain(sig)),
-      "dedup_exact" -> minT(
+      "minhash_128" -> (() => drain(sig)),
+      "dedup_exact" -> (() =>
         Dedup.exact(docs.select("doc_id", "text"), Seq("text"), "doc_id")
           .agg(count(lit(1))).collect()),
-      "temperature_mix" -> minT(
+      "temperature_mix" -> (() =>
         Splits.temperatureBalance(docs, "doc_id", "source")
           .agg(count(lit(1))).collect()),
-      "quality_gate" -> minT(
+      "quality_gate" -> (() =>
         Checks.run(docs, Seq(Checks.NotNull("text"),
           Checks.Unique(Seq("doc_id")))).collect()),
       // round-4 operators at corpus scale (judge r4 item 6)
-      "inverted_index" -> minT(drain(InvertedIndex.build(
+      "inverted_index" -> (() => drain(InvertedIndex.build(
         docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("tok")),
         bucketSize = 100000L))),
-      "sketch_store_merge" -> minT {
+      "sketch_store_merge" -> (() => {
         val path = s"/tmp/graft-ops-sketch-$rows"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
         val keyed = docs.select(col("source"), col("doc_id"))
@@ -109,14 +109,32 @@ object BenchTune {
         SketchStore.appendBatch(keyed.filter(col("doc_id") % 2 === 1),
           Seq("source"), "doc_id", batchId = 1L, path)
         SketchStore.mergedEstimates(spark, path, Seq("source")).collect()
-      },
+      }),
+      // round-5 operators: span dedup with 10% of docs sharing a
+      // 12-token boilerplate prefix (~rows/10 maximal spans, and the
+      // prefix grams are corpus-wide HOT keys — the adversarial case
+      // for the gram aggregation), and BPE tokenizer training (3
+      // rounds; the one corpus pass dominates, the per-round pair
+      // counting is vocabulary-sized)
+      "duplicate_spans" -> (() => {
+        val planted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(lit("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 "),
+              col("text")))
+            .otherwise(col("text")).as("text"))
+        Dedup.duplicateSpans(planted, "doc_id", "text", minTokens = 8)
+          .agg(count(lit(1))).collect()
+      }),
+      "bpe_merges_3" -> (() =>
+        Bpe.learnMerges(docs, "text", numMerges = 3).collect()),
       // hash-derived sparse graph: ~rows edges over rows/10 vertices
-      "triangle_count" -> minT(Triangles.countTriangles(
+      "triangle_count" -> (() => Triangles.countTriangles(
         spark.range(rows).select(
           pmod(xxhash64(col("id")), lit(rows / 10)).as("src"),
           pmod(xxhash64(col("id"), lit(1)), lit(rows / 10)).as("dst")),
         "src", "dst").collect()))
-    r.foreach { case (n, t) =>
+    ops.filter(o => only.isEmpty || only(o._1)).foreach { case (n, f) =>
+      val t = minT(f())
       println(f"[ops] $n%s: $t%.3f s  (${rows / t / 1e6}%.1f M docs/s)")
     }
   }
@@ -199,9 +217,10 @@ object BenchTune {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("--ops")) {
-      val rows = args.dropWhile(_ != "--ops").drop(1).headOption
+      val tail = args.dropWhile(_ != "--ops").drop(1)
+      val rows = tail.headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
-      opsDemo(spark, rows)
+      opsDemo(spark, rows, tail.filterNot(_.forall(_.isDigit)).toSet)
       spark.stop()
       return
     }

@@ -2364,8 +2364,13 @@ object Queries {
       // hash-partitioned gram aggregation -> per-doc islands merge.
       // Oracle recomputes the identical pipeline: same tokenization,
       // same positional grams, same gaps-and-islands window arithmetic.
+      // portableKeys: gram keys are md5 halves (the q38 hash basis) so
+      // DuckDB recomputes them exactly; the engine default is the
+      // string-free XXH64 slice-hash family (same two-family convention
+      // as SimHash q25/q38).
       (s, d) => Dedup.duplicateSpans(
-        t(s, d, "documents"), "doc_id", "text", minTokens = 8),
+        t(s, d, "documents"), "doc_id", "text", minTokens = 8,
+        portableKeys = true),
       Some("""WITH tok AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |  FROM documents
@@ -2373,10 +2378,10 @@ object Queries {
              |  SELECT doc_id,
              |    unnest(range(1, len(tk) - 6)) AS pos,
              |    unnest(list_transform(range(1, len(tk) - 6),
-             |      i -> array_to_string(tk[i:i+7], ' '))) AS gram
+             |      i -> substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 16))) AS gram
              |  FROM tok WHERE len(tk) >= 8
              |), dup AS (
-             |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+             |  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
              |), p AS (
              |  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
              |), isl AS (
@@ -2406,6 +2411,124 @@ object Queries {
       (s, d) => Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 6)
         .orderBy(col("rank")),
       Some(bpeOracleSql(6))),
+
+    QDef("q98_funnel",
+      // Ordered time-windowed funnel (view -> click within 1h -> purchase
+      // within 24h): per-stage min-timestamp chaining, each stage ONE
+      // same-key aggregation + one join back to the event stream — the
+      // keyed shuffles all share user_id, so stages co-partition after
+      // the first exchange. All comparisons in integer MICROSECONDS:
+      // Spark's parquet load truncates the nanos testdata to micros, so
+      // unix_micros(ts) == DuckDB's epoch_us(ts) exactly, where raw
+      // timestamp comparisons could disagree on sub-micro ties.
+      (s, d) => {
+        val ue = t(s, d, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val s1 = ue.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val s2 = ue.join(s1, "user_id")
+          .filter(col("event_type") === "click" && col("us") > col("t1") &&
+            col("us") <= col("t1") + lit(3600000000L))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val s3 = ue.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" && col("us") > col("t2") &&
+            col("us") <= col("t2") + lit(86400000000L))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        s1.agg(count(lit(1)).cast("long").as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).cast("long").as("n_view_click")))
+          .crossJoin(s3.agg(count(lit(1)).cast("long")
+            .as("n_view_click_purchase")))
+      },
+      Some("""WITH ue AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), s1 AS (
+             |  SELECT user_id, min(us) AS t1 FROM ue
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), s2 AS (
+             |  SELECT ue.user_id, min(us) AS t2 FROM ue JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+             |  GROUP BY ue.user_id
+             |), s3 AS (
+             |  SELECT ue.user_id, min(us) AS t3 FROM ue JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+             |  GROUP BY ue.user_id
+             |)
+             |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+             |       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+             |       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase""".stripMargin)),
+
+    QDef("q99_gap_fill",
+      // Time-series gap fill: each user's hourly grid from first to last
+      // active hour, forward-filled from the last observed value. The
+      // per-(user, hour) "last" is max_by over a zero-padded
+      // (micros, event_id) string key — totally ordered even if two
+      // events shared a microsecond, so no engine-ordering premise.
+      // Scale: grid fan-out is bounded by each user's own active span;
+      // the fill window partitions BY USER (bounded state, parallel
+      // across users — never a global sort).
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(3600000)).cast("long").as("h"),
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 20, "0")).as("ord"),
+          col("value"))
+        val hourly = ev.groupBy(col("user_id"), col("h"))
+          .agg(max_by(col("value"), col("ord")).as("v"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), (col("h") * 3600000).as("hour_ms"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+          .orderBy(col("user_id"), col("hour_ms"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+             |    arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             |                   lpad(CAST(event_id AS VARCHAR), 20, '0')) AS v
+             |  FROM events GROUP BY user_id, epoch_ms(ts) // 3600000
+             |), bounds AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+             |), grid AS (
+             |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds
+             |)
+             |SELECT user_id, CAST(h * 3600000 AS BIGINT) AS hour_ms,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+             |FROM grid LEFT JOIN hourly USING (user_id, h)
+             |ORDER BY user_id, hour_ms""".stripMargin)),
+
+    QDef("q100_cohort_retention",
+      // Cohort retention: users grouped by first-seen week, distinct
+      // active users per (cohort, weeks-since-first-seen). Two keyed
+      // aggregations + one user_id join; weeks are integer epoch-day
+      // arithmetic (floor division both engines define identically on
+      // positive epochs), never engine-specific week-truncation.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          floor(floor(unix_millis(col("ts")) / lit(86400000)) / lit(7))
+            .cast("long").as("wk"))
+        val fs = ev.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+        ev.join(fs, "user_id")
+          .groupBy(col("w0").as("cohort_week"),
+            (col("wk") - col("w0")).as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ms(ts) // 86400000 // 7 AS wk FROM events
+             |), fs AS (
+             |  SELECT user_id, min(wk) AS w0 FROM ev GROUP BY user_id
+             |)
+             |SELECT CAST(w0 AS BIGINT) AS cohort_week,
+             |       CAST(wk - w0 AS BIGINT) AS week_offset,
+             |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+             |FROM ev JOIN fs USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** q97's oracle, generated: one (pairs -> counts -> argmax -> apply)

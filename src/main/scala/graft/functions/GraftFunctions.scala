@@ -53,6 +53,10 @@ object GraftFunctions {
       case Seq(c, k, w) => HashExprs.RollingFingerprints(c, intArg(k), intArg(w))
       case _ => throw new IllegalArgumentException("rolling_fingerprints(text[, k, w])")
     }),
+    "token_gram_hashes" -> (args => args match {
+      case Seq(c, n) => HashExprs.TokenGramHashes(c, intArg(n))
+      case _ => throw new IllegalArgumentException("token_gram_hashes(tokens, n)")
+    }),
     "cosine_similarity" -> (args => args match {
       case Seq(a, b) => VectorExprs.CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException("cosine_similarity(vec, vec)")

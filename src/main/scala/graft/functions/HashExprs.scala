@@ -107,6 +107,32 @@ object HashExprs {
     new GenericArrayData(mins.toArray)
   }
 
+  def tokenGramKernel(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), Seed1)
+      i += 1
+    }
+    val B = 1000003L
+    var bn = 1L
+    var x = 0
+    while (x < n - 1) { bn *= B; x += 1 } // B^(n-1)
+    val out = new Array[Long](cnt - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    while (i < cnt) {
+      h = (h - th(i - n) * bn) * B + th(i)
+      out(i - n + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val kernelCls = "graft.functions.HashExprs"
 
   /** MinHash signature of a set of shingles (array<string> -> array<long>).
@@ -167,6 +193,29 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Positional token n-gram hashes (array<string> -> array<long>, one
+    * hash per gram start position, order preserved).
+    *
+    * Each token is XXH64'd ONCE, then consecutive n-tuples combine with
+    * a rolling polynomial — O(tokens) total where hashing each gram
+    * slice is O(tokens × n) plus n-1 array allocations per position.
+    * This is the throughput key family for span-level dedup
+    * (Dedup.duplicateSpans); a collision can only ever ADD a candidate
+    * position there, never lose one.
+    */
+  case class TokenGramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      tokenGramKernel(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $kernelCls.tokenGramKernel($c, $n);")
+    override def prettyName: String = "token_gram_hashes"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // --- Column-API wrappers -------------------------------------------------
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -177,4 +226,7 @@ object HashExprs {
 
   def rollingFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
     GraftBridge.column(RollingFingerprints(GraftBridge.expression(text), k, w))
+
+  def tokenGramHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(TokenGramHashes(GraftBridge.expression(tokens), n))
 }

@@ -444,25 +444,41 @@ object Dedup {
     *  3. duplicated positions merge into maximal spans per doc with the
     *     classic islands step (pos - row_number() over the per-doc
     *     window) — the only per-doc-bounded shuffle in the plan.
-    * At 100 TB the gram string would be replaced by its 64-bit hash as
-    * the shuffle key (collisions only ever ADD a candidate position);
-    * at oracle scale the exact string keeps DuckDB bit-identical.
+    * The shuffle key is a HASH of the gram, not the gram string — and
+    * like the SimHash pair (q25 native / q38 portable), it comes in the
+    * repo's two families: the default is the native
+    * [[graft.functions.HashExprs.TokenGramHashes]] rolling kernel (each
+    * token XXH64'd once, consecutive n-tuples combined with a rolling
+    * polynomial — O(tokens) per doc; no gram string or slice array is
+    * ever built), while `portableKeys = true` keys by the md5 half of
+    * the gram string so a plain-SQL oracle recomputes the identical key
+    * (q96). A hash collision (~2^-64 per pair) could only ever ADD a
+    * candidate position — never lose a span.
     *
     * Output: (doc_id, span_start 1-based token index, span_tokens,
     * span_text), one row per maximal duplicated span.
     */
   def duplicateSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int): DataFrame = {
+      minTokens: Int, portableKeys: Boolean = false): DataFrame = {
     require(minTokens >= 2, "a 1-token 'span' is vocabulary, not duplication")
     val tok = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= minTokens)
+    val keys =
+      if (portableKeys)
+        transform(TextFunctions.ngrams(col("tk"), minTokens),
+          s => substring(md5(s), 1, 16))
+      else HashExprs.tokenGramHashes(col("tk"), minTokens)
     val grams = tok.select(col("doc_id"),
-      posexplode(TextFunctions.ngrams(col("tk"), minTokens)).as(Seq("pos", "g")))
+      posexplode(keys).as(Seq("pos", "g")))
+    // "seen in >= 2 distinct docs" as min != max: ONE map-side-combined
+    // aggregation pass and one exchange, where count_distinct would
+    // shuffle the postings twice (partial-dedup exchange + count
+    // exchange). A gram repeated only WITHIN one doc has min == max.
     val dupGrams = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("g"))
     val dupPos = grams.join(dupGrams, "g").select(col("doc_id"), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
