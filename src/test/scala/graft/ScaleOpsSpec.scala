@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, HashExprs}
 import graft.operators.SkewJoin
 
 /** Scale-technique operators: salted skew join, bucketed co-located join,
@@ -56,6 +56,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[Int]("msz") == 16)
     assert(r.getAs[Int]("fsz") >= 1)
+    val g = spark.sql(
+      "SELECT token_gram_hashes(array('a','b','c','d'), 2) AS gh").head()
+      .getAs[scala.collection.Seq[Long]]("gh")
+    assert(g.length == 3 && g.distinct.length == 3)
+  }
+
+  test("tokenGramHashes: positional, slice-faithful, short-input-safe") {
+    import spark.implicits._
+    // equal windows hash equal, and the hash at each position equals a
+    // from-scratch polynomial over per-token hashes (no drift between
+    // the rolling update and the direct form)
+    val toks = Seq("x", "y", "x", "y", "x", "z")
+    val got = Seq(toks).toDF("tk")
+      .select(HashExprs.tokenGramHashes(col("tk"), 3).as("g"))
+      .as[Seq[Long]].head()
+    assert(got.length == 4)
+    assert(got(0) == got(2)) // (x y x) at 0 and 2
+    assert(got(0) != got(1) && got(1) != got(3))
+    val direct = toks.sliding(3).map { w =>
+      w.foldLeft(0L)((h, t) => h * 1000003L +
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          0x9747b28c0a3dL))
+    }.toSeq
+    assert(got == direct)
+    // fewer tokens than n -> empty, not an error
+    assert(Seq(Seq("a", "b")).toDF("tk")
+      .select(HashExprs.tokenGramHashes(col("tk"), 3).as("g"))
+      .as[Seq[Long]].head().isEmpty)
   }
 
   test("vector kernels callable from SQL: cosine, sign-LSH, nearest-cells") {
