@@ -2529,15 +2529,36 @@ object Queries {
              |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
              |FROM ev JOIN fs USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QDef("q101_bpe_encode",
+      // The encoder half of the q97 tokenizer: learn 6 merges, then
+      // BPE-encode the corpus with them and count encoded tokens per
+      // language. Encoding folds the merge list into nested transforms
+      // at plan build time — one narrow codegen'd pass, no merge-table
+      // join. Oracle re-learns the same merges (the q97 chain), applies
+      // them to its vocabulary CTE, and joins word instances to it.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Bpe.learnMerges(docs, "text", numMerges = 6)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.groupBy(col("lang"))
+          .agg(sum(Bpe.encodedLength(col("text"), merges)).as("n_bpe_tokens"),
+            sum(TextFunctions.tokenCount(col("text"))).as("n_words"))
+          .orderBy(col("lang"))
+      },
+      Some(bpeEncodeOracleSql(6))),
   )
 
-  /** q97's oracle, generated: one (pairs -> counts -> argmax -> apply)
-    * CTE block per unrolled BPE round. Merge application repeats the
-    * non-overlapping replace 8 times — occurrences sharing a boundary
-    * space are deferred one pass, and 8 passes cover words far beyond
-    * any natural length (each pass at least halves what remains).
+  /** The unrolled BPE learning chain shared by q97/q101's oracles: one
+    * (pairs -> counts -> argmax -> apply) CTE block per round, vocab
+    * rows carrying (w, s, freq) so the final CTE is also the encoded
+    * vocabulary. Merge application repeats the non-overlapping replace
+    * 8 times — occurrences sharing a boundary space are deferred one
+    * pass, and 8 passes cover words far beyond any natural length (each
+    * pass at least halves what remains).
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeChainCtes(k: Int): String = {
     def rep(expr: String, n: Int, l: String, r: String): String =
       if (n == 0) expr
       else rep(s"replace($expr, ' ' || $l || ' ' || $r || ' ', " +
@@ -2548,7 +2569,7 @@ object Queries {
         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
         |    FROM documents) GROUP BY w
         |), w0 AS (
-        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf
+        |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf
         |)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
@@ -2562,14 +2583,34 @@ object Queries {
          |), m$i AS (
          |  SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
          |), w$i AS (
-         |  SELECT ${rep("s", 8, s"m$i.l", s"m$i.r")} AS s, freq FROM w${i - 1}, m$i
+         |  SELECT w, ${rep("s", 8, s"m$i.l", s"m$i.r")} AS s, freq FROM w${i - 1}, m$i
          |)""".stripMargin
     }
+    s"WITH $head,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val finalSelect = (1 to k).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m$i"""
     }.mkString("\nUNION ALL\n")
-    s"WITH $head,\n${rounds.mkString(",\n")}\n$finalSelect\nORDER BY rank"
+    s"${bpeChainCtes(k)}\n$finalSelect\nORDER BY rank"
   }
+
+  /** q101's oracle: encode = join each word instance to the final chain
+    * CTE (the encoded vocabulary) and count its merged symbols.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeChainCtes(k)},
+       |dw AS (
+       |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  CAST(sum(len(list_filter(string_split(trim(s), ' '), x -> x <> ''))) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM dw JOIN w$k USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++

@@ -52,6 +52,24 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** BPE-encode a text column with a learned merge list: every word
+    * splits to character symbols, then each merge applies in rank order
+    * (the standard encoder loop). Pure Column expression — the merge
+    * list folds into nested `transform`s at PLAN build time, so encoding
+    * is one narrow codegen'd pass over the corpus, no UDF, no join
+    * against a merge table.
+    */
+  def encodeExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    val syms = transform(TextFunctions.tokens(text), w => charSyms(w))
+    merges.foldLeft(syms) { case (acc, (l, r)) =>
+      transform(acc, word => applyMerge(word, l, r))
+    }
+  }
+
+  /** Encoded token count of a text column under a merge list. */
+  def encodedLength(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(encodeExpr(text, merges), lit(0L), (a, w) => a + size(w))
+
   /** Word-frequency vocabulary of a corpus: (syms: array<string>, freq). */
   def vocabulary(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))

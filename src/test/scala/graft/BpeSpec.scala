@@ -63,6 +63,22 @@ class BpeSpec extends AnyFunSuite {
     assert(first == ((1L, "a", "b", 4L)))
   }
 
+  test("encodeExpr applies merges in rank order; encodedLength counts") {
+    // merges (u,g) then (h,ug): "hugs" -> [h,u,g,s] -> [h,ug,s] -> [hug,s]
+    val merges = Seq(("u", "g"), ("h", "ug"))
+    val enc = Seq("hugs pug").toDF("text")
+      .select(Bpe.encodeExpr(col("text"), merges).as("e"),
+        Bpe.encodedLength(col("text"), merges).as("n"))
+      .as[(Seq[Seq[String]], Long)].head()
+    assert(enc._1 == Seq(Seq("hug", "s"), Seq("p", "ug")))
+    assert(enc._2 == 4L)
+    // rank order matters: (h,ug) before (u,g) must NOT produce "hug"
+    val wrongOrder = Seq(("h", "ug"), ("u", "g"))
+    assert(Seq("hugs").toDF("text")
+      .select(Bpe.encodeExpr(col("text"), wrongOrder).as("e"))
+      .as[Seq[Seq[String]]].head() == Seq(Seq("h", "ug", "s")))
+  }
+
   test("learnMerges stops early when the vocabulary is fully merged") {
     val docs = Seq("ab ab ab").toDF("text")
     // round 1 merges (a,b); afterwards every word is a single symbol —
