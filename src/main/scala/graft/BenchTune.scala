@@ -177,6 +177,73 @@ object BenchTune {
     spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
   }
 
+  /** `--events [rows]`: the q98-q100 event-analytics shapes at corpus
+    * scale — synthetic 30-day event stream, rows/1000 users, 5 types.
+    * All three are user_id-keyed aggregation chains; the probe shows
+    * they stay linear when the event count is 1000x the catalog's.
+    */
+  private def eventsDemo(spark: SparkSession, rows: Long): Unit = {
+    val dir = s"/tmp/graft-events-$rows"
+    if (!new java.io.File(dir).exists()) {
+      val types = array(Seq("view", "click", "purchase", "signup", "error")
+        .map(lit): _*)
+      spark.range(rows).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1704067200000L) + // 2024-01-01
+          pmod(xxhash64(col("id")), lit(30L * 86400000L))).as("ts"),
+        pmod(xxhash64(col("id"), lit(1)), lit(rows / 1000)).as("user_id"),
+        element_at(types,
+          (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("value"))
+        .repartition(32).write.mode("overwrite").parquet(dir)
+    }
+    val ev = spark.read.parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(unix_millis(col("ts")) / lit(3600000)).cast("long").as("h"),
+        col("ts"), col("value"))
+    def minT(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).min }
+    val tFunnel = minT {
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("us") > col("t1") &&
+          col("us") <= col("t1") + lit(3600000000L))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") > col("t2") &&
+          col("us") <= col("t2") + lit(86400000000L))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s1.agg(count(lit(1))).crossJoin(s2.agg(count(lit(1))))
+        .crossJoin(s3.agg(count(lit(1)))).collect()
+    }
+    val tGap = minT {
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(max_by(col("value"), col("us")).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Long.MinValue, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("fv"))
+        .agg(count(lit(1)), sum(col("fv"))).collect()
+    }
+    val tCohort = minT {
+      val wk = ev.select(col("user_id"),
+        floor(col("h") / lit(168)).as("wk"))
+      val fs = wk.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+      wk.join(fs, "user_id")
+        .groupBy(col("w0"), (col("wk") - col("w0")).as("off"))
+        .agg(count_distinct(col("user_id"))).collect()
+    }
+    println(f"[events] rows=$rows funnel=$tFunnel%.2f s gap_fill=$tGap%.2f s " +
+      f"cohort=$tCohort%.2f s")
+  }
+
   /** `--ivf`: recall-vs-nprobe sweep of the IVF ANN path at the given SF
     * dir's full embeddings table (sf0.1 = 6k vectors), against in-query
     * brute force over 50 query vectors. The scale evidence behind q35's
@@ -226,6 +293,13 @@ object BenchTune {
     }
     if (args.contains("--ivf")) {
       ivfSweep(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--events")) {
+      val rows = args.dropWhile(_ != "--events").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
+      eventsDemo(spark, rows)
       spark.stop()
       return
     }

@@ -403,6 +403,31 @@ class DedupSpec extends AnyFunSuite {
       (2L, 3L, 8L, runA), (2L, 14L, 8L, runB)))
   }
 
+  test("duplicateSpans: native XXH64 and portable md5 key families agree") {
+    // the two hash families must produce IDENTICAL span sets on random
+    // corpora with planted shared runs — they only differ in what
+    // crosses the shuffle, never in the result
+    val rnd = new scala.util.Random(7)
+    val shared = (1 to 3).map(k =>
+      Seq.fill(8 + rnd.nextInt(4))(s"s${rnd.nextInt(50)}_$k").mkString(" "))
+    val docs = (1L to 40L).map { id =>
+      val filler = Seq.fill(5 + rnd.nextInt(20))(s"f${rnd.nextInt(3000)}")
+      val t =
+        if (id % 4 == 0) // plant a shared run at a random offset
+          (filler.take(3) ++ Seq(shared(rnd.nextInt(3))) ++ filler.drop(3))
+            .mkString(" ")
+        else filler.mkString(" ")
+      (id, t)
+    }.toDF("doc_id", "text")
+    val native = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val portable = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8,
+      portableKeys = true)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(native == portable)
+    assert(native.nonEmpty) // the planted runs actually duplicated
+  }
+
   test("duplicateSpans: a 9-token shared run reports one 9-token span") {
     // two overlapping duplicated 8-grams -> islands arithmetic must
     // yield span_tokens = 9, not 8 or 16
