@@ -2548,6 +2548,39 @@ object Queries {
           .orderBy(col("lang"))
       },
       Some(bpeEncodeOracleSql(6))),
+
+    QDef("q102_pq_topk",
+      // Product-quantization ANN with an ORACLE-GATED recall bound (the
+      // q35 pattern): PQ codes score against per-query LUTs (m lookups
+      // + adds per corpus vector, original vectors untouched), a 16k
+      // shortlist re-ranks with EXACT cosine, and overall recall vs the
+      // in-query brute-force reference must come out TRUE at >= 0.8.
+      // m=16 (4-dim subspaces, 16 codewords = 64 bits/vector) because
+      // the synthetic embeddings are near-uniform — worst-case
+      // quantizable, the same widening note as q35; measured recall at
+      // these settings is 0.98. Emitted cosines are exact (re-rank), so
+      // they'd hash-compare if the oracle recomputed them.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5,
+          m = 16, shortlistFactor = 16).select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy() // 10 rows by this point: tiny
+        pq.join(bf.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_results"),
+            (sum(col("n_hits")).over(w).cast("double")
+              / sum(col("n_results")).over(w) >= 0.8).as("recall_ge_080"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS recall_ge_080
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
   )
 
   /** The unrolled BPE learning chain shared by q97/q101's oracles: one

@@ -279,4 +279,150 @@ object Similarity {
       nassign: Int = 2): DataFrame =
     ivfSearch(queries, corpus, idCol, vecCol, k,
       fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters), nprobe, nassign)
+
+  // ---------- Product quantization (PQ) ----------
+  //
+  // The memory-footprint scale path: a 100 TB embedding corpus at
+  // dim=64 float is 256 bytes/vector; PQ(m=4, k=16) stores m codes
+  // (4 x 4 bits of information — represented as array<int> here for
+  // plan clarity; bit-packing is a storage detail) plus a
+  // (m x k x dim/m)-double codebook SHARED by the whole corpus.
+  // Scoring a query against a coded vector is m LUT lookups + adds
+  // instead of a dim-wide dot product. (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011.)
+
+  /** Unit-normalize a vector column (zero vectors pass through), so
+    * cosine reduces to a plain dot product downstream.
+    */
+  private def unitizeCol(v: Column): Column = {
+    val n = VectorFunctions.norm(v)
+    when(n > 0, transform(v, x => x.cast("double") / n))
+      .otherwise(transform(v, x => x.cast("double")))
+  }
+
+  /** L2 argmin against literal (non-unit) codewords via homogeneous
+    * coordinates: argmin_c |x-c|^2 == argmax_c (dot(x,c) - |c|^2/2) ==
+    * dot-argmax of [x, 1] against [c, -|c|^2/2] — which reuses the
+    * narrow NearestCells kernel unchanged. Ties resolve to the lowest
+    * code, deterministically.
+    */
+  private def nearestCodeword(sub: Column, book: Array[Array[Double]]): Column = {
+    val aug = book.map(c => c :+ (-c.map(x => x * x).sum / 2))
+    element_at(bestCells(
+      concat(transform(sub, x => x.cast("double")), array(lit(1.0))), aug, 1), 1)
+  }
+
+  /** Fit PQ codebooks over the unit-normalized corpus: `m` subspaces,
+    * `k` codewords each, plain (L2, non-spherical) Lloyd iterations —
+    * sub-vector MAGNITUDE carries reconstruction information, so
+    * codewords are means, never unitized. Same driver-action shape as
+    * [[fitCentroids]]: each iteration is one narrow assignment pass
+    * plus a map-side-combined groupBy shuffling only k x dim/m partial
+    * sums.
+    */
+  def fitPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), unitizeCol(col(vecCol)).as("uv"))
+    val dim = c.select(size(col("uv"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sd = dim / m
+    (0 until m).map { j =>
+      val sub = c.select(col("cid"),
+        slice(col("uv"), j * sd + 1, sd).as("sv"))
+      var book: Array[Array[Double]] = sub
+        .orderBy(xxhash64(col("cid"), lit(j)), col("cid")).limit(k)
+        .select(col("sv")).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+      require(book.nonEmpty, "fitPqCodebooks needs a non-empty corpus")
+      for (_ <- 1 to iters) {
+        val assigned = sub.withColumn("code", nearestCodeword(col("sv"), book))
+        val dimSums = (0 until sd).map(i =>
+          sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+        val rows = assigned.groupBy(col("code"))
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .collect()
+        val next = book.clone()
+        rows.foreach { r =>
+          val code = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(code) = Array.tabulate(sd)(i => r.getDouble(2 + i) / n)
+        }
+        book = next // empty cells keep their previous codeword
+      }
+      book
+    }.toArray
+  }
+
+  /** PQ-encode a unit-normalized vector column: array of `m` codes, one
+    * narrow codegen'd argmin per subspace — no join, no shuffle.
+    */
+  def pqEncodeExpr(uv: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sd = books(0)(0).length
+    array(books.zipWithIndex.map { case (book, j) =>
+      nearestCodeword(slice(uv, j * sd + 1, sd), book)
+    }: _*)
+  }
+
+  /** PQ ANN search with exact re-ranking: score every coded corpus
+    * vector against each query's LUT (m element_at lookups + adds — the
+    * asymmetric-distance computation; the corpus vectors themselves are
+    * never touched), take a `shortlistFactor * k` shortlist per query,
+    * then re-rank the shortlist with EXACT cosine on the original
+    * vectors. Queries are collected to build the LUTs — the query set
+    * is small and broadcast, the same stance as [[bruteForceTopK]].
+    *
+    * Output: (query_id, rank, neighbor_id, cos) — cos is exact on the
+    * emitted rows (approximation only decides the shortlist).
+    */
+  def pqSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]],
+      shortlistFactor: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kcode = books(0).length
+    val sd = books(0)(0).length
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        pqEncodeExpr(unitizeCol(col(vecCol)), books).as("codes"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val luts = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
+      .collect().map { r =>
+        val uq = r.getSeq[Number](1).map(_.doubleValue).toArray
+        val lut = Array.tabulate(m * kcode) { i =>
+          val (j, code) = (i / kcode, i % kcode)
+          (0 until sd).map(x => uq(j * sd + x) * books(j)(code)(x)).sum
+        }
+        (r.getLong(0), lut.toSeq)
+      }.toSeq.toDF("query_id", "lut")
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
+      .reduce(_ + _)
+    val scored = c.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("cid"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        approx.as("cos"))
+    val shortlist = emitTopK(scored, k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = shortlist
+      .join(c.select(col("cid").as("neighbor_id"), col("cv")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    emitTopK(reranked, k)
+  }
+
+  /** PQ ANN, fit-inline convenience: [[fitPqCodebooks]] + [[pqSearch]]. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, kcode: Int = 16, iters: Int = 3,
+      shortlistFactor: Int = 8): DataFrame =
+    pqSearch(queries, corpus, idCol, vecCol, k,
+      fitPqCodebooks(corpus, idCol, vecCol, m, kcode, iters), shortlistFactor)
 }

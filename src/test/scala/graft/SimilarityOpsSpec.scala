@@ -201,6 +201,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cross"),
       s"no cross join may appear in the IVF plan:\n$plan")
   }
+
+  test("PQ top-k: exact re-rank scores, strong recall vs brute force") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", k, m = 16, shortlistFactor = 16)
+      .select("query_id", "neighbor_id", "cos").collect()
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id", "cos").collect()
+    // k results per query, exact cosine on every emitted row (re-rank)
+    assert(pq.length == bf.length)
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.count(r => bfSet.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / bf.length
+    info(f"PQ recall@$k = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f")
+    // emitted cos values are exact: every (q,n) pair shared with brute
+    // force carries the identical cosine
+    val bfCos = bf.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pq.foreach { r =>
+      bfCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("PQ codes: m codes per vector, all in [0, kcode)") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 16))
+    assert(books.forall(_.forall(_.length == 16))) // 64 dim / 4 subspaces
+    val codes = emb.select(Similarity.pqEncodeExpr(
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")), books)
+      .as("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
@@ -304,6 +339,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_matched").as[Boolean].head()
     assert(!none)
   }
+
 }
 
 class SessionizeSpec extends AnyFunSuite {
