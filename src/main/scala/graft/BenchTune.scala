@@ -244,6 +244,55 @@ object BenchTune {
       f"cohort=$tCohort%.2f s")
   }
 
+  /** `--pq [rows]`: PQ ANN at corpus scale — synthetic 64-dim vectors,
+    * codebooks fit on a 10% hash-sample (the production shape: Lloyd
+    * never runs over the full corpus), then encode throughput and
+    * LUT-search-vs-brute-force wall clock for 10 queries, with recall
+    * measured in-run.
+    */
+  private def pqDemo(spark: SparkSession, rows: Long): Unit = {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft-pq-$rows"
+    if (!new java.io.File(dir).exists()) {
+      spark.range(rows).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000) / 1000.0))
+          .as("embedding"))
+        .repartition(32).write.mode("overwrite").parquet(dir)
+    }
+    val emb = spark.read.parquet(dir).cache()
+    emb.count()
+    def minT(f: => Unit): Double = { f; (1 to 3).map(_ => time(f)).min }
+    val sample = emb.filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(10)) === 0)
+    val t0 = System.nanoTime()
+    val books = Similarity.fitPqCodebooks(sample, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2)
+    val tFit = (System.nanoTime() - t0) / 1e9
+    val tEncode = minT(
+      emb.select(Similarity.pqEncodeExpr(
+        transform(col("embedding"), x => x.cast("double")), books).as("c"))
+        .write.mode("overwrite").format("noop").save())
+    val q = emb.filter(col("vec_id") < 10)
+    val tBf = minT(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .collect())
+    val bfIds = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[pq] rows=$rows fit_10pct_sample=$tFit%.2f s " +
+      f"encode=$tEncode%.2f s search_brute=$tBf%.2f s")
+    Seq(16, 64).foreach { f =>
+      val tPq = minT(Similarity.pqSearch(q, emb, "vec_id", "embedding", 10,
+        books, shortlistFactor = f).collect())
+      val pqIds = Similarity.pqSearch(q, emb, "vec_id", "embedding", 10,
+        books, shortlistFactor = f)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = pqIds.intersect(bfIds).size.toDouble / bfIds.size
+      println(f"[pq] rows=$rows shortlist=${f}x search_pq=$tPq%.2f s recall@10=$recall%.3f")
+    }
+    emb.unpersist()
+  }
+
   /** `--ivf`: recall-vs-nprobe sweep of the IVF ANN path at the given SF
     * dir's full embeddings table (sf0.1 = 6k vectors), against in-query
     * brute force over 50 query vectors. The scale evidence behind q35's
@@ -293,6 +342,13 @@ object BenchTune {
     }
     if (args.contains("--ivf")) {
       ivfSweep(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--pq")) {
+      val rows = args.dropWhile(_ != "--pq").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
+      pqDemo(spark, rows)
       spark.stop()
       return
     }

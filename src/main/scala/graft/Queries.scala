@@ -2581,6 +2581,36 @@ object Queries {
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS recall_ge_080
              |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q103_pq_persisted",
+      // PQ codebook persistence end-to-end (q84's gate for the PQ
+      // index): fit codebooks once, save to parquet, LOAD back, search
+      // with both. Parquet round-trips doubles exactly and encode +
+      // LUT scoring + re-rank are deterministic given codebooks, so
+      // loaded results must equal fresh results ROW FOR ROW (null-safe
+      // equality over a full outer join on (query, rank)).
+      (s, d) => {
+        val dir = scratchDir("q103")
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding",
+          m = 16, k = 16, iters = 2)
+        Similarity.savePqIndex(s, books, dir)
+        val loaded = Similarity.loadPqIndex(s, dir)
+        def run(bs: Array[Array[Array[Double]]], out: String) =
+          Similarity.pqSearch(q, emb, "vec_id", "embedding", 5, bs,
+            shortlistFactor = 16)
+            .select(col("query_id"), col("rank"), col("neighbor_id").as(out))
+        run(books, "n_fresh")
+          .join(run(loaded, "n_loaded"), Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_fresh") <=> col("n_loaded")).as("loaded_eq_fresh"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS loaded_eq_fresh
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
   )
 
   /** The unrolled BPE learning chain shared by q97/q101's oracles: one

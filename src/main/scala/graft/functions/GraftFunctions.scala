@@ -61,6 +61,10 @@ object GraftFunctions {
       case Seq(a, b) => VectorExprs.CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException("cosine_similarity(vec, vec)")
     }),
+    "unit_vector" -> (args => args match {
+      case Seq(v) => VectorExprs.UnitVector(v)
+      case _ => throw new IllegalArgumentException("unit_vector(vec)")
+    }),
     "sign_lsh_bands" -> (args => args match {
       case Seq(v) => VectorExprs.SignLshBands(v, 4, 8)
       case Seq(v, bands, bits) => VectorExprs.SignLshBands(v, intArg(bands), intArg(bits))

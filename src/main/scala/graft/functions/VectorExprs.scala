@@ -102,6 +102,56 @@ object VectorExprs {
     if (nn > 0) dot / nn else 0.0
   }
 
+  /** Shared unit-normalization kernel: one fused pass (read + sum of
+    * squares, then scale). Null elements read as 0.0; a zero-norm vector
+    * passes through unscaled — the same absorbing behavior as the
+    * composed `when(norm > 0, transform(v, _ / norm))` guard.
+    */
+  def unitKernel(v: ArrayData, kind: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0 else readElem(v, i, kind)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    val nm = math.sqrt(s)
+    if (nm > 0) {
+      i = 0
+      while (i < n) { out(i) /= nm; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Unit-normalize a vector (array<numeric> -> array<double>).
+    *
+    * Native because the composed formulation — `transform(v, x / norm)`
+    * with `norm = sqrt(aggregate(zip_with(v, v, _*_), ...))` — is a
+    * higher-order function, which Spark always evaluates INTERPRETED,
+    * re-evaluating the captured norm subtree PER ELEMENT: O(dim^2)
+    * boxed operations per row (measured as the whole wall-clock of PQ
+    * encoding at 1M vectors). This kernel is one codegen'd O(dim) pass.
+    */
+  case class UnitVector(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("unit_vector", child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      unitKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.unitKernel(" +
+          s"$c, ${elemKind(child.dataType)});")
+    override def prettyName: String = "unit_vector"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType

@@ -31,6 +31,15 @@ object VectorFunctions {
       org.apache.spark.sql.GraftBridge.expression(a),
       org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Unit-normalize a vector in one native pass (array<numeric> ->
+    * array<double>; zero vectors pass through). See
+    * [[graft.functions.VectorExprs.UnitVector]] for why this must not
+    * be a composed transform-over-norm.
+    */
+  def unit(v: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.UnitVector(
+      org.apache.spark.sql.GraftBridge.expression(v)))
+
   /** The composed (zip_with/aggregate) cosine — same math, same strict
     * left-to-right accumulation; used to cross-check the native
     * expression and as the pattern reference for new vector ops.

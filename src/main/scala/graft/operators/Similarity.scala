@@ -46,8 +46,14 @@ object Similarity {
     def zero: TopKBuf = TopKBuf(Vector.empty)
     def reduce(b: TopKBuf, a: TopItem): TopKBuf = {
       val items = b.items
-      if (items.exists(_.id == a.id)) b
-      else if (items.size >= k && !beats(a, items.last)) b
+      // cheap rejection FIRST: once the buffer is full, the overwhelming
+      // majority of rows lose to the k-th item and must cost O(1), not
+      // an O(k) dedup scan (at shortlist-sized k this is the difference
+      // between seconds and minutes over a 10M-row score stream). The
+      // id-dedup only matters for items that would actually insert — a
+      // rejected duplicate would not have changed the buffer anyway.
+      if (items.size >= k && !beats(a, items.last)) b
+      else if (items.exists(_.id == a.id)) b
       else {
         val idx = items.indexWhere(x => beats(a, x)) match {
           case -1 => items.size
@@ -292,13 +298,12 @@ object Similarity {
   // Quantization for Nearest Neighbor Search", TPAMI 2011.)
 
   /** Unit-normalize a vector column (zero vectors pass through), so
-    * cosine reduces to a plain dot product downstream.
+    * cosine reduces to a plain dot product downstream. Native one-pass
+    * kernel — the composed transform-over-norm formulation re-evaluates
+    * the norm subtree per ELEMENT (interpreted HOF), which turned PQ
+    * encoding into the entire wall-clock at 1M vectors.
     */
-  private def unitizeCol(v: Column): Column = {
-    val n = VectorFunctions.norm(v)
-    when(n > 0, transform(v, x => x.cast("double") / n))
-      .otherwise(transform(v, x => x.cast("double")))
-  }
+  private def unitizeCol(v: Column): Column = VectorFunctions.unit(v)
 
   /** L2 argmin against literal (non-unit) codewords via homogeneous
     * coordinates: argmin_c |x-c|^2 == argmax_c (dot(x,c) - |c|^2/2) ==
@@ -415,6 +420,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     emitTopK(reranked, k)
+  }
+
+  /** Persist fitted PQ codebooks to parquet:
+    * (subspace: int, code: int, codeword: array<double>). Same
+    * build/search separation as [[saveIndex]] — fit once, save the
+    * (tiny) codebook table, every encode/search job loads it instead of
+    * re-running Lloyd over the corpus.
+    */
+  def savePqIndex(spark: SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "cannot save an empty PQ index")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("subspace", "code", "codeword")
+      .repartition(1) // m x k x dim/m doubles: one small file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted PQ codebooks. Parquet round-trips doubles exactly,
+    * so a loaded codebook encodes and searches bit-identically to the
+    * freshly fitted one (gated in-query by q103).
+    */
+  def loadPqIndex(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    require(rows.nonEmpty, s"no PQ index at $path")
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keySet.max + 1
+    Array.tabulate(m) { j =>
+      val sub = bySub.getOrElse(j,
+        throw new IllegalArgumentException(s"PQ index at $path is missing subspace $j"))
+      sub.sortBy(_.getInt(1)).zipWithIndex.map { case (r, c) =>
+        require(r.getInt(1) == c, s"PQ index at $path is missing code $c of subspace $j")
+        r.getSeq[Double](2).toArray
+      }
+    }
   }
 
   /** PQ ANN, fit-inline convenience: [[fitPqCodebooks]] + [[pqSearch]]. */

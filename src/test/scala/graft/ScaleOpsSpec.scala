@@ -98,6 +98,11 @@ class ScaleOpsSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(r.getAs[Double]("c1") == 1.0 && r.getAs[Double]("c0") == 0.0)
     assert(r.getAs[Int]("nb") == 4)
+    val u = spark.sql("SELECT unit_vector(array(3.0, 4.0)) AS u").head()
+      .getAs[scala.collection.Seq[Double]]("u")
+    assert(u == Seq(0.6, 0.8))
+    assert(spark.sql("SELECT unit_vector(array(0.0, 0.0)) AS u").head()
+      .getAs[scala.collection.Seq[Double]]("u") == Seq(0.0, 0.0))
     assert(r.getAs[scala.collection.Seq[Int]]("cells") == Seq(1, 0))
     // non-literal centroids are rejected, not silently mis-planned
     assertThrows[Exception] {

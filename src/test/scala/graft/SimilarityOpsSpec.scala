@@ -226,6 +226,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index round-trips bit-identical; corrupted index rejected") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.savePqIndex(spark, books, s"$dir/idx")
+    val loaded = Similarity.loadPqIndex(spark, s"$dir/idx")
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    // an index with a missing subspace fails fast, not silently mis-searches
+    spark.read.parquet(s"$dir/idx").filter(col("subspace") =!= 1)
+      .write.parquet(s"$dir/broken")
+    assertThrows[IllegalArgumentException] {
+      Similarity.loadPqIndex(spark, s"$dir/broken")
+    }
+  }
+
   test("PQ codes: m codes per vector, all in [0, kcode)") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
