@@ -2611,6 +2611,50 @@ object Queries {
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS loaded_eq_fresh
              |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q104_span_admission",
+      // Incremental span dedup (the crawl-admission shape): even-id docs
+      // are the admitted history, persisted as a DISTINCT-gram store;
+      // the odd-id batch is checked against the store with ONE semi-join
+      // — history is never rescanned. The oracle recomputes the same
+      // semantics directly: batch-2 positions whose gram exists among
+      // batch-1 grams, merged by the q96 islands arithmetic.
+      (s, d) => {
+        val dir = scratchDir("q104")
+        val docs = t(s, d, "documents")
+        Dedup.appendGramStore(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", minTokens = 8, batchId = 0L, path = dir,
+          portableKeys = true)
+        Dedup.spansAgainstStore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minTokens = 8, path = dir, portableKeys = true)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, len(tk) - 6)) AS pos,
+             |    unnest(list_transform(range(1, len(tk) - 6),
+             |      i -> substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 16))) AS gram
+             |  FROM tok WHERE len(tk) >= 8
+             |), store AS (
+             |  SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0
+             |), p AS (
+             |  SELECT doc_id, pos FROM g
+             |  WHERE doc_id % 2 = 1 AND gram IN (SELECT gram FROM store)
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM p
+             |), spans AS (
+             |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |    CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+             |  FROM isl GROUP BY doc_id, grp
+             |)
+             |SELECT s.doc_id, span_start, span_tokens,
+             |  array_to_string(tk[span_start:span_start+span_tokens-1], ' ') AS span_text
+             |FROM spans s JOIN tok USING (doc_id)
+             |ORDER BY doc_id, span_start""".stripMargin)),
   )
 
   /** The unrolled BPE learning chain shared by q97/q101's oracles: one

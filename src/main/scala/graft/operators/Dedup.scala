@@ -462,16 +462,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, portableKeys: Boolean = false): DataFrame = {
     require(minTokens >= 2, "a 1-token 'span' is vocabulary, not duplication")
-    val tok = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= minTokens)
-    val keys =
-      if (portableKeys)
-        transform(TextFunctions.ngrams(col("tk"), minTokens),
-          s => substring(md5(s), 1, 16))
-      else HashExprs.tokenGramHashes(col("tk"), minTokens)
-    val grams = tok.select(col("doc_id"),
-      posexplode(keys).as(Seq("pos", "g")))
+    val tok = tokenized(docs, idCol, textCol, minTokens)
+    val grams = gramPostings(tok, minTokens, portableKeys)
     // "seen in >= 2 distinct docs" as min != max: ONE map-side-combined
     // aggregation pass and one exchange, where count_distinct would
     // shuffle the postings twice (partial-dedup exchange + count
@@ -481,6 +473,34 @@ object Dedup {
       .filter(col("d0") =!= col("d1"))
       .select(col("g"))
     val dupPos = grams.join(dupGrams, "g").select(col("doc_id"), col("pos"))
+    spansFromPositions(dupPos, tok, minTokens)
+  }
+
+  /** (doc_id, tk) rows of docs with at least minTokens tokens. */
+  private def tokenized(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= minTokens)
+
+  /** Positional gram postings (doc_id, pos 0-based, g) of tokenized docs,
+    * keyed by the selected hash family.
+    */
+  private def gramPostings(
+      tok: DataFrame, minTokens: Int, portableKeys: Boolean): DataFrame = {
+    val keys =
+      if (portableKeys)
+        transform(TextFunctions.ngrams(col("tk"), minTokens),
+          s => substring(md5(s), 1, 16))
+      else HashExprs.tokenGramHashes(col("tk"), minTokens)
+    tok.select(col("doc_id"), posexplode(keys).as(Seq("pos", "g")))
+  }
+
+  /** Islands-merge of duplicated positions into maximal spans + span
+    * text recovery — the shared tail of the batch and incremental paths.
+    */
+  private def spansFromPositions(
+      dupPos: DataFrame, tok: DataFrame, minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = dupPos
@@ -495,5 +515,38 @@ object Dedup {
         array_join(slice(col("tk"), col("span_start").cast("int"),
           col("span_tokens").cast("int")), " ").as("span_text"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Append a batch's DISTINCT gram keys to a persisted gram store —
+    * the incremental-crawl state for [[spansAgainstStore]]. The store is
+    * the span-dedup analogue of SketchStore: mergeable by construction
+    * (distinct keys union trivially), bounded by corpus gram count, and
+    * append-only — admitting a new crawl batch never rescans history.
+    * Batches land in separate subdirectories, so concurrent appends of
+    * DIFFERENT batch ids never collide.
+    */
+  def appendGramStore(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      batchId: Long, path: String, portableKeys: Boolean = false): Unit =
+    gramPostings(tokenized(docs, idCol, textCol, minTokens), minTokens, portableKeys)
+      .select(col("g")).distinct()
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Maximal spans of `docs` that appear verbatim ANYWHERE in the
+    * persisted gram store (i.e. in any previously admitted batch) —
+    * incremental span-dedup: the new batch is checked against the whole
+    * corpus history with one semi-join against the store, never a
+    * rescan of the admitted documents. Same output shape and islands
+    * arithmetic as [[duplicateSpans]].
+    */
+  def spansAgainstStore(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      path: String, portableKeys: Boolean = false): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol, minTokens)
+    val grams = gramPostings(tok, minTokens, portableKeys)
+    val store = docs.sparkSession.read.parquet(path).select(col("g")).distinct()
+    val dupPos = grams.join(store, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spansFromPositions(dupPos, tok, minTokens)
   }
 }

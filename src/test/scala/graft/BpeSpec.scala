@@ -79,6 +79,17 @@ class BpeSpec extends AnyFunSuite {
       .as[Seq[Seq[String]]].head() == Seq(Seq("h", "ug", "s")))
   }
 
+  test("learnMerges/encode absorb null and empty texts") {
+    val docs = Seq("ab ab", null.asInstanceOf[String], "").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "b", 2L)))
+    val lens = docs.select(Bpe.encodedLength(col("text"), Seq(("a", "b"))).as("n"))
+      .as[Option[Long]].collect().toSeq
+    // null text -> null length (caller decides policy); empty -> 0
+    assert(lens.toSet == Set(Some(2L), None, Some(0L)))
+  }
+
   test("learnMerges stops early when the vocabulary is fully merged") {
     val docs = Seq("ab ab ab").toDF("text")
     // round 1 merges (a,b); afterwards every word is a single symbol —

@@ -403,6 +403,42 @@ class DedupSpec extends AnyFunSuite {
       (2L, 3L, 8L, runA), (2L, 14L, 8L, runB)))
   }
 
+  test("duplicateSpans absorbs null/empty/short texts (web-corpus reality)") {
+    val shared = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, null.asInstanceOf[String]), (4L, ""), (5L, "too short")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 8L, shared), (2L, 1L, 8L, shared)))
+  }
+
+  test("gram store admission: history hits flagged, intra-batch dups are not") {
+    val boiler = (1 to 9).map(i => s"b$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"n$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstore").toString
+    val batch1 = Seq((1L, s"intro words $boiler outro")).toDF("doc_id", "text")
+    Dedup.appendGramStore(batch1, "doc_id", "text", 8, batchId = 0L, path = dir)
+    // batch2: doc 10 repeats history's boilerplate (must flag, maximal);
+    // docs 11+12 share a run only with EACH OTHER (store check must NOT
+    // flag it — admission dedups against history, not within the batch)
+    val batch2 = Seq(
+      (10L, s"u1 u2 $boiler u3"),
+      (11L, s"$fresh v1 v2 v3 v4 v5"),
+      (12L, s"w1 w2 w3 w4 w5 w6 w7 w8 $fresh")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.spansAgainstStore(batch2, "doc_id", "text", 8, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hits == Seq((10L, 3L, 9L, boiler)))
+    // after admitting batch2's grams, a later doc carrying `fresh` hits
+    Dedup.appendGramStore(batch2, "doc_id", "text", 8, batchId = 1L, path = dir)
+    val batch3 = Seq((20L, s"x1 x2 x3 $fresh")).toDF("doc_id", "text")
+    val hits3 = Dedup.spansAgainstStore(batch3, "doc_id", "text", 8, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hits3 == Seq((20L, 4L, 8L, fresh)))
+  }
+
   test("duplicateSpans: native XXH64 and portable md5 key families agree") {
     // the two hash families must produce IDENTICAL span sets on random
     // corpora with planted shared runs — they only differ in what
