@@ -205,6 +205,10 @@ object HashExprs {
     */
   case class TokenGramHashes(child: Expression, n: Int)
       extends UnaryExpression {
+    // constructed during analysis (incl. the token_gram_hashes SQL
+    // registry), so this rejects n <= 0 as an analysis-time error instead
+    // of cnt+1 garbage hashes (n = 0) or an AIOOBE from inside codegen
+    require(n >= 1, s"token_gram_hashes needs n >= 1, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any =

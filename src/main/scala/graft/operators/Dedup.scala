@@ -115,31 +115,8 @@ object Dedup {
     // two self-join sides even though only one carries the metrics node
     // (verified: 2 ReusedExchange under a forced shuffle join), so the
     // shingle+minhash map work runs once at scale.
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    def capped(observed: Boolean) = {
-      val counted = banded.withColumn("__n", count(lit(1)).over(wb))
-      // the metric node may appear only once per query (CheckAnalysis
-      // rejects a duplicated CollectMetrics name), so only the left side
-      // of the self-join carries it
-      // observed metrics forbid DISTINCT aggregates; the bucket count is
-      // still exact without one: every row of an oversized bucket
-      // contributes 1/__n, so each dropped bucket sums to exactly 1.
-      // The metric name is unique per invocation (CheckAnalysis rejects
-      // duplicate CollectMetrics names, so two LSH calls composed into
-      // one query must not collide).
-      val maybeObserved = if (observed) counted.observe(
-        s"graft.minhash_lsh.${metricSeq.incrementAndGet()}",
-        sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("oversized_rows"),
-        round(sum(when(col("__n") > bucketCap,
-          lit(1.0) / col("__n")).otherwise(0.0))).cast("long")
-          .as("dropped_band_buckets"))
-      else counted
-      maybeObserved.filter(col("__n") <= bucketCap).drop("__n")
-    }
-
-    val a = capped(observed = true).alias("a")
-    val b = capped(observed = false).alias("b")
+    val a = cappedBuckets(banded, bucketCap, Some("graft.minhash_lsh")).alias("a")
+    val b = cappedBuckets(banded, bucketCap, None).alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -148,6 +125,37 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Degenerate-bucket cap shared by every banded-LSH candidate path
+    * (MinHash shingle buckets and sign-LSH embedding buckets): rows of
+    * (band, bucket) groups larger than `bucketCap` are dropped — NEVER
+    * silently: when `metricPrefix` is set, the drop count is emitted as
+    * an observed metric (oversized_rows / dropped_band_buckets, logged by
+    * GraftSession's listener when the query runs — zero extra passes over
+    * the data). The window count shuffles on the same (band, bucket) key
+    * the candidate self-join needs, so the exchange is reused, not added.
+    *
+    * The metric node may appear only once per query (CheckAnalysis
+    * rejects a duplicated CollectMetrics name), so only ONE side of a
+    * self-join should pass `metricPrefix`; the name also carries a
+    * per-invocation sequence number so two LSH calls composed into one
+    * query never collide. Observed metrics forbid DISTINCT aggregates;
+    * the dropped-bucket count is still exact without one: every row of an
+    * oversized bucket contributes 1/__n, so each bucket sums to exactly 1.
+    */
+  private def cappedBuckets(
+      banded: DataFrame, bucketCap: Long, metricPrefix: Option[String]): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val counted = banded.withColumn("__n", count(lit(1)).over(wb))
+    val maybeObserved = metricPrefix.fold(counted)(prefix => counted.observe(
+      s"$prefix.${metricSeq.incrementAndGet()}",
+      sum(when(col("__n") > bucketCap, 1L).otherwise(0L)).as("oversized_rows"),
+      round(sum(when(col("__n") > bucketCap,
+        lit(1.0) / col("__n")).otherwise(0.0))).cast("long")
+        .as("dropped_band_buckets")))
+    maybeObserved.filter(col("__n") <= bucketCap).drop("__n")
   }
 
   /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
@@ -361,9 +369,20 @@ object Dedup {
     * delete chain members whose only near-duplicate was itself
     * deleted). Deterministic for any partitioning.
     *
-    * Scale: pairwise work is bounded per cell (choose
-    * nlist ~ corpusSize / targetCellSize to keep cells bounded; AQE
-    * splits skewed cells), cell assignment is a narrow argmax, and the
+    * Scale: pairwise work is bounded per cell and the bound is ENFORCED,
+    * not advisory. Bit-identical vectors collapse to a min-id
+    * representative FIRST (cosine is invariant across identical copies,
+    * so this is lossless for the near-dup relation, costs one shuffle,
+    * and chains each clone to its representative with an O(n) pair) —
+    * which is also what makes the bound enforceable, because k-means can
+    * never split a set of identical points and a re-crawled page's
+    * embedding megacluster is exactly the skew that otherwise defeats
+    * nlist tuning. Then [[boundedCells]] re-clusters any cell above
+    * `maxCellSize` (default max(4096, 8·sqrt(N))) into sub-cells, and
+    * the rare cell no split can reduce within `refineRounds` falls back
+    * to an O(n) hub compare instead of O(n^2) pairs, so a skewed
+    * embedding space cannot produce a quadratic stage. Cell assignment
+    * is a narrow argmax, and the
     * component pass runs only over near-dup pairs (a tiny fraction of
     * the corpus) — the cluster-scoped alternative to
     * [[embeddingNearDupPairs]]' LSH when near-dup groups should follow
@@ -371,20 +390,59 @@ object Dedup {
     */
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, nlist: Int = 16, kmeansIters: Int = 3): DataFrame = {
+      threshold: Double = 0.99, nlist: Int = 16, kmeansIters: Int = 3,
+      maxCellSize: Int = 0, refineRounds: Int = 3): DataFrame = {
     // null embeddings can't be near-duplicates of anything: kept as
     // survivors untouched would be wrong (they're not comparable) —
     // dropped at the boundary like the other embedding operators
     val v = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = Similarity.fitCentroids(vecs, idCol, vecCol, nlist, kmeansIters)
-    val cells = Similarity.assignCells(v, "v", cents)
-    val a = cells.alias("a")
-    val b = cells.alias("b")
-    val pairs = a.join(b,
+    val cap: Long =
+      if (maxCellSize > 0) maxCellSize.toLong
+      else math.max(4096L, 8L * math.sqrt(v.count().toDouble).toLong)
+    // exact-collapse (see scale note above): one representative per
+    // distinct vector enters the cell machinery; clones chain to it
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    val withRep = v.withColumn("rep_id", min(col("id")).over(wv))
+    val clonePairs = withRep.filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+    val reps = withRep.filter(col("id") === col("rep_id")).select("id", "v")
+    val (cells, residual) = boundedCells(reps, nlist, kmeansIters, cap, refineRounds)
+    // all-pairs compare ONLY inside cells proven <= cap by boundedCells;
+    // residual (irreducible) cells get the O(n) hub pattern instead
+    val bounded =
+      if (residual.isEmpty) cells
+      else cells.filter(!col("cell").isInCollection(residual))
+    val a = bounded.alias("a")
+    val b = bounded.alias("b")
+    val cellPairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val repPairs =
+      if (residual.isEmpty) cellPairs
+      else {
+        // Oversized cells of DISTINCT vectors that re-clustering could
+        // not split within refineRounds (a very tight blob) compare each
+        // member against the cell's min-id hub: O(n) pairs per cell
+        // instead of O(n^2). What this approximates: two members
+        // near-dup to each other but BOTH outside threshold of the hub
+        // stay unlinked — for a cell that k-means cannot split, such
+        // pairs are rare by construction (the cell is tight), and
+        // boundedness at scale is the contract here.
+        val res = cells.filter(col("cell").isInCollection(residual))
+        val hubs = res.groupBy(col("cell"))
+          .agg(min(col("id")).as("hub_id"))
+          .join(res.select(col("cell"), col("id").as("hub_id"),
+            col("v").as("hub_v")), Seq("cell", "hub_id"))
+        val hubPairs = res.join(broadcast(hubs), "cell")
+          .filter(col("id") =!= col("hub_id"))
+          .filter(VectorFunctions.cosine(col("v"), col("hub_v")) >= threshold)
+          .select(least(col("hub_id"), col("id")).as("id_a"),
+            greatest(col("hub_id"), col("id")).as("id_b"))
+        cellPairs.unionByName(hubPairs)
+      }
+    val pairs = repPairs.unionByName(clonePairs)
     val dropped = Components.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("comp"))
       .select("id")
@@ -392,23 +450,88 @@ object Dedup {
       .select(col("id").as(idCol), col("v").as(vecCol))
   }
 
+  /** Cell assignment with ENFORCED cell-size bound: k-means cells, then
+    * up to `refineRounds` driver-loop rounds re-clustering every cell
+    * above `cap` into sub-cells (a fresh [[Similarity.fitCentroids]] fit
+    * on just that cell's members — skew at scale means a FEW giant
+    * cells, so the driver loop is short, and each fit's shuffles carry
+    * only centroid partials, never the corpus). Cells that stay above
+    * cap after the rounds — an extremely tight blob the sampled seeds
+    * never separate (callers should exact-collapse identical vectors
+    * first; k-means can NEVER split those) — are returned in the
+    * residual list for the caller to handle with a linear-cost
+    * strategy. Returns (id, v, cell) with cell ids unique across rounds.
+    */
+  private[graft] def boundedCells(
+      v: DataFrame, nlist: Int, kmeansIters: Int,
+      cap: Long, refineRounds: Int): (DataFrame, Seq[Long]) = {
+    val cents = Similarity.fitCentroids(v, "id", "v", nlist, kmeansIters)
+    var cells = Similarity.assignCells(v, "v", cents)
+      .withColumn("cell", col("cell").cast("long"))
+    var nextCell = nlist.toLong
+    def oversized(): Seq[(Long, Long)] =
+      cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var over = oversized()
+    var round = 0
+    while (over.nonEmpty && round < refineRounds) {
+      for ((c, n) <- over) {
+        val members = cells.filter(col("cell") === c)
+        // enough sub-cells to land near cap/2 if the split is even,
+        // bounded so a single round's fit stays cheap
+        val k = math.min(64, math.max(2, (2L * n / cap).toInt))
+        val subCents = Similarity.fitCentroids(members, "id", "v", k, 2)
+        val reassigned = Similarity
+          .assignCells(members.drop("cell"), "v", subCents, "sub")
+          .withColumn("cell", lit(nextCell) + col("sub").cast("long"))
+          .drop("sub")
+        nextCell += subCents.length.toLong
+        cells = cells.filter(col("cell") =!= c).unionByName(reassigned)
+      }
+      // each round stacks filters/unions on the plan: cut lineage so
+      // refineRounds stays O(rounds), not O(rounds^2) in plan size
+      cells = cells.localCheckpoint()
+      round += 1
+      over = oversized()
+    }
+    (cells, over.map(_._1))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH (OR-amplified — any of
     * `bands` bucket matches makes a candidate) then exact cosine
     * verification. Identical vectors always collide (equal inputs hash
     * identically); near-identical vectors survive a flipped sign bit in
     * one band because another band still matches (≈0.998 recall at
-    * cos 0.99 with 4×8 bits). No all-pairs compare happens.
+    * cos 0.99 with 4×8 bits). No all-pairs compare happens — including
+    * under adversarial sign skew: a corpus whose embeddings share one
+    * sign pattern (e.g. all-non-negative vectors out of a ReLU encoder)
+    * funnels into a single (band, bucket), and those degenerate buckets
+    * are capped exactly like the MinHash path ([[cappedBuckets]]:
+    * `maxBucketSize = 0` derives max(1000, 4·sqrt(N)) so the worst-case
+    * candidate count stays LINEAR in corpus size, and every dropped
+    * bucket is counted in the "graft.sign_lsh" observed metric). A doc
+    * in one hot bucket keeps its other (bands-1) buckets, so only pairs
+    * whose EVERY band is oversized are lost — at that point sign-LSH
+    * carries no signal for the corpus and a projection-based family
+    * (or [[semanticDedup]]) is the right tool; the metric is the alarm.
     */
   def embeddingNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, bitsPerBand: Int = 8,
-      threshold: Double = 0.99): DataFrame = {
+      threshold: Double = 0.99, maxBucketSize: Int = 0): DataFrame = {
+    require(maxBucketSize == 0 || maxBucketSize > 1,
+      "maxBucketSize must allow at least one pair (or 0 = adaptive)")
     val v = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketCap =
+      if (maxBucketSize > 0) maxBucketSize.toLong
+      else math.max(1000L, 4L * math.sqrt(v.count().toDouble).toLong)
     val bucketed = v.select(col("id"), posexplode(
       VectorFunctions.signLshBandBuckets(col("v"), bands, bitsPerBand))
       .as(Seq("band", "bucket")))
-    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    val a = cappedBuckets(bucketed, bucketCap, Some("graft.sign_lsh")).alias("a")
+    val b = cappedBuckets(bucketed, bucketCap, None).alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
@@ -426,8 +549,13 @@ object Dedup {
 
   /** Span-level duplicate detection (the "ExactSubstr" shape of
     * suffix-array training-data dedup, at word-token granularity):
-    * every maximal run of >= minTokens consecutive tokens that also
-    * appears verbatim in at least one OTHER document. Whole-doc dedup
+    * maximal runs of >= minTokens consecutive tokens in which EVERY
+    * minTokens-token window appears verbatim in at least one other
+    * document — the standard gram-based approximation of ExactSubstr.
+    * (Adjacent windows may match DIFFERENT documents, so a merged span
+    * as a whole need not appear verbatim anywhere else; for span
+    * removal that is the semantics you want — every window of the cut
+    * text was duplicated somewhere.) Whole-doc dedup
     * misses these entirely — boilerplate headers, license blocks, and
     * quoted passages duplicate at span level inside otherwise-unique
     * documents, and span removal is what actually shrinks a crawl.

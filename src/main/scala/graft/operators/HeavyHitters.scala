@@ -85,9 +85,13 @@ object HeavyHitters {
   /** Merge PERSISTED per-batch summaries (the [[SketchStore]] pattern for
     * frequency: append each ingest batch's `(key, est)` rows, merge on
     * read) without rescanning any batch. Mergeability means the result
-    * carries the same guarantee with the bounds ADDED: if batch i of
-    * length N_i was summarized with m_i >= m counters, every key with
-    * total frequency > sum(N_i/(m_i+1)) is present in the merge.
+    * still carries a provable guarantee after the final prune to m
+    * entries: if batch i of length N_i was summarized with m_i >= m
+    * counters, every key with total frequency > sum(N_i)/(m+1) is
+    * present in the merge (Agarwal et al.'s bound for the FINAL m — the
+    * tighter sum(N_i/(m_i+1)) holds only before pruning back to m, so
+    * over-provisioned per-batch summaries with m_i > m improve the est
+    * values but not the survival bound).
     *
     * Implementation: summing per-key ests is an ordinary group-by (ests
     * are exact partials under the MG algebra), then one final MG prune to
@@ -111,12 +115,19 @@ object HeavyHitters {
     * over the batch, <= m rows appended; [[mergeSummaries]] over
     * `spark.read.parquet(path)` recovers the heavy hitters of the UNION
     * of all batches without rescanning any of them.
+    *
+    * Each batch lands in its own `batch_id=N` subdirectory with
+    * mode("overwrite") — IDEMPOTENT per batch id, which matters because
+    * foreachBatch re-executes a failed micro-batch with the SAME batchId:
+    * an appending write would double-count the retried summary (MG ests
+    * sum, unlike HLL's idempotent register-max union), breaking the
+    * est <= true_count guarantee. The directory name doubles as the
+    * `batch_id` column via partition discovery on read.
     */
   def appendBatch(batch: DataFrame, keyCol: String, m: Int,
       batchId: Long, path: String): Unit =
     summarize(batch, keyCol, m)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
   /** Folds pre-counted `(key, est)` rows through the MG merge algebra —
     * the reduce side treats each row as a one-key summary, so reduce and

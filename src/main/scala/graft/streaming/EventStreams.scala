@@ -218,8 +218,10 @@ object EventStreams {
     * Misra-Gries summary via [[graft.operators.HeavyHitters.appendBatch]];
     * [[graft.operators.HeavyHitters.mergeSummaries]] over the stats table
     * yields the heavy hitters of everything ingested so far, with the
-    * additive bound sum(N_i/(m+1)) — hot-key detection that never
-    * rescans the stream's history.
+    * additive bound sum(N_i)/(m+1) — hot-key detection that never
+    * rescans the stream's history. appendBatch writes each batch to its
+    * own `batch_id=N` directory with overwrite, so a micro-batch retry
+    * (same batchId) replaces rather than double-counts its summary.
     */
   def heavyHitterIngest(
       events: DataFrame, keyCol: String, m: Int,

@@ -68,4 +68,23 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(est <= 900L)
     assert(900L - est <= bound + batches.size, s"est $est out of additive bound")
   }
+
+  test("appendBatch is idempotent per batch id (micro-batch retry safe)") {
+    // foreachBatch re-executes a failed micro-batch with the SAME
+    // batchId; a re-run appendBatch must replace, not double-count —
+    // otherwise the merged est would exceed the true count.
+    val dir = java.nio.file.Files.createTempDirectory("mg_store").toString
+    val b0 = (1 to 100).map(_ => "hot") ++ (1 to 50).map(i => s"t$i")
+    val b1 = (1 to 80).map(_ => "hot") ++ (1 to 50).map(i => s"u$i")
+    HeavyHitters.appendBatch(b0.toDF("k"), "k", m = 8, batchId = 0L, dir)
+    HeavyHitters.appendBatch(b1.toDF("k"), "k", m = 8, batchId = 1L, dir)
+    // retry of batch 1 with identical data
+    HeavyHitters.appendBatch(b1.toDF("k"), "k", m = 8, batchId = 1L, dir)
+    val store = spark.read.parquet(dir)
+    assert(store.select("batch_id").distinct().count() == 2L)
+    val merged = HeavyHitters.mergeSummaries(store, m = 8)
+      .as[(String, Long)].collect().toMap
+    val est = merged.getOrElse("hot", fail("hot key lost"))
+    assert(est <= 180L, s"retry double-counted: est $est > true count 180")
+  }
 }

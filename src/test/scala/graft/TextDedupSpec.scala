@@ -360,6 +360,69 @@ class DedupSpec extends AnyFunSuite {
     assert(untouched == originals)
   }
 
+  test("boundedCells splits a skewed-but-splittable cell below the cap") {
+    // 400 DISTINCT vectors fanned over one angular sector (they all
+    // share a nearest centroid — the 30%-of-corpus-in-one-cell skew the
+    // uncapped version was vulnerable to) + 100 spread elsewhere. The
+    // refinement loop must re-cluster the fan into sub-cells <= cap with
+    // nothing left irreducible.
+    val fan = Seq.tabulate(400) { i =>
+      val th = 0.5 * i / 400.0
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f))
+    }
+    val rest = Seq.tabulate(100) { i =>
+      val th = math.Pi / 2 + 0.5 * i / 100.0 // orthogonal sector
+      (1000L + i, Array(0f, 0f, math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val v = (fan ++ rest).toDF("id", "v")
+    val (cells, residual) = Dedup.boundedCells(
+      v, nlist = 4, kmeansIters = 2, cap = 50L, refineRounds = 4)
+    assert(residual.isEmpty, s"fan must be splittable, got residual $residual")
+    val sizes = cells.groupBy("cell").count().as[(Long, Long)].collect()
+    assert(sizes.map(_._2).max <= 50L,
+      s"cell over cap after refinement: ${sizes.filter(_._2 > 50).mkString(",")}")
+    assert(cells.count() == 500L, "refinement must not lose or duplicate rows")
+  }
+
+  test("semanticDedup collapses an identical-vector megacluster via exact-collapse, O(n)") {
+    // 300 bit-identical vectors: no centroid split can EVER separate
+    // them, so the quadratic-stage defense is the exact-collapse step —
+    // one representative enters the cell machinery, clones chain to it
+    // with O(n) pairs. Exactly one survivor (the min id), orthogonal
+    // singletons untouched, and no residual cell is left for the cap.
+    val ones = Array.fill(8)(0.5f)
+    val mega = Seq.tabulate(300)(i => (1000L + i, ones))
+    val singles = Seq.tabulate(8)(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i) 1f else 0f)))
+    val v = (mega ++ singles).toDF("id", "v")
+    val survivors = Dedup.semanticDedup(v, "id", "v",
+        threshold = 0.99, nlist = 4, kmeansIters = 2,
+        maxCellSize = 50, refineRounds = 2)
+      .select("id").as[Long].collect().toSet
+    assert(survivors == (singles.map(_._1).toSet + 1000L), s"got $survivors")
+  }
+
+  test("semanticDedup hub fallback bounds a tight distinct blob no split separates") {
+    // 100 DISTINCT near-identical vectors (pairwise cos ~ 1-5e-5), one
+    // cell (nlist=1), refineRounds=0: the cell lands in the residual
+    // list and must dedup through the O(n) min-id-hub compare — every
+    // member is within threshold of the hub, so one survivor; the
+    // orthogonal singles sharing the cell stay.
+    val blob = Seq.tabulate(100) { i =>
+      val raw = Array(1f, 1e-4f * i, 0f, 0f, 0f, 0f, 0f, 0f)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, raw.map(_ / n))
+    }
+    val singles = Seq.tabulate(5)(i =>
+      (1000L + i, Array.tabulate(8)(d => if (d == i + 2) 1f else 0f)))
+    val v = (blob ++ singles).toDF("id", "v")
+    val survivors = Dedup.semanticDedup(v, "id", "v",
+        threshold = 0.99, nlist = 1, kmeansIters = 1,
+        maxCellSize = 20, refineRounds = 0)
+      .select("id").as[Long].collect().toSet
+    assert(survivors == (singles.map(_._1).toSet + 0L), s"got $survivors")
+  }
+
   test("embedding near-dup finds planted duplicates exactly") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -369,6 +432,44 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     val planted = emb.select("vec_id").as[Long].collect().map(i => (i, i + CloneShift)).toSet
     assert(pairs == planted)
+  }
+
+  test("sign-LSH caps a degenerate constant-sign bucket, keeps the rest, and logs it") {
+    // Adversarial bucket skew: 40 bit-identical vectors (a re-crawled
+    // page's embedding) hash identically in EVERY band, funneling all 40
+    // into one bucket per band — uncapped that is O(M^2) candidates.
+    // With cap 10 those buckets are dropped and counted (exact-dup
+    // clusters belong to exact dedup upstream); a distinct near-dup
+    // pair in its own 2-member buckets must still be found.
+    val cloneVec = Array(0.7f, -0.2f, 0.4f, 0.1f, -0.5f, 0.3f, -0.1f, 0.6f)
+    val clones = Seq.tabulate(40)(i => (i.toLong, cloneVec))
+    val pairBase = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val pair = Seq(
+      (100L, pairBase),
+      (101L, pairBase.map(_ * 1.0001f)))
+    val vecs = (clones ++ pair).toDF("vec_id", "embedding")
+
+    @volatile var dropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.sign_lsh"))
+            dropped = row.getAs[Long]("dropped_band_buckets")
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+          maxBucketSize = 10)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((100L, 101L)), s"got $pairs")
+      val deadline = System.currentTimeMillis() + 10000
+      while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(dropped > 0, "oversized-bucket drop count must be observed, never silent")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("duplicateSpans finds exactly the planted cross-doc span, maximal") {
