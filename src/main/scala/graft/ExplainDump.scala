@@ -33,6 +33,9 @@ object ExplainDump {
     "q92_heavy_hitters" -> "Misra-Gries summary: ObjectHashAggregate partial/final pair — at most m counters per partition cross the shuffle, whatever the key cardinality",
     "q94_tpch_q5" -> "the 6-table TPC-H Q5 shape: ONE shuffle (lineitem⋈orders); region/nation/supplier/customer all BroadcastHashJoin; date+region filters pushed to the scans",
     "q96_duplicate_spans" -> "span-level dedup: postings explode narrow off the scan; the gram aggregation is a partial/final HashAggregate pair (boilerplate grams combine map-side); islands window is partitioned BY doc_id (bounded per-doc state, never a single-partition sort)",
+    "q105_minhash_admission" -> "incremental near-dup admission: the new batch's band keys semi-join the persisted signature store (history never rescanned); per-doc hit count is a partial/final HashAggregate pair; no cartesian anywhere",
+    "q106_tpch_q3" -> "TPC-H Q3 shape: ONE shuffle (lineitem⋈orders on the orderkey), segment-filtered customer BroadcastHashJoin, both date filters in PushedFilters, top-10 as TakeOrderedAndProject — no global sort",
+    "q107_tpch_q10" -> "TPC-H Q10 shape: returnflag filter pushed to the lineitem scan, date window to orders; nation BroadcastHashJoin; group-by-customer aggregation partial/final; top-20 as TakeOrderedAndProject",
     "q99_gap_fill" -> "time-series gap fill: hourly aggregation and the forward-fill window share the user_id partitioning; the grid explode is narrow between them — per-user bounded state, parallel across users")
 
   def main(args: Array[String]): Unit = {

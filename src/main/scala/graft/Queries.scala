@@ -2352,7 +2352,84 @@ object Queries {
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |  AND EXISTS (SELECT 1 FROM lineitem
              |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QDef("q106_tpch_q3",
+      // TPC-H Q3 shape (shipping priority): 3-way customer⋈orders⋈
+      // lineitem with a top-k over the join. The 100 TB plan: customer
+      // is the one broadcast-able side (segment-filtered dimension);
+      // orders⋈lineitem shuffles once on the orderkey with both date
+      // filters pushed to the scans; the top 10 runs as
+      // TakeOrderedAndProject (per-partition heaps + driver merge of
+      // 10-row partials), never a global sort. (The testdata schema
+      // carries no o_shippriority; the join/top-k shape is what this
+      // query pins.)
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            // NTZ parquet column: cast through TIMESTAMP under the
+            // session's fixed UTC zone = same instant DuckDB's epoch_ms sees
+            unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  epoch_ms(o_orderdate) AS orderdate_ms
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    QDef("q107_tpch_q10",
+      // TPC-H Q10 shape (returned-item reporting): group-by over a
+      // 4-way join, top 20 customers by lost revenue. The 100 TB plan:
+      // nation broadcasts (fixed cardinality); customer⋈orders⋈lineitem
+      // shuffle on their keys with the returnflag filter pushed to the
+      // lineitem scan (cuts the fact stream ~3x before any join) and
+      // the date window pushed to orders; the aggregation keys on
+      // c_custkey (carrying the functionally-dependent name/acctbal/
+      // nation along in the grouping is free — one shuffle); top 20 via
+      // TakeOrderedAndProject with the unique custkey tie-break.
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
   )
 
   /** Round 5: corpus-level structure — span dedup, tokenizer training. */
@@ -2655,6 +2732,59 @@ object Queries {
              |  array_to_string(tk[span_start:span_start+span_tokens-1], ' ') AS span_text
              |FROM spans s JOIN tok USING (doc_id)
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    QDef("q105_minhash_admission",
+      // Incremental WHOLE-DOC near-dup admission (q104's shape for
+      // MinHash): even-id docs are the admitted history, persisted as
+      // DISTINCT (band, bucket) signature keys; the odd-id batch is
+      // admitted with ONE semi-join against the store — history is
+      // never rescanned or re-signatured. Portable md5 key family so
+      // the oracle recomputes the identical signatures: sig_i = lexi-min
+      // over shingles of md5(i ':' shingle), band bucket = md5 of the
+      // '|'-joined band slice. Spark and DuckDB agree on every band
+      // collision DETERMINISTICALLY (same keys both sides), so the
+      // probabilistic LSH odds never enter the compare.
+      (s, d) => {
+        val dir = scratchDir("q105")
+        val docs = t(s, d, "documents")
+        Dedup.appendMinHashStore(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 0L, path = dir, portableKeys = true)
+        Dedup.admitAgainstMinHashStore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          path = dir, portableKeys = true)
+          .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), store AS (
+             |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 2 = 0
+             |), hits AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+             |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             |  WHERE b.doc_id % 2 = 1
+             |  GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+             |  coalesce(h.hit_bands, 0) = 0 AS admit
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+             |LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** The unrolled BPE learning chain shared by q97/q101's oracles: one

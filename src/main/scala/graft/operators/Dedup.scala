@@ -677,4 +677,85 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
     spansFromPositions(dupPos, tok, minTokens)
   }
+
+  /** Banded MinHash bucket keys per doc: (id, band, bucket), one row per
+    * band (docs shorter than n tokens produce none). Like the span-dedup
+    * key family this comes in two flavors: the default keys by the
+    * native XXH64 signature ([[graft.functions.HashExprs.MinHashSignature]]
+    * — the scale path, identical keying to [[minHashNearDupPairs]]),
+    * while `portableKeys = true` derives signatures as lexicographic
+    * minima of salted md5 hex strings and band buckets as the md5 of the
+    * band's joined slice, so a plain-SQL oracle recomputes the identical
+    * keys (q105). The portable flavor runs interpreted HOFs — it is the
+    * verification family, not the throughput one.
+    */
+  def minHashBandKeys(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      portableKeys: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(docs, idCol, textCol, n).filter(size(col("sh")) > 0)
+    val sigs =
+      if (portableKeys) sets.select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("sh"),
+            s => md5(concat(i.cast("string"), lit(":"), s))))).as("sig"))
+      else sets.select(col("id"),
+        HashExprs.minhashSignature(col("sh"), numHashes).as("sig"))
+    val bucket: Column => Column =
+      if (portableKeys) b => md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+      else b => hash(b, slice(col("sig"), b * r + 1, lit(r))).cast("string")
+    sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucket))
+          .as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
+  }
+
+  /** Append a batch's DISTINCT (band, bucket) MinHash keys to a
+    * persisted signature store — the whole-doc analogue of
+    * [[appendGramStore]]: admitting a crawl batch against corpus history
+    * becomes one semi-join against the store ([[admitAgainstMinHashStore]]),
+    * never a rescan (or re-signature) of admitted documents. Store size
+    * is `bands` rows per admitted doc before dedup — O(corpus), tiny
+    * next to the corpus text. Batches land in separate subdirectories
+    * with overwrite, so a foreachBatch retry of the SAME batch id is
+    * idempotent and concurrent appends of different ids never collide.
+    */
+  def appendMinHashStore(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      batchId: Long = 0L, path: String, portableKeys: Boolean = false): Unit =
+    minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+      .select(col("band"), col("bucket")).distinct()
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Admission decision for a new crawl batch against the persisted
+    * MinHash signature store: per doc, how many of its `bands` band
+    * buckets collide with ANY previously admitted batch (`hit_bands`),
+    * and `admit` = no collision at all. An exact clone of any admitted
+    * doc collides in every band (identical shingle set -> identical
+    * signature); a near-dup at Jaccard j collides in a band with the
+    * usual 1-(1-j^r)^bands LSH odds; intra-batch duplicates do NOT flag
+    * each other (the store is history, not the batch). One aggregation
+    * and one semi-join against the (band, bucket) store — history
+    * documents are never rescanned. Docs too short to shingle have no
+    * bands and are admitted.
+    */
+  def admitAgainstMinHashStore(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      path: String, portableKeys: Boolean = false): DataFrame = {
+    val keys = minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+    val store = docs.sparkSession.read.parquet(path)
+      .select(col("band"), col("bucket")).distinct()
+    val hits = keys.join(store, Seq("band", "bucket"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("hit_bands"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+        (coalesce(col("hit_bands"), lit(0L)) === 0L).as("admit"))
+      .orderBy(col("id"))
+  }
 }

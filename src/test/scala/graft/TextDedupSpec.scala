@@ -540,6 +540,69 @@ class DedupSpec extends AnyFunSuite {
     assert(hits3 == Seq((20L, 4L, 8L, fresh)))
   }
 
+  test("minhash store admission: clones rejected, fresh admitted, intra-batch dups are not history") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val histA = "the quick brown fox jumps over the lazy dog tonight again"
+    val histB = "completely different second document with its own unique vocabulary here"
+    val freshC = "novel never before seen content that shares nothing with history"
+    val history = Seq((1L, histA), (2L, histB)).toDF("doc_id", "text")
+    Dedup.appendMinHashStore(history, "doc_id", "text",
+      numHashes = 32, bands = 8, batchId = 0L, path = storeDir)
+    // batch 2: doc 10 is an exact clone of history (hits ALL 8 bands ->
+    // rejected); docs 11+12 are intra-batch duplicates of a FRESH text
+    // (the store is history, not the batch: both admitted); doc 13 too
+    // short to shingle (admitted by definition)
+    val batch = Seq(
+      (10L, histA), (11L, freshC), (12L, freshC), (13L, "tiny tx")
+    ).toDF("doc_id", "text")
+    val got = Dedup.admitAgainstMinHashStore(batch, "doc_id", "text",
+        numHashes = 32, bands = 8, path = storeDir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, 8L, false), (11L, 0L, true),
+      (12L, 0L, true), (13L, 0L, true)), s"got $got")
+    // admitting the fresh batch makes a later clone of it hit
+    Dedup.appendMinHashStore(batch.filter(col("doc_id") =!= 10),
+      "doc_id", "text", numHashes = 32, bands = 8, batchId = 1L, path = storeDir)
+    val later = Dedup.admitAgainstMinHashStore(
+        Seq((20L, freshC)).toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 8, path = storeDir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(later == Seq((20L, 8L, false)), s"got $later")
+    // and a retried append of the SAME batch id is idempotent (no
+    // duplicate keys, same decisions)
+    Dedup.appendMinHashStore(batch.filter(col("doc_id") =!= 10),
+      "doc_id", "text", numHashes = 32, bands = 8, batchId = 1L, path = storeDir)
+    val afterRetry = Dedup.admitAgainstMinHashStore(
+        Seq((20L, freshC)).toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, bands = 8, path = storeDir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(afterRetry == later)
+  }
+
+  test("minhash band keys: native and portable families make the same clone/fresh decisions") {
+    // the families differ in key representation (XXH64 longs vs md5
+    // hex), never in clone-collision structure: identical docs collide
+    // in every band under BOTH
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words in this one right here")).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val keys = Dedup.minHashBandKeys(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, portableKeys = portable)
+      val shared = keys.filter(col("id") === 1).alias("a")
+        .join(keys.filter(col("id") === 2).alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .count()
+      assert(shared == 8L, s"portable=$portable: clones must collide in all bands")
+      val cross = keys.filter(col("id") === 1).alias("a")
+        .join(keys.filter(col("id") === 3).alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .count()
+      assert(cross == 0L, s"portable=$portable: disjoint docs must not collide")
+    }
+  }
+
   test("duplicateSpans: native XXH64 and portable md5 key families agree") {
     // the two hash families must produce IDENTICAL span sets on random
     // corpora with planted shared runs — they only differ in what
