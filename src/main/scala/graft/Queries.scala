@@ -2429,7 +2429,86 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1996-04-01'
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
-             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    QDef("q108_media_router",
+      // The umbrella media entry point routing every payload to its REAL
+      // decoder by container magic: solid BMPs -> ImageIO pixel decode
+      // (q60 path), square-wave WAVs -> javax.sound PCM decode (q82
+      // path: rms = A/32768 EXACTLY, zcr = 1 for the alternating wave),
+      // solid-frame AVIs -> container parse + per-frame ImageIO decode
+      // (q85 path), and opaque text bytes -> the disclosed stub,
+      // identified per-row by `kind`. Every real feature is a closed
+      // form the oracle restates; stub pseudo-features are nulled here
+      // (their byte-fold determinism is q33's oracle) so this query pins
+      // ROUTING + real decode, not the stub arithmetic twice.
+      (s, _) => {
+        import s.implicits._
+        val images = (0 until 16).map { i =>
+          (i.toLong, Multimodal.syntheticBmp(2 + i % 4, 3 + i % 3)((_, _) =>
+            ((i * 4) % 256, 255 - i * 4, i)))
+        }
+        val audio = (0 until 16).map { i =>
+          val amp = (1000 + i * 500).toShort
+          (100L + i, Multimodal.syntheticWav(8000 + i * 100, 256)(j =>
+            if (j % 2 == 0) amp else (-amp).toShort))
+        }
+        val video = (0 until 12).map { i =>
+          val (w, h) = (4 + (i % 3) * 2, 4 + (i % 2) * 2)
+          val frames = (0 until 2 + i % 3).map(_ =>
+            Multimodal.syntheticBmp(w, h)((_, _) =>
+              ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)))
+          (200L + i, AviContainer.syntheticAvi(w, h, 40000 + i, frames))
+        }
+        val opaque = (0 until 12).map(i =>
+          (300L + i, s"opaque payload $i with no container magic".getBytes("UTF-8")))
+        val df = (images ++ audio ++ video ++ opaque).toDF("doc_id", "payload")
+        Multimodal.extractFeatures(df, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("kind"),
+            when(col("kind") =!= "stub", col("width").cast("long")).as("width"),
+            when(col("kind") =!= "stub", col("height").cast("long")).as("height"),
+            when(col("kind") =!= "stub", col("n_frames").cast("long")).as("n_frames"),
+            when(col("kind") =!= "stub",
+              element_at(col("feature"), 1).cast("double")).as("f1"),
+            when(col("kind") =!= "stub",
+              element_at(col("feature"), 2).cast("double")).as("f2"),
+            when(col("kind").isin("image", "video"),
+              element_at(col("feature"), 3).cast("double")).as("f3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH img AS (
+             |  SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
+             |    CAST(2 + i % 4 AS BIGINT) AS width,
+             |    CAST(3 + i % 3 AS BIGINT) AS height,
+             |    CAST(1 AS BIGINT) AS n_frames,
+             |    CAST((i * 4) % 256 AS DOUBLE) AS f1,
+             |    CAST(255 - i * 4 AS DOUBLE) AS f2,
+             |    CAST(i AS DOUBLE) AS f3
+             |  FROM range(0, 16) t(i)
+             |), aud AS (
+             |  SELECT CAST(100 + i AS BIGINT), 'audio',
+             |    CAST(8000 + i * 100 AS BIGINT), CAST(1 AS BIGINT),
+             |    CAST(256 AS BIGINT),
+             |    CAST(1000 + i * 500 AS DOUBLE) / 32768, CAST(1.0 AS DOUBLE),
+             |    CAST(NULL AS DOUBLE)
+             |  FROM range(0, 16) t(i)
+             |), vid AS (
+             |  SELECT CAST(200 + i AS BIGINT), 'video',
+             |    CAST(4 + (i % 3) * 2 AS BIGINT), CAST(4 + (i % 2) * 2 AS BIGINT),
+             |    CAST(2 + i % 3 AS BIGINT),
+             |    CAST((i * 7) % 256 AS DOUBLE), CAST((i * 11) % 256 AS DOUBLE),
+             |    CAST((i * 13) % 256 AS DOUBLE)
+             |  FROM range(0, 12) t(i)
+             |), stb AS (
+             |  SELECT CAST(300 + i AS BIGINT), 'stub',
+             |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |    CAST(NULL AS BIGINT),
+             |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             |  FROM range(0, 12) t(i)
+             |)
+             |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+             |  UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM stb)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Round 5: corpus-level structure — span dedup, tokenizer training. */

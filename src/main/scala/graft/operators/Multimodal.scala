@@ -106,7 +106,8 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("kind", StringType, nullable = false)))
 
   /** Luminance histogram bin count (feature layout: 3 mean-RGB values
     * followed by [[LumaBins]] histogram fractions).
@@ -158,13 +159,13 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // corrupt stream: stub path, not a task failure
 
-  /** STUB — deterministic fake decode, reached only for payloads
-    * `javax.imageio` cannot read inside [[extractFeatures]] (video and
-    * undecodable blobs; audio has its own REAL path through
-    * [[extractAudioFeatures]]): a real deployment replaces the body with
-    * a video codec call (e.g. JNI ffmpeg); everything around it — batch
-    * iteration, schema, encoder, partitioning — is the production path
-    * and stays unchanged.
+  /** STUB — deterministic fake decode, reached only for payloads NONE of
+    * the real decoders accept inside [[extractFeatures]] (inter-frame
+    * video codecs, undecodable blobs): a real deployment replaces the
+    * body with an external codec call (e.g. JNI ffmpeg); everything
+    * around it — batch iteration, schema, encoder, partitioning — is the
+    * production path and stays unchanged. Rows it produces are disclosed
+    * per-row with kind = "stub".
     */
   private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
     var h = 1125899906842597L // deterministic FNV-ish fold of the payload
@@ -175,17 +176,40 @@ object Multimodal {
     val nFrames = 1 + (math.abs(h >> 20) % 32).toInt
     val feature = Array.tabulate(8)(j =>
       (((h >> (j * 7)) & 0xffff).toFloat / 65535.0f) * 2.0f - 1.0f)
-    Row(id, width, height, nFrames, feature.toSeq)
+    Row(id, width, height, nFrames, feature.toSeq, "stub")
   }
 
-  /** Partition-wise decode of (id, payload) into typed media features.
-    * Narrow transformation: each partition's payloads are processed where
-    * they live, rows stream through the decoder one batch at a time
-    * (constant memory). Decodable images get REAL pixel features
-    * ([[decodeImageFeatures]] — JDK ImageIO, no external codec); payloads
-    * ImageIO rejects but whose header parses ([[parseImageDims]]) get
-    * real dims with stub features; everything else (audio/video/opaque)
-    * takes the stub path entirely.
+  // media-container magics the router sniffs before spending a decode
+  private def hasAscii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+  private[graft] def looksLikeAudio(b: Array[Byte]): Boolean =
+    (hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "WAVE")) || // WAV
+      (hasAscii(b, 0, "FORM") && (hasAscii(b, 8, "AIFF") || hasAscii(b, 8, "AIFC"))) ||
+      hasAscii(b, 0, ".snd") // AU
+  private[graft] def looksLikeAvi(b: Array[Byte]): Boolean =
+    hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "AVI ")
+
+  /** Partition-wise decode of (id, payload) into typed media features —
+    * the umbrella router over ALL of the engine's REAL decoders, each
+    * payload dispatched by container magic. Narrow transformation: each
+    * partition's payloads are processed where they live, rows stream
+    * through the decoder one at a time (constant memory).
+    *
+    * Routing and the featureSchema field mapping per kind:
+    *  - `audio` (WAV/AIFF/AU magic, decoded by the REAL
+    *    [[decodeAudioFeatures]] — the q82 path): width = sample rate Hz,
+    *    height = channel count, n_frames = sample frames (clamped to
+    *    Int), feature = [rms, zcr];
+    *  - `video` (RIFF-AVI magic, REAL [[AviContainer]] parse + ImageIO
+    *    decode of every frame — the q85 path): width/height = container
+    *    dims, n_frames = container frame count, feature =
+    *    [mean_r, mean_g, mean_b] over decodable frames;
+    *  - `image` (everything ImageIO reads — the q60 path): real dims,
+    *    feature = [meanR, meanG, meanB, lumaHist0..7];
+    *  - `stub` (nothing above accepted the payload): [[fakeDecode]]
+    *    pseudo-features; if an image header still parses
+    *    ([[parseImageDims]]) the dims are real.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long").as("id"), col(binCol).as("payload"))
@@ -197,16 +221,37 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        decodeImageFeatures(bytes) match {
-          case Some((w, h, feature)) => Row(id, w, h, 1, feature.toSeq)
-          case None =>
-            val fake = fakeDecode(id, bytes)
-            parseImageDims(bytes) match {
-              // clamp like resize(): a valid magic with zeroed/absurd IHDR
-              // dims must not emit 0/negative geometry rows
-              case Some((_, w, h)) => Row(id, math.max(1, w), math.max(1, h), 1, fake.get(4))
-              case None => fake
+        def stub: Row = {
+          val fake = fakeDecode(id, bytes)
+          parseImageDims(bytes) match {
+            // clamp like resize(): a valid magic with zeroed/absurd IHDR
+            // dims must not emit 0/negative geometry rows
+            case Some((_, w, h)) =>
+              Row(id, math.max(1, w), math.max(1, h), 1, fake.get(4), "stub")
+            case None => fake
+          }
+        }
+        if (looksLikeAudio(bytes)) decodeAudioFeatures(bytes) match {
+          case Some((sr, ch, n, rms, zcr)) =>
+            Row(id, sr, ch, math.min(n, Int.MaxValue.toLong).toInt,
+              Seq(rms.toFloat, zcr.toFloat), "audio")
+          case None => stub
+        } else if (looksLikeAvi(bytes)) {
+          val video = AviContainer.parseAvi(bytes).flatMap { avi =>
+            val sampled = avi.frames.flatMap(decodeImageFeatures)
+            if (sampled.isEmpty) None
+            else {
+              var (sr, sg, sb) = (0.0, 0.0, 0.0)
+              sampled.foreach { case (_, _, f) => sr += f(0); sg += f(1); sb += f(2) }
+              val n = sampled.length.toDouble
+              Some(Row(id, avi.width, avi.height, avi.frames.length,
+                Seq((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat), "video"))
             }
+          }
+          video.getOrElse(stub)
+        } else decodeImageFeatures(bytes) match {
+          case Some((w, h, feature)) => Row(id, w, h, 1, feature.toSeq, "image")
+          case None => stub
         }
       }
     }(enc)

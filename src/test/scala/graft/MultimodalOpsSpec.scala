@@ -121,6 +121,32 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("width") == 4 && out(0).getAs[Int]("height") == 2)
   }
 
+  test("extractFeatures routes audio/video payloads to the REAL decoders, kind-tagged") {
+    val wav = Multimodal.syntheticWav(16000, 64)(j => if (j % 2 == 0) 2048 else -2048)
+    val frames = (0 until 3).map(_ => Multimodal.syntheticBmp(4, 4)((_, _) => (10, 20, 30)))
+    val avi = graft.operators.AviContainer.syntheticAvi(4, 4, 33333, frames)
+    val bmp = Multimodal.syntheticBmp(2, 2)((_, _) => (1, 2, 3))
+    val rows = Seq((1L, wav), (2L, avi), (3L, bmp), (4L, "noise".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(rows, "doc_id", "payload")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("kind")).toSeq ==
+      Seq("audio", "video", "image", "stub"))
+    // audio mapping: width=rate, height=channels, n_frames=samples,
+    // feature=[rms, zcr] with the closed forms
+    assert(out(0).getAs[Int]("width") == 16000 && out(0).getAs[Int]("height") == 1)
+    assert(out(0).getAs[Int]("n_frames") == 64)
+    val af = out(0).getAs[scala.collection.Seq[Float]]("feature")
+    assert(af == Seq(2048.0f / 32768.0f, 1.0f))
+    // video mapping: container dims + frame count, solid-color mean RGB
+    assert(out(1).getAs[Int]("width") == 4 && out(1).getAs[Int]("n_frames") == 3)
+    assert(out(1).getAs[scala.collection.Seq[Float]]("feature") == Seq(10f, 20f, 30f))
+    // a WAV magic with a truncated body must fall to the stub, not fail
+    val broken = Seq((9L, wav.take(20))).toDF("doc_id", "payload")
+    val b = Multimodal.extractFeatures(broken, "doc_id", "payload").head()
+    assert(b.getAs[String]("kind") == "stub")
+  }
+
   test("corrupt image bytes fall back to the stub path, never fail the task") {
     // valid BMP magic + garbage body: ImageIO rejects it, header parse
     // still supplies dims, and the row survives
