@@ -324,6 +324,50 @@ object BenchTune {
     }
   }
 
+  /** `--components [edges]`: connected components at scale (default 10M
+    * edges) on the three structurally extreme graphs:
+    *  - path: worst-case diameter (= edge count) — pins the
+    *    O(log diameter) pointer-jumping claim, since naive propagation
+    *    would need `edges` rounds;
+    *  - star: maximum key skew (every edge shares the hub endpoint) —
+    *    pins the per-round join/groupBy under a single hot key (AQE
+    *    skew split);
+    *  - random: xxhash-derived sparse graph, the typical near-dup-pair
+    *    workload shape.
+    * Prints rounds + wall time per graph; recorded in SCALE.md.
+    */
+  private def componentsDemo(spark: SparkSession, edges: Long): Unit = {
+    import graft.operators.Components
+    val maxIters = 64 // path diameter 10M needs ~log2 rounds; headroom
+    def run(name: String, df: DataFrame, expected: Long): Unit = {
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Components.componentsWithRounds(df, "a", "b", maxIters)
+      val nComp = labels.select(col("comp")).distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(nComp == expected, s"$name: got $nComp components, want $expected")
+      println(f"[components] $name%s edges=$edges rounds=$rounds%d " +
+        f"components=$nComp%d time=$secs%.1f s")
+    }
+    val path = spark.range(edges).select(col("id").as("a"), (col("id") + 1).as("b"))
+      .repartition(32)
+    run("path", path, 1L)
+    val star = spark.range(edges).select(lit(0L).as("a"), (col("id") + 1).as("b"))
+      .repartition(32)
+    run("star", star, 1L)
+    // random sparse: endpoints drawn from a 2x-edge-count id space —
+    // supercritical (mean degree ~1 per endpoint space), so a giant
+    // component plus many small ones: the near-dup-graph shape
+    val rand = spark.range(edges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(edges * 2)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(edges * 2)).as("b"))
+      .repartition(32)
+    val t0 = System.nanoTime()
+    val (labels, rounds) = Components.componentsWithRounds(rand, "a", "b", maxIters)
+    val nComp = labels.select(col("comp")).distinct().count()
+    println(f"[components] random edges=$edges rounds=$rounds%d " +
+      f"components=$nComp%d time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -337,6 +381,13 @@ object BenchTune {
       val rows = tail.headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
       opsDemo(spark, rows, tail.filterNot(_.forall(_.isDigit)).toSet)
+      spark.stop()
+      return
+    }
+    if (args.contains("--components")) {
+      val edges = args.dropWhile(_ != "--components").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
+      componentsDemo(spark, edges)
       spark.stop()
       return
     }

@@ -27,7 +27,18 @@ object Cli {
       case "--select" :: cols :: tail =>
         loop(tail, q.copy(projection = cols.split(',').toSeq.map(_.trim)))
       case "--where" :: c :: op :: v :: tail =>
-        val value: Any = if (v.matches("-?\\d+")) v.toLong else v
+        // literal typing by shape: int64 -> double -> ISO timestamp ->
+        // string. The reference CLI is int-only (src/cli.cpp:205-215);
+        // the engine's columns include doubles and timestamps, and a
+        // double literal silently compared as a STRING was a real
+        // user-facing trap (1.5 > "1.0" is lexicographic).
+        val value: Any =
+          if (v.matches("-?\\d+")) v.toLong
+          else if (v.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?|-?\\d+[eE][+-]?\\d+")) v.toDouble
+          else if (v.matches("\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?"))
+            java.sql.Timestamp.valueOf(
+              if (v.length == 10) v + " 00:00:00" else v.replace('T', ' '))
+          else v
         loop(tail, q.copy(filters = q.filters :+ Predicate(c, CmpOp.parse(op), value)))
       case "--agg" :: f :: c :: tail =>
         val fn = f.toLowerCase match {

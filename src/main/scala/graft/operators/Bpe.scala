@@ -87,7 +87,11 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
-    var vocab = vocabulary(docs, textCol).localCheckpoint()
+    // stats-free checkpoints: vocab is re-checkpointed once per merge
+    // round, and plain localCheckpoint compounds the carried size
+    // estimate round over round (see GraftBridge scaladoc)
+    var vocab = org.apache.spark.sql.GraftBridge.statsFreeLocalCheckpoint(
+      vocabulary(docs, textCol))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1L
     var exhausted = false
@@ -107,9 +111,9 @@ object Bpe {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, cnt))
-        vocab = vocab
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
-          .localCheckpoint()
+        vocab = org.apache.spark.sql.GraftBridge.statsFreeLocalCheckpointReleasing(
+          vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("freq")),
+          release = Seq(vocab))
         rank += 1
       }
     }

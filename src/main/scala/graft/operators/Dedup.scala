@@ -475,6 +475,7 @@ object Dedup {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
     var over = oversized()
     var round = 0
+    var prevCp: DataFrame = null
     while (over.nonEmpty && round < refineRounds) {
       for ((c, n) <- over) {
         val members = cells.filter(col("cell") === c)
@@ -490,8 +491,14 @@ object Dedup {
         cells = cells.filter(col("cell") =!= c).unionByName(reassigned)
       }
       // each round stacks filters/unions on the plan: cut lineage so
-      // refineRounds stays O(rounds), not O(rounds^2) in plan size
-      cells = cells.localCheckpoint()
+      // refineRounds stays O(rounds), not O(rounds^2) in plan size —
+      // stats-free, because cells feed a downstream SELF-join whose
+      // estimate would square the carried snapshot; the previous round's
+      // checkpoint (round >= 1) is released once this one materializes
+      // (GraftBridge scaladoc)
+      cells = org.apache.spark.sql.GraftBridge.statsFreeLocalCheckpointReleasing(
+        cells, release = if (round > 0) Seq(prevCp) else Nil)
+      prevCp = cells
       round += 1
       over = oversized()
     }

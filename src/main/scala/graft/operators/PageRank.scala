@@ -46,6 +46,7 @@ object PageRank {
       .localCheckpoint(eager = false)
 
     var ranks = nodes.select(col("node"), lit(Base).as("rank"))
+    var prevCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("contrib"))
@@ -54,7 +55,14 @@ object PageRank {
         .select(col("node"),
           (lit(Base * 15 / 100) +
             expr("85 * coalesce(mass, 0L) div 100")).as("rank"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // stats-free: a plain localCheckpoint's carried size estimate
+      // compounds across checkpoints, and the previous checkpoint's
+      // blocks are released once the new one exists (GraftBridge scaladoc)
+      if (i % 5 == 0 && i < iters) {
+        ranks = org.apache.spark.sql.GraftBridge
+          .statsFreeLocalCheckpointReleasing(ranks, prevCp.toSeq)
+        prevCp = Some(ranks)
+      }
     }
     ranks
   }

@@ -13,6 +13,61 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager local checkpoint that does NOT carry the origin plan's
+    * statistics snapshot into the resulting LogicalRDD.
+    *
+    * `Dataset.localCheckpoint()` preserves the pre-checkpoint plan's
+    * estimated stats. In an iterative algorithm that references the
+    * checkpointed frame more than once per round (connected components,
+    * PageRank, BPE), the next round's join estimate MULTIPLIES the
+    * carried estimates, so sizeInBytes grows as ~2^(2^round): the
+    * exponent doubles per round, join-strategy choices see astronomical
+    * sizes within a handful of rounds, and after ~25 checkpoints
+    * BigInteger itself overflows and kills the query with an
+    * ArithmeticException (found by BenchTune --components, whose inner
+    * compression loop checkpoints several times per round). Rebuilding
+    * the frame from the checkpointed
+    * InternalRow RDD drops the snapshot: stats fall back to honest
+    * size-based defaults each round. No extra computation or row
+    * conversion happens — the RDD is already materialized by the eager
+    * checkpoint, and the new frame scans the SAME persisted RDD (pulled
+    * out of the checkpoint's LogicalRDD rather than re-wrapped through
+    * `toRdd`, whose extra projection layer would both re-project every
+    * row on every downstream pass and hide the persisted RDD from
+    * [[statsFreeLocalCheckpointReleasing]]'s unpersist).
+    */
+  def statsFreeLocalCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val persisted = cp.queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD => l.rdd
+    }.getOrElse(sys.error("localCheckpoint did not produce a LogicalRDD"))
+    cp.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(persisted, cp.schema)
+  }
+
+  /** [[statsFreeLocalCheckpoint]] that additionally UNPERSISTS the
+    * checkpoint blocks backing `release` once the new checkpoint is
+    * materialized. Without this, an iterative algorithm leaks one cached
+    * RDD per round into the storage layer (locally-checkpointed RDDs pin
+    * their blocks until the driver GC + ContextCleaner get around to
+    * them): at 10M nodes × ~26 pointer-jumping rounds that is the whole
+    * heap, and the --components probe OOMed exactly this way. Only pass
+    * frames produced by these checkpoint helpers that the caller will
+    * NEVER touch again — a locally-checkpointed RDD has no lineage to
+    * recompute from, so unpersisting it destroys the data.
+    */
+  def statsFreeLocalCheckpointReleasing(
+      df: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    val out = statsFreeLocalCheckpoint(df)
+    release.foreach { d =>
+      d.queryExecution.analyzed.foreach {
+        case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+    out
+  }
+
   /** `TypeCollection` is private[sql]; this is the accepted-input set for
     * graft's vector expressions (ImplicitCastInputTypes): the four native
     * element kinds pass through UNCHANGED (no cast on the hot path); any

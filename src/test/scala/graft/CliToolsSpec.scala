@@ -24,6 +24,39 @@ class CliToolsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Cli.parseQueryArgs(List("--bogus")))
   }
 
+  test("CLI --where types double and timestamp literals (not lexicographic strings)") {
+    val q = Cli.parseQueryArgs(List(
+      "--where", "score", ">=", "2.5", "--where", "rate", "<", "-1.5e3",
+      "--where", "ts", ">=", "1996-03-01",
+      "--where", "ts2", "<", "1996-03-01T12:30:00",
+      "--where", "name", "==", "1996-13-99x")) // not a date: stays a string
+    assert(q.filters(0) == Predicate("score", Ge, 2.5))
+    assert(q.filters(1) == Predicate("rate", Lt, -1500.0))
+    assert(q.filters(2) == Predicate("ts", Ge,
+      java.sql.Timestamp.valueOf("1996-03-01 00:00:00")))
+    assert(q.filters(3) == Predicate("ts2", Lt,
+      java.sql.Timestamp.valueOf("1996-03-01 12:30:00")))
+    assert(q.filters(4) == Predicate("name", Eq, "1996-13-99x"))
+
+    // end-to-end through compile(): the CLI path returns the same rows
+    // as the typed DataFrame predicate on a double column — the bug this
+    // guards against was "2.5" comparing lexicographically
+    import spark.implicits._
+    val df = Seq((1L, 1.75), (2L, 2.5), (3L, 10.25), (4L, 0.5))
+      .toDF("id", "score")
+    val cli = Cli.parseQueryArgs(List("--where", "score", ">=", "2.5"))
+      .compile(df).select("id").as[Long].collect().toSet
+    val typed = df.filter(col("score") >= 2.5)
+      .select("id").as[Long].collect().toSet
+    assert(cli == typed && cli == Set(2L, 3L))
+    // timestamp literal filters a timestamp column correctly
+    val tdf = Seq((1L, "1996-02-28 10:00:00"), (2L, "1996-03-02 00:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val tcli = Cli.parseQueryArgs(List("--where", "ts", ">=", "1996-03-01"))
+      .compile(tdf).select("id").as[Long].collect().toSet
+    assert(tcli == Set(2L))
+  }
+
   test("CLI sql passthrough covers the north-star functions (cosine_similarity over embeddings)") {
     // same code path as `graft.Cli sql <dir> "<query>"` minus the
     // process-lifecycle session spin-up/stop (the shared test session is

@@ -78,9 +78,12 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("non-convergence within maxIters raises instead of returning wrong labels") {
+    // tree hooking + full compression collapses an ordered chain in one
+    // changing round + one confirming round, so only maxIters=1 (bound
+    // hit with labels still moving) can demonstrate the guard
     val chain = (0L until 8L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {
-      Components.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIters = 2)
+      Components.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIters = 1)
         .collect()
     }
   }
