@@ -2928,10 +2928,141 @@ object Queries {
        |FROM dw JOIN w$k USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Round 6: remaining TPC-H join shapes + n-gram language modeling. */
+  private val breadthOps = Seq(
+    QDef("q109_tpch_q18",
+      // TPC-H Q18 shape (large-volume customers): a group-HAVING derived
+      // filter semi-joined back into a 3-way join — the one TPC-H plan
+      // shape (aggregate-derived IN subquery) q94-q107 don't cover. The
+      // 100 TB plan: the HAVING subquery is one map-side-combinable
+      // aggregation of lineitem whose surviving orderkeys are RARE
+      // (sum(qty) > 300 ~ 0.3% of orders), so AQE turns the semi join
+      // into a broadcast; customer joins on the already-thinned orders;
+      // the final per-order aggregation re-shuffles on the same
+      // orderkey the lineitem join just used, so it co-partitions.
+      // Quantity sums accumulate in DECIMAL (integral values — exact),
+      // emitted as double.
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity"), 0).as("oq"))
+          .filter(col("oq") > 300)
+          .select(col("l_orderkey").as("big_okey"))
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(dsum(col("l_quantity"), 0).as("sum_qty"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             |  epoch_ms(o_orderdate) AS orderdate_ms, o_totalprice,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(18,0))) > 300)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    QDef("q110_tpch_q19",
+      // TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+      // straddling both join sides. What this pins at 100 TB: Catalyst
+      // extracts the common l_quantity bounds from the disjunction and
+      // pushes `l_quantity >= 1 AND <= 30` INTO the lineitem scan
+      // (row-group stats skipping on the fact table before the join),
+      // and the p_brand/p_size disjunction likewise reaches the part
+      // scan — partial pushdown of a cross-table OR, which a naive
+      // post-join filter would evaluate against every joined row. Part
+      // is the explicit broadcast side (catalog-known dimension).
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).cast("long").as("n_items"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    QDef("q111_bigram_lm",
+      // N-gram language-model table: corpus bigram counts + add-1
+      // smoothed conditional probability P(w2|w1) = (c12+1)/(c1+V) —
+      // the count infrastructure of statistical LM / perplexity-based
+      // quality filtering. All counts are exact integers (two
+      // map-side-combinable groupBys on token keys); V is a 1-row
+      // distinct count broadcast by the cross join; the final division
+      // is one IEEE double op on exact integers, so both engines
+      // produce identical bits. Top 15 via TakeOrderedAndProject with
+      // the (w1, w2) tie-break. Explodes are narrow; nothing shuffles
+      // except the two counted keys.
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(TextFunctions.tokens(col("text")).as("tk"))
+        val uni = tok.select(explode(col("tk")).as("w"))
+        val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val v = uni.agg(countDistinct(col("w")).as("vocab"))
+        val bcnt = tok.filter(size(col("tk")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(
+              element_at(col("tk"), i + 1).as("w1"),
+              element_at(col("tk"), i + 2).as("w2")))).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+        bcnt.join(ucnt, col("w1") === col("w"))
+          .crossJoin(v)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("vocab"),
+            ((col("c12") + 1).cast("double") / (col("c1") + col("vocab")))
+              .as("prob"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(15)
+      },
+      Some("""WITH tok AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), uni AS (
+             |  SELECT unnest(tk) AS w FROM tok
+             |), ucnt AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w
+             |), v AS (
+             |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM uni
+             |), bg AS (
+             |  SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+             |  FROM tok WHERE len(tk) >= 2
+             |), bcnt AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+             |)
+             |SELECT w1, w2, c12, c1, vocab,
+             |  CAST(c12 + 1 AS DOUBLE) / (c1 + vocab) AS prob
+             |FROM bcnt JOIN ucnt ON w1 = w CROSS JOIN v
+             |ORDER BY c12 DESC, w1, w2 LIMIT 15""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
       curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps ++
-      corpusOps
+      corpusOps ++ breadthOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =
