@@ -36,7 +36,10 @@ object ExplainDump {
     "q105_minhash_admission" -> "incremental near-dup admission: the new batch's band keys semi-join the persisted signature store (history never rescanned); per-doc hit count is a partial/final HashAggregate pair; no cartesian anywhere",
     "q106_tpch_q3" -> "TPC-H Q3 shape: ONE shuffle (lineitem⋈orders on the orderkey), segment-filtered customer BroadcastHashJoin, both date filters in PushedFilters, top-10 as TakeOrderedAndProject — no global sort",
     "q107_tpch_q10" -> "TPC-H Q10 shape: returnflag filter pushed to the lineitem scan, date window to orders; nation BroadcastHashJoin; group-by-customer aggregation partial/final; top-20 as TakeOrderedAndProject",
-    "q99_gap_fill" -> "time-series gap fill: hourly aggregation and the forward-fill window share the user_id partitioning; the grid explode is narrow between them — per-user bounded state, parallel across users")
+    "q99_gap_fill" -> "time-series gap fill: hourly aggregation and the forward-fill window share the user_id partitioning; the grid explode is narrow between them — per-user bounded state, parallel across users",
+    "q109_tpch_q18" -> "TPC-H Q18 shape: the HAVING subquery is one partial/final HashAggregate over lineitem whose rare survivors semi-join orders (AQE can broadcast them); the final per-order aggregation reuses the orderkey partitioning of the lineitem join",
+    "q110_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs predicate partially pushes — the extracted l_quantity bounds reach the lineitem scan's PushedFilters and the brand/size disjunction reaches the part scan; part side BroadcastHashJoin; no cartesian",
+    "q111_bigram_lm" -> "bigram LM counts: explodes are narrow off the scan; both counts are partial/final HashAggregate pairs on token keys; V is a 1-row broadcast cross join; top-15 as TakeOrderedAndProject")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-explain")

@@ -77,6 +77,44 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("critical-regime random graph: log-bounded rounds and O(1) persisted RDDs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // mean-degree-1 random graph with random ids — the structure that
+    // exposed the diameter-bound predecessors (they passed every
+    // small-graph test here and stalled only at probe scale); 20k edges
+    // is enough to need >60 rounds under per-node hash-min
+    val edges = 20000L
+    val g = spark.range(edges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(edges * 2)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(edges * 2)).as("b"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (labels, rounds) = graft.operators.Components
+      .componentsWithRounds(g, "a", "b", maxIters = 25)
+    // tree hooking + full compression: plateau count at least halves
+    // per round, so rounds stay logarithmic in component size
+    assert(rounds <= 12, s"rounds=$rounds — hooking/compression regressed")
+    // union-find ground truth on the same edges
+    val es = g.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // checkpoint-release discipline: the run must not leak one persisted
+    // RDD per hook/compress step (~30 here) — at most the symmetric edge
+    // list and the final labels survive
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"leaked ${persistedAfter - persistedBefore} persisted RDDs")
+  }
+
   test("non-convergence within maxIters raises instead of returning wrong labels") {
     // tree hooking + full compression collapses an ordered chain in one
     // changing round + one confirming round, so only maxIters=1 (bound
