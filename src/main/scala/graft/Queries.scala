@@ -980,6 +980,42 @@ object Queries {
       |  FROM documents
       |)""".stripMargin
 
+  /** Shared by q57 and q112: closed-form component labels of the
+    * verified MinHash near-dup pair graph (threshold 0.6, where the
+    * 64×2 banding makes the candidate set equal the exact-Jaccard
+    * graph) via a recursive reachability CTE — the ground truth both
+    * the one-shot and the incremental label-propagation paths must hit.
+    */
+  private val ccReachabilityOracle =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |),
+      |tri AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      |  FROM tok WHERE len(tk) >= 3
+      |),
+      |post AS (SELECT doc_id, unnest(sh) AS g FROM tri),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+      |),
+      |p AS (
+      |  SELECT id_a, id_b
+      |  FROM cand JOIN tri a ON id_a = a.doc_id JOIN tri b ON id_b = b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+      |),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, m) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.m = e.a
+      |)
+      |SELECT id, min(m) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
+
   private val curationOps = Seq(
     QDef("q51_normalize",
       (s, d) => t(s, d, "documents")
@@ -1085,34 +1121,7 @@ object Queries {
         Components.connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
-      Some("""WITH RECURSIVE tok AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-             |  FROM documents
-             |),
-             |tri AS (
-             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
-             |  FROM tok WHERE len(tk) >= 3
-             |),
-             |post AS (SELECT doc_id, unnest(sh) AS g FROM tri),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-             |  FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
-             |),
-             |p AS (
-             |  SELECT id_a, id_b
-             |  FROM cand JOIN tri a ON id_a = a.doc_id JOIN tri b ON id_b = b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
-             |),
-             |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-             |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
-             |r(id, m) AS (
-             |  SELECT id, id FROM nodes
-             |  UNION
-             |  SELECT r.id, e.b FROM r JOIN e ON r.m = e.a
-             |)
-             |SELECT id, min(m) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin)),
+      Some(ccReachabilityOracle)),
 
     QDef("q58_repetition",
       // Gopher-style repetition signal: duplicate word-bigram fraction
@@ -3056,7 +3065,76 @@ object Queries {
              |SELECT w1, w2, c12, c1, vocab,
              |  CAST(c12 + 1 AS DOUBLE) / (c1 + vocab) AS prob
              |FROM bcnt JOIN ucnt ON w1 = w CROSS JOIN v
-             |ORDER BY c12 DESC, w1, w2 LIMIT 15""".stripMargin))
+             |ORDER BY c12 DESC, w1, w2 LIMIT 15""".stripMargin)),
+
+    QDef("q112_cc_incremental",
+      // Incremental dedup-group maintenance: the near-dup pair graph is
+      // split into two "crawl batches"; batch 1 is labeled from
+      // scratch, then batch 2 is admitted by resuming from the
+      // PERSISTED LABELS ONLY — batch 1's edges are never rescanned
+      // (converged labels are a diameter-2 star forest that replays as
+      // edges). The end state must equal closed-form reachability over
+      // ALL pairs: the same recursive-CTE oracle as the one-shot q57,
+      // which is exactly the claim — incremental admission loses
+      // nothing. The graph analogue of the q104 gram store and q105
+      // signature store.
+      (s, d) => {
+        val pairs = Dedup.minHashNearDupPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          numHashes = 128, bands = 64, threshold = 0.6)
+        val batch1 = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+        val batch2 = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+        val labels1 = Components.connectedComponents(batch1, "id_a", "id_b")
+        Components.incrementalComponents(labels1, batch2, "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some(ccReachabilityOracle)),
+
+    QDef("q113_tpch_q21",
+      // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+      // this schema: lateness = shipped > 90 days after the order date.
+      // The reference formulation is a correlated EXISTS + NOT EXISTS
+      // pair over the fact table; the scale-correct Spark plan computes
+      // per-order supplier stats ONCE (two map-side-combinable distinct
+      // aggregations on the orderkey) and joins them back — every
+      // shuffle is on the orderkey the late-line join already
+      // established. The ORACLE keeps the textbook correlated
+      // EXISTS/NOT EXISTS form, so the DuckDB compare verifies the
+      // rewrite itself: late line + another supplier exists + no OTHER
+      // late supplier  ==  n_supp >= 2 AND n_late_supp == 1.
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val late = l
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val nSupp = l.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        val nLate = late.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_late"))
+        late.join(nSupp, "l_orderkey").join(nLate, "l_orderkey")
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).cast("long").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM lineitem l1
+             |JOIN orders o ON o_orderkey = l1.l_orderkey
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
   )
 
   val defs: Seq[QDef] =

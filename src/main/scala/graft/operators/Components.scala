@@ -55,6 +55,30 @@ object Components {
       maxIters: Int = 25): DataFrame =
     componentsWithRounds(edges, srcCol, dstCol, maxIters)._1
 
+  /** Incremental component maintenance: resume from a previously
+    * computed label table (columns `id`, `comp` — the output of
+    * [[connectedComponents]], typically persisted between crawl
+    * batches) plus a batch of NEW edges. The prior EDGE SET is never
+    * rescanned: converged labels form a star forest (every node points
+    * directly at its component min), so replaying them as edges
+    * reconstructs exactly the prior connectivity with diameter ≤ 2, and
+    * the hook+compress rounds needed are logarithmic in the NEW batch's
+    * structure only — the same append-only admission shape as the gram
+    * store (Dedup.appendGramStore) and the MinHash signature store.
+    * Returns the same (id, comp) surface over the union of old and new
+    * nodes; equals a from-scratch run over all edges ever seen
+    * (oracle-checked by q112).
+    */
+  def incrementalComponents(
+      prevLabels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIters: Int = 25): DataFrame = {
+    val labelEdges = prevLabels.select(
+      col("id").cast("long").as("a"), col("comp").cast("long").as("b"))
+    val ne = newEdges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    componentsWithRounds(labelEdges.unionByName(ne), "a", "b", maxIters)._1
+  }
+
   /** [[connectedComponents]] plus the number of hook+compress rounds
     * actually run — the observable the scale probes record (rounds ~
     * log2(plateau count) is the claim; BenchTune --components measures

@@ -115,6 +115,28 @@ class ComponentsSpec extends AnyFunSuite {
       s"leaked ${persistedAfter - persistedBefore} persisted RDDs")
   }
 
+  test("incremental admission from persisted labels equals from-scratch, any split") {
+    import org.apache.spark.sql.functions.col
+    // edges chosen so the batches INTERACT: batch 2 bridges two batch-1
+    // components (4<->20), extends a component (22<->23), and brings
+    // entirely new nodes (40-41) — the three admission cases
+    val batch1 = Seq((4L, 9L), (9L, 1L), (20L, 21L), (21L, 22L), (30L, 31L))
+    val batch2 = Seq((4L, 20L), (22L, 23L), (40L, 41L))
+    val labels1 = Components.connectedComponents(
+      batch1.toDF("s", "d"), "s", "d")
+    val inc = Components.incrementalComponents(
+      labels1, batch2.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val full = cc(batch1 ++ batch2)
+    assert(inc == full)
+    // the prior labels star forest has diameter <= 2, so resuming must
+    // converge in a handful of rounds regardless of batch-1 history
+    val (_, rounds) = Components.componentsWithRounds(
+      labels1.select(col("id").as("s"), col("comp").as("d"))
+        .unionByName(batch2.toDF("s", "d")), "s", "d")
+    assert(rounds <= 4, s"rounds=$rounds")
+  }
+
   test("non-convergence within maxIters raises instead of returning wrong labels") {
     // tree hooking + full compression collapses an ordered chain in one
     // changing round + one confirming round, so only maxIters=1 (bound
