@@ -3134,7 +3134,77 @@ object Queries {
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    QDef("q114_lm_score",
+      // Perplexity-proxy quality filtering: every document scored by
+      // the corpus's own add-1-smoothed bigram LM (q111's model),
+      // surfacing the 10 LEAST probable documents — the KenLM-style
+      // filter of CCNet/Gopher pipelines, here self-trained so the
+      // whole thing is one engine-checkable query. Determinism: double
+      // addition is order-sensitive and the per-doc mean runs over a
+      // shuffled join, so each bigram's log-prob is rounded to 9 dp and
+      // accumulated in DECIMAL (exact, order-free); only the final
+      // mean is divided in double and rounded to 6 dp (the bm25W
+      // 1-ulp-absorption convention). Scale: the LM tables are
+      // token-keyed aggregates joined back on the bigram key — the
+      // big exchange is the doc-bigram stream keyed by (w1, w2), and
+      // the per-doc mean re-shuffles on doc_id; nothing is ever
+      // all-pairs. Smoothing means every bigram (seen or not) has
+      // positive probability, but only seen bigrams occur here by
+      // construction (the model is trained on the scored corpus).
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        val uni = tok.select(explode(col("tk")).as("w"))
+        val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val v = uni.agg(countDistinct(col("w")).as("vocab"))
+        val bg = tok.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("tk")) - 2),
+              i => struct(
+                element_at(col("tk"), i + 1).as("w1"),
+                element_at(col("tk"), i + 2).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bcnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        bg.join(bcnt, Seq("w1", "w2"))
+          .join(ucnt, col("w1") === col("w"))
+          .crossJoin(v)
+          .select(col("doc_id"),
+            round(log((col("c12") + 1).cast("double") / (col("c1") + col("vocab"))), 9)
+              .cast(DecimalType(20, 9)).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_lp"))
+          .orderBy(col("avg_lp"), col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), uni AS (
+             |  SELECT unnest(tk) AS w FROM tok
+             |), ucnt AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w
+             |), v AS (
+             |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM uni
+             |), bg AS (
+             |  SELECT doc_id,
+             |    unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+             |  FROM tok WHERE len(tk) >= 2
+             |), bcnt AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+             |), lp AS (
+             |  SELECT doc_id,
+             |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vocab)), 9)
+             |      AS DECIMAL(20,9)) AS lp
+             |  FROM bg JOIN bcnt USING (w1, w2) JOIN ucnt ON w1 = w CROSS JOIN v
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+             |FROM lp GROUP BY doc_id
+             |ORDER BY avg_lp, doc_id LIMIT 10""".stripMargin))
   )
 
   val defs: Seq[QDef] =
