@@ -368,6 +368,43 @@ object BenchTune {
       f"components=$nComp%d time=${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
+  /** `--ccinc [edges] [batch]`: incremental component admission at
+    * scale. Builds a 10M-edge random graph, labels it from scratch
+    * (the "history"), then admits a small new batch via
+    * [[graft.operators.Components.incrementalComponents]] — resuming
+    * from the persisted label table only. The claim being measured:
+    * admission ROUNDS track the new batch's structure, not the
+    * history's (labels replay as a diameter-2 star forest), and
+    * per-round work is label-table-sized (one row per node) plus the
+    * batch — the historical EDGE set (the expensive part of a dedup
+    * pair graph) is never rescanned.
+    */
+  private def ccIncDemo(spark: SparkSession, edges: Long, batch: Long): Unit = {
+    import graft.operators.Components
+    val rand = spark.range(edges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(edges * 2)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(edges * 2)).as("b"))
+      .repartition(32)
+    val t0 = System.nanoTime()
+    val (labels, r0) = Components.componentsWithRounds(rand, "a", "b", 64)
+    val n0 = labels.count()
+    val full = (System.nanoTime() - t0) / 1e9
+    println(f"[ccinc] history edges=$edges rounds=$r0%d nodes=$n0%d " +
+      f"scratch_time=$full%.1f s")
+    // new batch drawn from the same id space (seeds 3/4): bridges
+    // existing components and introduces fresh nodes
+    val nb = spark.range(batch).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(edges * 3)).as("a"),
+      pmod(xxhash64(col("id"), lit(4)), lit(edges * 3)).as("b"))
+      .repartition(32)
+    val t1 = System.nanoTime()
+    val (inc, r1) = Components.incrementalWithRounds(labels, nb, "a", "b", 64)
+    val n1 = inc.count()
+    val incT = (System.nanoTime() - t1) / 1e9
+    println(f"[ccinc] admit batch=$batch rounds=$r1%d nodes=$n1%d " +
+      f"time=$incT%.1f s (vs $r0%d rounds / $full%.1f s from scratch)")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -388,6 +425,14 @@ object BenchTune {
       val edges = args.dropWhile(_ != "--components").drop(1).headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
       componentsDemo(spark, edges)
+      spark.stop()
+      return
+    }
+    if (args.contains("--ccinc")) {
+      val rest = args.dropWhile(_ != "--ccinc").drop(1)
+        .filter(_.forall(_.isDigit)).map(_.toLong)
+      ccIncDemo(spark, rest.headOption.getOrElse(10000000L),
+        rest.drop(1).headOption.getOrElse(100000L))
       spark.stop()
       return
     }

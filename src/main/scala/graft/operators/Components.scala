@@ -71,12 +71,17 @@ object Components {
     */
   def incrementalComponents(
       prevLabels: DataFrame, newEdges: DataFrame,
-      srcCol: String, dstCol: String, maxIters: Int = 25): DataFrame = {
+      srcCol: String, dstCol: String, maxIters: Int = 25): DataFrame =
+    incrementalWithRounds(prevLabels, newEdges, srcCol, dstCol, maxIters)._1
+
+  private[graft] def incrementalWithRounds(
+      prevLabels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIters: Int = 25): (DataFrame, Int) = {
     val labelEdges = prevLabels.select(
       col("id").cast("long").as("a"), col("comp").cast("long").as("b"))
     val ne = newEdges.select(
       col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-    componentsWithRounds(labelEdges.unionByName(ne), "a", "b", maxIters)._1
+    componentsWithRounds(labelEdges.unionByName(ne), "a", "b", maxIters)
   }
 
   /** [[connectedComponents]] plus the number of hook+compress rounds
@@ -153,6 +158,10 @@ object Components {
       s"connectedComponents did not converge in $maxIters rounds — " +
         "plateau count at least halves per round, so this indicates a " +
         "bug; raise maxIters only for graphs beyond 2^maxIters nodes")
+    // the symmetric edge list is round-internal state: release it so a
+    // caller chaining CC runs (incremental admission) holds only label
+    // RDDs, not every run's edge copy (10M-edge probe OOMed without this)
+    GraftBridge.releaseCheckpoint(sym)
     (labels, iter)
   }
 }

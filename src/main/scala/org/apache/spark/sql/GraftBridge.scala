@@ -59,14 +59,20 @@ object GraftBridge {
   def statsFreeLocalCheckpointReleasing(
       df: DataFrame, release: Seq[DataFrame]): DataFrame = {
     val out = statsFreeLocalCheckpoint(df)
-    release.foreach { d =>
-      d.queryExecution.analyzed.foreach {
-        case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-        case _ =>
-      }
-    }
+    release.foreach(releaseCheckpoint)
     out
   }
+
+  /** Unpersist the checkpoint blocks backing `df` (every LogicalRDD in
+    * its plan). Same contract as the `release` parameter above: only
+    * call on frames produced by these checkpoint helpers that will
+    * never be read again — the data has no lineage to recompute from.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** `TypeCollection` is private[sql]; this is the accepted-input set for
     * graft's vector expressions (ImplicitCastInputTypes): the four native
