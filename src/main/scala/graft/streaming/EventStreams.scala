@@ -190,6 +190,52 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous dedup-group maintenance: each micro-batch of (src, dst)
+    * near-dup pair edges is admitted against the CURRENT label snapshot
+    * via [[graft.operators.Components.incrementalComponents]] — prior
+    * batches' edges are never rescanned (converged labels replay as a
+    * diameter-2 star forest), so per-batch cost tracks the label table
+    * plus the batch, not the stream's history. Snapshot versioning is
+    * the [[cdcIngest]] discipline: `stateDir/v<N>` + an atomically
+    * advanced `_CURRENT` pointer, so readers never see a partial label
+    * table. Idempotent under micro-batch retry twice over: the version
+    * read as "previous" is capped at this batchId (a crash between
+    * pointer-advance and checkpoint commit re-reads the PRE-batch
+    * state), and even re-admitting the same edges onto post-batch
+    * labels would be a semantic no-op (CC is idempotent to edge
+    * re-union). Call [[initCcState]] once before starting.
+    */
+  def componentsIngest(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prevV = math.min(readCdcVersion(stateDir), batchId)
+        val prev = spark.read.parquet(s"$stateDir/v$prevV")
+        val next = graft.operators.Components
+          .incrementalComponents(prev, batch, srcCol, dstCol)
+        next.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+        writeCdcVersion(stateDir, batchId + 1)
+        // the label table now lives in parquet; drop the in-memory
+        // checkpoint so long streams hold zero label RDDs per batch
+        org.apache.spark.sql.GraftBridge.releaseCheckpoint(next)
+      }
+      .start()
+
+  /** Seed [[componentsIngest]]'s state: `initial` must be an (id, comp)
+    * label table — pass an empty frame for a cold start.
+    */
+  def initCcState(initial: DataFrame, stateDir: String): Unit = {
+    initial.write.mode("overwrite").parquet(s"$stateDir/v0")
+    writeCdcVersion(stateDir, 0)
+  }
+
+  /** The label snapshot readers see: whatever `_CURRENT` points at. */
+  def currentCcLabels(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readCdcVersion(stateDir)}")
+
   /** Continuous sketch-store maintenance: every micro-batch appends its
     * per-key HLL sketches to the stats table via
     * [[graft.operators.SketchStore.appendBatch]], so incremental

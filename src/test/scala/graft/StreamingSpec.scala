@@ -99,6 +99,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup-group maintenance == batch CC over all edges seen") {
+    import graft.operators.Components
+    val src = java.nio.file.Files.createTempDirectory("graft-ccstream")
+    val state = java.nio.file.Files.createTempDirectory("graft-ccstate")
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("a", "b").coalesce(1).write.parquet(src.resolve(name).toString)
+    // three admission cases across micro-batches: bridge two prior
+    // components (3<->10), extend one (21<->22), fresh nodes (20-21),
+    // plus a self-loop
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val b2 = Seq((3L, 10L), (20L, 21L))
+    val b3 = Seq((21L, 22L), (7L, 7L))
+    writeBatch("b1", b1)
+    EventStreams.initCcState(
+      Seq.empty[(Long, Long)].toDF("id", "comp"), state.toString)
+    val stream = spark.readStream
+      .schema("a LONG, b LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*")
+    val q = EventStreams.componentsIngest(stream, "a", "b", state.toString)
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", b2)
+      q.processAllAvailable()
+      writeBatch("b3", b3)
+      q.processAllAvailable()
+      val got = EventStreams.currentCcLabels(spark, state.toString)
+        .as[(Long, Long)].collect().toMap
+      val want = Components.connectedComponents(
+        (b1 ++ b2 ++ b3).toDF("s", "d"), "s", "d")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+      assert(got(10L) == 1L && got(22L) == 20L && got(7L) == 7L)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-late")
