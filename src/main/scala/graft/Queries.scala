@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{HashExprs, TextFunctions}
+import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
 import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
 
@@ -3204,7 +3204,66 @@ object Queries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
              |FROM lp GROUP BY doc_id
-             |ORDER BY avg_lp, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY avg_lp, doc_id LIMIT 10""".stripMargin)),
+
+    QDef("q115_hashed_embedding",
+      // Closing the text->vector loop: documents get ENGINE-DERIVED
+      // embeddings (feature-hashed term-frequency vectors, the hashing
+      // trick — dim-32 buckets over the portable md5 family) and the
+      // most-similar documents to the first doc are ranked by exact
+      // cosine. Everything is integer until the final cosine: tf counts
+      // are exact, dot/norms are exact integer sums (held exactly in
+      // doubles, dim 32 x small counts), and both engines evaluate
+      // dot / (sqrt(na)*sqrt(nb)) in the same literal sequence, rounded
+      // to 6 dp. Scale: one narrow explode + ONE aggregation builds all
+      // vectors (32 conditional counts, map-side combinable); the 1-row
+      // query side broadcasts; scoring is the codegen'd
+      // VectorExprs.CosineSimilarity kernel, k rows cross the final
+      // top-k. The same vectors feed sign-LSH/IVF/PQ unchanged.
+      (s, d) => {
+        val dim = 32
+        val b = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .select(col("doc_id"),
+            pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+              lit(dim)).as("bk"))
+        val vecs = b.groupBy(col("doc_id")).agg(
+          array((0 until dim).map(i =>
+            count(when(col("bk") === i, lit(1)))): _*).as("v"))
+        val q = vecs.orderBy(col("doc_id")).limit(1)
+          .select(col("doc_id").as("query_id"), col("v").as("qv"))
+        vecs.join(broadcast(q), col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+          .limit(10)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |  FROM documents
+             |), bk AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT)::BIGINT % 32 AS bk
+             |  FROM tok
+             |), bks AS (
+             |  SELECT doc_id, list(bk) AS bs FROM bk GROUP BY doc_id
+             |), vec AS (
+             |  SELECT doc_id, list_transform(range(0, 32),
+             |    i -> CAST(len(list_filter(bs, b -> b = i)) AS BIGINT)) AS v
+             |  FROM bks
+             |), q AS (
+             |  SELECT doc_id AS query_id, v AS qv FROM vec ORDER BY doc_id LIMIT 1
+             |), sc AS (
+             |  SELECT query_id, doc_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(range(1, 33), i -> qv[i] * v[i])) AS DOUBLE) AS dot,
+             |    CAST(list_sum(list_transform(range(1, 33), i -> qv[i] * qv[i])) AS DOUBLE) AS na,
+             |    CAST(list_sum(list_transform(range(1, 33), i -> v[i] * v[i])) AS DOUBLE) AS nb
+             |  FROM vec, q WHERE doc_id <> query_id
+             |)
+             |SELECT query_id, neighbor_id,
+             |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+             |FROM sc ORDER BY cos DESC, neighbor_id LIMIT 10""".stripMargin))
   )
 
   val defs: Seq[QDef] =
