@@ -3263,7 +3263,42 @@ object Queries {
              |)
              |SELECT query_id, neighbor_id,
              |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
-             |FROM sc ORDER BY cos DESC, neighbor_id LIMIT 10""".stripMargin))
+             |FROM sc ORDER BY cos DESC, neighbor_id LIMIT 10""".stripMargin)),
+
+    QDef("q116_ivfpq_topk",
+      // The composite 100 TB ANN index (IVFADC): IVF coarse cells prune
+      // the SCAN (nprobe/nlist of the corpus per query), PQ residual
+      // codes shrink what it READS (m codes vs the vector), exact
+      // re-rank bounds the approximation to the shortlist — with the
+      // q35/q102 ORACLE-GATED recall pattern: overall recall vs the
+      // in-query brute force must come out TRUE at >= 0.8. The score
+      // decomposes exactly as dot(q, centroid) + LUT(residual codes);
+      // near-uniform synthetic embeddings are the worst quantizable
+      // case (same widening note as q35/q102), hence m=16 and the wide
+      // probe/shortlist.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val ivfpq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 8, m = 16, kcode = 16,
+          nassign = 2, shortlistFactor = 16)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy() // 10 rows by this point: tiny
+        ivfpq.join(bf.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_results"),
+            (sum(col("n_hits")).over(w).cast("double")
+              / sum(col("n_results")).over(w) >= 0.8).as("recall_ge_080"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS recall_ge_080
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -297,6 +297,63 @@ object VectorExprs {
     new GenericArrayData(best.take(filled))
   }
 
+  /** Residual kernel for IVF-PQ encoding: v - cents[cell] in one fused
+    * pass (read + subtract, no boxing). Degenerate inputs (dim
+    * mismatch, null elements, out-of-range cell) yield the zero vector
+    * — PQ then codes the residual of "exactly the centroid", the
+    * least-wrong claim available.
+    */
+  def residualKernel(
+      v: ArrayData, kind: Int,
+      cents: Array[Array[Double]], cell: Int): ArrayData = {
+    val dim = if (cents.nonEmpty) cents(0).length else 0
+    val out = new Array[Double](dim)
+    if (v.numElements() != dim || hasNullElement(v) ||
+        cell < 0 || cell >= cents.length)
+      return new GenericArrayData(out)
+    val c = cents(cell)
+    var i = 0
+    while (i < dim) {
+      out(i) = readElem(v, i, kind) - c(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** v - cents[cell], natively: the IVF-PQ residual. A composed
+    * `zip_with(v, element_at(lit(cents), cell + 1), _ - _)` is a
+    * higher-order function — interpreted, and the captured
+    * centroid-lookup subtree re-evaluates PER ELEMENT (O(dim^2) boxed
+    * per row, the same trap UnitVector exists for).
+    */
+  case class Residual(left: Expression, right: Expression, cents: Seq[Seq[Double]])
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes, IntegerType)
+
+    @transient private lazy val centArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("vec_residual", left.dataType)
+
+    override protected def nullSafeEval(v: Any, cell: Any): Any =
+      residualKernel(v.asInstanceOf[ArrayData], elemKind(left.dataType),
+        centArr, cell.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, cell) =>
+        s"${ev.value} = graft.functions.VectorExprs.residualKernel(" +
+          s"$v, ${elemKind(left.dataType)}, $centsRef, $cell);")
+    }
+
+    override def prettyName: String = "vec_residual"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `cents` is a Seq-of-Seq so the case class keeps structural
     * equality/canonicalization (an Array field would compare by
     * reference and defeat common-subexpression elimination).

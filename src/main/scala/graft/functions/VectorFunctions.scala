@@ -40,6 +40,16 @@ object VectorFunctions {
     org.apache.spark.sql.GraftBridge.column(VectorExprs.UnitVector(
       org.apache.spark.sql.GraftBridge.expression(v)))
 
+  /** v - cents[cell], the IVF-PQ residual, in one native pass (see
+    * [[graft.functions.VectorExprs.Residual]] for why the composed
+    * zip_with-over-centroid-lookup form is an O(dim^2) trap).
+    */
+  def residual(v: Column, cell: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.Residual(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      org.apache.spark.sql.GraftBridge.expression(cell),
+      cents.map(_.toSeq).toSeq))
+
   /** The composed (zip_with/aggregate) cosine — same math, same strict
     * left-to-right accumulation; used to cross-check the native
     * expression and as the pattern reference for new vector ops.

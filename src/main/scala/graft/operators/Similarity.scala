@@ -327,9 +327,15 @@ object Similarity {
     */
   def fitPqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+      m: Int, k: Int, iters: Int,
+      unitize: Boolean = true): Array[Array[Array[Double]]] = {
+    // unitize=false fits RAW vectors — the IVF-PQ residual path, where
+    // the input is already array<double> (unit vector - centroid) and
+    // re-normalizing would destroy exactly the magnitude the codebook
+    // must represent
+    val prep = if (unitize) unitizeCol(col(vecCol)) else col(vecCol)
     val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), unitizeCol(col(vecCol)).as("uv"))
+      .select(col(idCol).as("cid"), prep.as("uv"))
     val dim = c.select(size(col("uv"))).head().getInt(0)
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sd = dim / m
@@ -467,4 +473,105 @@ object Similarity {
       shortlistFactor: Int = 8): DataFrame =
     pqSearch(queries, corpus, idCol, vecCol, k,
       fitPqCodebooks(corpus, idCol, vecCol, m, kcode, iters), shortlistFactor)
+
+  // ---------- IVF-PQ (coarse quantizer + residual codes) ----------
+  //
+  // The composite 100 TB index (Jégou et al. §V: IVFADC): the IVF
+  // coarse quantizer prunes the SCAN (only nprobe/nlist of the corpus
+  // is scored per query) while PQ shrinks what the scan READS (m codes
+  // per vector instead of the vector). Codes quantize the RESIDUAL
+  // u - centroid(u) — residuals concentrate near zero, so the shared
+  // codebooks spend their 2^bits on a much smaller ball than raw
+  // vectors, and the score decomposes exactly:
+  //   dot(q, u) = dot(q, centroid) + dot(q, residual)
+  // with the first term computed per (query, probed cell) on the
+  // driver (nprobe x nlist work, trivial) and the second term the same
+  // LUT lookups as plain PQ.
+
+  /** IVF-PQ ANN search with exact re-ranking. Per query: its `nprobe`
+    * best cells (+ the exact dot(q, centroid) term each) broadcast with
+    * the residual LUT; the coded corpus joins on cell, so each query
+    * scores only its probed fraction — m lookups + adds per candidate,
+    * original vectors untouched until the bounded exact re-rank.
+    * `nassign` replica lists trade storage for boundary recall exactly
+    * as in [[ivfSearch]]; each replica codes the residual against ITS
+    * cell's centroid, so the decomposition stays exact per row.
+    */
+  def ivfPqSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int = 4, nassign: Int = 2,
+      shortlistFactor: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kcode = books(0).length
+    val sd = books(0)(0).length
+    // one narrow pass: unitize, replica cells, per-cell residual codes
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        unitizeCol(col(vecCol)).as("uv"))
+      .select(col("cid"), col("cv"), col("uv"),
+        explode(bestCells(col("uv"), cents, nassign)).as("cell"))
+      .select(col("cid"), col("cv"), col("cell"),
+        pqEncodeExpr(
+          VectorFunctions.residual(col("uv"), col("cell"), cents), books)
+          .as("codes"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // driver-side probe lists: tiny (queries x nlist dots), broadcast
+    val probes = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
+      .collect().flatMap { r =>
+        val qid = r.getLong(0)
+        val uq = r.getSeq[Number](1).map(_.doubleValue).toArray
+        val lut = Array.tabulate(m * kcode) { i =>
+          val (j, code) = (i / kcode, i % kcode)
+          (0 until sd).map(x => uq(j * sd + x) * books(j)(code)(x)).sum
+        }.toSeq
+        cents.indices
+          .map(ci => (ci, uq.indices.map(x => uq(x) * cents(ci)(x)).sum))
+          .sortBy { case (ci, dt) => (-dt, ci) }.take(nprobe)
+          .map { case (ci, dt) => (qid, ci, dt, lut) }
+      }.toSeq.toDF("query_id", "cell", "cell_dot", "lut")
+    val residualLut = (0 until m).map(j =>
+      element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
+      .reduce(_ + _)
+    val scored = c.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("cid"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        (col("cell_dot") + residualLut).as("cos"))
+    val shortlist = emitTopK(scored, k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = shortlist
+      .join(c.select(col("cid").as("neighbor_id"), col("cv")).distinct(), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+    emitTopK(reranked, k)
+  }
+
+  /** IVF-PQ, fit-inline convenience: coarse centroids via
+    * [[fitCentroids]], residual codebooks via [[fitPqCodebooks]]
+    * (unitize = false — the residuals' magnitudes ARE the signal),
+    * search via [[ivfPqSearch]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+      m: Int = 4, kcode: Int = 16, pqIters: Int = 2,
+      nassign: Int = 2, shortlistFactor: Int = 8): DataFrame = {
+    val cents = fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val res = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("rid"), unitizeCol(col(vecCol)).as("uv"))
+      .select(col("rid"),
+        VectorFunctions.residual(col("uv"),
+          element_at(bestCells(col("uv"), cents, 1), 1), cents).as("rv"))
+    val books = fitPqCodebooks(res, "rid", "rv", m, kcode, pqIters,
+      unitize = false)
+    ivfPqSearch(queries, corpus, idCol, vecCol, k, cents, books,
+      nprobe, nassign, shortlistFactor)
+  }
 }

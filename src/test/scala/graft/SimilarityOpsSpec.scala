@@ -106,6 +106,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(withInterpreted(vals()) == withCodegen)
   }
 
+  test("native residual == composed zip_with form, bit-equal; degenerate inputs zero") {
+    val cents = Array(Array(0.5, -0.25, 1.0), Array(-1.0, 2.0, 0.0))
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq(-0.5f, 0.5f, 0.25f), 1),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 0)).toDF("id", "v", "cell")
+    val got = df.select(col("id"),
+        VectorFunctions.residual(col("v"), col("cell"), cents).as("r"),
+        // composed reference: per-element subtract against the indexed
+        // literal centroid (the interpreted-HOF form the kernel replaces)
+        zip_with(transform(col("v"), x => x.cast("double")),
+          element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1),
+          (x, c) => x - c).as("ref"))
+      .as[(Long, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+    got.foreach { case (id, r, ref) => assert(r == ref, s"id=$id: $r != $ref") }
+    // degenerate: dim mismatch and out-of-range cell yield the zero
+    // vector (PQ then codes "exactly the centroid")
+    val bad = Seq((0L, Seq(1.0f, 2.0f), 0), (1L, Seq(1.0f, 2.0f, 3.0f), 7))
+      .toDF("id", "v", "cell")
+      .select(VectorFunctions.residual(col("v"), col("cell"), cents).as("r"))
+      .as[Seq[Double]].collect()
+    bad.foreach(r => assert(r == Seq(0.0, 0.0, 0.0)))
+  }
+
+  test("ivfPqTopK achieves >= 0.8 recall vs brute force") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    // q116's settings: near-uniform embeddings are the worst
+    // quantizable case, so the probe/shortlist sit at the wide end
+    val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8, m = 16, kcode = 16, nassign = 2,
+      shortlistFactor = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("bruteForceTopK returns correct neighbors on a tiny fixture") {
     val vecs = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.3f))
