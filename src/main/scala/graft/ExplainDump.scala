@@ -39,7 +39,8 @@ object ExplainDump {
     "q99_gap_fill" -> "time-series gap fill: hourly aggregation and the forward-fill window share the user_id partitioning; the grid explode is narrow between them — per-user bounded state, parallel across users",
     "q109_tpch_q18" -> "TPC-H Q18 shape: the HAVING subquery is one partial/final HashAggregate over lineitem whose rare survivors semi-join orders (AQE can broadcast them); the final per-order aggregation reuses the orderkey partitioning of the lineitem join",
     "q110_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs predicate partially pushes — the extracted l_quantity bounds reach the lineitem scan's PushedFilters and the brand/size disjunction reaches the part scan; part side BroadcastHashJoin; no cartesian",
-    "q111_bigram_lm" -> "bigram LM counts: explodes are narrow off the scan; both counts are partial/final HashAggregate pairs on token keys; V is a 1-row broadcast cross join; top-15 as TakeOrderedAndProject")
+    "q111_bigram_lm" -> "bigram LM counts: explodes are narrow off the scan; both counts are partial/final HashAggregate pairs on token keys; V is a 1-row broadcast cross join; top-15 as TakeOrderedAndProject",
+    "q116_ivfpq_topk" -> "IVF-PQ: corpus-side encode is one narrow pass (unitize kernel, replica-cell explode, residual + PQ-code kernels — no join, no shuffle); the probe list broadcasts so the corpus never moves; LUT scoring feeds the bounded top-k udaf; only the shortlist touches original vectors")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-explain")
