@@ -3279,9 +3279,13 @@ object Queries {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
+        // settings chosen from a measured recall sweep at sf0.1 (the
+        // 10x scale the catalog must also pass at): nprobe=8/sf=16 sat
+        // at 0.76 there — trivially wide at 200 vectors, too narrow at
+        // 2000 — while nprobe=12/sf=32 measures 0.94
         val ivfpq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
-          nlist = 16, nprobe = 8, m = 16, kcode = 16,
-          nassign = 2, shortlistFactor = 16)
+          nlist = 16, nprobe = 12, m = 16, kcode = 16,
+          nassign = 2, shortlistFactor = 32)
           .select("query_id", "neighbor_id")
         val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
           .select("query_id", "neighbor_id")

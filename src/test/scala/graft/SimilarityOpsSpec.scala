@@ -135,9 +135,10 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 5)
     // q116's settings: near-uniform embeddings are the worst
     // quantizable case, so the probe/shortlist sit at the wide end
+    // (from the sf0.1 recall sweep: 0.94 there, saturating here)
     val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 8, m = 16, kcode = 16, nassign = 2,
-      shortlistFactor = 16)
+      nlist = 16, nprobe = 12, m = 16, kcode = 16, nassign = 2,
+      shortlistFactor = 32)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
