@@ -118,6 +118,9 @@ object Bpe {
       }
     }
     import spark.implicits._
+    // the merge list is driver state — the last round's vocab checkpoint
+    // has no consumer, so drop its blocks before returning
+    org.apache.spark.sql.GraftBridge.releaseCheckpoint(vocab)
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
 }
