@@ -3302,7 +3302,44 @@ object Queries {
       },
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS recall_ge_080
-             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q117_tpch_q15",
+      // TPC-H Q15 shape (top supplier): an aggregate compared against
+      // the MAX of the same aggregate — the "view + scalar subquery
+      // over it" plan. The revenue view is computed ONCE and reused for
+      // both sides (the 1-row max broadcasts back onto it; Spark plans
+      // a ReusedExchange for the shared aggregation). Joining on
+      // DOUBLE equality is safe here and only here because both sides
+      // come from the same decimal-exact sum — the determinism rules
+      // this catalog runs on are what make the textbook formulation
+      // portable at all.
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mr"))
+        rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey
+             |)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin))
   )
 
   val defs: Seq[QDef] =
