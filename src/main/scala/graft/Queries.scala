@@ -3339,7 +3339,41 @@ object Queries {
              |SELECT s_suppkey, s_name, total_revenue
              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
              |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QDef("q118_corpus_health",
+      // Per-source corpus-health dashboard: token volume, vocabulary
+      // size, type-token ratio, and hapax-legomena fraction (types
+      // seen once — the classic crawl-quality signal: too high means
+      // noise/OCR garbage, too low means boilerplate). All counts are
+      // exact integers from two map-side-combinable groupBys (token
+      // frequency per source, then per-source rollup); the two ratios
+      // are single IEEE divisions of exact integers, rounded 6 dp.
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("cnt") === 1, lit(1))).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"))
+        .orderBy(col("source")),
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |  FROM documents
+             |), wf AS (
+             |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tok GROUP BY source, w
+             |)
+             |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  CAST(count(*) FILTER (cnt = 1) AS BIGINT) AS n_hapax,
+             |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+             |  round(CAST(count(*) FILTER (cnt = 1) AS DOUBLE) / count(*), 6) AS hapax_frac
+             |FROM wf GROUP BY source ORDER BY source""".stripMargin))
   )
 
   val defs: Seq[QDef] =
