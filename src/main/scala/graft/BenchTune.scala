@@ -324,6 +324,44 @@ object BenchTune {
     }
   }
 
+  /** `--knn [n]`: the large-query-set ANN proof (default 100k): run the
+    * ENTIRE n-vector corpus as the query set of [[graft.operators
+    * .Similarity.ivfPqKnnJoin]] — the every-doc-to-its-neighbors dedup
+    * building block. The r6 verdict's scale-killer was a driver-side
+    * collect of the query frame; this probe only completes because the
+    * probe lists/LUTs now build as a narrow map (100k queries x 128
+    * LUT doubles would already be GBs through the driver). Vectors are
+    * synthesized deterministically (hash-derived components, the
+    * sign-LSH plane recipe), nlist ~ sqrt(n) so cells stay
+    * executor-sized. Prints fit/join wall time + output row count.
+    */
+  private def knnDemo(spark: SparkSession, n: Long): Unit = {
+    import graft.operators.Similarity
+    val dim = 64
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+          .cast("double")): _*).as("embedding"))
+      .repartition(32).cache()
+    emb.count()
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+    val t0 = System.nanoTime()
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = nlist, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    val fitT = (System.nanoTime() - t0) / 1e9
+    val k = 10
+    val t1 = System.nanoTime()
+    val out = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", k,
+      cents, books, nprobe = 4, nassign = 1, shortlistFactor = 4)
+    val rows = out.count()
+    val joinT = (System.nanoTime() - t1) / 1e9
+    require(rows == n * k, s"expected ${n * k} rows, got $rows")
+    println(f"[knn] n=$n%d dim=$dim nlist=$nlist nprobe=4 fit=$fitT%.1f s " +
+      f"knn_join=$joinT%.1f s rows_out=$rows%d (all $n queries distributed; " +
+      "no driver-side query materialization)")
+    emb.unpersist()
+  }
+
   /** `--components [edges]`: connected components at scale (default 10M
     * edges) on the three structurally extreme graphs:
     *  - path: worst-case diameter (= edge count) — pins the
@@ -418,6 +456,13 @@ object BenchTune {
       val rows = tail.headOption
         .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
       opsDemo(spark, rows, tail.filterNot(_.forall(_.isDigit)).toSet)
+      spark.stop()
+      return
+    }
+    if (args.contains("--knn")) {
+      val n = args.dropWhile(_ != "--knn").drop(1).headOption
+        .filter(_.forall(_.isDigit)).map(_.toLong).getOrElse(100000L)
+      knnDemo(spark, n)
       spark.stop()
       return
     }

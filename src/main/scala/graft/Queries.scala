@@ -3373,7 +3373,78 @@ object Queries {
              |  CAST(count(*) FILTER (cnt = 1) AS BIGINT) AS n_hapax,
              |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
              |  round(CAST(count(*) FILTER (cnt = 1) AS DOUBLE) / count(*), 6) AS hapax_frac
-             |FROM wf GROUP BY source ORDER BY source""".stripMargin))
+             |FROM wf GROUP BY source ORDER BY source""".stripMargin)),
+
+    QDef("q119_ivfpq_persisted",
+      // Composite IVF-PQ index persistence end-to-end: fit the pair
+      // (coarse centroids + residual codebooks) ONCE, save it as one
+      // artifact, load it back, and search with the loaded pair — the
+      // fit-once-search-many production shape for a 100 TB corpus.
+      // Both halves round-trip doubles exactly through parquet and the
+      // search path is deterministic given (cents, books) — the TopKAgg
+      // replica dedup keeps the max score per id, so shortlist
+      // membership is partition-order-free — hence loaded-index results
+      // must equal fresh-index results ROW FOR ROW (q84's null-safe
+      // full-outer-join gate applied to the composite).
+      (s, d) => {
+        val dir = scratchDir("q119")
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        Similarity.saveIvfPqIndex(s, cents, books, dir)
+        val (lc, lb) = Similarity.loadIvfPqIndex(s, dir)
+        def run(cs: Array[Array[Double]], bs: Array[Array[Array[Double]]],
+            out: String) =
+          Similarity.ivfPqSearch(q, emb, "vec_id", "embedding", 5, cs, bs,
+            nprobe = 12, nassign = 2, shortlistFactor = 32)
+            .select(col("query_id"), col("rank"), col("neighbor_id").as(out))
+        run(cents, books, "n_fresh")
+          .join(run(lc, lb, "n_loaded"), Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_fresh") <=> col("n_loaded")).as("loaded_eq_fresh"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS loaded_eq_fresh
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q120_knn_join",
+      // Distributed kNN JOIN: EVERY embedding to its top-k neighbors —
+      // the corpus-scale building block SemDeDup and retrieval dedup
+      // sit on. No broadcast anywhere: probe lists and coded corpus
+      // co-partition on cell (the bucketed plan — candidates only ever
+      // meet inside probed cells, never Q x N), and the query side is
+      // built as a narrow map (never collected: the r6 scale-killer).
+      // Oracle-gated with the q116 recall pattern, but over ALL N
+      // queries: overall recall vs the in-query brute force must come
+      // out TRUE at >= 0.8 (near-uniform synthetic embeddings are the
+      // hardest quantizable case, hence the wide probe/shortlist; the
+      // settings carry over from q116's measured sf0.1 sweep).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        val knn = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", 5,
+          cents, books, nprobe = 12, nassign = 2, shortlistFactor = 32)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy()
+        knn.join(bf.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            bool_and(col("n_results") === 5).as("k_results_each"),
+            (sum(col("n_hits")).cast("double") / sum(col("n_results"))
+              >= 0.8).as("recall_ge_080"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  TRUE AS k_results_each, TRUE AS recall_ge_080
+             |FROM embeddings""".stripMargin))
   )
 
   val defs: Seq[QDef] =

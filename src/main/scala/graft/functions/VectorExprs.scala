@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -352,6 +352,158 @@ object VectorExprs {
     override def prettyName: String = "vec_residual"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** Nearest-cells-with-dots kernel: the SAME selection and ordering as
+    * [[nearestCellsKernel]] (asserted equal in SimilarityOpsSpec), but
+    * each probed cell carries its exact dot(v, centroid) — the per-cell
+    * term of the IVF-PQ score decomposition. This is what lets the
+    * query-side probe list be built as a NARROW map over the query scan
+    * instead of a driver-side collect: one fused pass per query row, no
+    * materialization, no join. Degenerate vectors (null elements, dim
+    * mismatch) probe the first cells 0..nprobe-1 with dot 0.0 — the
+    * cell order [[nearestCellsKernel]] emits, with the score the cosine
+    * kernel would assign such vectors anyway.
+    */
+  def nearestCellDotsKernel(
+      v: ArrayData, kind: Int,
+      cents: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val n = cents.length
+    val k = math.min(nprobe, n)
+    val dim = if (n > 0) cents(0).length else 0
+    if (v.numElements() != dim || hasNullElement(v))
+      return new GenericArrayData(Array.tabulate[Any](k)(i =>
+        new GenericInternalRow(Array[Any](i, 0.0))))
+    val neg = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val row = cents(c)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += readElem(v, j, kind) * row(j)
+        j += 1
+      }
+      neg(c) = -acc
+      c += 1
+    }
+    val best = new Array[Int](k)
+    var filled = 0
+    c = 0
+    while (c < n) {
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(neg(best(pos - 1)), neg(c)) > 0) pos -= 1
+      if (pos < k) {
+        var m = math.min(filled, k - 1)
+        while (m > pos) { best(m) = best(m - 1); m -= 1 }
+        best(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(Array.tabulate[Any](filled)(i =>
+      new GenericInternalRow(Array[Any](best(i), -neg(best(i))))))
+  }
+
+  /** The `nprobe` nearest cells of a vector, each as (cell, dot) —
+    * array<struct<cell:int, dot:double>> ordered nearest-first with the
+    * [[NearestCells]] tie-break. Powers the distributed IVF-PQ probe
+    * build (query side stays a narrow map; nothing is collected).
+    */
+  case class NearestCellDots(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("dot", DoubleType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
+
+    @transient private lazy val centArr: Array[Array[Double]] =
+      cents.map(_.toArray).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("nearest_cell_dots", child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any =
+      nearestCellDotsKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType),
+        centArr, nprobe)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.nearestCellDotsKernel(" +
+          s"$c, ${elemKind(child.dataType)}, $centsRef, $nprobe);")
+    }
+
+    override def prettyName: String = "nearest_cell_dots"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** PQ asymmetric-distance table kernel: lut[j*k + c] = dot of the j-th
+    * sub-vector of v with codeword books[j][c], flattened exactly as the
+    * search path indexes it (lit(j*k+1) + code, 1-based element_at).
+    * One fused pass, m*k*(dim/m) = dim*k multiply-adds per query row —
+    * the work the old driver-side loop did per collected row, now a
+    * codegen'd narrow map. Degenerate inputs (dim mismatch, null
+    * elements) yield the all-zero LUT (score collapses to the centroid
+    * term, matching the cosine kernel's 0.0 stance).
+    */
+  def pqLutKernel(
+      v: ArrayData, kind: Int, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val kcode = if (m > 0) books(0).length else 0
+    val sd = if (kcode > 0) books(0)(0).length else 0
+    val out = new Array[Double](m * kcode)
+    if (v.numElements() != m * sd || hasNullElement(v))
+      return new GenericArrayData(out)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var c = 0
+      while (c < kcode) {
+        val cw = book(c)
+        var acc = 0.0
+        var x = 0
+        while (x < sd) {
+          acc += readElem(v, j * sd + x, kind) * cw(x)
+          x += 1
+        }
+        out(j * kcode + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query PQ lookup table (array<double>, length m*k) against
+    * literal codebooks — the distributed replacement for driver-side
+    * LUT construction in the PQ/IVF-PQ search paths.
+    */
+  case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
+
+    @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("pq_lut", child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any =
+      pqLutKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType), bookArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val booksRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.pqLutKernel(" +
+          s"$c, ${elemKind(child.dataType)}, $booksRef);")
+    }
+
+    override def prettyName: String = "pq_lut"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** `cents` is a Seq-of-Seq so the case class keeps structural

@@ -50,6 +50,24 @@ object VectorFunctions {
       org.apache.spark.sql.GraftBridge.expression(cell),
       cents.map(_.toSeq).toSeq))
 
+  /** The `nprobe` nearest cells of `v` with their exact dot(v, centroid)
+    * terms, as array<struct<cell:int, dot:double>> nearest-first — the
+    * narrow query-side probe build for IVF-PQ (see
+    * [[graft.functions.VectorExprs.NearestCellDots]]).
+    */
+  def nearestCellDots(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.NearestCellDots(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      cents.map(_.toSeq).toSeq, nprobe))
+
+  /** Per-row PQ lookup table (array<double>, length m*k) against literal
+    * codebooks (see [[graft.functions.VectorExprs.PqLut]]).
+    */
+  def pqLut(v: Column, books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.PqLut(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      books.map(_.map(_.toSeq).toSeq).toSeq))
+
   /** The composed (zip_with/aggregate) cosine — same math, same strict
     * left-to-right accumulation; used to cross-check the native
     * expression and as the pattern reference for new vector ops.

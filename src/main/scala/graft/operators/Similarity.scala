@@ -49,20 +49,39 @@ object Similarity {
       // cheap rejection FIRST: once the buffer is full, the overwhelming
       // majority of rows lose to the k-th item and must cost O(1), not
       // an O(k) dedup scan (at shortlist-sized k this is the difference
-      // between seconds and minutes over a 10M-row score stream). The
-      // id-dedup only matters for items that would actually insert — a
-      // rejected duplicate would not have changed the buffer anyway.
+      // between seconds and minutes over a 10M-row score stream). This
+      // is still max-per-id correct: a resident duplicate's score is
+      // >= items.last >= a.cos, so the rejected replica could not have
+      // improved its entry.
       if (items.size >= k && !beats(a, items.last)) b
-      else if (items.exists(_.id == a.id)) b
       else {
-        val idx = items.indexWhere(x => beats(a, x)) match {
-          case -1 => items.size
-          case i => i
+        // dedup keeps the BEST replica score per id (IVF-PQ replicas of
+        // one vector score differently against different cell centroids;
+        // keeping whichever arrived first would make the buffer — and
+        // the shortlist boundary — partition-order-dependent)
+        val ex = items.indexWhere(_.id == a.id)
+        if (ex >= 0) {
+          if (!beats(a, items(ex))) b
+          else {
+            val rest = items.take(ex) ++ items.drop(ex + 1)
+            val idx = rest.indexWhere(x => beats(a, x)) match {
+              case -1 => rest.size
+              case i => i
+            }
+            TopKBuf((rest.take(idx) :+ a) ++ rest.drop(idx))
+          }
+        } else {
+          val idx = items.indexWhere(x => beats(a, x)) match {
+            case -1 => items.size
+            case i => i
+          }
+          TopKBuf((items.take(idx) :+ a) ++ items.drop(idx).take(k - idx - 1))
         }
-        TopKBuf((items.take(idx) :+ a) ++ items.drop(idx).take(k - idx - 1))
       }
     }
     def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      // sorted-merge in beats-order: the FIRST occurrence of an id is its
+      // best replica score, so first-wins dedup here IS max-per-id
       val out = Vector.newBuilder[TopItem]
       val seen = scala.collection.mutable.HashSet.empty[Long]
       var (i, j, n) = (0, 0, 0)
@@ -381,8 +400,12 @@ object Similarity {
     * asymmetric-distance computation; the corpus vectors themselves are
     * never touched), take a `shortlistFactor * k` shortlist per query,
     * then re-rank the shortlist with EXACT cosine on the original
-    * vectors. Queries are collected to build the LUTs — the query set
-    * is small and broadcast, the same stance as [[bruteForceTopK]].
+    * vectors. LUTs are built as a narrow codegen'd map over the query
+    * scan (never collected to the driver); the LUT frame is then
+    * broadcast — plain PQ scores EVERY query against EVERY coded row,
+    * so the query set must be broadcast-sized by design (the scan-
+    * pruned large-Q path is [[ivfPqSearch]] with broadcastQueries =
+    * false).
     *
     * Output: (query_id, rank, neighbor_id, cos) — cos is exact on the
     * emitted rows (approximation only decides the shortlist).
@@ -392,25 +415,15 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       books: Array[Array[Array[Double]]],
       shortlistFactor: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val m = books.length
     val kcode = books(0).length
-    val sd = books(0)(0).length
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         pqEncodeExpr(unitizeCol(col(vecCol)), books).as("codes"))
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val luts = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
-      .collect().map { r =>
-        val uq = r.getSeq[Number](1).map(_.doubleValue).toArray
-        val lut = Array.tabulate(m * kcode) { i =>
-          val (j, code) = (i / kcode, i % kcode)
-          (0 until sd).map(x => uq(j * sd + x) * books(j)(code)(x)).sum
-        }
-        (r.getLong(0), lut.toSeq)
-      }.toSeq.toDF("query_id", "lut")
+    val luts = q.select(col("query_id"),
+      VectorFunctions.pqLut(unitizeCol(col("qv")), books).as("lut"))
     val approx = (0 until m).map(j =>
       element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
       .reduce(_ + _)
@@ -489,13 +502,24 @@ object Similarity {
   // LUT lookups as plain PQ.
 
   /** IVF-PQ ANN search with exact re-ranking. Per query: its `nprobe`
-    * best cells (+ the exact dot(q, centroid) term each) broadcast with
+    * best cells (+ the exact dot(q, centroid) term each) joined with
     * the residual LUT; the coded corpus joins on cell, so each query
     * scores only its probed fraction — m lookups + adds per candidate,
     * original vectors untouched until the bounded exact re-rank.
     * `nassign` replica lists trade storage for boundary recall exactly
     * as in [[ivfSearch]]; each replica codes the residual against ITS
     * cell's centroid, so the decomposition stays exact per row.
+    *
+    * The query side is fully DISTRIBUTED: probe cells, centroid dots,
+    * and LUTs come out of one narrow codegen'd map over the query scan
+    * (NearestCellDots + PqLut kernels) — nothing is collected to the
+    * driver, so the query frame can be corpus-sized. With
+    * `broadcastQueries = true` (the interactive default: a small query
+    * set) the probe frame is broadcast onto the coded corpus; with
+    * `false` (the kNN-join path, see [[ivfPqKnnJoin]]) both sides
+    * shuffle-partition on cell — per-cell candidate lists meet their
+    * per-cell probe lists co-located, the standard bucketed-ANN-join
+    * shape, and the re-rank joins stay plain hash joins on id.
     */
   def ivfPqSearch(
       queries: DataFrame, corpus: DataFrame,
@@ -503,12 +527,10 @@ object Similarity {
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, nassign: Int = 2,
-      shortlistFactor: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame = {
     val m = books.length
     val kcode = books(0).length
-    val sd = books(0)(0).length
     // one narrow pass: unitize, replica cells, per-cell residual codes
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
@@ -521,24 +543,19 @@ object Similarity {
           .as("codes"))
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // driver-side probe lists: tiny (queries x nlist dots), broadcast
+    // narrow probe build: nprobe rows per query, each carrying the cell,
+    // its exact dot(q, centroid) score term, and the residual LUT
     val probes = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
-      .collect().flatMap { r =>
-        val qid = r.getLong(0)
-        val uq = r.getSeq[Number](1).map(_.doubleValue).toArray
-        val lut = Array.tabulate(m * kcode) { i =>
-          val (j, code) = (i / kcode, i % kcode)
-          (0 until sd).map(x => uq(j * sd + x) * books(j)(code)(x)).sum
-        }.toSeq
-        cents.indices
-          .map(ci => (ci, uq.indices.map(x => uq(x) * cents(ci)(x)).sum))
-          .sortBy { case (ci, dt) => (-dt, ci) }.take(nprobe)
-          .map { case (ci, dt) => (qid, ci, dt, lut) }
-      }.toSeq.toDF("query_id", "cell", "cell_dot", "lut")
+      .select(col("query_id"),
+        VectorFunctions.pqLut(col("uq"), books).as("lut"),
+        explode(VectorFunctions.nearestCellDots(col("uq"), cents, nprobe)).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"),
+        col("pc.dot").as("cell_dot"), col("lut"))
     val residualLut = (0 until m).map(j =>
       element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
       .reduce(_ + _)
-    val scored = c.join(broadcast(probes), "cell")
+    val scored = c.join(
+        if (broadcastQueries) broadcast(probes) else probes, "cell")
       .filter(col("query_id") =!= col("cid"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         (col("cell_dot") + residualLut).as("cos"))
@@ -546,32 +563,87 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val reranked = shortlist
       .join(c.select(col("cid").as("neighbor_id"), col("cv")).distinct(), "neighbor_id")
-      .join(broadcast(q), "query_id")
+      .join(if (broadcastQueries) broadcast(q) else q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
     emitTopK(reranked, k)
   }
 
-  /** IVF-PQ, fit-inline convenience: coarse centroids via
-    * [[fitCentroids]], residual codebooks via [[fitPqCodebooks]]
-    * (unitize = false — the residuals' magnitudes ARE the signal),
-    * search via [[ivfPqSearch]].
+  /** Fit the composite IVF-PQ index: coarse centroids via
+    * [[fitCentroids]], then residual codebooks via [[fitPqCodebooks]]
+    * over `unit(v) - centroid(unit(v))` (unitize = false — the
+    * residuals' magnitudes ARE the signal). Same driver-action shape
+    * as both constituents: each Lloyd pass is narrow + a map-side-
+    * combined groupBy; the corpus never materializes.
     */
-  def ivfPqTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
-      m: Int = 4, kcode: Int = 16, pqIters: Int = 2,
-      nassign: Int = 2, shortlistFactor: Int = 8): DataFrame = {
+  def fitIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, kmeansIters: Int,
+      m: Int, kcode: Int, pqIters: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents = fitCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
     val res = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("rid"), unitizeCol(col(vecCol)).as("uv"))
       .select(col("rid"),
         VectorFunctions.residual(col("uv"),
           element_at(bestCells(col("uv"), cents, 1), 1), cents).as("rv"))
-    val books = fitPqCodebooks(res, "rid", "rv", m, kcode, pqIters,
-      unitize = false)
+    (cents, fitPqCodebooks(res, "rid", "rv", m, kcode, pqIters,
+      unitize = false))
+  }
+
+  /** IVF-PQ, fit-inline convenience: [[fitIvfPq]] + [[ivfPqSearch]]. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3,
+      m: Int = 4, kcode: Int = 16, pqIters: Int = 2,
+      nassign: Int = 2, shortlistFactor: Int = 8): DataFrame = {
+    val (cents, books) = fitIvfPq(corpus, idCol, vecCol,
+      nlist, kmeansIters, m, kcode, pqIters)
     ivfPqSearch(queries, corpus, idCol, vecCol, k, cents, books,
       nprobe, nassign, shortlistFactor)
   }
+
+  /** Distributed kNN JOIN: every corpus row to its approximate top-k
+    * neighbors — the building block of corpus-scale semantic dedup and
+    * retrieval (SemDeDup's pairwise stage, done right: candidates meet
+    * only inside probed cells, never Q x N). This is [[ivfPqSearch]]
+    * with the corpus as its own query set and NO broadcast anywhere:
+    * the probe frame (N x nprobe rows of m*k-double LUTs) and the coded
+    * corpus (N x nassign rows of m codes) co-partition on cell, the
+    * per-cell hash join emits candidate pairs, TopKAgg's map-side
+    * partial aggregation caps what crosses the shuffle at
+    * k*shortlistFactor rows per query per partition, and the exact
+    * re-rank joins on id. At 100 TB, nlist should grow ~sqrt(N) so
+    * cells stay executor-sized (AQE splits stragglers).
+    */
+  def ivfPqKnnJoin(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int = 4, nassign: Int = 2,
+      shortlistFactor: Int = 8): DataFrame =
+    ivfPqSearch(corpus, corpus, idCol, vecCol, k, cents, books,
+      nprobe, nassign, shortlistFactor, broadcastQueries = false)
+
+  /** Persist the composite IVF-PQ index as ONE artifact: the coarse
+    * centroid table and the residual codebook table under a common
+    * root. Fit-once-search-many is the production shape for a 100 TB
+    * corpus — the search job loads two tiny tables instead of running
+    * Lloyd over the corpus (same stance as [[saveIndex]]/
+    * [[savePqIndex]], which this composes).
+    */
+  def saveIvfPqIndex(spark: SparkSession, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    saveIndex(spark, cents, path + "/centroids")
+    savePqIndex(spark, books, path + "/codebooks")
+  }
+
+  /** Load a persisted composite IVF-PQ index. Both halves round-trip
+    * doubles exactly, so a loaded index assigns, encodes, and searches
+    * bit-identically to the freshly fitted pair (gated in-query by
+    * q119).
+    */
+  def loadIvfPqIndex(spark: SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    (loadIndex(spark, path + "/centroids"), loadPqIndex(spark, path + "/codebooks"))
 }

@@ -130,6 +130,135 @@ class SimilaritySpec extends AnyFunSuite {
     bad.foreach(r => assert(r == Seq(0.0, 0.0, 0.0)))
   }
 
+  test("nearest-cell-dots: cells == nearest-cells, dots bit-equal to the scalar loop, codegen == interpreted") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 16, 2)
+    def vals() = emb
+      .select(col("vec_id"), VectorFunctions.unit(col("embedding")).as("uq"))
+      .select(col("vec_id"), col("uq"),
+        Similarity.bestCells(col("uq"), cents, 4).as("cells"),
+        VectorFunctions.nearestCellDots(col("uq"), cents, 4).as("cd"))
+      .select(col("vec_id"), col("uq"), col("cells"),
+        transform(col("cd"), x => x.getField("cell")).as("cd_cells"),
+        transform(col("cd"), x => x.getField("dot")).as("cd_dots"))
+      .as[(Long, Seq[Double], Seq[Int], Seq[Int], Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val withCodegen = vals()
+    withCodegen.foreach { case (id, uq, cells, cdCells, cdDots) =>
+      assert(cdCells == cells, s"vec $id: probe order diverged")
+      cdCells.zip(cdDots).foreach { case (cell, dot) =>
+        // same strict left-to-right double accumulation as the kernel
+        var acc = 0.0
+        for (j <- uq.indices) acc += uq(j) * cents(cell)(j)
+        assert(dot == acc, s"vec $id cell $cell: $dot != $acc")
+      }
+    }
+    assert(withInterpreted(vals()) == withCodegen)
+    // degenerate: dim mismatch probes cells 0..nprobe-1 with dot 0.0
+    val bad = Seq(Seq(1.0f, 2.0f)).toDF("v")
+      .select(VectorFunctions.nearestCellDots(col("v"), cents, 3).as("cd"))
+      .select(transform(col("cd"), x => x.getField("cell")).as("c"),
+        transform(col("cd"), x => x.getField("dot")).as("d"))
+      .as[(Seq[Int], Seq[Double])].head()
+    assert(bad == ((Seq(0, 1, 2), Seq(0.0, 0.0, 0.0))))
+  }
+
+  test("pq_lut == scalar LUT loop bit-for-bit, codegen == interpreted; degenerate zero") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", 4, 8, 2)
+    val (m, kcode, sd) = (books.length, books(0).length, books(0)(0).length)
+    def vals() = emb
+      .select(col("vec_id"), VectorFunctions.unit(col("embedding")).as("uq"))
+      .select(col("vec_id"), col("uq"),
+        VectorFunctions.pqLut(col("uq"), books).as("lut"))
+      .as[(Long, Seq[Double], Seq[Double])].collect().sortBy(_._1).toSeq
+    val withCodegen = vals()
+    withCodegen.foreach { case (id, uq, lut) =>
+      assert(lut.length == m * kcode)
+      for (i <- lut.indices) {
+        val (j, code) = (i / kcode, i % kcode)
+        var acc = 0.0
+        for (x <- 0 until sd) acc += uq(j * sd + x) * books(j)(code)(x)
+        assert(lut(i) == acc, s"vec $id lut[$i]: ${lut(i)} != $acc")
+      }
+    }
+    assert(withInterpreted(vals()) == withCodegen)
+    val bad = Seq(Seq(1.0f, 2.0f)).toDF("v")
+      .select(VectorFunctions.pqLut(col("v"), books)).as[Seq[Double]].head()
+    assert(bad == Seq.fill(m * kcode)(0.0))
+  }
+
+  test("TopKAgg keeps the MAX replica score per id — buffer is input-order-independent") {
+    import Similarity.{TopItem, TopKBuf}
+    val agg = new Similarity.TopKAgg(3)
+    def run(items: Seq[TopItem]): Seq[TopItem] =
+      items.foldLeft(agg.zero)(agg.reduce).items
+    // id=7 appears as two replicas (different cells -> different
+    // approximate scores); the better one must win regardless of
+    // arrival order, including orders where the worse replica lands
+    // first and orders where the better replica arrives after the
+    // buffer is full
+    val dup = Seq(TopItem(0.5, 7L), TopItem(0.9, 7L), TopItem(0.4, 1L),
+      TopItem(0.3, 2L), TopItem(0.8, 3L))
+    val want = Seq(TopItem(0.9, 7L), TopItem(0.8, 3L), TopItem(0.4, 1L))
+    dup.permutations.foreach { perm =>
+      assert(run(perm) == want, s"order $perm")
+    }
+    // merge keeps max too: any split of the stream into two partial
+    // buffers merges to the same top-k
+    (1 until dup.size).foreach { cut =>
+      val (a, b) = dup.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == TopKBuf(want), s"cut=$cut")
+    }
+  }
+
+  test("ivfPqKnnJoin: every doc gets k neighbors, recall >= 0.8, no broadcast required by the plan") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val n = emb.count()
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+    val knn = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", 5,
+      cents, books, nprobe = 12, nassign = 2, shortlistFactor = 32)
+    // the kNN-join contract: NOTHING forces the query side through the
+    // driver or a broadcast — no collect by construction, and the
+    // optimized plan carries no broadcast hint (AQE may still choose a
+    // broadcast join at this toy scale; requiring one is what breaks
+    // at corpus scale)
+    assert(!knn.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+    val got = knn.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == n,
+      "every embedding must appear as a query")
+    assert(got.groupBy(_._1).values.forall(_.length == 5))
+    val want = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.count(want.contains).toDouble / want.size
+    assert(recall >= 0.8, s"kNN-join recall=$recall")
+  }
+
+  test("composite IVF-PQ index: one artifact round-trips; loaded search == fresh row for row") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.saveIvfPqIndex(spark, cents, books, dir)
+    val (lc, lb) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(lc.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(lb.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq)
+    def results(cs: Array[Array[Double]], bs: Array[Array[Array[Double]]]) =
+      Similarity.ivfPqSearch(q, emb, "vec_id", "embedding", 5, cs, bs,
+        nprobe = 8, nassign = 2, shortlistFactor = 16)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .collect().map(_.toString).toSeq
+    assert(results(cents, books) == results(lc, lb))
+    // a half-missing artifact is rejected eagerly, not searched wrong
+    val gappy = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad").toString
+    Similarity.saveIndex(spark, cents, gappy + "/centroids")
+    assertThrows[Exception] { Similarity.loadIvfPqIndex(spark, gappy) }
+  }
+
   test("ivfPqTopK achieves >= 0.8 recall vs brute force") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
