@@ -36,8 +36,18 @@ object Cli {
           if (v.matches("-?\\d+")) v.toLong
           else if (v.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?|-?\\d+[eE][+-]?\\d+")) v.toDouble
           else if (v.matches("\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?"))
-            java.sql.Timestamp.valueOf(
-              if (v.length == 10) v + " 00:00:00" else v.replace('T', ' '))
+            // STRICT resolution (Timestamp.valueOf is lenient: it would
+            // roll 1996-02-31 over to Mar 2) — an invalid date falls
+            // through as a plain string literal instead of silently
+            // matching the wrong day. The instant is constructed in
+            // UTC, the session's fixed zone, so the literal means the
+            // same wall-clock time regardless of the launching JVM's
+            // default timezone.
+            try {
+              val ldt = java.time.LocalDateTime.parse(
+                if (v.length == 10) v + "T00:00:00" else v.replace(' ', 'T'))
+              java.sql.Timestamp.from(ldt.atZone(java.time.ZoneOffset.UTC).toInstant)
+            } catch { case _: java.time.format.DateTimeParseException => v }
           else v
         loop(tail, q.copy(filters = q.filters :+ Predicate(c, CmpOp.parse(op), value)))
       case "--agg" :: f :: c :: tail =>

@@ -23,10 +23,18 @@ object SketchStore {
   /** Default HLL precision: 2^12 registers, ~1.6% relative error. */
   final val DefaultLgK = 12
 
-  /** Reduces one ingest batch to per-key sketch rows and appends them to
-    * the stats table at `path`: (keyCols..., batch_id, lgk, sketch).
-    * One map-side-combined aggregation over the batch — the only pass
-    * over the raw data this key ever needs.
+  /** Reduces one ingest batch to per-key sketch rows and lands them in
+    * the stats table at `path`: (keyCols..., lgk, sketch) under a
+    * `batch_id=N` subdirectory written with mode("overwrite") — the
+    * same per-batch idempotent layout as [[HeavyHitters.appendBatch]]
+    * and the dedup admission stores. HLL's register-max union already
+    * made retried batches harmless for ESTIMATES, but an appending
+    * write still grew the store with duplicate rows on every
+    * micro-batch replay; per-batch overwrite keeps replay a no-op for
+    * storage too, and the mergeable-store family keeps one layout. The
+    * directory name doubles as the `batch_id` column via partition
+    * discovery on read. One map-side-combined aggregation over the
+    * batch — the only pass over the raw data this key ever needs.
     */
   def appendBatch(
       batch: DataFrame, keyCols: Seq[String], valueCol: String,
@@ -34,9 +42,8 @@ object SketchStore {
     require(keyCols.nonEmpty, "appendBatch needs at least one key column")
     batch.groupBy(keyCols.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
-      .withColumn("batch_id", lit(batchId))
       .withColumn("lgk", lit(lgK))
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
   }
 
   /** Distinct-count estimates per key across EVERY persisted batch: one

@@ -30,13 +30,24 @@ class CliToolsSpec extends AnyFunSuite {
       "--where", "ts", ">=", "1996-03-01",
       "--where", "ts2", "<", "1996-03-01T12:30:00",
       "--where", "name", "==", "1996-13-99x")) // not a date: stays a string
+    // expected instants constructed in UTC — the session's fixed zone —
+    // NOT via the lenient, JVM-default-zone Timestamp.valueOf
+    def utcTs(s: String) = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant)
     assert(q.filters(0) == Predicate("score", Ge, 2.5))
     assert(q.filters(1) == Predicate("rate", Lt, -1500.0))
-    assert(q.filters(2) == Predicate("ts", Ge,
-      java.sql.Timestamp.valueOf("1996-03-01 00:00:00")))
-    assert(q.filters(3) == Predicate("ts2", Lt,
-      java.sql.Timestamp.valueOf("1996-03-01 12:30:00")))
+    assert(q.filters(2) == Predicate("ts", Ge, utcTs("1996-03-01 00:00:00")))
+    assert(q.filters(3) == Predicate("ts2", Lt, utcTs("1996-03-01 12:30:00")))
     assert(q.filters(4) == Predicate("name", Eq, "1996-13-99x"))
+    // regex-matching but IMPOSSIBLE dates must stay string literals, not
+    // roll over (Timestamp.valueOf would turn Feb 31 into Mar 2 and
+    // silently match the wrong rows)
+    val strict = Cli.parseQueryArgs(List(
+      "--where", "ts", ">=", "1996-02-31",
+      "--where", "ts2", "<", "1996-02-29T00:00:00")) // 1996 IS a leap year
+    assert(strict.filters(0) == Predicate("ts", Ge, "1996-02-31"))
+    assert(strict.filters(1) == Predicate("ts2", Lt, utcTs("1996-02-29 00:00:00")))
 
     // end-to-end through compile(): the CLI path returns the same rows
     // as the typed DataFrame predicate on a double column — the bug this

@@ -54,6 +54,33 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(!plan.contains("events.parquet"))
   }
 
+  test("re-appending the same batchId is a storage no-op (micro-batch retry idempotence)") {
+    // foreachBatch re-executes a failed micro-batch with the SAME
+    // batchId; the per-batch overwrite layout must leave the store —
+    // row count AND estimates — exactly as if the batch landed once
+    val dir = Files.createTempDirectory("graft-sketch-retry").toString
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      Seq("event_type"), "user_id", 0L, dir)
+    SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("event_type"), "user_id", 1L, dir)
+    def snapshot() = SketchStore.mergedEstimates(spark, dir, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val rows0 = spark.read.parquet(dir).count()
+    val est0 = snapshot()
+    // replay batch 1 (same content, same id) twice
+    SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("event_type"), "user_id", 1L, dir)
+    SketchStore.appendBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("event_type"), "user_id", 1L, dir)
+    assert(spark.read.parquet(dir).count() == rows0,
+      "store must not grow under batch replay")
+    assert(snapshot() == est0)
+    // batch_id comes back as a discovered partition column
+    assert(spark.read.parquet(dir).columns.contains("batch_id"))
+  }
+
   test("appendBatch rejects empty key lists eagerly") {
     assertThrows[IllegalArgumentException] {
       SketchStore.appendBatch(
