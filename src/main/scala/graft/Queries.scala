@@ -3431,7 +3431,6 @@ object Queries {
           .select("query_id", "neighbor_id")
         val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
           .select("query_id", "neighbor_id")
-        val w = Window.partitionBy()
         knn.join(bf.withColumn("hit", lit(1L)),
             Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))

@@ -18,13 +18,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as nano longs (see GraftSession's
-    // nanosAsLong) and truncate to microsecond TimestampType — the same
-    // ns->us truncation DuckDB applies, so oracle comparisons line up.
+    // events.ts has shipped as two physical layouts across testdata
+    // generations; dispatch on the read type so both load identically:
+    //  - TIMESTAMP(NANOS): arrives as nano longs (GraftSession's
+    //    nanosAsLong) -> truncate to microsecond TimestampType, the same
+    //    ns->us truncation DuckDB applies;
+    //  - timestamp[us] (isAdjustedToUTC=false): arrives as
+    //    TIMESTAMP_NTZ -> cast to TimestampType, an identity on the
+    //    micros value because the session timezone is pinned to UTC.
     if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 

@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Persisted, mergeable sketch state — the incremental-pipeline shape of
   * approximate distinct counting. Each ingest batch reduces to one tiny
-  * row of Apache DataSketches HLL bytes per key, appended to a parquet
-  * stats table; corpus-wide estimates then come from unioning the
-  * persisted sketches WITHOUT rescanning any history. At 100 TB this is
-  * the difference between a per-batch O(batch) scan and a per-question
-  * O(all-data) scan: the stats table stays KBs per batch regardless of
-  * corpus size, and HLL union is associative/commutative so batches can
-  * land in any order, from any executor, even concurrently (parquet
-  * append is directory-atomic per task file).
+  * row of Apache DataSketches HLL bytes per key, written to its own
+  * `batch_id=N` subdirectory of the stats table with mode("overwrite")
+  * (so a replayed/retried batch is a storage no-op, not duplicate rows);
+  * corpus-wide estimates then come from unioning the persisted sketches
+  * WITHOUT rescanning any history. At 100 TB this is the difference
+  * between a per-batch O(batch) scan and a per-question O(all-data)
+  * scan: the stats table stays KBs per batch regardless of corpus size,
+  * and HLL union is associative/commutative so batches can land in any
+  * order, from any executor, even concurrently (each lands in its own
+  * partition directory). NOTE: this per-batch-directory layout replaced
+  * an earlier flat-append layout (batch_id as a data column in root
+  * files); stores written by that layout are not readable alongside this
+  * one — acceptable pre-1.0, but rewrite old stores if any exist.
   *
   * The reference engine has no sketch surface (its README scope list,
   * /root/reference/README.md:127-138); north-star extension. In-query

@@ -301,12 +301,21 @@ object EventStreams {
   }
 
   def readEventsStream(spark: SparkSession, eventsDir: String, schemaDir: String): DataFrame = {
-    val schema = graft.Tables.load(spark, schemaDir, "events").schema
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+    // Match Tables.load's dual-layout handling: TIMESTAMP(NANOS) data
+    // arrives as nano longs (nanosAsLong) and is truncated to micros;
+    // timestamp[us] data arrives as TIMESTAMP_NTZ and is cast to
+    // TimestampType (identity under the UTC session timezone).
+    val raw = spark.read.parquet(s"$schemaDir/events.parquet").schema
+    val stream = spark.readStream.schema(StructType(raw))
       .option("maxFilesPerTrigger", 1)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 }
