@@ -40,7 +40,22 @@ object ExplainDump {
     "q109_tpch_q18" -> "TPC-H Q18 shape: the HAVING subquery is one partial/final HashAggregate over lineitem whose rare survivors semi-join orders (AQE can broadcast them); the final per-order aggregation reuses the orderkey partitioning of the lineitem join",
     "q110_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs predicate partially pushes — the extracted l_quantity bounds reach the lineitem scan's PushedFilters and the brand/size disjunction reaches the part scan; part side BroadcastHashJoin; no cartesian",
     "q111_bigram_lm" -> "bigram LM counts: explodes are narrow off the scan; both counts are partial/final HashAggregate pairs on token keys; V is a 1-row broadcast cross join; top-15 as TakeOrderedAndProject",
-    "q116_ivfpq_topk" -> "IVF-PQ: corpus-side encode is one narrow pass (unitize kernel, replica-cell explode, residual + PQ-code kernels — no join, no shuffle); the probe list broadcasts so the corpus never moves; LUT scoring feeds the bounded top-k udaf; only the shortlist touches original vectors")
+    "q116_ivfpq_topk" -> "IVF-PQ: corpus-side encode is one narrow pass (unitize kernel, replica-cell explode, residual + PQ-code kernels — no join, no shuffle); the probe list broadcasts so the corpus never moves; LUT scoring feeds the bounded top-k udaf; only the shortlist touches original vectors",
+    "q112_cc_incremental" -> "incremental dedup-group admission: batch 1's persisted labels replay as star-forest edges unioned with batch 2's pairs — history edges never rescanned; the label iteration is the q57 Shiloach-Vishkin shape (hash joins + map-side-combined min-aggregations, localCheckpoint'd so lineage stays flat); the LSH candidate stage underneath is the q24 bucketed plan, no all-pairs",
+    "q113_tpch_q21" -> "TPC-H Q21 decorrelation: the correlated EXISTS/NOT-EXISTS pair becomes two countDistinct aggregations joined back to the late-line stream — every JOIN exchange is on l_orderkey (the nLate side's Sort even reuses its aggregation's l_orderkey partitioning with no extra Exchange); the only other shuffles are the countDistincts' inherent (l_orderkey,l_suppkey) pre-aggregation phases and the final group-by-s_name; supplier and the gate-scale nSupp side are BroadcastHashJoin, top-20 is TakeOrderedAndProject",
+    "q114_lm_score" -> "self-trained bigram-LM scoring: token/bigram count tables are partial/final HashAggregate pairs; the big exchange is the doc-bigram stream keyed (w1,w2) joining its count table; vocab is a 1-row broadcast cross join; the per-doc mean re-shuffles on doc_id; bottom-10 is TakeOrderedAndProject — nothing all-pairs",
+    "q115_hashed_embedding" -> "feature-hashed embeddings: ONE narrow explode + ONE map-side-combinable aggregation builds every vector (32 conditional counts); the 1-row query side broadcasts; scoring is the codegen'd CosineSimilarity kernel; top-10 is TakeOrderedAndProject",
+    "q117_tpch_q15" -> "TPC-H Q15 view reuse: the revenue aggregation is computed ONCE — the max side's partial-sum exchange shows ReusedExchange over the left branch's (this dump is the EXECUTED final adaptive plan: AQE performs exchange reuse at stage materialization, so the initial plan cannot show it), the 1-row max and supplier both BroadcastHashJoin back onto it",
+    "q118_corpus_health" -> "per-source corpus health: two stacked map-side-combinable HashAggregate pairs (token frequency on (source,w), then the per-source rollup); ratios are scalar projections — one explode, two exchanges, nothing wide",
+    "q119_ivfpq_persisted" -> "persisted composite index equality gate: two ivfPqSearch branches (fresh vs loaded centroids/books) — each is the q116 narrow-encode shape with broadcast probes (10 queries); the full-outer null-safe compare joins them on (query_id, rank); index load is two tiny parquet scans",
+    "q120_knn_join" -> "distributed kNN join: the probe frame builds as a narrow map over the corpus scan (never collected) and the candidate join on cell carries NO broadcast hint (spec-asserted on the optimized plan) — strategy stays stats-driven, so this sf0.001 dump rightly shows the tiny probe side broadcast while the identical plan becomes the co-partitioned shuffle join at corpus scale; TopKAgg partial/final (ObjectHashAggregate pair) bounds what crosses the per-query shuffle; the BroadcastNestedLoopJoin branch is the fenced in-query brute-force recall gate, not the operator")
+
+  /** Queries whose audit target only exists in the EXECUTED final
+    * adaptive plan: AQE performs exchange/stage reuse at stage
+    * materialization, so a pre-execution explain structurally cannot
+    * show ReusedExchange. These run (cheap at sf0.001) before dumping.
+    */
+  private val executeFirst = Set("q117_tpch_q15")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-explain")
@@ -51,6 +66,7 @@ object ExplainDump {
     sb.append("name what to check; regenerate after plan-affecting changes.\n")
     picks.foreach { case (name, note) =>
       val df = Queries.queries(name)(spark, sf)
+      if (executeFirst(name)) df.collect()
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       // clip giant literals (e.g. q69's inlined bloom-filter bytes) —
       // the plan SHAPE is the audit target, not the constant payload

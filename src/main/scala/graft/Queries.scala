@@ -3315,8 +3315,14 @@ object Queries {
       // this catalog runs on are what make the textbook formulation
       // portable at all.
       (s, d) => {
+        // the explicit isNotNull matches the constraint the supplier
+        // join infers on the OTHER branch — without it the two rev
+        // subtrees canonicalize differently (one scan carries
+        // IsNotNull(l_suppkey), one doesn't) and Spark cannot plan the
+        // ReusedExchange this query exists to demonstrate
         val rev = t(s, d, "lineitem")
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          .filter(col("l_suppkey").isNotNull &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
