@@ -48,6 +48,8 @@ object ExplainDump {
     "q117_tpch_q15" -> "TPC-H Q15 view reuse: the revenue aggregation is computed ONCE — the max side's partial-sum exchange shows ReusedExchange over the left branch's (this dump is the EXECUTED final adaptive plan: AQE performs exchange reuse at stage materialization, so the initial plan cannot show it), the 1-row max and supplier both BroadcastHashJoin back onto it",
     "q118_corpus_health" -> "per-source corpus health: two stacked map-side-combinable HashAggregate pairs (token frequency on (source,w), then the per-source rollup); ratios are scalar projections — one explode, two exchanges, nothing wide",
     "q119_ivfpq_persisted" -> "persisted composite index equality gate: two ivfPqSearch branches (fresh vs loaded centroids/books) — each is the q116 narrow-encode shape with broadcast probes (10 queries); the full-outer null-safe compare joins them on (query_id, rank); index load is two tiny parquet scans",
+    "q121_tpch_q17" -> "TPC-H Q17 decorrelation: the correlated per-part avg fence becomes one map-side-combinable aggregation over the part-restricted lineitem rows, broadcast back onto the same rows — part subset and fence both BroadcastHashJoin, brand+size reach the part scan's PushedFilters, no cartesian/nested-loop anywhere (spec-asserted)",
+    "q122_tpch_q22" -> "TPC-H Q22 decorrelation: the scalar avg subquery is a 1-row broadcast cross join (computed once, never per-row) and NOT EXISTS is a left-anti hash join against the date-filtered orders projection — the dormancy date reaches the orders scan's PushedFilters so the anti side ships only recent custkeys",
     "q120_knn_join" -> "distributed kNN join: the probe frame builds as a narrow map over the corpus scan (never collected) and the candidate join on cell carries NO broadcast hint (spec-asserted on the optimized plan) — strategy stays stats-driven, so this sf0.001 dump rightly shows the tiny probe side broadcast while the identical plan becomes the co-partitioned shuffle join at corpus scale; TopKAgg partial/final (ObjectHashAggregate pair) bounds what crosses the per-query shuffle; the BroadcastNestedLoopJoin branch is the fenced in-query brute-force recall gate, not the operator")
 
   /** Queries whose audit target only exists in the EXECUTED final

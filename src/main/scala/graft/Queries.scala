@@ -3449,7 +3449,91 @@ object Queries {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
              |  TRUE AS k_results_each, TRUE AS recall_ge_080
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    QDef("q121_tpch_q17",
+      // TPC-H Q17 shape (small-quantity-order revenue): lineitems of a
+      // narrow part subset, fenced by a CORRELATED scalar subquery —
+      // quantity below 20% of that part's own average. The scale-correct
+      // Spark plan decorrelates: the filtered part set is tiny
+      // (brand x size selectivity ~1/300) so it BROADCASTS into a semi
+      // restriction of lineitem, the per-part average is ONE map-side-
+      // combinable aggregation over those surviving rows (identical to
+      // the correlated avg because the fence only ever evaluates at
+      // partkeys inside the subset), and the fence itself is a broadcast
+      // join of that per-part aggregate back onto the same rows. The
+      // ORACLE keeps the textbook correlated form, so the DuckDB compare
+      // proves the decorrelation. Determinism: l_quantity is
+      // integral-valued (exact double sums, order-free); the threshold
+      // is the same literal sequence 0.2*(sum/count) in both engines;
+      // revenue is a decimal-exact dsum and the /7.0 is a single IEEE
+      // division of identical doubles — no rounding needed anywhere.
+      (s, d) => {
+        val p = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_size") < 5)
+          .select(col("p_partkey"))
+        val lp = t(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val fence = lp.groupBy(col("l_partkey").as("f_partkey"))
+          .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        lp.join(broadcast(fence), col("l_partkey") === col("f_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             |  AS avg_yearly
+             |FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+             |WHERE pt.p_brand = 'Brand#23' AND pt.p_size < 5
+             |  AND l.l_quantity < 0.2 * (
+             |    SELECT sum(l_quantity) / count(*) FROM lineitem l2
+             |    WHERE l2.l_partkey = pt.p_partkey)""".stripMargin)),
+
+    QDef("q122_tpch_q22",
+      // TPC-H Q22 shape (global sales opportunity), adapted to this
+      // schema: high-balance customers in a 7-nation set with NO recent
+      // orders (the original's "no orders at all" is empty here — every
+      // customer has orders; dormancy since 2000-01-01 keeps the exact
+      // anti-join + correlated-scalar-average structure with real
+      // signal). Two decorrelations in one query: the scalar avg
+      // subquery becomes a 1-row broadcast cross join (computed once,
+      // not per row), and NOT EXISTS becomes a left-anti hash join
+      // against the date-filtered orders projection (the date filter
+      // reaches the orders scan's PushedFilters, so the anti side ships
+      // only recent custkeys). The ORACLE keeps both correlated forms.
+      // Determinism: the average threshold is decimal-exact sum / count
+      // in the same literal sequence both sides; totacctbal is dsum.
+      (s, d) => {
+        val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+        val cust = t(s, d, "customer")
+          .filter(col("c_nationkey").isin(nations: _*))
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("avg_bal"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 5).cast("long").as("cntrycode"))
+          .agg(count(lit(1)).cast("long").as("numcust"),
+            dsum(col("c_acctbal"), 2).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+             |  CAST(count(*) AS BIGINT) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer c
+             |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+             |  AND c_acctbal > (
+             |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             |    FROM customer WHERE c_acctbal > 0
+             |      AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
   )
 
   val defs: Seq[QDef] =

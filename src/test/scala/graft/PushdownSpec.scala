@@ -69,6 +69,35 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q121 (TPC-H Q17): decorrelated fence plan — filters pushed, no cartesian") {
+    val df = Queries.queries("q121_tpch_q17")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated avg decorrelates into broadcast hash joins; a
+    // cartesian/nested-loop stage would mean the rewrite regressed
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // brand+size reach the part scan (formatted explain shows scan
+    // metadata through the AQE wrapper, which hides scans from
+    // collectLeaves on the executed plan)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("EqualTo(p_brand,Brand#23)")
+      && fmt.contains("LessThan(p_size,5)"), fmt.take(3000))
+  }
+
+  test("q122 (TPC-H Q22): anti join + 1-row broadcast average, date pushed to orders") {
+    val df = Queries.queries("q122_tpch_q22")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // NOT EXISTS decorrelates to a left-anti hash join (never a
+    // per-row subquery); the scalar avg is a 1-row broadcast
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("GreaterThanOrEqual(o_orderdate,"), fmt.take(3000))
+  }
+
   test("whole-stage codegen covers the parity pipeline") {
     val df = ColeQuery.Query(
       filters = Seq(Predicate("l_partkey", Gt, 50L)),
