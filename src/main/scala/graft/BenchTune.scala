@@ -139,6 +139,37 @@ object BenchTune {
     }
   }
 
+  /** `--bpe [merges]`: batched BPE merge learning at vocabulary scale
+    * (default 1000 merges over the 1M-doc ops corpus). The one-merge-
+    * per-round loop costs `merges` Spark jobs — a real 50k-merge
+    * vocabulary would be 50k jobs; the batch rule (disjoint prefix +
+    * strict-count truncation, provably identical output) collapses
+    * rounds ~batch-fold. Prints merges learned, rounds executed, and
+    * wall time — the round count IS the headline.
+    */
+  private def bpeDemo(spark: SparkSession, merges: Long): Unit = {
+    import graft.operators.Bpe
+    val dir = "/tmp/graft-ops-1000000"
+    if (!new java.io.File(dir).exists()) {
+      spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(500)))), " ")
+          .as("text"),
+        pmod(col("id"), lit(20)).cast("string").as("source"))
+        .repartition(32).write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val t0 = System.nanoTime()
+    val (df, rounds) =
+      Bpe.learnMergesBatched(docs, "text", merges.toInt, maxBatch = 32)
+    val learned = df.count()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"[bpe] merges=$learned%d rounds=$rounds%d " +
+      f"(${learned.toDouble / rounds}%.1f merges/round) time=$t%.1f s " +
+      f"— sequential would be $learned%d rounds")
+  }
+
   /** `--skew [rows]`: quantify the salted-join skew mitigation. A fact
     * table where ONE key owns 30% of all rows (the sentinel-record shape
     * that pins one reducer at 100 TB) is joined to a non-broadcastable
@@ -482,6 +513,13 @@ object BenchTune {
       val n = args.dropWhile(_ != "--knn").drop(1).headOption
         .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).getOrElse(100000L)
       knnDemo(spark, n)
+      spark.stop()
+      return
+    }
+    if (args.contains("--bpe")) {
+      val m = args.dropWhile(_ != "--bpe").drop(1).headOption
+        .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).getOrElse(1000L)
+      bpeDemo(spark, m)
       spark.stop()
       return
     }

@@ -84,8 +84,50 @@ object Bpe {
     *
     * Output: (rank, left, right, pair_count), rank 1-based.
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    learnMergesBatched(docs, textCol, numMerges)._1
+
+  /** Batched merge learning: per round, take the top of the ranked pair
+    * list AND every following pair that provably commutes with it —
+    * the output merge list is IDENTICAL to one-at-a-time greedy BPE,
+    * but a 50k-merge vocabulary no longer costs 50k Spark jobs.
+    *
+    * Why the batch rule is safe (each round, over ranked pairs p1 >=
+    * p2 >= ... by the total order):
+    *  1. take the longest PREFIX p1..p_{k-1} that is mutually
+    *     token-disjoint (first conflicting pair p_k ends it);
+    *  2. truncate to pairs with count STRICTLY above c* = count(p_k)
+    *     (and above the last fetched row's count, when the fetch
+    *     window may have cut the list short).
+    * Disjoint pairs cannot change each other's counts (merging a+b
+    * neither creates nor destroys a c-d adjacency when {a,b} and
+    * {c,d} are disjoint), so sequential greedy sees p2..p_t at exactly
+    * these counts. Every pair a merge CAN change shares a token with
+    * some chosen p_j, hence ranks at or after p_k (the prefix is
+    * mutually disjoint), hence has count <= c*; new pairs created by a
+    * merge, e.g. (x, ab), occur only where (x, a) did, so count(x,ab)
+    * <= count(x,a) <= c*. With every chosen count > c* strict, no
+    * changed or created pair can tie a chosen pair — lexicographic
+    * tie-breaks never come into play — so sequential greedy picks
+    * exactly p1..p_t in order. If truncation empties the batch (all
+    * top counts equal c*), the round falls back to plain top-1, which
+    * is trivially the sequential pick.
+    *
+    * The whole batch applies to the vocabulary in ONE projection
+    * (applyMerge folded left-to-right — order irrelevant for disjoint
+    * pairs), so each round stays one pair-count job + one narrow map,
+    * and rounds shrink ~batch-fold. `maxBatch` bounds the fold depth
+    * (nested codegen'd aggregates) and the driver-side fetch
+    * (maxBatch+1 tiny rows — the same driver-state shape as the old
+    * 1-row argmax).
+    *
+    * Returns (merge list, rounds executed).
+    */
+  def learnMergesBatched(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      maxBatch: Int = 32): (DataFrame, Int) = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     // stats-free checkpoints: vocab is re-checkpointed once per merge
     // round, and plain localCheckpoint compounds the carried size
@@ -94,9 +136,12 @@ object Bpe {
       vocabulary(docs, textCol))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1L
+    var rounds = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val top = vocab.filter(size(col("syms")) >= 2)
+      val remaining = (numMerges - rank + 1).toInt
+      val fetch = math.min(maxBatch, remaining) + 1
+      val rows = vocab.filter(size(col("syms")) >= 2)
         .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
           i => struct(
             element_at(col("syms"), i + 1).as("l"),
@@ -105,22 +150,38 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(fetch).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      rounds += 1
+      if (rows.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, l, r, cnt))
+        // mutually-disjoint prefix, then the strict-count truncation
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        while (k < rows.length && !used(rows(k)._1) && !used(rows(k)._2)) {
+          used += rows(k)._1; used += rows(k)._2; k += 1
+        }
+        val cstar =
+          if (k < rows.length) rows(k)._3 // first conflict bounds changed pairs
+          else if (rows.length == fetch) rows.last._3 // window may have cut the list
+          else Long.MinValue // complete, conflict-free list: take it all
+        var batch = rows.take(k).takeWhile(_._3 > cstar).take(remaining)
+        if (batch.isEmpty) batch = rows.take(1) // top-1 is always the greedy pick
+        batch.foreach { case (l, r, cnt) =>
+          merges += ((rank, l, r, cnt)); rank += 1
+        }
+        val merged = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+          applyMerge(acc, l, r)
+        }
         vocab = org.apache.spark.sql.GraftBridge.statsFreeLocalCheckpointReleasing(
-          vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("freq")),
+          vocab.select(merged.as("syms"), col("freq")),
           release = Seq(vocab))
-        rank += 1
       }
     }
     import spark.implicits._
     // the merge list is driver state — the last round's vocab checkpoint
     // has no consumer, so drop its blocks before returning
     org.apache.spark.sql.GraftBridge.releaseCheckpoint(vocab)
-    merges.result().toDF("rank", "left", "right", "pair_count")
+    (merges.result().toDF("rank", "left", "right", "pair_count"), rounds)
   }
 }

@@ -90,6 +90,23 @@ class BpeSpec extends AnyFunSuite {
     assert(lens.toSet == Set(Some(2L), None, Some(0L)))
   }
 
+  test("batched learning == one-at-a-time greedy on a real corpus, in fewer rounds") {
+    // maxBatch=1 degenerates to the classic one-merge-per-round loop;
+    // the batch rule (disjoint prefix + strict-count truncation) must
+    // reproduce its merge list EXACTLY — same pairs, same ranks, same
+    // counts — while executing fewer Spark rounds
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val (seqDf, seqRounds) =
+      Bpe.learnMergesBatched(docs, "text", numMerges = 24, maxBatch = 1)
+    val (batDf, batRounds) =
+      Bpe.learnMergesBatched(docs, "text", numMerges = 24, maxBatch = 32)
+    val s = seqDf.as[(Long, String, String, Long)].collect().toSeq
+    val b = batDf.as[(Long, String, String, Long)].collect().toSeq
+    assert(b == s, s"batched merges diverged\nseq=$s\nbat=$b")
+    assert(batRounds < seqRounds,
+      s"batching must cut rounds: $batRounds vs $seqRounds")
+  }
+
   test("learnMerges stops early when the vocabulary is fully merged") {
     val docs = Seq("ab ab ab").toDF("text")
     // round 1 merges (a,b); afterwards every word is a single symbol —
