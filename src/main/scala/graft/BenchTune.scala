@@ -422,10 +422,15 @@ object BenchTune {
     *    skew split);
     *  - random: xxhash-derived sparse graph, the typical near-dup-pair
     *    workload shape.
-    * Prints rounds + wall time per graph; recorded in SCALE.md.
+    * Prints rounds + wall time per graph; recorded in SCALE.md. Extra
+    * non-numeric args select a subset of shapes (e.g. `--components
+    * 100000000 random` for the 100M-edge critical-regime ceiling probe
+    * without paying for path/star at that scale).
     */
-  private def componentsDemo(spark: SparkSession, edges: Long): Unit = {
+  private def componentsDemo(spark: SparkSession, edges: Long,
+      only: Set[String]): Unit = {
     import graft.operators.Components
+    def want(name: String) = only.isEmpty || only(name)
     val maxIters = 64 // path diameter 10M needs ~log2 rounds; headroom
     def run(name: String, df: DataFrame, expected: Long): Unit = {
       val t0 = System.nanoTime()
@@ -436,24 +441,30 @@ object BenchTune {
       println(f"[components] $name%s edges=$edges rounds=$rounds%d " +
         f"components=$nComp%d time=$secs%.1f s")
     }
-    val path = spark.range(edges).select(col("id").as("a"), (col("id") + 1).as("b"))
-      .repartition(32)
-    run("path", path, 1L)
-    val star = spark.range(edges).select(lit(0L).as("a"), (col("id") + 1).as("b"))
-      .repartition(32)
-    run("star", star, 1L)
-    // random sparse: endpoints drawn from a 2x-edge-count id space —
-    // supercritical (mean degree ~1 per endpoint space), so a giant
-    // component plus many small ones: the near-dup-graph shape
-    val rand = spark.range(edges).select(
-      pmod(xxhash64(col("id"), lit(1)), lit(edges * 2)).as("a"),
-      pmod(xxhash64(col("id"), lit(2)), lit(edges * 2)).as("b"))
-      .repartition(32)
-    val t0 = System.nanoTime()
-    val (labels, rounds) = Components.componentsWithRounds(rand, "a", "b", maxIters)
-    val nComp = labels.select(col("comp")).distinct().count()
-    println(f"[components] random edges=$edges rounds=$rounds%d " +
-      f"components=$nComp%d time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (want("path")) {
+      val path = spark.range(edges).select(col("id").as("a"), (col("id") + 1).as("b"))
+        .repartition(32)
+      run("path", path, 1L)
+    }
+    if (want("star")) {
+      val star = spark.range(edges).select(lit(0L).as("a"), (col("id") + 1).as("b"))
+        .repartition(32)
+      run("star", star, 1L)
+    }
+    if (want("random")) {
+      // random sparse: endpoints drawn from a 2x-edge-count id space —
+      // supercritical (mean degree ~1 per endpoint space), so a giant
+      // component plus many small ones: the near-dup-graph shape
+      val rand = spark.range(edges).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(edges * 2)).as("a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(edges * 2)).as("b"))
+        .repartition(32)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Components.componentsWithRounds(rand, "a", "b", maxIters)
+      val nComp = labels.select(col("comp")).distinct().count()
+      println(f"[components] random edges=$edges rounds=$rounds%d " +
+        f"components=$nComp%d time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
   }
 
   /** `--ccinc [edges] [batch]`: incremental component admission at
@@ -524,9 +535,11 @@ object BenchTune {
       return
     }
     if (args.contains("--components")) {
-      val edges = args.dropWhile(_ != "--components").drop(1).headOption
+      val tail = args.dropWhile(_ != "--components").drop(1)
+      val edges = tail.headOption
         .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).getOrElse(10000000L)
-      componentsDemo(spark, edges)
+      componentsDemo(spark, edges,
+        tail.filterNot(s => s.nonEmpty && s.forall(_.isDigit)).toSet)
       spark.stop()
       return
     }

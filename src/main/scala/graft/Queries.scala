@@ -3451,6 +3451,77 @@ object Queries {
              |  TRUE AS k_results_each, TRUE AS recall_ge_080
              |FROM embeddings""".stripMargin)),
 
+    QDef("q123_ivfpq_admission",
+      // Incremental ANN admission — the admission-store family (q104
+      // grams, q105 signatures, q112 components, q83 sketches) reaching
+      // vectors: fit the index on the FIRST 80% of the corpus, persist
+      // it, then admit the corpus in two crawl batches by encoding each
+      // against the PERSISTED index (one narrow pass per batch, history
+      // never rescanned) into a batch_id=N coded store. Searching the
+      // store must equal searching a from-scratch inline encode of the
+      // same corpus with the same index ROW FOR ROW (the q119 null-safe
+      // full-outer gate): encoding is a pure function of (vector,
+      // index), so admission loses nothing — the whole claim of
+      // refit-free growth. The late batch is out-of-distribution for
+      // the index (it never saw those vectors at fit time), which is
+      // exactly the production shape between drift-triggered refits.
+      (s, d) => {
+        val dir = scratchDir("q123")
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 < 8)
+        val late = emb.filter(col("vec_id") % 10 >= 8)
+        val q = emb.filter(col("vec_id") < 10)
+        val (cents, books) = Similarity.fitIvfPq(base, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        Similarity.saveIvfPqIndex(s, cents, books, dir + "/index")
+        val (lc, lb) = Similarity.loadIvfPqIndex(s, dir + "/index")
+        Similarity.appendCodedBatch(base, "vec_id", "embedding", lc, lb,
+          batchId = 0L, path = dir + "/store")
+        Similarity.appendCodedBatch(late, "vec_id", "embedding", lc, lb,
+          batchId = 1L, path = dir + "/store")
+        val admitted = Similarity.searchCodedStore(s, q,
+            "vec_id", "embedding", 5, lc, lb, dir + "/store",
+            nprobe = 12, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_admitted"))
+        val fresh = Similarity.ivfPqSearch(q, emb, "vec_id", "embedding", 5,
+            cents, books, nprobe = 12, nassign = 2, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_fresh"))
+        admitted.join(fresh, Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_admitted") <=> col("n_fresh")).as("admitted_eq_fresh"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS admitted_eq_fresh
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q124_semdedup_knn",
+      // SemDeDup's corpus-scale form (kNN join -> threshold ->
+      // components) on the q56 re-crawl fixture: every vector unioned
+      // with an id-shifted exact clone, no natural pair near cos 0.99.
+      // Each clone pair must meet inside the kNN join (identical
+      // vectors share cells and codes, so the clone tops its twin's
+      // shortlist and re-ranks to cos 1.0), edges above threshold form
+      // exactly the clone pairs, and components must therefore be
+      // exactly {v, v+shift} with comp = original id — stated in closed
+      // form by the oracle, the same reachability-gate pattern as
+      // q56/q57. Unlike q56's cell-scoped pairs there is NO quadratic
+      // stage to bound: k caps every vector's edge degree structurally,
+      // which is what makes this the 100 TB path (the q120 co-partition
+      // plan underneath, spec-asserted broadcast-hint-free).
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val recrawl = emb.unionByName(
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
+        Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding")
+          .orderBy(col("id"))
+      },
+      Some(s"""SELECT vec_id AS id, vec_id AS comp FROM embeddings
+              |UNION ALL
+              |SELECT vec_id + $CloneShift AS id, vec_id AS comp FROM embeddings
+              |ORDER BY id""".stripMargin)),
+
     QDef("q121_tpch_q17",
       // TPC-H Q17 shape (small-quantity-order revenue): lineitems of a
       // narrow part subset, fenced by a CORRELATED scalar subquery —

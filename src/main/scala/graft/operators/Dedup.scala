@@ -765,4 +765,42 @@ object Dedup {
         (coalesce(col("hit_bands"), lit(0L)) === 0L).as("admit"))
       .orderBy(col("id"))
   }
+
+  /** SemDeDup in its corpus-scale form: kNN join -> threshold ->
+    * connected components. Every vector meets only its approximate
+    * top-`k` neighbors (the [[Similarity.ivfPqKnnJoin]] bucketed plan —
+    * candidates pair up inside probed cells, never Q x N, no broadcast,
+    * no collect), edges are the exactly re-ranked pairs at
+    * cos >= `threshold`, and groups come from the same O(log n)
+    * component pass as [[semanticDedup]]. Output: (id, comp), comp =
+    * min member id — survivors are `id === comp` rows.
+    *
+    * vs [[semanticDedup]]'s cell-scoped pairs: no per-cell O(cap^2)
+    * stage and no hub fallback — `k` bounds every vector's edge degree
+    * STRUCTURALLY (a 10k-clone megacluster emits 10k*k edges, not
+    * 10k^2/2; its members still chain into one component through their
+    * shared nearest neighbors), which is the SemDeDup semantics: a doc
+    * is a duplicate because something in its near-neighborhood crosses
+    * the threshold, and transitive closure does the rest. The trade is
+    * approximation in CANDIDATES (a pair beyond each other's top-k
+    * probed shortlists goes unseen — tunable with k/nprobe/
+    * shortlistFactor), while every emitted edge is exact (re-ranked
+    * cosine). q124 gates the groups against the same closed-form
+    * reachability oracle as q56/q57.
+    */
+  def semanticDedupGroupsKnn(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, k: Int = 5,
+      nlist: Int = 16, kmeansIters: Int = 3,
+      m: Int = 16, kcode: Int = 16, pqIters: Int = 2,
+      nprobe: Int = 12, nassign: Int = 2, shortlistFactor: Int = 32): DataFrame = {
+    val v = vecs.filter(col(vecCol).isNotNull)
+    val (cents, books) = Similarity.fitIvfPq(v, idCol, vecCol,
+      nlist, kmeansIters, m, kcode, pqIters)
+    val edges = Similarity.ivfPqKnnJoin(v, idCol, vecCol, k,
+      cents, books, nprobe, nassign, shortlistFactor)
+      .filter(col("cos") >= threshold)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    Components.connectedComponents(edges, "id_a", "id_b")
+  }
 }

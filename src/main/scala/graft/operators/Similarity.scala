@@ -528,11 +528,21 @@ object Similarity {
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, nassign: Int = 2,
       shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame = {
-    val m = books.length
-    val kcode = books(0).length
-    // one narrow pass: unitize, replica cells, per-cell residual codes
-    val c = corpus.filter(col(vecCol).isNotNull)
+      broadcastQueries: Boolean = true): DataFrame =
+    ivfPqSearchCoded(codedCorpus(corpus, idCol, vecCol, cents, books, nassign),
+      queries, idCol, vecCol, k, cents, books,
+      nprobe, shortlistFactor, broadcastQueries)
+
+  /** The coded-corpus frame of [[ivfPqSearch]]: one narrow pass
+    * (unitize, `nassign` replica cells, per-cell residual codes) —
+    * (cid, cv, cell, codes). Shared by the inline search path and the
+    * persisted admission store ([[appendCodedBatch]]).
+    */
+  private def codedCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nassign: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         unitizeCol(col(vecCol)).as("uv"))
       .select(col("cid"), col("cv"), col("uv"),
@@ -541,6 +551,21 @@ object Similarity {
         pqEncodeExpr(
           VectorFunctions.residual(col("uv"), col("cell"), cents), books)
           .as("codes"))
+
+  /** [[ivfPqSearch]] over an already-coded corpus frame
+    * (cid, cv, cell, codes) — the scoring/shortlist/re-rank half,
+    * shared with [[searchCodedStore]] so a persisted coded corpus
+    * searches through EXACTLY the code path the inline fit does.
+    */
+  private def ivfPqSearchCoded(
+      c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int, shortlistFactor: Int,
+      broadcastQueries: Boolean): DataFrame = {
+    val m = books.length
+    val kcode = books(0).length
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // narrow probe build: nprobe rows per query, each carrying the cell,
@@ -646,4 +671,61 @@ object Similarity {
   def loadIvfPqIndex(spark: SparkSession,
       path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) =
     (loadIndex(spark, path + "/centroids"), loadPqIndex(spark, path + "/codebooks"))
+
+  // ---------- incremental admission: the coded-corpus store ----------
+  //
+  // The admission-store family (q104 gram store, q105 signature store,
+  // q112 component labels, q83 sketches) extended to VECTORS: new
+  // embeddings join a persisted IVF-PQ index without a refit and
+  // without ever rescanning history. The scale shape per crawl batch:
+  // load the (tiny) index artifact, encode the batch against the
+  // EXISTING centroids/codebooks in one narrow pass, land the coded
+  // rows in their own `batch_id=N` subdirectory — O(batch) work
+  // however large the accumulated corpus is. Search reads the store
+  // (codes prune what it reads; original vectors only re-rank the
+  // shortlist) and serves old+new identically to a from-scratch
+  // encode, because encoding is a pure function of (vector, index).
+  // Refit-on-drift stays a policy decision above this layer: the
+  // store records which index version coded each batch via the
+  // artifact it was encoded with.
+
+  /** Encode one admission batch against a FIXED index and land it in
+    * the coded-corpus store at `path`: (cid, cv, cell, codes) rows
+    * under `batch_id=N`, written with mode("overwrite") so a
+    * replayed/retried batch is a storage no-op — the same per-batch
+    * idempotent layout as [[graft.operators.SketchStore.appendBatch]]
+    * and the rest of the admission-store family. One narrow pass over
+    * the batch; history is never read. Each vector lands `nassign`
+    * replica rows (cv duplicated per replica — the standard
+    * storage-for-boundary-recall trade of replicated IVF lists).
+    */
+  def appendCodedBatch(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      batchId: Long, path: String, nassign: Int = 2): Unit =
+    codedCorpus(batch, idCol, vecCol, cents, books, nassign)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** IVF-PQ search over every batch of a persisted coded-corpus store:
+    * one scan of the store (no encode — the expensive half of the
+    * query-time plan is already on disk), then exactly the
+    * [[ivfPqSearch]] scoring/shortlist/re-rank path. The index pair
+    * passed here must be the one the batches were encoded with (the
+    * [[saveIvfPqIndex]] artifact it sits next to); admitted-then-
+    * searched equals fit-fresh-searched row for row, which q123 gates
+    * in-query.
+    */
+  def searchCodedStore(
+      spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      storePath: String,
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame =
+    ivfPqSearchCoded(
+      spark.read.parquet(storePath).select("cid", "cv", "cell", "codes"),
+      queries, idCol, vecCol, k, cents, books,
+      nprobe, shortlistFactor, broadcastQueries)
 }

@@ -259,6 +259,47 @@ class SimilaritySpec extends AnyFunSuite {
     assertThrows[Exception] { Similarity.loadIvfPqIndex(spark, gappy) }
   }
 
+  test("coded-store admission: append is idempotent, history untouched, search == inline") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val late = emb.filter(col("vec_id") % 10 >= 8)
+    val q = emb.filter(col("vec_id") < 5)
+    val (cents, books) = Similarity.fitIvfPq(base, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 1)
+    val store = java.nio.file.Files.createTempDirectory("graft-coded-store").toString
+    Similarity.appendCodedBatch(base, "vec_id", "embedding", cents, books,
+      batchId = 0L, path = store)
+    // admitting a later batch must not touch batch 0's files (history
+    // is never rescanned OR rewritten)
+    def b0State(): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(store, "batch_id=0"))
+        .iterator().asScala.map(p => (p.getFileName.toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+    }
+    val before = b0State()
+    Similarity.appendCodedBatch(late, "vec_id", "embedding", cents, books,
+      batchId = 1L, path = store)
+    assert(b0State() == before, "batch 0 files must be untouched by batch 1")
+    val rows = spark.read.parquet(store).count()
+    // a replayed batch is a storage no-op, not duplicate rows
+    Similarity.appendCodedBatch(late, "vec_id", "embedding", cents, books,
+      batchId = 1L, path = store)
+    assert(spark.read.parquet(store).count() == rows, "retry must be a no-op")
+    // store search == from-scratch inline encode, row for row
+    val admitted = Similarity.searchCodedStore(spark, q,
+        "vec_id", "embedding", 5, cents, books, store,
+        nprobe = 8, shortlistFactor = 16)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .collect().map(_.toString).toSeq
+    val inline = Similarity.ivfPqSearch(q, emb, "vec_id", "embedding", 5,
+        cents, books, nprobe = 8, nassign = 2, shortlistFactor = 16)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .collect().map(_.toString).toSeq
+    assert(admitted == inline)
+  }
+
   test("ivfPqTopK achieves >= 0.8 recall vs brute force") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
