@@ -279,6 +279,32 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous ANN-index admission, the vector member of the
+    * streaming-maintenance family ([[sketchIngest]] distinct counts,
+    * [[heavyHitterIngest]] frequencies, [[componentsIngest]] dedup
+    * groups): each micro-batch of embeddings encodes against the FIXED
+    * persisted IVF-PQ index (loaded once, closed over — the tiny
+    * artifact, not the corpus) and lands in the coded store via
+    * [[graft.operators.Similarity.appendCodedBatch]]. Search over the
+    * store serves everything ingested so far with no refit and no
+    * history rescan; a micro-batch retry (same batchId) overwrites its
+    * own directory rather than duplicating rows. Refit-on-drift
+    * remains a policy above this layer, exactly as in the batch path.
+    */
+  def codedBatchIngest(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      path: String, checkpointDir: String,
+      nassign: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendCodedBatch(
+          batch, idCol, vecCol, cents, books, batchId, path, nassign)
+      }
+      .start()
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

@@ -371,6 +371,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(nb.nonEmpty && nb.forall(_ > 1))
   }
 
+  test("streaming coded-batch admission: store search == inline search over everything ingested") {
+    val base = java.nio.file.Files.createTempDirectory("graft-coded-stream")
+    val feedDir = s"$base/feed"
+    val store = s"$base/store"
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q5 = emb.filter(col("vec_id") < 5)
+    val (cents, books) = graft.operators.Similarity.fitIvfPq(
+      emb, "vec_id", "embedding", nlist = 16, kmeansIters = 2,
+      m = 16, kcode = 16, pqIters = 1)
+    // several files -> several micro-batches, each encoded and landed
+    // against the SAME fixed index
+    emb.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.codedBatchIngest(stream, "vec_id", "embedding",
+      cents, books, store, s"$base/_checkpoint")
+    try q.processAllAvailable() finally q.stop()
+    // >1 batch directory really landed (it was incremental)
+    val batches = new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches > 1, s"expected several micro-batches, got $batches")
+    val admitted = graft.operators.Similarity.searchCodedStore(spark, q5,
+        "vec_id", "embedding", 5, cents, books, store,
+        nprobe = 8, shortlistFactor = 16)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .collect().map(_.toString).toSeq
+    val inline = graft.operators.Similarity.ivfPqSearch(q5, emb,
+        "vec_id", "embedding", 5, cents, books,
+        nprobe = 8, nassign = 2, shortlistFactor = 16)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .collect().map(_.toString).toSeq
+    assert(admitted == inline)
+  }
+
   test("streaming heavy-hitter maintenance: merged per-batch summaries keep the MG guarantee") {
     val base = java.nio.file.Files.createTempDirectory("graft-hh-stream")
     val feedDir = s"$base/feed"
