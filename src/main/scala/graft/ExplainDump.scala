@@ -50,6 +50,8 @@ object ExplainDump {
     "q119_ivfpq_persisted" -> "persisted composite index equality gate: two ivfPqSearch branches (fresh vs loaded centroids/books) — each is the q116 narrow-encode shape with broadcast probes (10 queries); the full-outer null-safe compare joins them on (query_id, rank); index load is two tiny parquet scans",
     "q121_tpch_q17" -> "TPC-H Q17 decorrelation: the correlated per-part avg fence becomes one map-side-combinable aggregation over the part-restricted lineitem rows, broadcast back onto the same rows — part subset and fence both BroadcastHashJoin, brand+size reach the part scan's PushedFilters, no cartesian/nested-loop anywhere (spec-asserted)",
     "q122_tpch_q22" -> "TPC-H Q22 decorrelation: the scalar avg subquery is a 1-row broadcast cross join (computed once, never per-row) and NOT EXISTS is a left-anti hash join against the date-filtered orders projection — the dormancy date reaches the orders scan's PushedFilters so the anti side ships only recent custkeys",
+    "q125_tpch_q2" -> "TPC-H Q2 decorrelation (argmin witness): the correlated MIN subquery becomes one map-side-combinable min aggregation over the part-restricted rows, equality-joined back (broadcast) to select the witnesses — size filter in the part scan's PushedFilters, supplier BroadcastHashJoin, no cartesian",
+    "q126_tpch_q20" -> "TPC-H Q20 decorrelation (nested IN + correlated HAVING sum): two aggregations share the l_partkey-restricted scan — per-(part,supplier) 1996 volume and per-part total — joined on l_partkey and filtered; survivors LEFT-SEMI into supplier; brand reaches the part scan, the 1996 window the lineitem scan; nothing correlated executes per row",
     "q120_knn_join" -> "distributed kNN join: the probe frame builds as a narrow map over the corpus scan (never collected) and the candidate join on cell carries NO broadcast hint (spec-asserted on the optimized plan) — strategy stays stats-driven, so this sf0.001 dump rightly shows the tiny probe side broadcast while the identical plan becomes the co-partitioned shuffle join at corpus scale; TopKAgg partial/final (ObjectHashAggregate pair) bounds what crosses the per-query shuffle; the BroadcastNestedLoopJoin branch is the fenced in-query brute-force recall gate, not the operator")
 
   /** Queries whose audit target only exists in the EXECUTED final

@@ -3604,7 +3604,100 @@ object Queries {
              |  AND NOT EXISTS (
              |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    QDef("q125_tpch_q2",
+      // TPC-H Q2 shape (min-cost supplier), adapted to this schema
+      // (no partsupp table: unit cost = l_extendedprice / l_quantity
+      // over each part's lineitems): for every size-15 part, the
+      // supplier(s) whose unit cost EQUALS the part's minimum — the
+      // argmin-witness selection of a correlated MIN subquery, a
+      // different decorrelation from Q17's inequality fence. The
+      // scale-correct plan computes the per-part minimum ONCE (one
+      // map-side-combinable min aggregation over the part-restricted
+      // rows) and equality-joins it back; the ORACLE keeps the textbook
+      // correlated form. Determinism: the division is the same IEEE
+      // operation on identical operands in both engines, min is
+      // order-free, and equality compares those identical doubles — no
+      // rounding needed anywhere.
+      (s, d) => {
+        val pts = t(s, d, "part").filter(col("p_size") === 15)
+          .select(col("p_partkey"))
+        val lp = t(s, d, "lineitem")
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val mins = lp.groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        lp.join(broadcast(mins),
+            col("l_partkey") === col("m_partkey") &&
+              col("unit_cost") === col("min_cost"))
+          .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+            col("unit_cost"))
+          .distinct()
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+            col("unit_cost"))
+          .orderBy(col("p_partkey"), col("s_suppkey"))
+      },
+      Some("""SELECT DISTINCT l.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+             |  l.l_extendedprice / l.l_quantity AS unit_cost
+             |FROM lineitem l
+             |JOIN part pt ON pt.p_partkey = l.l_partkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |WHERE pt.p_size = 15
+             |  AND l.l_extendedprice / l.l_quantity = (
+             |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+             |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
+    QDef("q126_tpch_q20",
+      // TPC-H Q20 shape (excess-inventory supplier chain), adapted (no
+      // partsupp): suppliers whose 1996 shipments of a brand's parts
+      // exceed 10% of that part's ALL-TIME shipped volume — a nested
+      // IN whose inner query carries a correlated scalar SUM in its
+      // HAVING, the deepest decorrelation shape in the catalog. The
+      // Spark plan is two aggregations sharing the l_partkey exchange
+      // (per-(part,supplier) 1996 volume; per-part total volume)
+      // joined and filtered, with the surviving supplier keys
+      // LEFT-SEMI-joined into supplier — nothing correlated executes
+      // per row anywhere. The ORACLE keeps the textbook nested form.
+      // Determinism: l_quantity sums are exact in double, and the 10%
+      // threshold is the same multiply-then-compare literal sequence
+      // both sides.
+      (s, d) => {
+        val pts = t(s, d, "part").filter(col("p_brand") === "Brand#21")
+          .select(col("p_partkey"))
+        val lp = t(s, d, "lineitem")
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        val y96 = lp
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("q96"))
+        val totals = lp.groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qt"))
+        val winners = y96.join(totals, "l_partkey")
+          .filter(col("q96") > lit(0.1) * col("qt"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey
+             |  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+             |  WHERE pt.p_brand = 'Brand#21'
+             |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY l.l_partkey, l_suppkey
+             |  HAVING sum(l_quantity) > 0.1 * (
+             |    SELECT sum(l2.l_quantity) FROM lineitem l2
+             |    WHERE l2.l_partkey = l.l_partkey))
+             |ORDER BY s_suppkey""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -98,6 +98,27 @@ class PushdownSpec extends AnyFunSuite {
     assert(fmt.contains("GreaterThanOrEqual(o_orderdate,"), fmt.take(3000))
   }
 
+  test("q125 (TPC-H Q2): argmin-witness plan — min computed once, no cartesian") {
+    val df = Queries.queries("q125_tpch_q2")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("EqualTo(p_size,15)"), fmt.take(3000))
+  }
+
+  test("q126 (TPC-H Q20): nested-IN plan — semi join, both filters pushed") {
+    val df = Queries.queries("q126_tpch_q20")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("EqualTo(p_brand,Brand#21)"), fmt.take(3000))
+    assert(fmt.contains("GreaterThanOrEqual(l_shipdate,"), fmt.take(3000))
+  }
+
   test("whole-stage codegen covers the parity pipeline") {
     val df = ColeQuery.Query(
       filters = Seq(Predicate("l_partkey", Gt, 50L)),
