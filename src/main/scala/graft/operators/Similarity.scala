@@ -586,8 +586,14 @@ object Similarity {
         (col("cell_dot") + residualLut).as("cos"))
     val shortlist = emitTopK(scored, k * shortlistFactor)
       .select(col("query_id"), col("neighbor_id"))
+    // NO distinct() on the replica frame: dedup there would shuffle the
+    // entire coded corpus (vectors included) just to collapse nassign
+    // replicas. The join fans each shortlist row out to <= nassign
+    // identical-cosine rows instead, and TopKAgg's per-id max dedup
+    // collapses them for free — the shortlist side stays broadcastable
+    // and the corpus side never re-keys.
     val reranked = shortlist
-      .join(c.select(col("cid").as("neighbor_id"), col("cv")).distinct(), "neighbor_id")
+      .join(c.select(col("cid").as("neighbor_id"), col("cv")), "neighbor_id")
       .join(if (broadcastQueries) broadcast(q) else q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
@@ -703,9 +709,57 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
-      batchId: Long, path: String, nassign: Int = 2): Unit =
+      batchId: Long, path: String, nassign: Int = 2): Unit = {
     codedCorpus(batch, idCol, vecCol, cents, books, nassign)
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+    // the drift signal that decides WHEN the policy above this layer
+    // refits: per-batch quantization error, one tiny row per batch in
+    // a sibling table (same idempotent per-batch overwrite)
+    batch.filter(col(vecCol).isNotNull)
+      .select(selfQuantError(col(vecCol), cents, books).as("err"))
+      .agg(count(lit(1)).as("n_vectors"),
+        avg(col("err")).as("mean_err"), max(col("err")).as("max_err"))
+      .write.mode("overwrite").parquet(s"${path}_stats/batch_id=$batchId")
+  }
+
+  /** The index's quantization error on one vector: 1 minus the PQ
+    * approximation of the vector's OWN similarity to itself —
+    * dot(u, centroid(u)) + LUT_u(codes of u's residual), exactly the
+    * search-time score decomposition applied reflexively, built from
+    * the same codegen'd kernels (NearestCellDots, PqLut) in one narrow
+    * expression. Near 0 when the index still describes the vector;
+    * rises as new data drifts off the fitted centroid/codebook
+    * geometry — the per-batch aggregate of this is the refit trigger
+    * signal ([[codedStoreDriftStats]]).
+    */
+  private def selfQuantError(vec: Column,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val kcode = books(0).length
+    val uv = unitizeCol(vec)
+    val pc = element_at(VectorFunctions.nearestCellDots(uv, cents, 1), 1)
+    val cell = pc.getField("cell")
+    val lut = VectorFunctions.pqLut(uv, books)
+    val codes = pqEncodeExpr(VectorFunctions.residual(uv, cell, cents), books)
+    val approxSelf = pc.getField("dot") + (0 until m).map(j =>
+      element_at(lut, lit(j * kcode + 1) + codes.getItem(j))).reduce(_ + _)
+    lit(1.0) - approxSelf
+  }
+
+  /** Per-batch quantization-error trend of a coded store: (batch_id,
+    * n_vectors, mean_err, max_err) ordered by batch — the refit-on-
+    * drift dashboard. A rising mean_err across admitted batches means
+    * the frozen index no longer describes the incoming distribution;
+    * the policy layer compares recent batches against the fit-time
+    * baseline (batch 0, usually) and triggers [[fitIvfPq]] +
+    * re-encode when the gap crosses its tolerance. One scan of KBs
+    * regardless of corpus size.
+    */
+  def codedStoreDriftStats(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(s"${storePath}_stats")
+      .select(col("batch_id"), col("n_vectors"), col("mean_err"), col("max_err"))
+      .orderBy(col("batch_id"))
 
   /** IVF-PQ search over every batch of a persisted coded-corpus store:
     * one scan of the store (no encode — the expensive half of the

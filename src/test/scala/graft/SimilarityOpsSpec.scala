@@ -300,6 +300,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(admitted == inline)
   }
 
+  test("coded-store drift stats: off-distribution batch shows higher quantization error") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 1)
+    val store = java.nio.file.Files.createTempDirectory("graft-drift-store").toString
+    // batch 0: the distribution the index was fitted on
+    Similarity.appendCodedBatch(emb, "vec_id", "embedding", cents, books,
+      batchId = 0L, path = store)
+    // batch 1: drifted — a large constant on one dimension pushes every
+    // unitized vector toward a direction no centroid/codebook describes
+    val drifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(5.0f)).otherwise(x)).as("embedding"))
+    Similarity.appendCodedBatch(drifted, "vec_id", "embedding", cents, books,
+      batchId = 1L, path = store)
+    val stats = Similarity.codedStoreDriftStats(spark, store)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(stats.map(_._1) == Seq(0L, 1L))
+    assert(stats(0)._2 == stats(1)._2, "same vector count per batch")
+    assert(stats(1)._3 > stats(0)._3,
+      s"drifted batch must show higher mean quantization error: $stats")
+  }
+
   test("ivfPqTopK achieves >= 0.8 recall vs brute force") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
