@@ -3606,6 +3606,52 @@ object Queries {
              |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
 
+    QDef("q127_semdedup_admission",
+      // The WHOLE crawl-admission loop incremental, end to end: q123's
+      // coded-store vector admission composed with q112's incremental
+      // component maintenance. Batch 1 (80% of the clone corpus, split
+      // so clone pairs land on BOTH sides of the boundary — 2^40 % 10
+      // = 6 shifts each clone's bucket) is coded, kNN-searched against
+      // the store, thresholded, and labeled from scratch; batch 2 is
+      // then ADMITTED: coded into its own store directory (history
+      // untouched), kNN-searched against the NOW-GROWN store (so
+      // cross-batch clone pairs are found — the store is what makes
+      // new-vs-history edges discoverable without rescanning history),
+      // and its edges resumed from the PERSISTED LABELS ONLY. The end
+      // state must equal q124's one-shot closed form exactly: nothing
+      // about incrementality — not the index fit on batch 1 alone, not
+      // the split clone pairs, not the label replay — may lose a group
+      // or invent one. No refit, no history rescan, anywhere.
+      (s, d) => {
+        val dir = scratchDir("q127")
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val recrawl = emb.unionByName(
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
+        val b1 = recrawl.filter(col("vec_id") % 10 < 8)
+        val b2 = recrawl.filter(col("vec_id") % 10 >= 8)
+        val (cents, books) = Similarity.fitIvfPq(b1, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        Similarity.saveIvfPqIndex(s, cents, books, dir + "/index")
+        val (lc, lb) = Similarity.loadIvfPqIndex(s, dir + "/index")
+        def edgesFor(queries: DataFrame) =
+          Similarity.searchCodedStore(s, queries, "vec_id", "embedding", 5,
+            lc, lb, dir + "/store", nprobe = 12, shortlistFactor = 32,
+            broadcastQueries = false)
+            .filter(col("cos") >= 0.99)
+            .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        Similarity.appendCodedBatch(b1, "vec_id", "embedding", lc, lb,
+          batchId = 0L, path = dir + "/store")
+        val labels1 = Components.connectedComponents(edgesFor(b1), "id_a", "id_b")
+        Similarity.appendCodedBatch(b2, "vec_id", "embedding", lc, lb,
+          batchId = 1L, path = dir + "/store")
+        Components.incrementalComponents(labels1, edgesFor(b2), "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some(s"""SELECT vec_id AS id, vec_id AS comp FROM embeddings
+              |UNION ALL
+              |SELECT vec_id + $CloneShift AS id, vec_id AS comp FROM embeddings
+              |ORDER BY id""".stripMargin)),
+
     QDef("q125_tpch_q2",
       // TPC-H Q2 shape (min-cost supplier), adapted to this schema
       // (no partsupp table: unit cost = l_extendedprice / l_quantity
