@@ -3641,10 +3641,18 @@ object Queries {
             .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
         Similarity.appendCodedBatch(b1, "vec_id", "embedding", lc, lb,
           batchId = 0L, path = dir + "/store")
-        val labels1 = Components.connectedComponents(edgesFor(b1), "id_a", "id_b")
+        // per-batch singleton union: each batch's edge-less vectors enter
+        // the label store self-labeled AS the batch is admitted (an O(batch)
+        // left-anti join), so the survivor contract covers every admitted
+        // vector without ever rescanning history for isolated ids
+        val labels1 = Components.withSingletonComponents(
+          Components.connectedComponents(edgesFor(b1), "id_a", "id_b"),
+          b1, "vec_id")
         Similarity.appendCodedBatch(b2, "vec_id", "embedding", lc, lb,
           batchId = 1L, path = dir + "/store")
-        Components.incrementalComponents(labels1, edgesFor(b2), "id_a", "id_b")
+        Components.withSingletonComponents(
+          Components.incrementalComponents(labels1, edgesFor(b2), "id_a", "id_b"),
+          b2, "vec_id")
           .orderBy(col("id"))
       },
       Some(s"""SELECT vec_id AS id, vec_id AS comp FROM embeddings

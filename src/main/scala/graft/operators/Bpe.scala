@@ -94,17 +94,27 @@ object Bpe {
     *
     * Why the batch rule is safe (each round, over ranked pairs p1 >=
     * p2 >= ... by the total order):
-    *  1. take the longest PREFIX p1..p_{k-1} that is mutually
-    *     token-disjoint (first conflicting pair p_k ends it);
+    *  1. take the longest PREFIX p1..p_{k-1} whose pairs are mutually
+    *     conflict-free, where accepting (l, r) claims the tokens l, r
+    *     AND the created token l+r, and a pair conflicts if its l or r
+    *     is any previously claimed string (first conflicting pair p_k
+    *     ends the prefix). Claiming the CONCATENATION matters: merging
+    *     (l, r) mints new l+r tokens, so a string-disjoint pair like
+    *     (x, l+r) — possible when l+r already exists as a symbol via a
+    *     different parse, e.g. "abc" from both (ab,c) and (a,bc) — can
+    *     GAIN count from the merge; token-only disjointness would admit
+    *     it and break the identical-to-sequential guarantee;
     *  2. truncate to pairs with count STRICTLY above c* = count(p_k)
     *     (and above the last fetched row's count, when the fetch
     *     window may have cut the list short).
-    * Disjoint pairs cannot change each other's counts (merging a+b
-    * neither creates nor destroys a c-d adjacency when {a,b} and
-    * {c,d} are disjoint), so sequential greedy sees p2..p_t at exactly
-    * these counts. Every pair a merge CAN change shares a token with
-    * some chosen p_j, hence ranks at or after p_k (the prefix is
-    * mutually disjoint), hence has count <= c*; new pairs created by a
+    * Conflict-free pairs cannot change each other's counts (merging
+    * a+b neither creates nor destroys a c-d adjacency when {a,b} and
+    * {c,d} are disjoint, and no chosen pair's token equals another's
+    * minted concat), so sequential greedy sees p2..p_t at exactly
+    * these counts. Every pair a merge CAN change either shares a token
+    * with some chosen p_j or involves p_j's minted concat l_j+r_j —
+    * both conflicts — hence ranks at or after p_k (the prefix is
+    * conflict-free), hence has count <= c*; new pairs created by a
     * merge, e.g. (x, ab), occur only where (x, a) did, so count(x,ab)
     * <= count(x,a) <= c*. With every chosen count > c* strict, no
     * changed or created pair can tie a chosen pair — lexicographic
@@ -155,11 +165,14 @@ object Bpe {
       rounds += 1
       if (rows.isEmpty) exhausted = true
       else {
-        // mutually-disjoint prefix, then the strict-count truncation
+        // conflict-free prefix (tokens AND minted concats claimed — see
+        // the proof above), then the strict-count truncation
         val used = scala.collection.mutable.Set.empty[String]
         var k = 0
         while (k < rows.length && !used(rows(k)._1) && !used(rows(k)._2)) {
-          used += rows(k)._1; used += rows(k)._2; k += 1
+          used += rows(k)._1; used += rows(k)._2
+          used += rows(k)._1 + rows(k)._2
+          k += 1
         }
         val cstar =
           if (k < rows.length) rows(k)._3 // first conflict bounds changed pairs

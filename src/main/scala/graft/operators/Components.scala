@@ -84,6 +84,23 @@ object Components {
     componentsWithRounds(labelEdges.unionByName(ne), "a", "b", maxIters)
   }
 
+  /** `labels` plus a self-labeled singleton row for every node of
+    * `nodes` absent from the label table. [[connectedComponents]] labels
+    * only nodes that appear in the edge set, but dedup-group consumers
+    * work over a NODE universe (every document/vector, most of which
+    * have no qualifying near-dup edge at all in a real corpus) — this
+    * restores the "survivors are id === comp rows" contract over that
+    * universe. One left-anti hash join on id; in incremental admission
+    * it is applied per batch (each batch unions ITS isolated nodes as it
+    * is admitted), so history is never rescanned for the purpose.
+    */
+  def withSingletonComponents(
+      labels: DataFrame, nodes: DataFrame, idCol: String): DataFrame =
+    labels.unionByName(
+      nodes.select(col(idCol).cast("long").as("id")).distinct()
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
+
   /** [[connectedComponents]] plus the number of hook+compress rounds
     * actually run — the observable the scale probes record (rounds ~
     * log2(plateau count) is the claim; BenchTune --components measures

@@ -773,7 +773,11 @@ object Dedup {
     * no collect), edges are the exactly re-ranked pairs at
     * cos >= `threshold`, and groups come from the same O(log n)
     * component pass as [[semanticDedup]]. Output: (id, comp), comp =
-    * min member id — survivors are `id === comp` rows.
+    * min member id — survivors are `id === comp` rows, and EVERY input
+    * vector appears: vectors with no neighbor at `threshold` (unique
+    * documents, the common case in a real corpus) are unioned back as
+    * their own singleton components, since the component pass itself
+    * labels only edge endpoints.
     *
     * vs [[semanticDedup]]'s cell-scoped pairs: no per-cell O(cap^2)
     * stage and no hub fallback — `k` bounds every vector's edge degree
@@ -801,6 +805,7 @@ object Dedup {
       cents, books, nprobe, nassign, shortlistFactor)
       .filter(col("cos") >= threshold)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-    Components.connectedComponents(edges, "id_a", "id_b")
+    Components.withSingletonComponents(
+      Components.connectedComponents(edges, "id_a", "id_b"), v, idCol)
   }
 }

@@ -332,7 +332,19 @@ object EventStreams {
     // arrives as nano longs (nanosAsLong) and is truncated to micros;
     // timestamp[us] data arrives as TIMESTAMP_NTZ and is cast to
     // TimestampType (identity under the UTC session timezone).
-    val raw = spark.read.parquet(s"$schemaDir/events.parquet").schema
+    // The layout is inferred from the files that will actually be
+    // STREAMED whenever any exist — eventsDir and schemaDir can come
+    // from different testdata generations (exactly the mixed-layout
+    // situation this handling exists for), and inferring from the wrong
+    // one would, e.g., cast nano longs as NTZ micros: silently wrong
+    // timestamps. schemaDir is only the cold-start fallback for an
+    // as-yet-empty ingest directory.
+    val evFiles = Option(new java.io.File(eventsDir).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val raw =
+      if (evFiles.nonEmpty) spark.read.parquet(eventsDir).schema
+      else spark.read.parquet(s"$schemaDir/events.parquet").schema
     val stream = spark.readStream.schema(StructType(raw))
       .option("maxFilesPerTrigger", 1)
       .parquet(eventsDir)

@@ -107,6 +107,32 @@ class BpeSpec extends AnyFunSuite {
       s"batching must cut rounds: $batRounds vs $seqRounds")
   }
 
+  test("batched == one-at-a-time on a concat-collision-heavy corpus") {
+    // Repeated-character runs of varied length parse the same substring
+    // DIFFERENTLY by context under greedy non-overlapping merges, so a
+    // chosen pair can mint a token string that already exists as a
+    // symbol from another parse (e.g. "aaaa" via (aa,aa) in even runs
+    // while odd runs hold (aa,aaa)-shaped adjacencies) — the collision
+    // class the token-only disjointness check missed (r8 ADVICE): a
+    // merge's CONCAT can raise the count of a string-disjoint pair.
+    // With concats claimed in the conflict set, the batch rule must
+    // still reproduce the one-at-a-time list exactly, counts included.
+    val runs = (2 to 12).map(n => ("a" * n, 520 - 40 * n))
+    val mixed = Seq(("ab", 150), ("aab", 120), ("abaa", 100), ("baa", 90),
+      ("aabaa", 80), ("bb", 70), ("abab", 60), ("aabb", 50), ("baab", 40))
+    val text = (runs ++ mixed)
+      .flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val (seqDf, seqRounds) =
+      Bpe.learnMergesBatched(docs, "text", numMerges = 20, maxBatch = 1)
+    val (batDf, batRounds) =
+      Bpe.learnMergesBatched(docs, "text", numMerges = 20, maxBatch = 16)
+    val s = seqDf.as[(Long, String, String, Long)].collect().toSeq
+    val b = batDf.as[(Long, String, String, Long)].collect().toSeq
+    assert(b == s, s"batched merges diverged on collision corpus\nseq=$s\nbat=$b")
+    assert(batRounds <= seqRounds)
+  }
+
   test("learnMerges stops early when the vocabulary is fully merged") {
     val docs = Seq("ab ab ab").toDF("text")
     // round 1 merges (a,b); afterwards every word is a single symbol —

@@ -36,6 +36,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEventsStream infers the ts layout from the streamed files, not schemaDir") {
+    // Mixed-generation setup (the r8 ADVICE case): the streamed
+    // directory holds timestamp[us] files while schemaDir points at a
+    // DIFFERENT generation whose events.parquet carries ts as nano
+    // longs. The conversion must follow the files actually streamed —
+    // applying the nano-long rule to NTZ data (or vice versa) corrupts
+    // every timestamp silently.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-mixed")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val fakeGen = java.nio.file.Files.createTempDirectory("graft-stream-fakegen")
+    Seq((1L, 1_700_000_000_000_000_000L, 1L, "click", 0.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(fakeGen.resolve("events.parquet").toString)
+    val stream = EventStreams.readEventsStream(spark, dir.toString, fakeGen.toString)
+    val q = stream.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .writeStream.outputMode("append").format("memory").queryName("mixed_ts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mixed_ts").as[(Long, Long)].collect().toSet
+      val want = Tables.load(spark, TestSpark.sf0001, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates over the stream == batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     java.nio.file.Files.copy(

@@ -423,6 +423,26 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == (singles.map(_._1).toSet + 0L), s"got $survivors")
   }
 
+  test("semanticDedupGroupsKnn: vectors with no qualifying edge survive as singletons") {
+    // One clone pair (the only edge) among unique orthogonal vectors —
+    // the common real-corpus case the r8 ADVICE flagged: the component
+    // pass labels only edge endpoints, so the unique vectors must be
+    // unioned back as their own singleton components, not silently
+    // dropped from the survivor surface.
+    val ones = Array.fill(8)(0.5f)
+    val singles = Seq.tabulate(6)(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i) 1f else 0f)))
+    val v = (singles ++ Seq((100L, ones), (200L, ones))).toDF("id", "v")
+    val labels = Dedup.semanticDedupGroupsKnn(v, "id", "v",
+        threshold = 0.99, k = 3, nlist = 2, kmeansIters = 2,
+        m = 8, kcode = 4, pqIters = 2, nprobe = 2, nassign = 1,
+        shortlistFactor = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(labels ==
+      (singles.map { case (i, _) => (i, i) }.toSet + ((100L, 100L)) + ((200L, 100L))),
+      s"got $labels")
+  }
+
   test("embedding near-dup finds planted duplicates exactly") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
