@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -3751,7 +3751,115 @@ object Queries {
              |  HAVING sum(l_quantity) > 0.1 * (
              |    SELECT sum(l2.l_quantity) FROM lineitem l2
              |    WHERE l2.l_partkey = l.l_partkey))
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QDef("q128_index_refit",
+      // The REFIT ACTUATOR closing the incremental-ANN lifecycle that
+      // q123 (admission) and the drift dashboard started: gen-1 index
+      // fit on the first 80% only, both crawl batches admitted against
+      // it, then VectorStore.refit fits generation 2 on the STORE'S OWN
+      // vectors (a narrow primary-replica filter — no raw-source
+      // rescan), re-encodes each batch in one narrow pass into gen=2
+      // directories, and atomically advances the _CURRENT pointer.
+      // Three gates, all deterministic: (a) searching the migrated
+      // gen-2 store equals an inline from-scratch encode+search of the
+      // same corpus under the gen-2 artifact ROW FOR ROW — migration is
+      // a pure re-encode of (vector, index), it can lose nothing; (b)
+      // generation-1 readers are unaffected by the whole refit: the
+      // pre-refit gen-1 answer (captured eagerly) equals a post-refit
+      // read of the explicit gen-1 path, which the refit never writes;
+      // (c) a retried refit is a compare-and-swap no-op — it returns
+      // the published generation and creates no gen 3.
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q128") + "/vstore"
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 < 8)
+        val late = emb.filter(col("vec_id") % 10 >= 8)
+        val q = emb.filter(col("vec_id") < 10)
+        val (c1, b1) = Similarity.fitIvfPq(base, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, c1, b1)
+        VectorStore.admit(s, root, base, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, root, late, "vec_id", "embedding", 1L)
+        // pre-refit gen-1 answer, captured EAGERLY: a lazy frame would
+        // re-read gen-1 only after the refit ran and could not witness
+        // that the refit left it untouched
+        val pre = VectorStore.searchGen(s, root, 1L, q, "vec_id", "embedding",
+            5, nprobe = 12, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val gen2 = VectorStore.refit(s, root, expectedGen = 1L,
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        val retry = VectorStore.refit(s, root, expectedGen = 1L,
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val postG1 = VectorStore.searchGen(s, root, 1L, q, "vec_id", "embedding",
+            5, nprobe = 12, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_post"))
+        val stable = pre.toDF("query_id", "rank", "n_pre")
+          .join(postG1, Seq("query_id", "rank"), "full")
+          .agg(coalesce(bool_and(col("n_pre") <=> col("n_post")), lit(false))
+            .as("gen1_stable"))
+        val (c2, b2) = VectorStore.loadGenIndex(s, root, 2L)
+        val store = VectorStore.search(s, root, q, "vec_id", "embedding", 5,
+            nprobe = 12, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_store"))
+        val inline = Similarity.ivfPqSearch(q, emb, "vec_id", "embedding", 5,
+            c2, b2, nprobe = 12, nassign = 2, shortlistFactor = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_inline"))
+        store.join(inline, Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_store") <=> col("n_inline")).as("store_eq_inline"))
+          .crossJoin(broadcast(stable))
+          .withColumn("retry_noop", lit(retryNoop))
+          .withColumn("current_gen", lit(VectorStore.currentGen(root)).cast("long"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS store_eq_inline, TRUE AS gen1_stable,
+             |  TRUE AS retry_noop, CAST(2 AS BIGINT) AS current_gen
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q129_tpch_q13",
+      // TPC-H Q13 (customer order-count distribution): LEFT OUTER
+      // customer⋈orders with the order-side restriction INSIDE the join
+      // condition — the classic trap this shape exists to exercise:
+      // moving "o_orderpriority <> '1-URGENT'" into a WHERE clause
+      // would turn the join inner and silently delete the zero-order
+      // bucket the outer join exists to keep. count(o_orderkey) — the
+      // NULLABLE column — per customer counts unmatched customers as 0;
+      // the histogram of those counts is the only null-producing-join-
+      // under-aggregation shape in the catalog. Scale: Catalyst pushes
+      // the priority predicate to the orders scan (a right-side-only
+      // conjunct of a left join filters the right INPUT safely), the
+      // join shuffles on the custkey (or broadcasts the dim side at
+      // small SF), and both aggregations are partial/final pairs.
+      // Determinism: counts are exact; the final sort's tie-break key
+      // c_count is unique within the histogram.
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_custkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+        c.join(o,
+            col("c_custkey") === col("o_custkey") &&
+              col("o_orderpriority") =!= "1-URGENT", "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).cast("long").as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer c LEFT OUTER JOIN orders o
+             |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+             |  GROUP BY c.c_custkey) co
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -782,4 +782,35 @@ object Similarity {
       spark.read.parquet(storePath).select("cid", "cv", "cell", "codes"),
       queries, idCol, vecCol, k, cents, books,
       nprobe, shortlistFactor, broadcastQueries)
+
+  /** [[searchCodedStore]] over a caller-supplied coded frame
+    * (cid, cv, cell, codes) instead of a whole store directory — the
+    * entry point [[VectorStore.searchTransitional]] needs to search a
+    * SUBSET of a store's batches (those not yet migrated to a new index
+    * generation) with the index they were encoded with.
+    */
+  def searchCodedFrame(
+      coded: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame =
+    ivfPqSearchCoded(coded.select("cid", "cv", "cell", "codes"),
+      queries, idCol, vecCol, k, cents, books,
+      nprobe, shortlistFactor, broadcastQueries)
+
+  /** Merge per-query result lists back down to top-k: the input carries
+    * (query_id, neighbor_id, cos) rows from ANY number of searches whose
+    * `cos` is the EXACT re-ranked cosine (every public search here
+    * re-ranks exactly, so scores are comparable across indexes), and the
+    * output is the same (query_id, rank, neighbor_id, cos) contract.
+    * Because top-k of a union equals top-k of the per-subset top-k's,
+    * this makes a search over a corpus partitioned across index
+    * generations exact with respect to its per-generation shortlists —
+    * the two-generation migration serve path. TopKAgg's per-id max also
+    * collapses a neighbor admitted to more than one searched subset.
+    */
+  def mergeTopK(results: DataFrame, k: Int): DataFrame =
+    emitTopK(results.select(col("query_id"), col("neighbor_id"), col("cos")), k)
 }

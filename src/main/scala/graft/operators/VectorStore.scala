@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Generation-versioned coded-vector store: the REFIT ACTUATOR that
+  * closes the incremental-ANN lifecycle started by the admission store
+  * ([[Similarity.appendCodedBatch]] / [[Similarity.searchCodedStore]])
+  * and its drift signal ([[Similarity.codedStoreDriftStats]]).
+  *
+  * The problem it solves: a coded store grows batch-at-a-time against a
+  * FROZEN index. When admitted data drifts off the fitted
+  * centroid/codebook geometry, the drift stats say so — but until this
+  * object existed, "rebuild by hand" was the only migration story. The
+  * actuator turns the trigger into a safe swap: fit a new index
+  * generation on the store's own vectors, re-encode every batch into a
+  * `gen=N+1` directory (one narrow pass per batch — the admission
+  * encode reused), and atomically advance a `_CURRENT` pointer, the
+  * same reader-isolation discipline as the CDC snapshot store
+  * ([[graft.streaming.EventStreams.initCdcState]]).
+  *
+  * Layout under one root:
+  * {{{
+  *   root/_CURRENT                  # current generation number (text)
+  *   root/gen=N/index/{centroids,codebooks}
+  *   root/gen=N/coded/batch_id=K/   # the admission store of that gen
+  *   root/gen=N/coded_stats/batch_id=K/
+  * }}}
+  *
+  * Correctness/retry contract (gated by catalog query q128 + spec):
+  *  - readers of generation N are byte-unaffected by a refit until the
+  *    pointer moves (the refit only ever writes `gen=N+1` paths);
+  *  - post-refit store search equals an inline from-scratch encode+
+  *    search of the same corpus under the new generation's index, row
+  *    for row — migration is a pure re-encode, it loses nothing;
+  *  - refit is compare-and-swap on the generation it was planned
+  *    against: a retry after success (or a racing second refit) sees
+  *    `currentGen != expectedGen` and no-ops; a retry after a crash
+  *    redoes idempotent per-path overwrites and then moves the pointer.
+  *
+  * 100 TB posture: the fit is the usual driver-action index build
+  * (narrow Lloyd passes, nlist x dim shuffles — never the corpus);
+  * migration reads each batch once, narrowly, and never joins batches;
+  * the pointer move is O(1). A migration of that size is not atomic in
+  * practice, which is what [[searchTransitional]] is for: serve queries
+  * as the exact top-k merge of migrated batches (new index) and
+  * not-yet-migrated batches (old index) — exact because every search
+  * re-ranks on true cosine, so scores are comparable across
+  * generations ([[Similarity.mergeTopK]]).
+  *
+  * The reference engine is write-once with no index surface at all
+  * (/root/reference/README.md:127-138); this is north-star extension
+  * territory shaped by the published IVF/PQ lineage (Jegou et al., PAMI
+  * 2011) and ordinary snapshot-isolation storage practice.
+  */
+object VectorStore {
+
+  private def genRoot(root: String, gen: Long) = s"$root/gen=$gen"
+  private def indexDir(root: String, gen: Long) = genRoot(root, gen) + "/index"
+  /** The admission-store directory of one generation — the `path` that
+    * [[Similarity.appendCodedBatch]]/[[Similarity.searchCodedStore]]
+    * operate on (stats land beside it at `coded_stats`).
+    */
+  def codedDir(root: String, gen: Long): String = genRoot(root, gen) + "/coded"
+
+  private def pointerPath(root: String) =
+    java.nio.file.Paths.get(root, "_CURRENT")
+
+  /** The generation readers currently see. */
+  def currentGen(root: String): Long =
+    new String(java.nio.file.Files.readAllBytes(pointerPath(root))).trim.toLong
+
+  // same tmp-write + ATOMIC_MOVE as the CDC `_CURRENT` pointer: readers
+  // see the old generation or the new one, never a torn pointer
+  private def writePointer(root: String, gen: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, gen.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Create the store: persist the generation-1 index and point
+    * `_CURRENT` at it. Idempotent (overwrite + pointer rewrite).
+    */
+  def init(spark: SparkSession, root: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Unit = {
+    Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, 1L))
+    writePointer(root, 1L)
+  }
+
+  /** Load one generation's index artifact. */
+  def loadGenIndex(spark: SparkSession, root: String,
+      gen: Long): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    Similarity.loadIvfPqIndex(spark, indexDir(root, gen))
+
+  /** Admit one crawl batch under the CURRENT generation: load the (tiny)
+    * index artifact, encode the batch against it in one narrow pass,
+    * land it in `gen=cur/coded/batch_id=N` — exactly
+    * [[Similarity.appendCodedBatch]], routed through the pointer.
+    * Single-writer discipline: admissions and refits must not race (a
+    * batch admitted to gen N while a refit of gen N is mid-migration
+    * would be missed by it); real deployments fence with the same lock
+    * that serializes crawl batches.
+    */
+  def admit(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, batchId: Long, nassign: Int = 2): Unit = {
+    val gen = currentGen(root)
+    val (cents, books) = loadGenIndex(spark, root, gen)
+    Similarity.appendCodedBatch(batch, idCol, vecCol, cents, books,
+      batchId, codedDir(root, gen), nassign)
+  }
+
+  /** The current generation's per-batch drift dashboard
+    * ([[Similarity.codedStoreDriftStats]]): (batch_id, n_vectors,
+    * mean_err, max_err) ordered by batch.
+    */
+  def driftStats(spark: SparkSession, root: String): DataFrame =
+    Similarity.codedStoreDriftStats(spark, codedDir(root, currentGen(root)))
+
+  /** The refit-policy predicate over the drift dashboard: true when the
+    * latest admitted batch's mean quantization error exceeds
+    * `tolerance` times the fit-time baseline (the lowest batch id,
+    * which the generation's index was fit around). One scan of KBs.
+    */
+  def needsRefit(spark: SparkSession, root: String,
+      tolerance: Double = 1.5): Boolean = {
+    val rows = driftStats(spark, root).collect()
+    if (rows.length < 2) false
+    else {
+      def err(r: org.apache.spark.sql.Row): Option[Double] =
+        if (r.isNullAt(r.fieldIndex("mean_err"))) None
+        else Some(r.getAs[Double]("mean_err"))
+      (err(rows.head), err(rows.last)) match {
+        case (Some(base), Some(latest)) => base > 0 && latest > tolerance * base
+        case _ => false
+      }
+    }
+  }
+
+  /** One row per vector from a coded frame (which carries `nassign`
+    * replica rows per vector): keep the replica whose cell is the
+    * vector's NEAREST cell under the generation's centroids. A narrow
+    * codegen'd filter — no distinct(), no shuffle of the store. Exact
+    * because the encode emitted cells nearest-first from the same
+    * deterministic argmax ([[Similarity.bestCells]] ties resolve to the
+    * lowest cell id), so exactly one replica row passes.
+    */
+  private def primaryRows(coded: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    coded.filter(col("cell") === element_at(
+      Similarity.bestCells(VectorFunctions.unit(col("cv")), cents, 1), 1))
+
+  private def listBatchIds(spark: SparkSession, coded: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(coded)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  /** Batch ids already present under a generation's coded dir — for
+    * generation N+1 mid-migration, the migrated prefix.
+    */
+  def migratedBatchIds(spark: SparkSession, root: String, gen: Long): Seq[Long] =
+    listBatchIds(spark, codedDir(root, gen))
+
+  /** Phase 1 of a refit: fit generation `expectedGen + 1`'s index on the
+    * store's own vectors (one narrow primary-replica filter recovers one
+    * row per vector — the store is self-contained for migration, no
+    * raw-source rescan) and persist it. Does NOT move the pointer.
+    * Returns the new generation number, or the current generation
+    * unchanged if `expectedGen` is stale (compare-and-swap no-op).
+    */
+  def refitStart(spark: SparkSession, root: String, expectedGen: Long,
+      nlist: Int, kmeansIters: Int,
+      m: Int, kcode: Int, pqIters: Int): Long = {
+    val cur = currentGen(root)
+    if (cur != expectedGen) return cur
+    val (oldCents, _) = loadGenIndex(spark, root, cur)
+    val corpus = primaryRows(
+      spark.read.parquet(codedDir(root, cur)).select("cid", "cv", "cell", "codes"),
+      oldCents)
+    val (nc, nb) = Similarity.fitIvfPq(corpus, "cid", "cv",
+      nlist, kmeansIters, m, kcode, pqIters)
+    Similarity.saveIvfPqIndex(spark, nc, nb, indexDir(root, cur + 1))
+    cur + 1
+  }
+
+  /** Phase 2, once per batch: re-encode one admitted batch from its own
+    * coded rows (primary replicas carry the original vectors) against
+    * the new generation's index — one narrow pass, landed with the same
+    * per-batch idempotent overwrite as admission. History batches other
+    * than `batchId` are untouched.
+    */
+  def migrateBatch(spark: SparkSession, root: String,
+      fromGen: Long, toGen: Long, batchId: Long, nassign: Int = 2): Unit = {
+    val (oldCents, _) = loadGenIndex(spark, root, fromGen)
+    val (nc, nb) = loadGenIndex(spark, root, toGen)
+    val batch = spark.read.parquet(s"${codedDir(root, fromGen)}/batch_id=$batchId")
+    Similarity.appendCodedBatch(primaryRows(batch, oldCents), "cid", "cv",
+      nc, nb, batchId, codedDir(root, toGen), nassign)
+  }
+
+  /** Phase 3: atomically advance `_CURRENT`. Refuses to publish a
+    * generation missing any of the previous generation's batches — the
+    * guard that a crashed partial migration cannot be published by a
+    * buggy retry that skips phase 2.
+    */
+  def refitFinish(spark: SparkSession, root: String, toGen: Long): Unit = {
+    val prev = listBatchIds(spark, codedDir(root, toGen - 1)).toSet
+    val got = listBatchIds(spark, codedDir(root, toGen)).toSet
+    require(prev.subsetOf(got),
+      s"refusing to publish gen=$toGen: batches ${(prev -- got).toSeq.sorted.mkString(",")} not migrated")
+    writePointer(root, toGen)
+  }
+
+  /** The whole actuator: CAS-guarded fit + per-batch migration + atomic
+    * pointer move. Retry semantics: after success the CAS guard no-ops;
+    * after a crash every step is an idempotent per-path overwrite, so
+    * rerunning converges to the same published generation.
+    */
+  def refit(spark: SparkSession, root: String, expectedGen: Long,
+      nlist: Int, kmeansIters: Int, m: Int, kcode: Int, pqIters: Int,
+      nassign: Int = 2): Long = {
+    val cur = currentGen(root)
+    if (cur != expectedGen) return cur
+    val ng = refitStart(spark, root, cur, nlist, kmeansIters, m, kcode, pqIters)
+    listBatchIds(spark, codedDir(root, cur))
+      .foreach(migrateBatch(spark, root, cur, ng, _, nassign))
+    refitFinish(spark, root, ng)
+    ng
+  }
+
+  /** Search one explicit generation (old-reader path during and after a
+    * refit — generation directories are immutable once written).
+    */
+  def searchGen(spark: SparkSession, root: String, gen: Long,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val (cents, books) = loadGenIndex(spark, root, gen)
+    Similarity.searchCodedStore(spark, queries, idCol, vecCol, k,
+      cents, books, codedDir(root, gen), nprobe, shortlistFactor,
+      broadcastQueries)
+  }
+
+  /** Search whatever `_CURRENT` points at. */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame =
+    searchGen(spark, root, currentGen(root), queries, idCol, vecCol, k,
+      nprobe, shortlistFactor, broadcastQueries)
+
+  /** Serve queries MID-MIGRATION with no read downtime: batches already
+    * under `newGen` search with the new index, the rest with the old,
+    * and the exact top-k merge ([[Similarity.mergeTopK]]) combines them
+    * — sound because both sides re-rank on true cosine, so scores are
+    * index-independent and comparable. With zero batches migrated this
+    * IS the old-generation search; with all batches migrated it IS the
+    * new-generation search (both served directly, no merge shuffle).
+    * This is what lets a 100 TB refit proceed batch-at-a-time under
+    * live traffic, with [[refitFinish]]'s pointer move as the cheap
+    * final cutover rather than a downtime window.
+    */
+  def searchTransitional(spark: SparkSession, root: String,
+      oldGen: Long, newGen: Long, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val migrated = migratedBatchIds(spark, root, newGen)
+    val remaining = listBatchIds(spark, codedDir(root, oldGen))
+      .filterNot(migrated.toSet)
+    def side(gen: Long, ids: Seq[Long]): Option[DataFrame] =
+      if (ids.isEmpty) None
+      else {
+        val (cents, books) = loadGenIndex(spark, root, gen)
+        val coded = spark.read.parquet(
+          ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
+        Some(Similarity.searchCodedFrame(coded, queries, idCol, vecCol, k,
+          cents, books, nprobe, shortlistFactor, broadcastQueries))
+      }
+    (side(newGen, migrated), side(oldGen, remaining)) match {
+      case (Some(n), Some(o)) => Similarity.mergeTopK(n.unionByName(o), k)
+      case (Some(n), None) => n
+      case (None, Some(o)) => o
+      case (None, None) =>
+        sys.error(s"searchTransitional: no batches under gen=$oldGen or gen=$newGen of $root")
+    }
+  }
+}

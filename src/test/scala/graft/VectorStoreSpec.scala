@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, VectorStore}
+
+/** Generation-versioned vector store: the refit actuator's
+  * compare-and-swap/retry semantics, the drift predicate, and the
+  * two-generation transitional serve path (q128 gates the end-to-end
+  * equality against the DuckDB oracle; these pin the store mechanics).
+  */
+class VectorStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Fit = (16, 2, 8, 16, 2) // nlist, kmIters, m, kcode, pqIters
+
+  /** Deterministic synthetic corpus: ids [lo, hi), 16-dim hash-derived
+    * components — same recipe as the BenchTune ANN probes.
+    */
+  private def corpus(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+          .cast("double")): _*).as("embedding"))
+
+  private def freshStore(tag: String, batches: Seq[DataFrame]): String = {
+    val root = Files.createTempDirectory(s"graft-vstore-$tag").toString + "/s"
+    val (nlist, km, m, kc, pq) = Fit
+    val (c, b) = Similarity.fitIvfPq(batches.head, "vec_id", "embedding",
+      nlist, km, m, kc, pq)
+    VectorStore.init(spark, root, c, b)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      VectorStore.admit(spark, root, df, "vec_id", "embedding", i.toLong)
+    }
+    root
+  }
+
+  private def doRefit(root: String, expected: Long): Long = {
+    val (nlist, km, m, kc, pq) = Fit
+    VectorStore.refit(spark, root, expected, nlist, km, m, kc, pq)
+  }
+
+  test("refit is compare-and-swap: stale expectedGen no-ops, retry after success no-ops") {
+    val root = freshStore("cas", Seq(corpus(0, 300), corpus(300, 400)))
+    assert(VectorStore.currentGen(root) === 1L)
+    // stale guard: a refit planned against a generation that is not
+    // current must do nothing at all
+    assert(doRefit(root, expected = 7L) === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "gen=2")))
+    // real refit publishes gen 2 with every batch migrated
+    assert(doRefit(root, expected = 1L) === 2L)
+    assert(VectorStore.currentGen(root) === 2L)
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L))
+    // the retry of the SAME planned refit (expectedGen=1) is a no-op:
+    // returns the published generation, creates no gen 3
+    assert(doRefit(root, expected = 1L) === 2L)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "gen=3")))
+  }
+
+  test("refitFinish refuses to publish a partial migration") {
+    val root = freshStore("guard", Seq(corpus(0, 300), corpus(300, 400)))
+    val (nlist, km, m, kc, pq) = Fit
+    val g2 = VectorStore.refitStart(spark, root, 1L, nlist, km, m, kc, pq)
+    assert(g2 === 2L)
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 0L) // batch 1 NOT migrated
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.refitFinish(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("not migrated"))
+    assert(VectorStore.currentGen(root) === 1L) // pointer never moved
+    // completing the migration publishes cleanly — the crash-retry path
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 1L)
+    VectorStore.refitFinish(spark, root, 2L)
+    assert(VectorStore.currentGen(root) === 2L)
+  }
+
+  test("drift predicate: fires on an off-distribution batch, not on in-distribution replay") {
+    // batch 0 = fit distribution; batch 1 = same recipe (in-dist);
+    // batch 2 = one-hot axis vectors the smooth hash-cloud never
+    // produces — genuinely off the fitted centroid/codebook geometry
+    val inDist = corpus(400, 500)
+    val oneHot = spark.range(0, 100).select((col("id") + 1000L).as("vec_id"),
+      array((0 until 16).map(j =>
+        when(pmod(col("id"), lit(16)) === j, lit(1.0)).otherwise(lit(0.0))): _*)
+        .as("embedding"))
+    val root = freshStore("drift", Seq(corpus(0, 400), inDist))
+    assert(!VectorStore.needsRefit(spark, root, tolerance = 1.5),
+      "in-distribution admission must not trigger a refit")
+    VectorStore.admit(spark, root, oneHot, "vec_id", "embedding", 2L)
+    assert(VectorStore.needsRefit(spark, root, tolerance = 1.5),
+      "off-distribution admission must trigger the refit predicate")
+    // ... and the actuator consumes it: post-refit, the store-wide
+    // latest-batch error drops back under the trigger (the new fit saw
+    // the one-hot vectors)
+    doRefit(root, expected = 1L)
+    assert(!VectorStore.needsRefit(spark, root, tolerance = 1.5),
+      "a refit must clear the drift trigger it was fired by")
+  }
+
+  test("transitional search: endpoints equal the single-generation searches; recall survives mid-migration") {
+    // clone fixture (the q124 pattern): every vector has an exact clone
+    // 10_000 ids away, clones split across the two batches
+    val base = corpus(0, 200)
+    val clones = base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val all = base.unionByName(clones)
+    val b0 = all.filter(col("vec_id") % 2 === 0)
+    val b1 = all.filter(col("vec_id") % 2 === 1)
+    val root = freshStore("trans", Seq(b0, b1))
+    val q = all.filter(col("vec_id") < 20)
+    def rows(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("query_id", "rank", "neighbor_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val g1 = rows(VectorStore.searchGen(spark, root, 1L, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32))
+    val (nlist, km, m, kc, pq) = Fit
+    assert(VectorStore.refitStart(spark, root, 1L, nlist, km, m, kc, pq) === 2L)
+    // zero batches migrated: transitional IS the gen-1 search, exactly
+    assert(rows(VectorStore.searchTransitional(spark, root, 1L, 2L, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)) === g1)
+    // mid-migration (batch 0 under gen 2, batch 1 still gen 1): the
+    // merged serve path must still put every query's exact clone at
+    // rank 1 with cos 1 — no recall downtime while the store migrates
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 0L)
+    val mid = VectorStore.searchTransitional(spark, root, 1L, 2L, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)
+    val top1 = mid.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "cos").collect()
+    assert(top1.length === 20)
+    top1.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(nid === (if (qid >= 10000L) qid - 10000L else qid + 10000L),
+        s"query $qid lost its exact clone mid-migration")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    // all batches migrated: transitional IS the gen-2 search, exactly
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 1L)
+    val g2full = rows(VectorStore.searchGen(spark, root, 2L, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32))
+    assert(rows(VectorStore.searchTransitional(spark, root, 1L, 2L, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)) === g2full)
+    // and the cutover serves the same thing through the pointer
+    VectorStore.refitFinish(spark, root, 2L)
+    assert(rows(VectorStore.search(spark, root, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)) === g2full)
+  }
+}
