@@ -70,6 +70,14 @@ object Bench {
       // shapes (default 4096); memory cost is batch x columns, trivial
       // for the 4-column bench projection
       .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      // split count follows the DATA, not the core count: minPartitionNum
+      // defaults to defaultParallelism (32 here), which at bench scale
+      // splits a one-row-group file into 32 tasks of which 31 open the
+      // file, parse the footer, find no row-group midpoint in their
+      // range, and exit — pure fixed cost (BENCHFLOOR_r06.md). One
+      // 128MB-bounded split per 64MB of input reproduces the cluster
+      // sizing rule at scale and launches exactly the useful tasks here.
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -92,15 +100,33 @@ object Bench {
       "aggregation" -> (() => { agg.collect(); () }),
       "group_by" -> (() => { groupBy.collect(); () }))
 
-    val results = shapes.map { case (name, f) =>
-      // warm-ups, discarded: C2 compilation of the generated code and OS
-      // page cache settle before anything is timed
-      (1 to 3).foreach(_ => f())
-      // min of 7: the steady-state floor (GC pauses and scheduler jitter
-      // only ever ADD time, so min is the right statistic for comparing
-      // against the reference's warm single-run numbers)
-      name -> (1 to 7).map(_ => time(f())).min
+    // Warm-up and timing are INTERLEAVED round-robin across the four
+    // shapes (the BenchFloor protocol). Rationale, measured this round:
+    // C2 compiles the codegen'd stages in the BACKGROUND, so a shape
+    // timed in a tight back-to-back loop right after JVM start can run
+    // interpreted/C1 for all of its runs (observed: the same filtered
+    // DF at 404 ms when timed first vs 74 ms after ~1 s more JVM life —
+    // a 5x artifact of measurement order, not of the plan). Interleaving
+    // spreads every shape's timed runs across JVM life so compilation
+    // completes before the mins are taken; the warm-up also runs a
+    // minimum wall-clock (not just a count) so short shapes can't race
+    // ahead of the compiler queue.
+    val warmDeadline = System.nanoTime() + 3_000_000_000L
+    var warmRounds = 0
+    while (warmRounds < 3 || System.nanoTime() < warmDeadline) {
+      shapes.foreach(_._2()); warmRounds += 1
     }
+    val best = collection.mutable.Map[String, Double]()
+      .withDefaultValue(Double.MaxValue)
+    (1 to 15).foreach { _ =>
+      shapes.foreach { case (name, f) =>
+        best(name) = math.min(best(name), time(f()))
+      }
+    }
+    // min over 15 interleaved rounds: the steady-state floor (GC pauses
+    // and scheduler jitter only ever ADD time, so min is the right
+    // statistic against the reference's warm single-run numbers)
+    val results = shapes.map { case (name, _) => name -> best(name) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
