@@ -3859,7 +3859,103 @@ object Queries {
              |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
              |  GROUP BY c.c_custkey) co
              |GROUP BY c_count
-             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    QDef("q130_transitional_search",
+      // Zero-downtime serving MID-REFIT: a 100 TB migration is not
+      // atomic, so VectorStore.searchTransitional serves queries as the
+      // exact top-k merge of batches already re-encoded under gen 2
+      // (searched with the new index) and batches still under gen 1
+      // (searched with the old) — sound because every search re-ranks
+      // on true cosine, so scores are index-independent and comparable.
+      // Three migration states of a 3-batch store, gated per query:
+      // (a) ZERO batches migrated (refitStart has fit gen 2 but moved
+      // nothing): transitional == the plain gen-1 search row for row;
+      // (b) MID-migration (batch 0 re-encoded, 1 and 2 not):
+      // transitional == an INDEPENDENT merge of the two per-side
+      // searches — union ranked by a window over (cos desc, id asc),
+      // the same total order TopKAgg maintains, computed by Spark's
+      // window operator instead of the Aggregator under test;
+      // (c) ALL batches migrated + pointer advanced: transitional ==
+      // the plain gen-2 search row for row (and _CURRENT reads 2).
+      // Scale shape: each side is the audited coded-frame search plan
+      // (q123); the merge adds one k-bounded per-query aggregation —
+      // no side rescans the other's batches, no downtime window.
+      (s, d) => {
+        val root = scratchDir("q130") + "/vstore"
+        val emb = t(s, d, "embeddings")
+        val b0 = emb.filter(col("vec_id") % 10 < 6)
+        val b1 = emb.filter(col("vec_id") % 10 >= 6 && col("vec_id") % 10 < 8)
+        val b2 = emb.filter(col("vec_id") % 10 >= 8)
+        val q = emb.filter(col("vec_id") < 10)
+        val k = 5
+        def names(df: DataFrame, as: String) =
+          df.select(col("query_id"), col("rank"), col("neighbor_id").as(as))
+        def rowEq(a: DataFrame, an: String, b: DataFrame, bn: String, out: String) =
+          names(a, an).join(names(b, bn), Seq("query_id", "rank"), "full")
+            .groupBy(col("query_id"))
+            .agg(coalesce(bool_and(col(an) <=> col(bn)), lit(false)).as(out))
+        val (c1, bk1) = Similarity.fitIvfPq(b0, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, c1, bk1)
+        VectorStore.admit(s, root, b0, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, root, b1, "vec_id", "embedding", 1L)
+        VectorStore.admit(s, root, b2, "vec_id", "embedding", 2L)
+        def trans() = VectorStore.searchTransitional(s, root, 1L, 2L, q,
+          "vec_id", "embedding", k, nprobe = 12, shortlistFactor = 32)
+        // (a) gen 2 exists, zero batches migrated: transitional must BE
+        // the old-generation answer (eagerly compared before any
+        // migration mutates the gen-2 side it reads)
+        VectorStore.refitStart(s, root, expectedGen = 1L,
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        val zeroEq = rowEq(
+          trans(), "n_t0",
+          VectorStore.searchGen(s, root, 1L, q, "vec_id", "embedding", k,
+            nprobe = 12, shortlistFactor = 32), "n_g1", "zero_eq_old")
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+        // (b) batch 0 migrated: independent window-ranked merge of the
+        // two per-side coded searches
+        VectorStore.migrateBatch(s, root, fromGen = 1L, toGen = 2L, batchId = 0L)
+        val (c2, bk2) = VectorStore.loadGenIndex(s, root, 2L)
+        def sideSearch(gen: Long, cs: Array[Array[Double]],
+            bs: Array[Array[Array[Double]]], ids: Seq[Long]) =
+          Similarity.searchCodedFrame(
+            s.read.parquet(ids.map(i =>
+              s"${VectorStore.codedDir(root, gen)}/batch_id=$i"): _*),
+            q, "vec_id", "embedding", k, cs, bs,
+            nprobe = 12, shortlistFactor = 32)
+        val manual = sideSearch(2L, c2, bk2, Seq(0L))
+          .unionByName(sideSearch(1L, c1, bk1, Seq(1L, 2L)))
+          .withColumn("mrank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+          .filter(col("mrank") <= k)
+          .select(col("query_id"), col("mrank").cast("long").as("rank"),
+            col("neighbor_id"))
+        val midEq = rowEq(trans(), "n_tm", manual, "n_mm", "mid_eq_merge")
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+        // (c) migration complete, pointer advanced
+        VectorStore.migrateBatch(s, root, 1L, 2L, 1L)
+        VectorStore.migrateBatch(s, root, 1L, 2L, 2L)
+        VectorStore.refitFinish(s, root, toGen = 2L)
+        val fullEq = rowEq(
+          trans(), "n_tf",
+          VectorStore.searchGen(s, root, 2L, q, "vec_id", "embedding", k,
+            nprobe = 12, shortlistFactor = 32), "n_g2", "full_eq_new")
+        import s.implicits._
+        zeroEq.toDF("query_id", "zero_eq_old")
+          .join(midEq.toDF("query_id", "mid_eq_merge"), Seq("query_id"), "full")
+          .join(fullEq, Seq("query_id"), "full")
+          .withColumn("zero_eq_old", coalesce(col("zero_eq_old"), lit(false)))
+          .withColumn("mid_eq_merge", coalesce(col("mid_eq_merge"), lit(false)))
+          .withColumn("full_eq_new", coalesce(col("full_eq_new"), lit(false)))
+          .withColumn("current_gen",
+            lit(VectorStore.currentGen(root)).cast("long"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, TRUE AS zero_eq_old,
+             |  TRUE AS mid_eq_merge, TRUE AS full_eq_new,
+             |  CAST(2 AS BIGINT) AS current_gen
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =
