@@ -372,14 +372,35 @@ object BenchTune {
     * non-self candidates in their probed cells are reported as a
     * served fraction, not a crash (sparse/empty cells are a data
     * property, not a bug).
+    *
+    * A second numeric arg (`--knn 100000 100`) switches the corpus to a
+    * mixture-of-Gaussians with that many clusters: each vector is a
+    * hash-assigned cluster center (components uniform in [-1,1]) plus
+    * per-vector noise uniform in [-0.2,0.2] per dim — expected
+    * center-to-center distance ~6.5 vs cluster radius ~0.9 in 64-dim, i.e.
+    * distinctly clustered but not degenerate. Real embedding corpora are
+    * clustered (that is IVF's premise); the uniform default measures the
+    * pessimal floor, the clustered run measures the regime the index is
+    * actually FOR, same gate settings, so the two rows bracket reality.
     */
-  private def knnDemo(spark: SparkSession, n: Long): Unit = {
+  private def knnDemo(spark: SparkSession, n: Long, clusters: Int): Unit = {
     import graft.operators.Similarity
     val dim = 64
-    val emb = spark.range(n).select(col("id").as("vec_id"),
+    val vec = if (clusters <= 0) {
+      // near-uniform: the no-structure pessimal floor
       array((0 until dim).map(j =>
         ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
-          .cast("double")): _*).as("embedding"))
+          .cast("double")): _*)
+    } else {
+      // mixture-of-Gaussians (uniform-ball noise): center[cl][j] + noise
+      val cl = pmod(xxhash64(col("id"), lit(777)), lit(clusters.toLong))
+      array((0 until dim).map { j =>
+        val center = (pmod(xxhash64(cl, lit(j + 10000)), lit(2001L)) - 1000L) / 1000.0
+        val noise = (pmod(xxhash64(col("id"), lit(j + 20000)), lit(2001L)) - 1000L) / 5000.0
+        (center + noise).cast("double")
+      }: _*)
+    }
+    val emb = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
       .repartition(32).cache()
     emb.count()
     val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
@@ -404,7 +425,8 @@ object BenchTune {
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
     val denom = exact.count()
-    println(f"[knn] n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
+    val corpusKind = if (clusters <= 0) "uniform" else s"clustered($clusters)"
+    println(f"[knn] corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
       f"shortlist=32x fit=$fitT%.1f s knn_join=$joinT%.1f s " +
       f"rows_out=$rows%d served=${rows.toDouble / (n * k)}%.3f " +
       f"recall@$k=${hits.toDouble / math.max(1L, denom)}%.3f " +
@@ -521,9 +543,10 @@ object BenchTune {
       return
     }
     if (args.contains("--knn")) {
-      val n = args.dropWhile(_ != "--knn").drop(1).headOption
-        .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).getOrElse(100000L)
-      knnDemo(spark, n)
+      val nums = args.dropWhile(_ != "--knn").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      knnDemo(spark, nums.headOption.getOrElse(100000L),
+        nums.drop(1).headOption.getOrElse(0L).toInt)
       spark.stop()
       return
     }

@@ -3958,10 +3958,368 @@ object Queries {
              |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // TPC-H completion: the eight query shapes (Q6/Q7/Q8/Q9/Q11/Q12/Q14/Q16) not
+  // yet covered by the decorrelation family — with these, all 22 TPC-H query
+  // shapes run against the catalog (adapted where the testdata schema lacks
+  // partsupp / shipmode / supplycost, keeping each query's DEFINING plan
+  // shape: the multi-way join topology, the conditional-aggregate ratio, the
+  // scalar-subquery HAVING, the NOT-IN anti-join under count-distinct).
+  // ---------------------------------------------------------------------------
+
+  private val tpchComplete = Seq(
+    QDef("q131_tpch_q6",
+      // TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+      // every predicate (date window, discount band, quantity cap) is a
+      // single-column comparison that must reach the parquet scan's
+      // PushedFilters, and the answer is one map-side-combinable global
+      // aggregate with NO shuffle beyond the final 1-row exchange. At
+      // 100 TB this query is entirely I/O-bound row-group pruning: the
+      // shipdate window plus min/max stats skip most row groups before a
+      // byte of the money columns is decoded. Determinism: the
+      // revenue product is the same IEEE multiply both engines, then
+      // decimal-exact accumulation (dsum pattern, q106).
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    QDef("q132_tpch_q7",
+      // TPC-H Q7 (volume shipping): the two-nation bidirectional trade
+      // query — lineitem⋈orders⋈customer⋈nation on one side,
+      // lineitem⋈supplier⋈nation on the other, with the (n1,n2) pair
+      // DISJUNCTION evaluated after both nation names are in scope.
+      // The 100 TB plan: both nation lookups broadcast; the
+      // nation-filtered SUPPLIER side also broadcasts (one nation pair
+      // keeps ~8% of suppliers); customer is pre-filtered to the two
+      // nations BEFORE its join so the orders shuffle carries 2/25 of
+      // customers; the only big-big shuffle is lineitem⋈orders on
+      // orderkey with the shipdate window pushed to the lineitem scan.
+      // Determinism: year() is the same UTC extraction both engines
+      // (cast long = BIGINT); revenue via dsum.
+      (s, d) => {
+        val pair = Seq("NATION_10", "NATION_12")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin(pair: _*))
+              .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin(pair: _*))
+              .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .filter((col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+            (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM supplier s
+             |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+             |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    QDef("q133_tpch_q8",
+      // TPC-H Q8 (national market share): the widest join topology in
+      // TPC-H (lineitem⋈part⋈orders⋈customer⋈nation⋈region on the
+      // demand side, ⋈supplier⋈nation on the supply side) feeding a
+      // CONDITIONAL-AGGREGATE RATIO — share = sum(volume where supplier
+      // is the target nation) / sum(volume) per order year. The 100 TB
+      // plan: part (type-filtered), supplier+nation, and the
+      // region-restricted customer-key set all broadcast; lineitem joins
+      // orders on the one big shuffle; customer membership is a
+      // LEFT-SEMI (c_custkey is unique, so semi == inner, without
+      // carrying customer columns through the shuffle). Both CASE
+      // branches accumulate decimal-exact in ONE aggregation pass —
+      // never two scans. Determinism: the final division is the same
+      // IEEE op on two decimal-exact doubles.
+      (s, d) => {
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val asiaCust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+              .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .select(col("n_nationkey").as("snk"), col("n_name"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("n_name"))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((dsum(when(col("n_name") === "NATION_2", vol).otherwise(lit(0.0)), 4) /
+            dsum(vol, 4)).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+             |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS mkt_share
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             |JOIN region r ON n1.n_regionkey = r.r_regionkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             |WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY o_year
+             |ORDER BY o_year""".stripMargin)),
+
+    QDef("q134_tpch_q9",
+      // TPC-H Q9 (product type profit): every 'red'-named part's profit
+      // by supplier nation and order year. Adapted (no partsupp):
+      // supply cost = 0.6 × p_retailprice per unit, carried FROM the
+      // broadcast part side so the profit expression is computable
+      // row-local after the joins — the defining shape (a substring
+      // part filter driving a 4-table join into a two-key rollup)
+      // is unchanged. The 100 TB plan: part (name-filtered, ~13%)
+      // and supplier⋈nation broadcast; the one big shuffle is
+      // lineitem⋈orders on orderkey; profit accumulates decimal-exact
+      // in one pass. Determinism: profit is multiply/subtract on
+      // identical operands both engines, then dsum.
+      (s, d) => {
+        val pts = t(s, d, "part").filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .select(col("n_nationkey").as("snk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("nation"))
+        t(s, d, "lineitem")
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+             |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CAST(l_extendedprice*(1-l_discount)
+             |    - 0.6*p_retailprice*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY nation, o_year
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    QDef("q135_tpch_q11",
+      // TPC-H Q11 (important stock identification): per-part value held
+      // by one region's suppliers, keeping parts whose value exceeds a
+      // FRACTION OF THE GLOBAL TOTAL — the scalar-subquery-in-HAVING
+      // shape. Adapted (no partsupp): value = region-supplier lineitem
+      // extendedprice per part. The decorrelation: the global total is
+      // ONE 1-row aggregate over the same restricted rows, broadcast
+      // cross-joined as the threshold — computed once, not per group
+      // (the textbook form re-evaluates the subquery per HAVING row;
+      // the oracle keeps that form, proving the rewrite). Supplier
+      // membership is a broadcast left-semi so the big lineitem scan
+      // never shuffles before its per-part aggregation. Determinism:
+      // both sums decimal-exact; threshold = same double × 0.001 both
+      // engines; value-desc ties broken by unique p_partkey.
+      (s, d) => {
+        val regionSup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val lv = t(s, d, "lineitem")
+          .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey"), col("l_extendedprice"))
+        val threshold = lv.agg(
+          (dsum(col("l_extendedprice"), 2) * lit(0.0001)).as("threshold"))
+        lv.groupBy(col("l_partkey").as("p_partkey"))
+          .agg(dsum(col("l_extendedprice"), 2).as("stock_value"))
+          .crossJoin(broadcast(threshold))
+          .filter(col("stock_value") > col("threshold"))
+          .select(col("p_partkey"), col("stock_value"))
+          .orderBy(col("stock_value").desc, col("p_partkey"))
+      },
+      Some("""SELECT l_partkey AS p_partkey,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS stock_value
+             |FROM lineitem l
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'AMERICA'
+             |GROUP BY l_partkey
+             |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+             |  SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.0001
+             |  FROM lineitem l2
+             |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+             |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             |  WHERE r2.r_name = 'AMERICA')
+             |ORDER BY stock_value DESC, p_partkey""".stripMargin)),
+
+    QDef("q136_tpch_q12",
+      // TPC-H Q12 (shipping modes and order priority): late lineitems
+      // classified by order priority. Adapted (no l_shipmode /
+      // commitdate / receiptdate): "mode" = l_linestatus, "late" =
+      // shipped ≥60 days after the order date — which preserves the
+      // query's defining trap: the lateness predicate COMPARES COLUMNS
+      // ACROSS THE JOIN (l_shipdate vs o_orderdate), so it cannot be
+      // pushed to either scan and must run as a post-join filter, while
+      // the shipdate WINDOW does push down. Both priority classes count
+      // in one aggregation pass via conditional sums (never two scans).
+      // Determinism: integer counts; unique group key orders output.
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, d, "orders")
+              .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_linestatus").as("shipmode"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+          .orderBy(col("shipmode"))
+      },
+      Some("""SELECT l_linestatus AS shipmode,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem l
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+             |GROUP BY shipmode
+             |ORDER BY shipmode""".stripMargin)),
+
+    QDef("q137_tpch_q14",
+      // TPC-H Q14 (promotion effect): the percentage-of-total ratio over
+      // one shipping month — 100 × promo revenue / total revenue, where
+      // 'promo' is a part-type predicate resolved through the broadcast
+      // part dimension. One month of a 7-year shipdate range means
+      // ~98.8% of row groups prune on stats BEFORE the join; the
+      // conditional numerator and the denominator accumulate
+      // decimal-exact in the SAME aggregation (one pass, one 1-row
+      // result, no second scan). Determinism: both sums decimal-exact
+      // doubles; the ×100 and the division are identical IEEE ops.
+      (s, d) => {
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+          .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)), 4) /
+            dsum(vol, 4)).as("promo_revenue"))
+      },
+      Some("""SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+             |    THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS promo_revenue
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin)),
+
+    QDef("q138_tpch_q16",
+      // TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT supplier)
+      // per (brand, type, size) bucket, EXCLUDING a NOT-IN supplier set —
+      // the shape where a wrong NOT-IN translation (null-blind, or a
+      // join that duplicates) silently corrupts the distinct counts.
+      // Adapted (no partsupp): the part-supplier relation is the
+      // distinct (l_partkey, l_suppkey) pairs of lineitem; the excluded
+      // set is suppliers in arrears (s_acctbal < 0 — the schema's stand-
+      // in for the comment-pattern filter). The 100 TB plan: the
+      // attribute-filtered part side and the tiny exclusion set both
+      // broadcast (NOT IN on a non-null key = LEFT ANTI); count-distinct
+      // runs as Spark's two-phase expand/partial — the (pair-distinct +
+      // count-distinct) work shares one shuffle on the group key.
+      // Determinism: integer counts; count-desc ties broken by the full
+      // unique (brand, type, size) key.
+      (s, d) => {
+        val pts = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        val arrears = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(arrears), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
       curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps ++
-      corpusOps ++ breadthOps
+      corpusOps ++ breadthOps ++ tpchComplete
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =
