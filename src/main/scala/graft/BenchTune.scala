@@ -373,6 +373,10 @@ object BenchTune {
     * served fraction, not a crash (sparse/empty cells are a data
     * property, not a bug).
     *
+    * A third numeric arg overrides the shortlist factor (default 32 =
+    * the gate setting) — the dial that governs recall when probed cells
+    * hold many near-identical-code candidates (tight clusters).
+    *
     * A second numeric arg (`--knn 100000 100`) switches the corpus to a
     * mixture-of-Gaussians with that many clusters: each vector is a
     * hash-assigned cluster center (components uniform in [-1,1]) plus
@@ -383,7 +387,8 @@ object BenchTune {
     * pessimal floor, the clustered run measures the regime the index is
     * actually FOR, same gate settings, so the two rows bracket reality.
     */
-  private def knnDemo(spark: SparkSession, n: Long, clusters: Int): Unit = {
+  private def knnDemo(spark: SparkSession, n: Long, clusters: Int,
+      shortlist: Int): Unit = {
     import graft.operators.Similarity
     val dim = 64
     val vec = if (clusters <= 0) {
@@ -411,7 +416,7 @@ object BenchTune {
     val k = 10
     val t1 = System.nanoTime()
     val out = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", k,
-      cents, books, nprobe = 12, nassign = 2, shortlistFactor = 32)
+      cents, books, nprobe = 12, nassign = 2, shortlistFactor = shortlist)
     val rows = out.count()
     val joinT = (System.nanoTime() - t1) / 1e9
     require(rows <= n * k, s"expected at most ${n * k} rows, got $rows")
@@ -427,7 +432,7 @@ object BenchTune {
     val denom = exact.count()
     val corpusKind = if (clusters <= 0) "uniform" else s"clustered($clusters)"
     println(f"[knn] corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
-      f"shortlist=32x fit=$fitT%.1f s knn_join=$joinT%.1f s " +
+      f"shortlist=${shortlist}%dx fit=$fitT%.1f s knn_join=$joinT%.1f s " +
       f"rows_out=$rows%d served=${rows.toDouble / (n * k)}%.3f " +
       f"recall@$k=${hits.toDouble / math.max(1L, denom)}%.3f " +
       f"(all $n queries distributed; no driver-side query materialization)")
@@ -546,7 +551,8 @@ object BenchTune {
       val nums = args.dropWhile(_ != "--knn").drop(1)
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       knnDemo(spark, nums.headOption.getOrElse(100000L),
-        nums.drop(1).headOption.getOrElse(0L).toInt)
+        nums.drop(1).headOption.getOrElse(0L).toInt,
+        nums.drop(2).headOption.getOrElse(32L).toInt)
       spark.stop()
       return
     }

@@ -57,7 +57,14 @@ object ExplainDump {
     "q124_semdedup_knn" -> "SemDeDup on the kNN join: the edge stage underneath is exactly the audited q120 plan (narrow probe map, hint-free candidate join, TopKAgg partial/final); above it the threshold filter feeds Shiloach-Vishkin label iterations — hash joins + map-side-combined min-aggregations over (id, comp) pairs only (never vectors), with the singleton union a left-anti join of the vertex ids against edge endpoints; nothing all-pairs, no stage carries the corpus",
     "q127_semdedup_admission" -> "the incremental crawl-admission capstone: batch 2's query side reads the GROWN coded store (scan of batch_id=0 and batch_id=1 directories, ReadSchema (cid, cv, cell, codes) — history searched, never re-encoded); the candidate join stays hint-free (co-partition at scale); label replay is the q112 star-forest shape — batch 1's persisted labels enter as (id, comp) edges through hash joins + min-aggregations, so no component iteration ever rescans batch 1's vectors or edges; the final singleton union is an O(batch) left-anti join",
     "q128_index_refit" -> "refit actuator equality gate: the store branch scans gen=2's migrated coded directories (ReadSchema (cid, cv, cell, codes), no encode above the scan); the inline branch re-encodes the corpus from scratch under the same gen-2 artifact (the q116 narrow encode — unitize, replica-cell explode, residual+PQ-code kernels); both sides search through the same broadcast-probe + TopKAgg shape, and the gen-1 stability compare joins a 50-row collected literal frame — the refit machinery itself (fit, migrate, pointer move) ran eagerly before this plan and leaves no trace in it, which is the point: readers see plain generation-scoped scans",
-    "q129_tpch_q13" -> "TPC-H Q13 (outer-join-aggregate): the o_orderpriority <> literal conjunct must appear in the ORDERS scan's PushedFilters/filter node, NOT above the join — as a right-side-only conjunct of a LEFT OUTER join it filters the right input safely, while the join itself stays outer so zero-order customers survive into count(o_orderkey)=0; both aggregations (per-customer count, then the histogram) are partial/final HashAggregate pairs; the sort is a tiny 2-column frame")
+    "q129_tpch_q13" -> "TPC-H Q13 (outer-join-aggregate): the o_orderpriority <> literal conjunct must appear in the ORDERS scan's PushedFilters/filter node, NOT above the join — as a right-side-only conjunct of a LEFT OUTER join it filters the right input safely, while the join itself stays outer so zero-order customers survive into count(o_orderkey)=0; both aggregations (per-customer count, then the histogram) are partial/final HashAggregate pairs; the sort is a tiny 2-column frame",
+    "q130_transitional_search" -> "mid-refit serving: the final frame is only the three tiny equality-verdict joins (the per-state searches ran eagerly during construction), but the MID-state transitional search inside it is the audit target one level up: each side is the audited q123 coded-frame scan (gen-scoped directories, ReadSchema (cid, cv, cell, codes), no encode above the scan) and the merge is ONE k-bounded per-query TopKAgg over their union — check no side's plan references the other generation's directories and no full-corpus exchange appears between the sides and the merge",
+    "q132_tpch_q7" -> "TPC-H Q7 (bidirectional nation-pair trade): both nation lookups and the nation-filtered supplier side BroadcastHashJoin; customer pre-filters to the two nations BEFORE its join (check the customer side of the orders join carries the nation filter below the exchange, not above); the one big shuffle is lineitem⋈orders on the orderkey with the 2-year shipdate window in the lineitem scan's PushedFilters; the (n1,n2) pair disjunction evaluates as a post-join Filter — it references both sides, so it structurally cannot push lower",
+    "q133_tpch_q8" -> "TPC-H Q8 (market share): the widest TPC-H topology — check part (type-filtered), supplier⋈nation, and the region-restricted customer-key set are ALL broadcast, customer membership is a LEFT-SEMI BroadcastHashJoin (c_custkey unique: semi == inner without carrying customer columns), and lineitem⋈orders is the only shuffle; both CASE branches of the market-share ratio accumulate in ONE HashAggregate pair — there must be exactly one aggregation, never a second scan for the denominator",
+    "q135_tpch_q11" -> "TPC-H Q11 decorrelation (scalar subquery in HAVING): the global-total threshold is a 1-row aggregate broadcast cross-joined above the per-part aggregation — computed ONCE (the oracle's correlated form re-evaluates it per HAVING row); supplier membership is a broadcast LEFT-SEMI directly on the lineitem scan so the corpus never shuffles before its per-part HashAggregate pair; both aggregations share the same region-restricted scan lineage",
+    "q136_tpch_q12" -> "TPC-H Q12 (lateness classification): the defining constraint — l_shipdate >= o_orderdate + 60 days references BOTH join sides, so it must appear as a post-join Filter (structurally unpushable), while the single-column shipdate year window DOES reach the lineitem scan's PushedFilters; both priority classes count in one conditional-sum HashAggregate pair, never two passes",
+    "q138_tpch_q16" -> "TPC-H Q16 (NOT-IN under count-distinct): the arrears exclusion is a broadcast LEFT-ANTI hash join (NOT IN on a non-null key), the attribute-filtered part side broadcasts with brand/type/size predicates in its scan's PushedFilters; count-distinct runs as Spark's two-phase distinct-aggregate — check the partial/final pair on the (brand,type,size) group key and that no row explosion precedes the anti join",
+    "q139_index_admission" -> "incremental retrieval-index admission: the search plan reads ONLY store rows — check the postings scan lists both batch_id directories with the 4-term isin filter in PushedFilters (term buckets, never the corpus), the stats side is a 1-row-per-batch scan aggregated and broadcast (cross join), df is an aggregation of bucket sizes broadcast onto the exploded posting rows, and the doclens join is the only non-broadcast exchange; the raw documents table must appear NOWHERE in this plan — text was touched at admission, which ran eagerly before")
 
   /** Queries whose audit target only exists in the EXECUTED final
     * adaptive plan: AQE performs exchange/stage reuse at stage

@@ -1375,7 +1375,7 @@ object Queries {
     * most 1 ulp), absorbed by the round(..., 6) on the final score.
     */
   private def bm25W(n: String, df: String, tf: String, dl: String, avgdl: String) =
-    s"ln(1 + ($n - $df + 0.5) / ($df + 0.5)) * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * $dl / $avgdl))"
+    InvertedIndex.bm25Weight(n, df, tf, dl, avgdl)
 
   private val bm25Terms = Seq("join", "vector", "stream", "window")
 
@@ -4316,10 +4316,169 @@ object Queries {
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Incremental retrieval-index admission: the persisted BM25/posting store
+  // that grows per crawl batch (InvertedIndex.appendBatch) — closing the
+  // admission family (spans, MinHash, components, sketches, heavy hitters,
+  // vectors) on the retrieval side.
+  // ---------------------------------------------------------------------------
+
+  private val retrievalAdmission = Seq(
+    QDef("q139_index_admission",
+      // The corpus is admitted in TWO crawl batches (80/20 doc_id split)
+      // into the persisted index store — each admission is one
+      // tokenize-and-reduce pass over ITS batch only (posting buckets
+      // with term frequencies, doc lengths, a 1-row additive stats
+      // record, all under batch_id=N overwrite dirs; history never
+      // rescanned or rewritten). The gate: BM25 top-15 SEARCHED FROM THE
+      // STORE must equal the textbook one-shot corpus-wide BM25 the
+      // ORACLE states (q68's form verbatim) — df/N/avgdl assembled from
+      // per-batch index rows have to be EXACTLY the whole-corpus values,
+      // and per-term weights still sum in fixed written order, so the
+      // round-6 scores match bit for bit. At 100 TB the search reads
+      // only index rows (bounded posting buckets for 4 terms, the
+      // doc-length table, one stats row per batch) — the raw text is
+      // touched once per batch, at admission, ever.
+      (s, d) => {
+        val dir = scratchDir("q139") + "/index"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", bucketSize = 64, batchId = 0L, path = dir)
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", bucketSize = 64, batchId = 1L, path = dir)
+        InvertedIndex.bm25SearchStore(s, dir, bm25Terms, 15)
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------------------
+  // Snapshot versioning: time travel + retention over the CDC store's
+  // immutable v<N> history (EventStreams.cdcSnapshotAt / vacuumCdc).
+  // ---------------------------------------------------------------------------
+
+  private val snapshotOps = Seq(
+    QDef("q140_time_travel",
+      // TIME TRAVEL + RETENTION over the versioned CDC snapshot store:
+      // three versions are published batch-at-a-time (v0 init; v1
+      // applies updates + inserts + deletes; v2 applies replacing
+      // updates + deletes of earlier inserts — all seq-guarded through
+      // Merge.cdcApply), then each HISTORICAL version is read back
+      // as-of (cdcSnapshotAt) and verified against the independently
+      // recomputed closed form of that version's state (bidirectional
+      // anti-join emptiness, captured eagerly BEFORE vacuum). vacuumCdc
+      // (keepLast=2) then drops exactly v0: the row-level gate is that
+      // each version's (n_keys, total_bal) — computed FROM the as-of
+      // reads — matches the oracle's per-version formulas, v0 reports
+      // retained=false (its as-of read now throws the retention error,
+      // caught), and v1/v2 report retained=true with their post-vacuum
+      // reads still serving. At 100 TB each version is a full snapshot
+      // directory, so the retention window is the storage dial; an
+      // as-of read costs the same as a current read (one v<N> scan) —
+      // never a log replay.
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.EventStreams
+        val dir = scratchDir("q140") + "/cdc"
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        EventStreams.initCdcState(
+          cust.filter(col("key") % 4 === 0).withColumn("seq", lit(0L)), dir)
+        val b1 = cust.filter(col("key") % 8 === 0)
+          .select(col("key"), (col("bal") + 100).as("bal"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(cust.filter(col("key") % 4 === 1)
+            .select(col("key"), col("bal"), lit(1L).as("seq"), lit("I").as("op")))
+          .unionByName(cust.filter(col("key") % 8 === 4)
+            .select(col("key"), col("bal"), lit(1L).as("seq"), lit("D").as("op")))
+        EventStreams.publishCdcBatch(s, dir, b1, Seq("key"), "seq", "op")
+        val b2 = cust.filter(col("key") % 8 === 0)
+          .select(col("key"), (col("bal") + 300).as("bal"),
+            lit(2L).as("seq"), lit("U").as("op"))
+          .unionByName(cust.filter(col("key") % 8 === 1)
+            .select(col("key"), col("bal"), lit(2L).as("seq"), lit("D").as("op")))
+        EventStreams.publishCdcBatch(s, dir, b2, Seq("key"), "seq", "op")
+        // closed-form expected state per version, recomputed from source
+        def expected(v: Long): DataFrame = v match {
+          case 0L => cust.filter(col("key") % 4 === 0)
+          case 1L => cust.filter(col("key") % 8 === 0 || col("key") % 4 === 1)
+            .select(col("key"), when(col("key") % 8 === 0, col("bal") + 100)
+              .otherwise(col("bal")).as("bal"))
+          case _ => cust.filter(col("key") % 8 === 0 ||
+              (col("key") % 4 === 1 && col("key") % 8 =!= 1))
+            .select(col("key"), when(col("key") % 8 === 0, col("bal") + 300)
+              .otherwise(col("bal")).as("bal"))
+        }
+        // eager pre-vacuum capture: (version, n, decimal-exact sum, asof ok)
+        val preVacuum = (0L to 2L).map { v =>
+          val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
+          val exp = expected(v).select("key", "bal")
+          val ok = asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+          val st = asof.agg(count(lit(1)).cast("long"),
+            sum(col("bal").cast(DecimalType(18, 2))).cast("double")).head()
+          (v, st.getLong(0), st.getDouble(1), ok)
+        }
+        val dropped = EventStreams.vacuumCdc(dir, keepLast = 2)
+        require(dropped == Seq(0L), s"vacuum dropped $dropped, expected v0 only")
+        def retained(v: Long): Boolean =
+          try { EventStreams.cdcSnapshotAt(s, dir, v).count(); true }
+          catch { case _: IllegalArgumentException => false }
+        preVacuum.map { case (v, n, sumBal, ok) =>
+          (v, n, sumBal, ok, retained(v))
+        }.toDF("version", "n_keys", "total_bal", "asof_read_ok",
+          "retained_after_vacuum")
+          .orderBy(col("version"))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS version,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+             |  TRUE AS asof_read_ok, FALSE AS retained_after_vacuum
+             |FROM customer WHERE c_custkey % 4 = 0
+             |UNION ALL
+             |SELECT 1, CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(CASE WHEN c_custkey % 8 = 0 THEN c_acctbal + 100
+             |    ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE),
+             |  TRUE, TRUE
+             |FROM customer WHERE c_custkey % 8 = 0 OR c_custkey % 4 = 1
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(CASE WHEN c_custkey % 8 = 0 THEN c_acctbal + 300
+             |    ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE),
+             |  TRUE, TRUE
+             |FROM customer
+             |WHERE c_custkey % 8 = 0 OR (c_custkey % 4 = 1 AND c_custkey % 8 <> 1)
+             |ORDER BY version""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
       curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps ++
-      corpusOps ++ breadthOps ++ tpchComplete
+      corpusOps ++ breadthOps ++ tpchComplete ++ retrievalAdmission ++ snapshotOps
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -305,6 +305,25 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous retrieval-index admission, the text-retrieval member of
+    * the streaming-maintenance family: each micro-batch of tokenized
+    * documents lands its posting buckets / doc lengths / additive corpus
+    * stats via [[graft.operators.InvertedIndex.appendBatch]] — BM25
+    * search over the store serves everything ingested so far with no
+    * history rescan, and a micro-batch retry (same batchId) overwrites
+    * its own directories rather than double-counting df or corpus stats.
+    */
+  def indexIngest(
+      docs: DataFrame, idCol: String, toksCol: String, bucketSize: Long,
+      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.InvertedIndex.appendBatch(
+          batch, idCol, toksCol, bucketSize, batchId, path)
+      }
+      .start()
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)
@@ -313,6 +332,79 @@ object EventStreams {
   /** The snapshot readers see: whatever version `_CURRENT` points at. */
   def currentCdcSnapshot(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/v${readCdcVersion(stateDir)}")
+
+  /** Batch-path version publisher — one [[cdcIngest]] micro-batch without
+    * the stream: applies `changes` to the CURRENT snapshot via
+    * [[graft.operators.Merge.cdcApply]], writes the result as the next
+    * `v<N>` directory, and only then advances `_CURRENT`. Returns the
+    * published version. Same crash discipline as the stream: an
+    * unadvanced pointer means the write never happened as far as any
+    * reader is concerned, and the retry's stale-seq guard makes
+    * re-application a no-op.
+    */
+  def publishCdcBatch(
+      spark: SparkSession, stateDir: String, changes: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String): Long = {
+    val cur = readCdcVersion(stateDir)
+    val snap = spark.read.parquet(s"$stateDir/v$cur")
+    graft.operators.Merge.cdcApply(snap, changes, keyCols, seqCol, opCol)
+      .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
+    writeCdcVersion(stateDir, cur + 1)
+    cur + 1
+  }
+
+  /** TIME TRAVEL: the snapshot exactly as it stood at `version`. Every
+    * [[cdcIngest]] batch (and the batch-path equivalents) writes a NEW
+    * `v<N>` directory and only then advances `_CURRENT` — old versions
+    * are immutable history, so an as-of read is just the `v<version>`
+    * scan, same cost shape as the current read. Versions above
+    * `_CURRENT` are refused even if their directory exists: a crash
+    * between snapshot write and pointer advance leaves an unpublished
+    * `v<N+1>` that no reader may observe (it will be overwritten by the
+    * batch's retry).
+    */
+  def cdcSnapshotAt(spark: SparkSession, stateDir: String, version: Long): DataFrame = {
+    val cur = readCdcVersion(stateDir)
+    require(version >= 0 && version <= cur,
+      s"version $version is not published (current is $cur)")
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(stateDir, s"v$version")),
+      s"version $version has been vacuumed (retention window passed)")
+    spark.read.parquet(s"$stateDir/v$version")
+  }
+
+  /** Published versions still on disk, ascending. */
+  def listCdcVersions(stateDir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val cur = readCdcVersion(stateDir)
+    java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+      .iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .filter(_ <= cur).toSeq.sorted
+  }
+
+  /** Retention: drop every published version older than the newest
+    * `keepLast` (the current version is always kept). At 100 TB each
+    * version is a full snapshot directory, so retention is what bounds
+    * storage — the time-travel window is an explicit cost dial, exactly
+    * as in log-structured table formats. Deleting old directories never
+    * touches the pointer or any retained version, so concurrent readers
+    * of retained versions are unaffected; readers of a vacuumed version
+    * get [[cdcSnapshotAt]]'s retention error, not silent absence.
+    */
+  def vacuumCdc(stateDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the current version")
+    import scala.jdk.CollectionConverters._
+    val versions = listCdcVersions(stateDir)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach { v =>
+      val dir = java.nio.file.Paths.get(stateDir, s"v$v")
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    drop
+  }
 
   private def readCdcVersion(stateDir: String): Long =
     new String(java.nio.file.Files.readAllBytes(

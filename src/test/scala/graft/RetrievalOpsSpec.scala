@@ -82,4 +82,69 @@ class RetrievalOpsSpec extends AnyFunSuite {
       InvertedIndex.build(postings(TestSpark.sf0001), 0L)
     }
   }
+
+  // --- incremental admission store (q139 machinery) ---
+
+  private def tokenized: DataFrame =
+    Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+
+  private def admitAll(dir: String): Unit = {
+    InvertedIndex.appendBatch(tokenized.filter(col("doc_id") % 10 < 8),
+      "doc_id", "tk", bucketSize = 7, batchId = 0L, path = dir)
+    InvertedIndex.appendBatch(tokenized.filter(col("doc_id") % 10 >= 8),
+      "doc_id", "tk", bucketSize = 7, batchId = 1L, path = dir)
+  }
+
+  test("store lookup over two admitted batches equals a fresh whole-corpus build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxadm-").toString
+    admitAll(dir)
+    val expect = flat(TestSpark.sf0001)
+    // bucket width 7 + an 80/20 doc_id-modulus split puts BOTH batches in
+    // the same (term, bucket) cell for most cells — the cross-batch
+    // bucket-merge path is actually exercised, not just concatenation
+    val merged = InvertedIndex.storeLookup(spark, dir, expect.keys.toSeq)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+      .toMap
+    assert(merged.keySet == expect.keySet)
+    expect.foreach { case (tok, arr) =>
+      assert(merged(tok) == ((arr.size.toLong, arr)), s"term $tok")
+    }
+  }
+
+  test("admission retry is a storage no-op and history stays untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxadm-").toString
+    admitAll(dir)
+    val before = InvertedIndex.bm25SearchStore(spark, dir,
+      Seq("join", "vector", "stream", "window"), 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def listFiles(sub: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub))
+        .iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val b0Before = listFiles("postings/batch_id=0")
+    // replay batch 1 (a retried crawl micro-batch): batch 0's files must
+    // be byte-identical untouched, and the search answer unchanged
+    InvertedIndex.appendBatch(tokenized.filter(col("doc_id") % 10 >= 8),
+      "doc_id", "tk", bucketSize = 7, batchId = 1L, path = dir)
+    assert(listFiles("postings/batch_id=0") == b0Before, "history rewritten")
+    val after = InvertedIndex.bm25SearchStore(spark, dir,
+      Seq("join", "vector", "stream", "window"), 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "retried admission changed the search answer")
+  }
+
+  test("store BM25 search equals the one-shot in-query BM25 (q68) on the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxadm-").toString
+    admitAll(dir)
+    val oneShot = Queries.queries("q68_bm25")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val store = InvertedIndex.bm25SearchStore(spark, dir,
+      Seq("join", "vector", "stream", "window"), 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(store == oneShot)
+  }
 }

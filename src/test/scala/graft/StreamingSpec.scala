@@ -433,6 +433,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted == inline)
   }
 
+  test("streaming retrieval-index admission: store BM25 == one-shot in-query BM25") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-stream")
+    val feedDir = s"$base/feed"
+    val store = s"$base/index"
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    docs.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.indexIngest(stream, "doc_id", "tk",
+      bucketSize = 64, store, s"$base/_cp")
+    try q.processAllAvailable() finally q.stop()
+    val batches = new java.io.File(s"$store/postings").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches > 1, s"expected several micro-batches, got $batches")
+    val terms = Seq("join", "vector", "stream", "window")
+    val fromStore = graft.operators.InvertedIndex
+      .bm25SearchStore(spark, store, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = Queries.queries("q68_bm25")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStore == oneShot)
+  }
+
+  test("CDC time travel: as-of reads serve immutable history; vacuum bounds it") {
+    val base = java.nio.file.Files.createTempDirectory("graft-timetravel")
+    val dir = s"$base/cdc"
+    val v0 = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("key", "v", "seq")
+    EventStreams.initCdcState(v0, dir)
+    val b1 = Seq((2L, "b2", 1L, "U"), (3L, "c", 1L, "I"))
+      .toDF("key", "v", "seq", "op")
+    assert(EventStreams.publishCdcBatch(spark, dir, b1, Seq("key"), "seq", "op") == 1L)
+    val b2 = Seq((1L, "", 2L, "D"), (3L, "c2", 2L, "U"))
+      .toDF("key", "v", "seq", "op")
+    assert(EventStreams.publishCdcBatch(spark, dir, b2, Seq("key"), "seq", "op") == 2L)
+    def state(ver: Long): Set[(Long, String)] =
+      EventStreams.cdcSnapshotAt(spark, dir, ver)
+        .select("key", "v").as[(Long, String)].collect().toSet
+    // history is immutable: v0/v1 still read their original states
+    assert(state(0L) == Set((1L, "a"), (2L, "b")))
+    assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(state(2L) == Set((2L, "b2"), (3L, "c2")))
+    assert(EventStreams.listCdcVersions(dir) == Seq(0L, 1L, 2L))
+    // unpublished versions are refused even if the directory exists
+    // (crash between write and pointer advance)
+    v0.write.mode("overwrite").parquet(s"$dir/v3")
+    assertThrows[IllegalArgumentException] {
+      EventStreams.cdcSnapshotAt(spark, dir, 3L)
+    }
+    // vacuum drops exactly the oldest beyond the window; retained
+    // versions and the current pointer are untouched
+    assert(EventStreams.vacuumCdc(dir, keepLast = 2) == Seq(0L))
+    assertThrows[IllegalArgumentException] {
+      EventStreams.cdcSnapshotAt(spark, dir, 0L)
+    }
+    assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(state(2L) == Set((2L, "b2"), (3L, "c2")))
+    // vacuum is idempotent once the window is satisfied
+    assert(EventStreams.vacuumCdc(dir, keepLast = 2).isEmpty)
+  }
+
   test("streaming heavy-hitter maintenance: merged per-batch summaries keep the MG guarantee") {
     val base = java.nio.file.Files.createTempDirectory("graft-hh-stream")
     val feedDir = s"$base/feed"
