@@ -375,7 +375,9 @@ object BenchTune {
     *
     * A third numeric arg overrides the shortlist factor (default 32 =
     * the gate setting) — the dial that governs recall when probed cells
-    * hold many near-identical-code candidates (tight clusters).
+    * hold many near-identical-code candidates (tight clusters). A
+    * fourth sets cellSalt (default 1) — the hot-cell skew mitigation
+    * that bounds per-task join buffering on clustered corpora.
     *
     * A second numeric arg (`--knn 100000 100`) switches the corpus to a
     * mixture-of-Gaussians with that many clusters: each vector is a
@@ -388,7 +390,7 @@ object BenchTune {
     * actually FOR, same gate settings, so the two rows bracket reality.
     */
   private def knnDemo(spark: SparkSession, n: Long, clusters: Int,
-      shortlist: Int): Unit = {
+      shortlist: Int, cellSalt: Int): Unit = {
     import graft.operators.Similarity
     val dim = 64
     val vec = if (clusters <= 0) {
@@ -416,7 +418,8 @@ object BenchTune {
     val k = 10
     val t1 = System.nanoTime()
     val out = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", k,
-      cents, books, nprobe = 12, nassign = 2, shortlistFactor = shortlist)
+      cents, books, nprobe = 12, nassign = 2, shortlistFactor = shortlist,
+      cellSalt = cellSalt)
     val rows = out.count()
     val joinT = (System.nanoTime() - t1) / 1e9
     require(rows <= n * k, s"expected at most ${n * k} rows, got $rows")
@@ -432,7 +435,7 @@ object BenchTune {
     val denom = exact.count()
     val corpusKind = if (clusters <= 0) "uniform" else s"clustered($clusters)"
     println(f"[knn] corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
-      f"shortlist=${shortlist}%dx fit=$fitT%.1f s knn_join=$joinT%.1f s " +
+      f"shortlist=${shortlist}%dx salt=$cellSalt%d fit=$fitT%.1f s knn_join=$joinT%.1f s " +
       f"rows_out=$rows%d served=${rows.toDouble / (n * k)}%.3f " +
       f"recall@$k=${hits.toDouble / math.max(1L, denom)}%.3f " +
       f"(all $n queries distributed; no driver-side query materialization)")
@@ -552,7 +555,8 @@ object BenchTune {
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       knnDemo(spark, nums.headOption.getOrElse(100000L),
         nums.drop(1).headOption.getOrElse(0L).toInt,
-        nums.drop(2).headOption.getOrElse(32L).toInt)
+        nums.drop(2).headOption.getOrElse(32L).toInt,
+        nums.drop(3).headOption.getOrElse(1L).toInt)
       spark.stop()
       return
     }

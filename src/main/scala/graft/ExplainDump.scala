@@ -64,7 +64,8 @@ object ExplainDump {
     "q135_tpch_q11" -> "TPC-H Q11 decorrelation (scalar subquery in HAVING): the global-total threshold is a 1-row aggregate broadcast cross-joined above the per-part aggregation — computed ONCE (the oracle's correlated form re-evaluates it per HAVING row); supplier membership is a broadcast LEFT-SEMI directly on the lineitem scan so the corpus never shuffles before its per-part HashAggregate pair; both aggregations share the same region-restricted scan lineage",
     "q136_tpch_q12" -> "TPC-H Q12 (lateness classification): the defining constraint — l_shipdate >= o_orderdate + 60 days references BOTH join sides, so it must appear as a post-join Filter (structurally unpushable), while the single-column shipdate year window DOES reach the lineitem scan's PushedFilters; both priority classes count in one conditional-sum HashAggregate pair, never two passes",
     "q138_tpch_q16" -> "TPC-H Q16 (NOT-IN under count-distinct): the arrears exclusion is a broadcast LEFT-ANTI hash join (NOT IN on a non-null key), the attribute-filtered part side broadcasts with brand/type/size predicates in its scan's PushedFilters; count-distinct runs as Spark's two-phase distinct-aggregate — check the partial/final pair on the (brand,type,size) group key and that no row explosion precedes the anti join",
-    "q139_index_admission" -> "incremental retrieval-index admission: the search plan reads ONLY store rows — check the postings scan lists both batch_id directories with the 4-term isin filter in PushedFilters (term buckets, never the corpus), the stats side is a 1-row-per-batch scan aggregated and broadcast (cross join), df is an aggregation of bucket sizes broadcast onto the exploded posting rows, and the doclens join is the only non-broadcast exchange; the raw documents table must appear NOWHERE in this plan — text was touched at admission, which ran eagerly before")
+    "q139_index_admission" -> "incremental retrieval-index admission: the search plan reads ONLY store rows — check the postings scan lists both batch_id directories with the 4-term isin filter in PushedFilters (term buckets, never the corpus), the stats side is a 1-row-per-batch scan aggregated and broadcast (cross join), df is an aggregation of bucket sizes broadcast onto the exploded posting rows, and the doclens join is the only non-broadcast exchange; the raw documents table must appear NOWHERE in this plan — text was touched at admission, which ran eagerly before",
+    "q141_snapshot_diff" -> "snapshot diff: ONE full-outer join of the two as-of version scans (hash join on the key; at toy scale AQE may broadcast a side — at 100 TB it is the co-partitioned shuffle) comparing payload STRUCTS, then the I/U/D classification as a scalar projection — no log replay, no per-version change storage, no second pass; both inputs are plain v<N> directory scans, the same cost shape as a current read")
 
   /** Queries whose audit target only exists in the EXECUTED final
     * adaptive plan: AQE performs exchange/stage reuse at stage

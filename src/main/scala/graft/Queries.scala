@@ -4472,7 +4472,56 @@ object Queries {
              |  TRUE, TRUE
              |FROM customer
              |WHERE c_custkey % 8 = 0 OR (c_custkey % 4 = 1 AND c_custkey % 8 <> 1)
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    QDef("q141_snapshot_diff",
+      // SNAPSHOT DIFF across the same 3-version store as q140: cdcDiff
+      // (v0 -> v2) must reconstruct the minimal change feed — updates
+      // carry v2's payload (bal+300, seq=2), inserts the admitted
+      // payload that SURVIVED to v2 (the %8==1 keys inserted at v1 and
+      // deleted at v2 are correctly ABSENT: a diff of states, not a
+      // replay of the log), deletes carry the deleted v0 row (seq=0).
+      // The oracle states each class in closed form over customer. The
+      // plan is one full-outer hash join of two as-of scans comparing
+      // payload structs — version checkpoints make "what changed"
+      // answerable without storing any per-version change log. The
+      // round-trip property (applyChanges(v0, diff) == v2 row-for-row)
+      // is spec-gated (StreamingSpec).
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val dir = scratchDir("q141") + "/cdc"
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        EventStreams.initCdcState(
+          cust.filter(col("key") % 4 === 0).withColumn("seq", lit(0L)), dir)
+        val b1 = cust.filter(col("key") % 8 === 0)
+          .select(col("key"), (col("bal") + 100).as("bal"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(cust.filter(col("key") % 4 === 1)
+            .select(col("key"), col("bal"), lit(1L).as("seq"), lit("I").as("op")))
+          .unionByName(cust.filter(col("key") % 8 === 4)
+            .select(col("key"), col("bal"), lit(1L).as("seq"), lit("D").as("op")))
+        EventStreams.publishCdcBatch(s, dir, b1, Seq("key"), "seq", "op")
+        val b2 = cust.filter(col("key") % 8 === 0)
+          .select(col("key"), (col("bal") + 300).as("bal"),
+            lit(2L).as("seq"), lit("U").as("op"))
+          .unionByName(cust.filter(col("key") % 8 === 1)
+            .select(col("key"), col("bal"), lit(2L).as("seq"), lit("D").as("op")))
+        EventStreams.publishCdcBatch(s, dir, b2, Seq("key"), "seq", "op")
+        EventStreams.cdcDiff(s, dir, 0L, 2L, Seq("key"))
+          .select(col("key"), col("bal"), col("seq"), col("op"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT c_custkey AS key, c_acctbal + 300 AS bal,
+             |  CAST(2 AS BIGINT) AS seq, 'U' AS op
+             |FROM customer WHERE c_custkey % 8 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT), 'I'
+             |FROM customer WHERE c_custkey % 4 = 1 AND c_custkey % 8 <> 1
+             |UNION ALL
+             |SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT), 'D'
+             |FROM customer WHERE c_custkey % 8 = 4
+             |ORDER BY key""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -528,10 +528,10 @@ object Similarity {
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, nassign: Int = 2,
       shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame =
+      broadcastQueries: Boolean = true, cellSalt: Int = 1): DataFrame =
     ivfPqSearchCoded(codedCorpus(corpus, idCol, vecCol, cents, books, nassign),
       queries, idCol, vecCol, k, cents, books,
-      nprobe, shortlistFactor, broadcastQueries)
+      nprobe, shortlistFactor, broadcastQueries, cellSalt)
 
   /** The coded-corpus frame of [[ivfPqSearch]]: one narrow pass
     * (unitize, `nassign` replica cells, per-cell residual codes) —
@@ -563,7 +563,7 @@ object Similarity {
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int, shortlistFactor: Int,
-      broadcastQueries: Boolean): DataFrame = {
+      broadcastQueries: Boolean, cellSalt: Int = 1): DataFrame = {
     val m = books.length
     val kcode = books(0).length
     val q = queries.filter(col(vecCol).isNotNull)
@@ -579,8 +579,25 @@ object Similarity {
     val residualLut = (0 until m).map(j =>
       element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
       .reduce(_ + _)
-    val scored = c.join(
-        if (broadcastQueries) broadcast(probes) else probes, "cell")
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
+    // HOT-CELL SALTING (cellSalt > 1): on clustered data a popular cell
+    // holds thousands of candidates probed by thousands of queries, and
+    // the per-cell join buffers one cell's whole candidate side in one
+    // task (the measured 8 GB-heap OOM at 100k x 100 clusters,
+    // SCALE.md). Salting splits each cell's CORPUS rows S ways by id
+    // hash and replicates each PROBE row S ways, so a task buffers at
+    // most ~1/S of any cell while every (query, candidate) pair still
+    // meets exactly once — the same candidate multiset reaches TopKAgg,
+    // whose per-id max dedup is partition-order-free, so results are
+    // IDENTICAL (spec-gated). Cost: probe-side rows x S; corpus
+    // unchanged.
+    val joined =
+      if (cellSalt <= 1) c.join(probeSide, "cell")
+      else c.withColumn("salt",
+          pmod(xxhash64(col("cid")), lit(cellSalt.toLong)).cast("int"))
+        .join(probeSide.withColumn("salt",
+          explode(array((0 until cellSalt).map(lit(_)): _*))), Seq("cell", "salt"))
+    val scored = joined
       .filter(col("query_id") =!= col("cid"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         (col("cell_dot") + residualLut).as("cos"))
@@ -645,16 +662,22 @@ object Similarity {
     * partial aggregation caps what crosses the shuffle at
     * k*shortlistFactor rows per query per partition, and the exact
     * re-rank joins on id. At 100 TB, nlist should grow ~sqrt(N) so
-    * cells stay executor-sized (AQE splits stragglers).
+    * cells stay executor-sized (AQE splits stragglers); on CLUSTERED
+    * corpora where popular cells concentrate candidates regardless of
+    * nlist, `cellSalt` splits each cell's join group S ways with
+    * results proven identical (see the salting note in
+    * ivfPqSearchCoded) — the measured fix for the hot-cell OOM in
+    * SCALE.md's clustered runs.
     */
   def ivfPqKnnJoin(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, nassign: Int = 2,
-      shortlistFactor: Int = 8): DataFrame =
+      shortlistFactor: Int = 8, cellSalt: Int = 1): DataFrame =
     ivfPqSearch(corpus, corpus, idCol, vecCol, k, cents, books,
-      nprobe, nassign, shortlistFactor, broadcastQueries = false)
+      nprobe, nassign, shortlistFactor, broadcastQueries = false,
+      cellSalt = cellSalt)
 
   /** Persist the composite IVF-PQ index as ONE artifact: the coarse
     * centroid table and the residual codebook table under a common

@@ -294,4 +294,41 @@ object VectorStore {
         sys.error(s"searchTransitional: no batches under gen=$oldGen or gen=$newGen of $root")
     }
   }
+
+  /** Published generations still on disk, ascending (at or below the
+    * pointer — an unfinished refit's `gen=N+1` is not listed).
+    */
+  def listGenerations(root: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(root)
+    java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
+      .filter(_ <= cur).toSeq.sorted
+  }
+
+  /** Retention for superseded generations, the vector twin of
+    * [[graft.streaming.EventStreams.vacuumCdc]]: drop every published
+    * generation older than the newest `keepLast` (the current one is
+    * always kept). Each generation holds a full re-encode of every
+    * admitted batch, so at 100 TB old generations are the store's
+    * dominant residual cost once a refit lands; keeping one or two back
+    * preserves a rollback path, and an in-flight transitional window
+    * must finish (pointer moved) before its old side becomes eligible.
+    * Deleting never touches the pointer or any retained generation;
+    * readers of a vacuumed generation fail loudly in [[loadGenIndex]]
+    * rather than seeing partial data.
+    */
+  def vacuumGenerations(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the current generation")
+    import scala.jdk.CollectionConverters._
+    val drop = listGenerations(root).dropRight(keepLast)
+    drop.foreach { g =>
+      val dir = java.nio.file.Paths.get(genRoot(root, g))
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    drop
+  }
 }

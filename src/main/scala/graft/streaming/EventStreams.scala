@@ -384,6 +384,41 @@ object EventStreams {
       .filter(_ <= cur).toSeq.sorted
   }
 
+  /** SNAPSHOT DIFF: the minimal change feed that turns version `fromV`
+    * into version `toV` — inserts (key only in `toV`), updates (key in
+    * both, any payload column changed), deletes (key only in `fromV`).
+    * I/U rows carry the `toV` payload (including its seq, so the feed
+    * replays through [[graft.operators.Merge.applyChanges]] and lands
+    * exactly at `toV` — the round-trip property the spec gates); D rows
+    * carry the deleted `fromV` payload. Scale shape: both sides are
+    * as-of version scans; the diff is ONE full-outer hash join on the
+    * key comparing payload structs — no log replay, no per-version
+    * change storage (versions ARE the log's checkpoints).
+    */
+  def cdcDiff(spark: SparkSession, stateDir: String, fromV: Long, toV: Long,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val a = cdcSnapshotAt(spark, stateDir, fromV)
+    val b = cdcSnapshotAt(spark, stateDir, toV)
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"schema drift between v$fromV and v$toV: " +
+        s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    require(!a.columns.contains(opCol), s"snapshot already carries $opCol")
+    val payload = a.columns.toSeq.filterNot(keyCols.contains)
+    val aa = a.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__from"): _*)
+    val bb = b.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__to"): _*)
+    aa.join(bb, keyCols, "full_outer")
+      .withColumn(opCol,
+        when(col("__from").isNull, "I")
+          .when(col("__to").isNull, "D")
+          .when(!(col("__from") <=> col("__to")), "U"))
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(col) ++
+        payload.map(f => when(col(opCol) === "D", col(s"__from.$f"))
+          .otherwise(col(s"__to.$f")).as(f)) :+ col(opCol): _*)
+  }
+
   /** Retention: drop every published version older than the newest
     * `keepLast` (the current version is always kept). At 100 TB each
     * version is a full snapshot directory, so retention is what bounds

@@ -237,6 +237,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"kNN-join recall=$recall")
   }
 
+  test("hot-cell salting: salted kNN join == unsalted, row for row, at several salts") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+    def run(salt: Int): Seq[String] =
+      Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", 5,
+          cents, books, nprobe = 12, nassign = 2, shortlistFactor = 32,
+          cellSalt = salt)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .collect().map(_.toString).toSeq.sorted
+    val unsalted = run(1)
+    // every (query, candidate) pair still meets exactly once under the
+    // salted join, and TopKAgg's per-id max dedup is partition-order
+    // free — so ANY salt must reproduce the exact answer
+    for (s <- Seq(2, 5, 32)) assert(run(s) == unsalted, s"salt=$s diverged")
+  }
+
   test("composite IVF-PQ index: one artifact round-trips; loaded search == fresh row for row") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)

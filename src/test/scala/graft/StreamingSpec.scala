@@ -495,6 +495,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.vacuumCdc(dir, keepLast = 2).isEmpty)
   }
 
+  test("cdcDiff round-trip: applying the diff to the old version lands exactly on the new") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcdiff")
+    val dir = s"$base/cdc"
+    val v0 = Seq((1L, "a", 10.0, 0L), (2L, "b", 20.0, 0L), (4L, "d", 40.0, 0L))
+      .toDF("key", "name", "x", "seq")
+    EventStreams.initCdcState(v0, dir)
+    val b1 = Seq((2L, "b2", 21.0, 1L, "U"), (3L, "c", 30.0, 1L, "I"),
+      (4L, "d", 40.0, 1L, "D"), (5L, "e", 50.0, 1L, "I"))
+      .toDF("key", "name", "x", "seq", "op")
+    EventStreams.publishCdcBatch(spark, dir, b1, Seq("key"), "seq", "op")
+    val b2 = Seq((5L, "", 0.0, 2L, "D"), (1L, "a2", 11.0, 2L, "U"))
+      .toDF("key", "name", "x", "seq", "op")
+    EventStreams.publishCdcBatch(spark, dir, b2, Seq("key"), "seq", "op")
+    val diff = EventStreams.cdcDiff(spark, dir, 0L, 2L, Seq("key"))
+    // classes: 1 U (key 1), 2 -> U (key 2), I (key 3), D (key 4); key 5
+    // (inserted then deleted between the versions) must be absent
+    val ops = diff.select("key", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(1L -> "U", 2L -> "U", 3L -> "I", 4L -> "D"))
+    // round trip: applyChanges(v0, diff) == v2, row for row
+    val replayed = graft.operators.Merge.applyChanges(
+        EventStreams.cdcSnapshotAt(spark, dir, 0L), diff, Seq("key"), "seq", "op")
+      .select("key", "name", "x", "seq").collect().map(_.toString).toSet
+    val v2 = EventStreams.cdcSnapshotAt(spark, dir, 2L)
+      .select("key", "name", "x", "seq").collect().map(_.toString).toSet
+    assert(replayed == v2)
+    // a no-change diff is empty
+    assert(EventStreams.cdcDiff(spark, dir, 2L, 2L, Seq("key")).isEmpty)
+  }
+
   test("streaming heavy-hitter maintenance: merged per-batch summaries keep the MG guarantee") {
     val base = java.nio.file.Files.createTempDirectory("graft-hh-stream")
     val feedDir = s"$base/feed"

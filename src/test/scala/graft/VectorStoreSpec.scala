@@ -147,4 +147,33 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(rows(VectorStore.search(spark, root, q,
       "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)) === g2full)
   }
+
+  test("generation vacuum drops superseded generations, never the current one") {
+    val root = freshStore("vacuum", Seq(corpus(0, 300), corpus(300, 400)))
+    val q = corpus(0, 5)
+    assert(doRefit(root, expected = 1L) === 2L)
+    assert(VectorStore.listGenerations(root) === Seq(1L, 2L))
+    val current = VectorStore.search(spark, root, q,
+        "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).toSeq
+    assert(VectorStore.vacuumGenerations(root, keepLast = 1) === Seq(1L))
+    assert(VectorStore.listGenerations(root) === Seq(2L))
+    // gen-1 readers now fail loudly (the index artifact is gone)...
+    assertThrows[Exception] {
+      VectorStore.searchGen(spark, root, 1L, q,
+        "vec_id", "embedding", 5).collect()
+    }
+    // ...while the current generation is byte-unaffected
+    val after = VectorStore.search(spark, root, q,
+        "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).toSeq
+    assert(after === current)
+    // idempotent once the window is satisfied; keepLast=0 is refused
+    assert(VectorStore.vacuumGenerations(root, keepLast = 1).isEmpty)
+    assertThrows[IllegalArgumentException] {
+      VectorStore.vacuumGenerations(root, keepLast = 0)
+    }
+  }
 }
