@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 GCLocker starvation guard: with 32 executor threads
+  // entering JNI critical sections (parquet codecs) while the rest
+  // allocate hard, the DEFAULT retry count of 2 turns a transient
+  // locked-GC window into a spurious "Java heap space" OOM on a heap
+  // that is nowhere near full (observed on the clustered kNN probes,
+  // SCALE.md round 9: word-sized allocations failing at <50% heap).
+  // JDK 22+ removes the GCLocker entirely (region pinning); this is
+  // the JDK 17 equivalent. Diagnostic flag -> needs the unlock first.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

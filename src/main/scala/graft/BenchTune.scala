@@ -541,6 +541,13 @@ object BenchTune {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench-tune")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe-width override for memory-shape experiments (e.g. the knn
+    // hot-cell OOM diagnosis in SCALE.md): per-task memory scales with
+    // partition volume, so widening the shuffle is the first dial a real
+    // cluster turns before adding heap
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach { v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v)
+    }
 
     if (args.contains("--ops")) {
       val tail = args.dropWhile(_ != "--ops").drop(1)

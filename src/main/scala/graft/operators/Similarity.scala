@@ -60,22 +60,31 @@ object Similarity {
         // keeping whichever arrived first would make the buffer — and
         // the shortlist boundary — partition-order-dependent)
         val ex = items.indexWhere(_.id == a.id)
-        if (ex >= 0) {
-          if (!beats(a, items(ex))) b
-          else {
-            val rest = items.take(ex) ++ items.drop(ex + 1)
-            val idx = rest.indexWhere(x => beats(a, x)) match {
-              case -1 => rest.size
-              case i => i
+        if (ex >= 0 && !beats(a, items(ex))) b
+        else {
+          // single-allocation sorted insert: ONE pre-sized array filled in
+          // one merge pass (skipping the displaced duplicate, dropping the
+          // overflow tail). The previous take/:+/++ chain allocated 3-4
+          // intermediate vectors per ACCEPTED row — on clustered-corpus
+          // kNN joins, where high-cos candidates keep displacing the
+          // buffer, that allocation rate alone collapsed a 32-thread
+          // 8 GB JVM into GCLocker-retry OOM (SCALE.md round-9 runs).
+          val n = items.size
+          val outSize = if (ex >= 0) n else math.min(n + 1, k)
+          val out = new Array[TopItem](outSize)
+          var o = 0
+          var i = 0
+          var placed = false
+          while (o < outSize) {
+            if (i == ex) i += 1 // the displaced worse replica falls out
+            if (!placed && (i >= n || beats(a, items(i)))) {
+              out(o) = a; placed = true
+            } else {
+              out(o) = items(i); i += 1
             }
-            TopKBuf((rest.take(idx) :+ a) ++ rest.drop(idx))
+            o += 1
           }
-        } else {
-          val idx = items.indexWhere(x => beats(a, x)) match {
-            case -1 => items.size
-            case i => i
-          }
-          TopKBuf((items.take(idx) :+ a) ++ items.drop(idx).take(k - idx - 1))
+          TopKBuf(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
         }
       }
     }
@@ -581,16 +590,19 @@ object Similarity {
       .reduce(_ + _)
     val probeSide = if (broadcastQueries) broadcast(probes) else probes
     // HOT-CELL SALTING (cellSalt > 1): on clustered data a popular cell
-    // holds thousands of candidates probed by thousands of queries, and
-    // the per-cell join buffers one cell's whole candidate side in one
-    // task (the measured 8 GB-heap OOM at 100k x 100 clusters,
-    // SCALE.md). Salting splits each cell's CORPUS rows S ways by id
-    // hash and replicates each PROBE row S ways, so a task buffers at
-    // most ~1/S of any cell while every (query, candidate) pair still
-    // meets exactly once — the same candidate multiset reaches TopKAgg,
-    // whose per-id max dedup is partition-order-free, so results are
-    // IDENTICAL (spec-gated). Cost: probe-side rows x S; corpus
-    // unchanged.
+    // holds thousands of candidates probed by thousands of queries, so
+    // one join task owns one cell's whole candidate group — per-task
+    // memory and stragglers track the HOTTEST cell, not the average.
+    // Salting splits each cell's CORPUS rows S ways by id hash and
+    // replicates each PROBE row S ways, so a task owns at most ~1/S of
+    // any cell while every (query, candidate) pair still meets exactly
+    // once — the same candidate multiset reaches TopKAgg, whose per-id
+    // max dedup is partition-order-free, so results are IDENTICAL
+    // (spec-gated). Cost: probe-side rows x S; corpus unchanged. (The
+    // round-9 clustered-probe OOM that motivated this turned out to be
+    // allocation churn in TopKAgg.reduce — fixed there — not join
+    // buffering: salting is the dial for when a single cell's join
+    // group genuinely exceeds a task, not a GC-pressure fix.)
     val joined =
       if (cellSalt <= 1) c.join(probeSide, "cell")
       else c.withColumn("salt",
@@ -666,8 +678,7 @@ object Similarity {
     * corpora where popular cells concentrate candidates regardless of
     * nlist, `cellSalt` splits each cell's join group S ways with
     * results proven identical (see the salting note in
-    * ivfPqSearchCoded) — the measured fix for the hot-cell OOM in
-    * SCALE.md's clustered runs.
+    * ivfPqSearchCoded).
     */
   def ivfPqKnnJoin(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,

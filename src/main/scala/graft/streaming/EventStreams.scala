@@ -305,6 +305,57 @@ object EventStreams {
       }
       .start()
 
+  /** The WHOLE incremental crawl-admission loop as ONE streaming sink —
+    * the q127 batch capstone (coded-store vector admission -> store-
+    * search edge discovery -> label replay) driven by a micro-batch
+    * stream. Per micro-batch: (1) encode the batch against the FIXED
+    * index into its `batch_id=N` coded directory
+    * ([[graft.operators.Similarity.appendCodedBatch]] — history never
+    * rescanned or rewritten); (2) kNN-search the batch against the
+    * NOW-GROWN store, so new-vs-history clone edges are found without
+    * touching history's raw vectors; (3) admit the thresholded edges
+    * into the versioned label snapshot via incremental components +
+    * the per-batch singleton union (every admitted vector gets a
+    * label, edge-less ones self-labeled — an O(batch) anti join).
+    * Labels version exactly like [[componentsIngest]] (`v<N>` +
+    * `_CURRENT`), and the "previous" version is capped at this batchId
+    * so a micro-batch retry replays onto the PRE-batch state — combined
+    * with the coded store's per-batch overwrite, the whole loop is
+    * retry-idempotent. The end state is gated equal to the ONE-SHOT
+    * closed form (q142 == q124's semantics), whichever order the
+    * batches arrive in: cross-batch edges are discovered by whichever
+    * side arrives second, and CC is a function of the edge union.
+    */
+  def crawlAdmissionIngest(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      storeDir: String, labelDir: String, checkpointDir: String,
+      k: Int, threshold: Double,
+      nprobe: Int = 12, shortlistFactor: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Components, Similarity}
+        Similarity.appendCodedBatch(batch, idCol, vecCol, cents, books,
+          batchId, storeDir)
+        val edges = Similarity.searchCodedStore(spark, batch, idCol, vecCol,
+            k, cents, books, storeDir, nprobe, shortlistFactor,
+            broadcastQueries = false)
+          .filter(col("cos") >= threshold)
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        val prevV = math.min(readCdcVersion(labelDir), batchId)
+        val prev = spark.read.parquet(s"$labelDir/v$prevV")
+        val next = Components.withSingletonComponents(
+          Components.incrementalComponents(prev, edges, "id_a", "id_b"),
+          batch, idCol)
+        next.write.mode("overwrite").parquet(s"$labelDir/v${batchId + 1}")
+        writeCdcVersion(labelDir, batchId + 1)
+        org.apache.spark.sql.GraftBridge.releaseCheckpoint(next)
+      }
+      .start()
+
   /** Continuous retrieval-index admission, the text-retrieval member of
     * the streaming-maintenance family: each micro-batch of tokenized
     * documents lands its posting buckets / doc lengths / additive corpus

@@ -495,6 +495,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.vacuumCdc(dir, keepLast = 2).isEmpty)
   }
 
+  test("streaming crawl-admission loop == one-shot closed form (the q127 capstone as one sink)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-crawl-stream")
+    val feedDir = s"$base/feed"
+    val store = s"$base/store"
+    val labelDir = s"$base/labels"
+    val shift = 1L << 40
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val recrawl = emb.unionByName(
+      emb.select((col("vec_id") + shift).as("vec_id"), col("embedding")))
+    // clone pairs split ACROSS the batch boundary (2^40 % 10 = 6 shifts
+    // each clone's bucket) — the cross-batch discovery is what's under test
+    val b1 = recrawl.filter(col("vec_id") % 10 < 8)
+    val b2 = recrawl.filter(col("vec_id") % 10 >= 8)
+    val (cents, books) = graft.operators.Similarity.fitIvfPq(
+      b1, "vec_id", "embedding", nlist = 16, kmeansIters = 3,
+      m = 16, kcode = 16, pqIters = 2)
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    EventStreams.initCcState(Seq.empty[(Long, Long)].toDF("id", "comp"), labelDir)
+    val stream = spark.readStream.schema(recrawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.crawlAdmissionIngest(stream, "vec_id", "embedding",
+      cents, books, store, labelDir, s"$base/_cp", k = 5, threshold = 0.99)
+    try q.processAllAvailable() finally q.stop()
+    // it really was incremental: each micro-batch landed its own coded dir
+    assert(new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 2)
+    // end state == the one-shot closed form: every original self-labeled,
+    // every clone labeled with its original — nothing about streaming
+    // (batch boundary, arrival order, label replay) may lose or invent
+    // a group
+    val got = EventStreams.currentCcLabels(spark, labelDir)
+      .as[(Long, Long)].collect().toSet
+    val ids = emb.select("vec_id").as[Long].collect()
+    val want = ids.map(i => (i, i)).toSet ++ ids.map(i => (i + shift, i)).toSet
+    assert(got == want)
+  }
+
   test("cdcDiff round-trip: applying the diff to the old version lands exactly on the new") {
     val base = java.nio.file.Files.createTempDirectory("graft-cdcdiff")
     val dir = s"$base/cdc"
