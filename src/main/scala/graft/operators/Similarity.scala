@@ -588,6 +588,24 @@ object Similarity {
     val residualLut = (0 until m).map(j =>
       element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
       .reduce(_ + _)
+    // PROBED-CELL PRUNING (broadcast path only): with a small query side
+    // the union of probed cells is tiny and knowable up front (nq x
+    // nprobe values — the same frame we are about to broadcast anyway),
+    // so it reaches the CODED-CORPUS SCAN as an In(cell) filter. Against
+    // a persisted store whose batches are cell-sorted at admission
+    // (appendCodedBatch), parquet row-group stats then skip every
+    // unprobed cell — the scan reads ~nprobe/nlist of the store instead
+    // of all of it, which is the difference between an index lookup and
+    // a table scan at 100 TB. Semantically free: the equi-join on cell
+    // already drops those rows; this drops them before they are read.
+    // The corpus-as-queries path (broadcastQueries=false) probes
+    // essentially every cell, so there is nothing to prune there.
+    val cPruned =
+      if (!broadcastQueries) c
+      else {
+        val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+        if (cells.isEmpty) c else c.filter(col("cell").isInCollection(cells))
+      }
     val probeSide = if (broadcastQueries) broadcast(probes) else probes
     // HOT-CELL SALTING (cellSalt > 1): on clustered data a popular cell
     // holds thousands of candidates probed by thousands of queries, so
@@ -604,8 +622,8 @@ object Similarity {
     // buffering: salting is the dial for when a single cell's join
     // group genuinely exceeds a task, not a GC-pressure fix.)
     val joined =
-      if (cellSalt <= 1) c.join(probeSide, "cell")
-      else c.withColumn("salt",
+      if (cellSalt <= 1) cPruned.join(probeSide, "cell")
+      else cPruned.withColumn("salt",
           pmod(xxhash64(col("cid")), lit(cellSalt.toLong)).cast("int"))
         .join(probeSide.withColumn("salt",
           explode(array((0 until cellSalt).map(lit(_)): _*))), Seq("cell", "salt"))
@@ -621,8 +639,12 @@ object Similarity {
     // identical-cosine rows instead, and TopKAgg's per-id max dedup
     // collapses them for free — the shortlist side stays broadcastable
     // and the corpus side never re-keys.
+    // re-rank against the pruned frame too: every shortlisted id has at
+    // least one replica row in a probed cell, replicas carry identical
+    // cv, and TopKAgg dedups by id — so the pruned re-rank is exact and
+    // its store scan skips the same unprobed row groups
     val reranked = shortlist
-      .join(c.select(col("cid").as("neighbor_id"), col("cv")), "neighbor_id")
+      .join(cPruned.select(col("cid").as("neighbor_id"), col("cv")), "neighbor_id")
       .join(if (broadcastQueries) broadcast(q) else q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
@@ -744,7 +766,13 @@ object Similarity {
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       batchId: Long, path: String, nassign: Int = 2): Unit = {
+    // cell-sorted within each written file: per-row-group cell min/max
+    // stats become tight ranges, so the broadcast search path's In(cell)
+    // pushdown (ivfPqSearchCoded) skips unprobed cells' row groups at
+    // scan time — the layout half of making a store search an index
+    // lookup rather than a table scan
     codedCorpus(batch, idCol, vecCol, cents, books, nassign)
+      .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
     // the drift signal that decides WHEN the policy above this layer
     // refits: per-batch quantization error, one tiny row per batch in

@@ -237,6 +237,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"kNN-join recall=$recall")
   }
 
+  test("broadcast store search prunes to probed cells: In(cell) reaches the store scan") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cellprune")
+      .toString + "/store"
+    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 1)
+    Similarity.appendCodedBatch(emb, "vec_id", "embedding", cents, books, 0L, dir)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val res = Similarity.searchCodedStore(spark, q5, "vec_id", "embedding", 5,
+      cents, books, dir, nprobe = 2, shortlistFactor = 16)
+    // the probed-cell set must reach the STORE scan as a pushed filter —
+    // with the store cell-sorted at admission, that is row-group skipping
+    // of every unprobed cell, not just a post-read filter
+    assert(res.queryExecution.sparkPlan.toString.contains("In(cell"),
+      "probed-cell In() filter did not reach the store scan")
+    // and pruning is exact: store search == inline from-scratch search
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos")
+        .collect().map(_.toString).toSeq
+    val inline = Similarity.ivfPqSearch(q5, emb, "vec_id", "embedding", 5,
+      cents, books, nprobe = 2, nassign = 2, shortlistFactor = 16)
+    assert(rows(res) == rows(inline))
+  }
+
   test("hot-cell salting: salted kNN join == unsalted, row for row, at several salts") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
