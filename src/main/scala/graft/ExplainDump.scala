@@ -53,7 +53,7 @@ object ExplainDump {
     "q125_tpch_q2" -> "TPC-H Q2 decorrelation (argmin witness): the correlated MIN subquery becomes one map-side-combinable min aggregation over the part-restricted rows, equality-joined back (broadcast) to select the witnesses — size filter in the part scan's PushedFilters, supplier BroadcastHashJoin, no cartesian",
     "q126_tpch_q20" -> "TPC-H Q20 decorrelation (nested IN + correlated HAVING sum): two aggregations share the l_partkey-restricted scan — per-(part,supplier) 1996 volume and per-part total — joined on l_partkey and filtered; survivors LEFT-SEMI into supplier; brand reaches the part scan, the 1996 window the lineitem scan; nothing correlated executes per row",
     "q120_knn_join" -> "distributed kNN join: the probe frame builds as a narrow map over the corpus scan (never collected) and the candidate join on cell carries NO broadcast hint (spec-asserted on the optimized plan) — strategy stays stats-driven, so this sf0.001 dump rightly shows the tiny probe side broadcast while the identical plan becomes the co-partitioned shuffle join at corpus scale; TopKAgg partial/final (ObjectHashAggregate pair) bounds what crosses the per-query shuffle; the BroadcastNestedLoopJoin branch is the fenced in-query brute-force recall gate, not the operator",
-    "q123_ivfpq_admission" -> "incremental vector admission (store search vs fresh inline): the left branch reads the PERSISTED coded store — check the scan node reads the batch_id=N directory layout with ReadSchema limited to (cid, cv, cell, codes) and NO encode expressions above it (encoding already on disk — that is the admission claim); the right branch is the q116 narrow inline encode of the same corpus; both feed the same broadcast-probe + TopKAgg shape and the full-outer equality compare joins their 5-row-per-query outputs",
+    "q123_ivfpq_admission" -> "incremental vector admission (store search vs fresh inline): the left branch reads the PERSISTED coded store — check the scan node reads the batch_id=N directory layout with ReadSchema limited to (cid, cv, cell, codes), the probed-cell In(cell) filter in PushedFilters (row-group skipping against the cell-sorted store layout), and NO encode expressions above it (encoding already on disk — that is the admission claim); the right branch is the q116 narrow inline encode of the same corpus; both feed the same broadcast-probe + TopKAgg shape and the full-outer equality compare joins their 5-row-per-query outputs",
     "q124_semdedup_knn" -> "SemDeDup on the kNN join: the edge stage underneath is exactly the audited q120 plan (narrow probe map, hint-free candidate join, TopKAgg partial/final); above it the threshold filter feeds Shiloach-Vishkin label iterations — hash joins + map-side-combined min-aggregations over (id, comp) pairs only (never vectors), with the singleton union a left-anti join of the vertex ids against edge endpoints; nothing all-pairs, no stage carries the corpus",
     "q127_semdedup_admission" -> "the incremental crawl-admission capstone: batch 2's query side reads the GROWN coded store (scan of batch_id=0 and batch_id=1 directories, ReadSchema (cid, cv, cell, codes) — history searched, never re-encoded); the candidate join stays hint-free (co-partition at scale); label replay is the q112 star-forest shape — batch 1's persisted labels enter as (id, comp) edges through hash joins + min-aggregations, so no component iteration ever rescans batch 1's vectors or edges; the final singleton union is an O(batch) left-anti join",
     "q128_index_refit" -> "refit actuator equality gate: the store branch scans gen=2's migrated coded directories (ReadSchema (cid, cv, cell, codes), no encode above the scan); the inline branch re-encodes the corpus from scratch under the same gen-2 artifact (the q116 narrow encode — unitize, replica-cell explode, residual+PQ-code kernels); both sides search through the same broadcast-probe + TopKAgg shape, and the gen-1 stability compare joins a 50-row collected literal frame — the refit machinery itself (fit, migrate, pointer move) ran eagerly before this plan and leaves no trace in it, which is the point: readers see plain generation-scoped scans",
