@@ -4374,7 +4374,40 @@ object Queries {
               |)
               |SELECT doc_id,
               |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q142_index_lookup_store",
+      // The LOOKUP surface of the incremental index store (q139 gates the
+      // BM25 surface): after two batch admissions, storeLookup must
+      // reassemble each term's globally sorted posting list — batches
+      // SHARE (term, bucket) cells under the doc_id-modulus split, so the
+      // cross-batch cell merge (flatten + bounded re-sort) actually runs,
+      // then buckets concatenate in order exactly like the q81 one-shot
+      // lookup. The oracle states the whole-corpus posting lists in
+      // closed form (q76's shape); emitted comma-joined for the driver's
+      // canonicalizer. At 100 TB the read touches only the queried
+      // terms' bucket rows across batch directories — never raw text.
+      (s, d) => {
+        val dir = scratchDir("q142") + "/index"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 0L, path = dir)
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, path = dir)
+        InvertedIndex.storeLookup(s, dir, bm25Terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",")
+              .as("postings"))
+          .orderBy(col("tok"))
+      },
+      Some(s"""$tokCte
+              |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+              |    x -> CAST(x AS VARCHAR)), ',') AS postings
+              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |GROUP BY tok ORDER BY tok""".stripMargin))
   )
 
   // ---------------------------------------------------------------------------
