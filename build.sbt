@@ -34,7 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that is nowhere near full (observed on the clustered kNN probes,
   // SCALE.md round 9: word-sized allocations failing at <50% heap).
   // JDK 22+ removes the GCLocker entirely (region pinning); this is
-  // the JDK 17 equivalent. Diagnostic flag -> needs the unlock first.
+  // the JDK 17 equivalent. Diagnostic flag -> needs the unlock first,
+  // and IgnoreUnrecognizedVMOptions so forked JVMs still START on
+  // JDKs that have dropped the flag along with the GCLocker.
   "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:+IgnoreUnrecognizedVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -388,9 +388,17 @@ object BenchTune {
     * clustered (that is IVF's premise); the uniform default measures the
     * pessimal floor, the clustered run measures the regime the index is
     * actually FOR, same gate settings, so the two rows bracket reality.
+    *
+    * Fifth/sixth numeric args set the PQ geometry `m` (subquantizer
+    * count, default 8) and `kcode` (codewords per subspace, default 16)
+    * — the within-cluster resolution dials: on clustered data the r9
+    * measurement showed recall limited by 8x4-bit residual codes that
+    * cannot rank neighbors INSIDE a tight cluster, so the remedy sweep
+    * (`--knn 100000 100 32 1 16 16` etc.) varies code capacity at the
+    * gate shortlist instead of paying the 128x shortlist wall.
     */
   private def knnDemo(spark: SparkSession, n: Long, clusters: Int,
-      shortlist: Int, cellSalt: Int): Unit = {
+      shortlist: Int, cellSalt: Int, m: Int = 8, kcode: Int = 16): Unit = {
     import graft.operators.Similarity
     val dim = 64
     val vec = if (clusters <= 0) {
@@ -413,7 +421,7 @@ object BenchTune {
     val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
     val t0 = System.nanoTime()
     val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-      nlist = nlist, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+      nlist = nlist, kmeansIters = 2, m = m, kcode = kcode, pqIters = 2)
     val fitT = (System.nanoTime() - t0) / 1e9
     val k = 10
     val t1 = System.nanoTime()
@@ -435,7 +443,8 @@ object BenchTune {
     val denom = exact.count()
     val corpusKind = if (clusters <= 0) "uniform" else s"clustered($clusters)"
     println(f"[knn] corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
-      f"shortlist=${shortlist}%dx salt=$cellSalt%d fit=$fitT%.1f s knn_join=$joinT%.1f s " +
+      f"shortlist=${shortlist}%dx salt=$cellSalt%d m=$m%d kcode=$kcode%d " +
+      f"fit=$fitT%.1f s knn_join=$joinT%.1f s " +
       f"rows_out=$rows%d served=${rows.toDouble / (n * k)}%.3f " +
       f"recall@$k=${hits.toDouble / math.max(1L, denom)}%.3f " +
       f"(all $n queries distributed; no driver-side query materialization)")
@@ -563,7 +572,9 @@ object BenchTune {
       knnDemo(spark, nums.headOption.getOrElse(100000L),
         nums.drop(1).headOption.getOrElse(0L).toInt,
         nums.drop(2).headOption.getOrElse(32L).toInt,
-        nums.drop(3).headOption.getOrElse(1L).toInt)
+        nums.drop(3).headOption.getOrElse(1L).toInt,
+        nums.drop(4).headOption.getOrElse(8L).toInt,
+        nums.drop(5).headOption.getOrElse(16L).toInt)
       spark.stop()
       return
     }

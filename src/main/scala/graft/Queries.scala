@@ -4167,7 +4167,7 @@ object Queries {
       // the oracle keeps that form, proving the rewrite). Supplier
       // membership is a broadcast left-semi so the big lineitem scan
       // never shuffles before its per-part aggregation. Determinism:
-      // both sums decimal-exact; threshold = same double × 0.001 both
+      // both sums decimal-exact; threshold = same double × 0.0001 both
       // engines; value-desc ties broken by unique p_partkey.
       (s, d) => {
         val regionSup = t(s, d, "supplier")
@@ -4557,10 +4557,200 @@ object Queries {
              |ORDER BY key""".stripMargin))
   )
 
+  // ---------------------------------------------------------------------------
+  // Store lifecycle completion: index compaction (q143), vector-generation
+  // vacuum (q144), positional phrase search (q145) — the round-10 closures of
+  // the admission-store family's unbounded-degradation / retention /
+  // bag-of-words gaps.
+  // ---------------------------------------------------------------------------
+
+  private val phrase = Seq("window", "join")
+
+  private val storeLifecycle = Seq(
+    QDef("q143_index_compaction",
+      // The ADMISSION-STORE COMPACTOR: the one unbounded-degradation
+      // path left after round 9 — every batch_id=N fragment store grows
+      // a fragment per crawl batch forever, and storeLookup's
+      // cross-batch cell merge grows with it. Three batches are
+      // admitted into the generational index store, the full retrieval
+      // surface is captured EAGERLY (term lookup + BM25 top-15), then
+      // compactStore merges all fragments into ONE batch_id=<hwm>
+      // fragment under gen=2 behind an atomic _CURRENT swap (the
+      // VectorStore.refit discipline on the retrieval index). Gates:
+      // post-compaction lookup AND BM25 equal the pre-compaction
+      // capture bit for bit (the cell merge run once at compaction is
+      // the same merge every read used to run); fragment count 3 -> 1;
+      // a retried compaction is a CAS no-op (no gen=3); and admissions
+      // keep APPENDING ON TOP — a fourth batch admitted after the swap
+      // joins the compacted fragment, and the final search equals the
+      // one-shot whole-corpus BM25 the oracle states (q139's closed
+      // form). At 100 TB compaction is ONE shuffle of index rows keyed
+      // on (term, bucket) — reduce groups bounded by bucketSize x
+      // batches, the raw corpus never touched — and it bounds every
+      // future read at (1 compacted fragment + batches since).
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q143") + "/istore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 6),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = root)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, root = root)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 === 8),
+          "doc_id", "tk", IndexBucket, batchId = 2L, root = root)
+        def lookupRows() = InvertedIndex.lookupCurrent(s, root, bm25Terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",").as("p"))
+          .orderBy(col("tok"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        def bm25Rows() = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val fragsBefore = InvertedIndex.fragmentCount(s, root)
+        val (preL, preB) = (lookupRows(), bm25Rows())
+        val gen2 = InvertedIndex.compactStore(s, root, expectedGen = 1L)
+        val retry = InvertedIndex.compactStore(s, root, expectedGen = 1L)
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = InvertedIndex.fragmentCount(s, root)
+        val preEqPost = lookupRows() == preL && bm25Rows() == preB
+        // admissions keep appending ON TOP of the compacted fragment
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "tk", IndexBucket, batchId = 3L, root = root)
+        val fragsAfterAdmit = InvertedIndex.fragmentCount(s, root)
+        InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .withColumn("frags_before", lit(fragsBefore).cast("long"))
+          .withColumn("frags_compacted", lit(fragsCompacted).cast("long"))
+          .withColumn("frags_after_admit", lit(fragsAfterAdmit).cast("long"))
+          .withColumn("retry_noop", lit(retryNoop))
+          .withColumn("pre_eq_post", lit(preEqPost))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  CAST(3 AS BIGINT) AS frags_before, CAST(1 AS BIGINT) AS frags_compacted,
+              |  CAST(2 AS BIGINT) AS frags_after_admit,
+              |  TRUE AS retry_noop, TRUE AS pre_eq_post
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q144_vector_vacuum",
+      // GENERATION RETENTION for the vector store — the catalog twin of
+      // q140's CDC vacuum gate (r9 left it spec-only): after a full
+      // refit publishes gen 2, vacuumGenerations(keepLast=1) must drop
+      // EXACTLY gen 1 (tombstone-renamed before deletion, so a racing
+      // reader can never see a partial generation that still resolves);
+      // the current generation's serving is BYTE-UNAFFECTED — the
+      // post-vacuum search equals the eagerly captured pre-vacuum
+      // answer including the exact cosine —; and a read of the vacuumed
+      // generation fails LOUDLY (loadGenIndex's missing-index error,
+      // not silently empty results). At 100 TB superseded generations
+      // are the store's dominant residual cost after a refit lands;
+      // this gate is what makes dropping them safe to automate.
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q144") + "/vstore"
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 < 8)
+        val late = emb.filter(col("vec_id") % 10 >= 8)
+        val q = emb.filter(col("vec_id") < 10)
+        val (c1, b1) = Similarity.fitIvfPq(base, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, c1, b1)
+        VectorStore.admit(s, root, base, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, root, late, "vec_id", "embedding", 1L)
+        VectorStore.refit(s, root, expectedGen = 1L,
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        def served() = VectorStore.search(s, root, q, "vec_id", "embedding", 5,
+            nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val pre = served()
+        val dropped = VectorStore.vacuumGenerations(root, keepLast = 1)
+        val droppedGen1 = dropped == Seq(1L) &&
+          VectorStore.listGenerations(root) == Seq(2L)
+        val postEqPre = served() == pre
+        val gen1Fails =
+          try { VectorStore.loadGenIndex(s, root, 1L); false }
+          catch { case _: Exception => true }
+        pre.map(_._1).distinct.sorted.map { qid =>
+          (qid, pre.count(_._1 == qid).toLong, postEqPre, droppedGen1,
+            gen1Fails, VectorStore.currentGen(root))
+        }.toDF("query_id", "n_results", "post_eq_pre", "dropped_gen1_only",
+          "gen1_read_fails", "current_gen")
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS post_eq_pre, TRUE AS dropped_gen1_only,
+             |  TRUE AS gen1_read_fails, CAST(2 AS BIGINT) AS current_gen
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q145_phrase_search",
+      // EXACT-PHRASE retrieval over POSITIONAL postings — the index
+      // stores (doc_id, tf, dl, positions) per posting entry as of
+      // round 10, and a phrase query is the classic positional
+      // intersection: term i's position list shifted by -i, intersected
+      // across slots, yields exactly the phrase START positions. Two
+      // batch admissions split every term's posting cells, so the
+      // search proves positions survive the batched store (a doc's
+      // entry lives in exactly ONE batch — the upstream exact-dedup
+      // contract — so no cross-batch position merge exists to get
+      // wrong). The oracle recomputes adjacency in closed form over the
+      // raw text (DuckDB list lambdas). At 100 TB each phrase term
+      // contributes only its df-sized candidate list; the intersection
+      // joins meet on doc_id and the most selective term bounds the
+      // output — index rows only, never the corpus.
+      (s, d) => {
+        val dir = scratchDir("q145") + "/index"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 0L, path = dir)
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, path = dir)
+        InvertedIndex.phraseSearchStore(s, dir, phrase)
+      },
+      Some(s"""$tokCte
+              |SELECT doc_id,
+              |  CAST(len(list_filter(range(1, len(tk)),
+              |    i -> ${phrase.zipWithIndex.map { case (w, i) =>
+                     s"tk[i + $i] = '$w'" }.mkString(" AND ")})) AS BIGINT)
+              |    AS n_occurrences
+              |FROM tok
+              |WHERE len(list_filter(range(1, len(tk)),
+              |  i -> ${phrase.zipWithIndex.map { case (w, i) =>
+                   s"tk[i + $i] = '$w'" }.mkString(" AND ")})) > 0
+              |ORDER BY doc_id""".stripMargin))
+  )
+
   val defs: Seq[QDef] =
     parity ++ sqlSurface ++ llmOps ++ sqlSurface2 ++ sqlSurface3 ++ pipeline ++
       curationOps ++ maintenanceOps ++ trainingOps ++ qualityOps ++ retrievalOps ++
-      corpusOps ++ breadthOps ++ tpchComplete ++ retrievalAdmission ++ snapshotOps
+      corpusOps ++ breadthOps ++ tpchComplete ++ retrievalAdmission ++ snapshotOps ++
+      storeLifecycle
 
   def queries: Map[String, QueryFn] = defs.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] =

@@ -85,20 +85,39 @@ object InvertedIndex {
 
   /** Admits one batch of tokenized documents `(idCol: long, toksCol:
     * array<string>)` into the index store at `path`: posting buckets
-    * (with per-doc term frequencies), doc lengths, and one additive
-    * corpus-stats row, each under `batch_id=N`. One tokenize-and-reduce pass over
-    * the batch — the only time this batch's text is ever touched.
+    * (with per-doc term frequency, document length, and the 0-based
+    * token POSITIONS of every occurrence), doc lengths, and one
+    * additive corpus-stats row, each under `batch_id=N`. One
+    * tokenize-and-reduce pass over the batch — the only time this
+    * batch's text is ever touched.
+    *
+    * Posting entries are SELF-CONTAINED for scoring: `dl` rides inside
+    * the struct (duplicated per (doc, term) — 8 bytes against the
+    * positions array it sits next to), so BM25 search never joins the
+    * corpus-sized doclens relation: an index lookup touches candidate
+    * rows only (the doclens table remains the per-doc surface for
+    * stats and other readers). Positions are what phrase/proximity
+    * queries intersect ([[phraseSearchStore]]) — the standard
+    * positional-postings layout; tf stays explicit (== positions
+    * length) so the BM25 weight expression is untouched.
     */
   def appendBatch(docs: DataFrame, idCol: String, toksCol: String,
       bucketSize: Long, batchId: Long, path: String): Unit = {
     require(bucketSize > 0, "bucketSize must be positive")
-    val tf = docs.select(col(idCol).as("doc_id"), explode(col(toksCol)).as("tok"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        size(col(toksCol)).cast("long").as("dl"),
+        posexplode(col(toksCol)).as(Seq("pos", "tok")))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        // constant per doc; first() would be nondeterministic-LOOKING,
+        // max() states the invariance
+        max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     tf.groupBy(col("tok"),
         expr(s"doc_id div $bucketSize").cast("long").as("bucket"))
       // struct sort key is the leading doc_id field -> postings ascend by id
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+      .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("tf"), col("dl"), col("positions"))))
         .as("postings"))
       .select(col("tok"), col("bucket"),
         size(col("postings")).cast("long").as("n_docs"), col("postings"))
@@ -132,12 +151,15 @@ object InvertedIndex {
     * score (df, N, avgdl across ALL admitted batches) computed from
     * index rows only: corpus stats from the 1-row-per-batch stats table,
     * document frequency as the exact sum of bucket sizes (doc ids are
-    * unique across batches), candidate (doc, term, tf) rows from the
-    * query terms' posting buckets, and lengths from the doclens table.
-    * Per-doc term weights sum in the FIXED written order of `terms`
-    * (coalesce(w0)+coalesce(w1)+..., the q68 discipline) — never an
-    * order-free SUM over doubles — so the score is reproducible bit for
-    * bit against a single-shot engine.
+    * unique across batches), and candidate (doc, term, tf, dl) rows
+    * from the query terms' posting buckets — `dl` rides inside the
+    * posting struct, so the search NEVER touches the corpus-sized
+    * doclens relation: the only non-broadcast rows in the plan are the
+    * query terms' own candidates (the r9 full-doclens shuffle is
+    * structurally gone). Per-doc term weights sum in the FIXED written
+    * order of `terms` (coalesce(w0)+coalesce(w1)+..., the q68
+    * discipline) — never an order-free SUM over doubles — so the score
+    * is reproducible bit for bit against a single-shot engine.
     */
   def bm25SearchStore(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
@@ -150,9 +172,9 @@ object InvertedIndex {
     val dfc = post.groupBy(col("tok"))
       .agg(sum(col("n_docs")).cast("long").as("df"))
     val tf = post.select(col("tok"), explode(col("postings")).as("p"))
-      .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-    val dl = spark.read.parquet(s"$path/doclens").select(col("doc_id"), col("dl"))
-    val w = tf.join(broadcast(dfc), "tok").join(dl, "doc_id")
+      .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"),
+        col("p.dl").as("dl"))
+    val w = tf.join(broadcast(dfc), "tok")
       .crossJoin(broadcast(st))
       .withColumn("w", expr(bm25Weight("n", "df", "tf", "dl", "avgdl")))
     val byTerm = terms.zipWithIndex.map { case (term, i) =>
@@ -164,5 +186,230 @@ object InvertedIndex {
     w.groupBy(col("doc_id")).agg(byTerm.head, byTerm.tail: _*)
       .select(col("doc_id"), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** Exact-PHRASE search over the persisted store: documents containing
+    * `terms` as consecutive tokens, with the occurrence count. The
+    * classic positional-postings intersection: term i's position list is
+    * shifted by -i, and the intersection of the shifted lists is exactly
+    * the set of phrase START positions — i adjacent-position
+    * intersections over index rows only (the query terms' posting
+    * buckets; a doc_id is admitted by ONE batch, so each (term, doc)
+    * entry exists exactly once across the store and no cross-batch
+    * position merge is ever needed). The joins are per-term candidate
+    * lists meeting on doc_id — each side is df(term)-sized, never the
+    * corpus, and the most selective term bounds the output.
+    * Output: (doc_id, n_occurrences), phrase-matching docs only,
+    * ordered by doc_id.
+    */
+  def phraseSearchStore(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tok").isin(terms.distinct: _*))
+      .select(col("tok"), explode(col("postings")).as("p"))
+      .select(col("tok"), col("p.doc_id").as("doc_id"),
+        col("p.positions").as("positions"))
+    // one side per PHRASE SLOT (a token may occupy several slots:
+    // "the more the merrier" — each slot filters the same posting rows)
+    val sides = terms.zipWithIndex.map { case (term, i) =>
+      post.filter(col("tok") === term)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"pos$i"))
+    }
+    sides.reduce(_.join(_, "doc_id"))
+      .select(col("doc_id"),
+        size(terms.indices.map(i => col(s"pos$i")).reduce(array_intersect))
+          .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Generational store + COMPACTION: the retrieval-index twin of
+  // VectorStore's refit discipline. Admission fragments monotonically —
+  // at crawl cadence a (term, bucket) cell spans one fragment per batch,
+  // and storeLookup's cross-batch cell merge (plus the small-file count)
+  // grows linearly with batch count, forever. Compaction runs that cell
+  // merge ONCE, materializes the result as a single fragment under
+  // `gen=G+1`, swaps an atomic `_CURRENT` pointer, and admissions keep
+  // appending on top — bounding every future read at (1 compacted
+  // fragment + batches since last compaction) regardless of store age.
+  //
+  // Layout: root/_CURRENT (text gen number)
+  //         root/gen=G/{postings,doclens,stats}/batch_id=N
+  // The flat-path functions above operate on ONE generation directory;
+  // the functions below route through the pointer.
+  //
+  // Retry barrier: compaction collapses batches 0..hwm into a single
+  // fragment written AS batch_id=hwm, so later admissions (ids > hwm)
+  // append undisturbed — but a RETRY of an already-compacted batch id
+  // must not run against the compacted generation (the LSM rule: once
+  // segments merge, the old WAL is sealed). compactedHwm exposes the
+  // barrier; admitBatch enforces it.
+  // -------------------------------------------------------------------------
+
+  private def pointerPath(root: String) = java.nio.file.Paths.get(root, "_CURRENT")
+
+  private def writePointer(root: String, gen: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, gen.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Create the generational store (generation 1, empty). Idempotent. */
+  def initStore(root: String): Unit = writePointer(root, 1L)
+
+  /** The generation readers currently see. */
+  def currentGen(root: String): Long =
+    new String(java.nio.file.Files.readAllBytes(pointerPath(root))).trim.toLong
+
+  /** One generation's directory — the `path` the flat functions take. */
+  def genDir(root: String, gen: Long): String = s"$root/gen=$gen"
+
+  private def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  /** Fragment (batch-directory) count of the current generation's
+    * postings table — the quantity compaction exists to bound.
+    */
+  def fragmentCount(spark: SparkSession, root: String): Long =
+    listBatchIds(spark, genDir(root, currentGen(root)) + "/postings").size.toLong
+
+  /** The compacted high-water mark of a generation: the single fragment
+    * a compaction wrote carries the max source batch id; a generation
+    * never compacted has hwm -1 (every admitted id is above it).
+    * Conservative: equals the max batch id IF the generation holds one
+    * fragment that a compaction produced — tracked via a `_COMPACTED`
+    * marker file so post-compaction admissions don't shift it.
+    */
+  def compactedHwm(root: String, gen: Long): Long = {
+    val m = java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED")
+    if (!java.nio.file.Files.exists(m)) -1L
+    else new String(java.nio.file.Files.readAllBytes(m)).trim.toLong
+  }
+
+  /** Admit one tokenized batch under the CURRENT generation (the
+    * [[appendBatch]] pass routed through the pointer), with two fences:
+    * batch ids at or below the generation's compacted high-water mark
+    * are refused (they are INSIDE the compacted fragment — a replay
+    * would duplicate their postings), and the pointer is re-read after
+    * the write so an admission racing a compaction fails loudly instead
+    * of landing invisibly in a superseded generation (the
+    * [[VectorStore.admit]] discipline).
+    */
+  def admitBatch(spark: SparkSession, docs: DataFrame, idCol: String,
+      toksCol: String, bucketSize: Long, batchId: Long, root: String): Unit =
+    admitBatchAt(spark, docs, idCol, toksCol, bucketSize, batchId, root,
+      currentGen(root))
+
+  /** [[admitBatch]] with the pointer read the caller already took — the
+    * test seam for the race fence (the [[VectorStore.admitAt]] pattern).
+    */
+  private[graft] def admitBatchAt(spark: SparkSession, docs: DataFrame,
+      idCol: String, toksCol: String, bucketSize: Long, batchId: Long,
+      root: String, gen: Long): Unit = {
+    val hwm = compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
+    appendBatch(docs, idCol, toksCol, bucketSize, batchId, genDir(root, gen))
+    val now = currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** COMPACT the current generation: merge every batch fragment of
+    * postings (per-(term, bucket) cell merge — [[storeLookup]]'s
+    * flatten + bounded re-sort, run ONCE at compaction instead of every
+    * read), doclens (plain concatenation: doc ids are unique across
+    * batches), and stats (summed to one row) into a single
+    * `batch_id=<hwm>` fragment under `gen=G+1`, then atomically advance
+    * `_CURRENT`. Compare-and-swap on `expectedGen`: a retry after
+    * success (or a racing second compaction) no-ops; a retry after a
+    * crash redoes idempotent per-path overwrites and then publishes.
+    * Readers are generation-isolated throughout (old readers keep
+    * scanning `gen=G`, which the compaction never writes). Returns the
+    * published generation.
+    *
+    * 100 TB shape: ONE shuffle of the postings table keyed on
+    * (term, bucket) — each reduce group is bounded by bucketSize ×
+    * batch-count structs, never a term's full df — plus narrow unions;
+    * the raw corpus is never touched.
+    */
+  def compactStore(spark: SparkSession, root: String, expectedGen: Long): Long = {
+    val cur = currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = genDir(root, cur)
+    val ids = listBatchIds(spark, s"$src/postings")
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    val dst = genDir(root, cur + 1)
+    spark.read.parquet(s"$src/postings")
+      .groupBy(col("tok"), col("bucket"))
+      .agg(array_sort(flatten(collect_list(col("postings")))).as("postings"))
+      .select(col("tok"), col("bucket"),
+        size(col("postings")).cast("long").as("n_docs"), col("postings"))
+      .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
+    spark.read.parquet(s"$src/doclens")
+      .select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
+    spark.read.parquet(s"$src/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
+    // seal the barrier BEFORE publishing: a reader that sees the new
+    // generation must also see its retry fence
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst, "_COMPACTED"), hwm.toString.getBytes)
+    writePointer(root, cur + 1)
+    cur + 1
+  }
+
+  /** [[storeLookup]] through the pointer. */
+  def lookupCurrent(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame =
+    storeLookup(spark, genDir(root, currentGen(root)), terms)
+
+  /** [[bm25SearchStore]] through the pointer. */
+  def bm25SearchCurrent(spark: SparkSession, root: String,
+      terms: Seq[String], k: Int): DataFrame =
+    bm25SearchStore(spark, genDir(root, currentGen(root)), terms, k)
+
+  /** [[phraseSearchStore]] through the pointer. */
+  def phraseSearchCurrent(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame =
+    phraseSearchStore(spark, genDir(root, currentGen(root)), terms)
+
+  /** Retention for superseded generations (tombstone-renamed before
+    * deletion, so racing readers fail loudly, never read partial data):
+    * drop all but the newest `keepLast` published generations.
+    */
+  def vacuumStoreGenerations(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the current generation")
+    graft.streaming.EventStreams.sweepTombstones(java.nio.file.Paths.get(root))
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(root)
+    val gens = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(root))) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
+        .filter(_ <= cur).toSeq.sorted
+    }
+    val drop = gens.dropRight(keepLast)
+    drop.foreach(g => graft.streaming.EventStreams.tombstoneDelete(
+      java.nio.file.Paths.get(genDir(root, g))))
+    drop
   }
 }

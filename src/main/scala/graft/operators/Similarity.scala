@@ -600,13 +600,21 @@ object Similarity {
     // already drops those rows; this drops them before they are read.
     // The corpus-as-queries path (broadcastQueries=false) probes
     // essentially every cell, so there is nothing to prune there.
-    val cPruned =
-      if (!broadcastQueries) c
+    // The probe frame is MATERIALIZED (localCheckpoint: nq x nprobe
+    // rows — small by the broadcast-path premise) before the cell set
+    // is collected, so the In(cell) filter and the join consume the
+    // SAME materialization: a nondeterministic queries frame cannot
+    // collect a cell set inconsistent with the probe rows it later
+    // joins (ADVICE r9). Deterministic queries remain the documented
+    // contract for reproducible results, as everywhere else.
+    val (cPruned, probeSide) =
+      if (!broadcastQueries) (c, probes)
       else {
-        val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
-        if (cells.isEmpty) c else c.filter(col("cell").isInCollection(cells))
+        val fixed = probes.localCheckpoint()
+        val cells = fixed.select(col("cell")).distinct().collect().map(_.get(0))
+        (if (cells.isEmpty) c else c.filter(col("cell").isInCollection(cells)),
+          broadcast(fixed))
       }
-    val probeSide = if (broadcastQueries) broadcast(probes) else probes
     // HOT-CELL SALTING (cellSalt > 1): on clustered data a popular cell
     // holds thousands of candidates probed by thousands of queries, so
     // one join task owns one cell's whole candidate group — per-task

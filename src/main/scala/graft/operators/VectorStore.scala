@@ -102,17 +102,38 @@ object VectorStore {
     * index artifact, encode the batch against it in one narrow pass,
     * land it in `gen=cur/coded/batch_id=N` — exactly
     * [[Similarity.appendCodedBatch]], routed through the pointer.
-    * Single-writer discipline: admissions and refits must not race (a
-    * batch admitted to gen N while a refit of gen N is mid-migration
-    * would be missed by it); real deployments fence with the same lock
-    * that serializes crawl batches.
+    *
+    * Admit-vs-refit race fence (ENFORCED, not just documented): after
+    * the write lands, the pointer is re-read — if a refit published a
+    * new generation in between, the batch was written into a
+    * SUPERSEDED generation that the migration may not have seen, so
+    * admit fails loudly (the caller re-admits under the new
+    * generation; the orphan directory in the old generation is dead
+    * weight for the vacuum, never served). Together with
+    * [[refitFinish]]'s post-publish straggler sweep, an admission
+    * racing a refit either lands in both generations or throws —
+    * never silently vanishes.
     */
   def admit(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, vecCol: String, batchId: Long, nassign: Int = 2): Unit = {
-    val gen = currentGen(root)
-    val (cents, books) = loadGenIndex(spark, root, gen)
+      idCol: String, vecCol: String, batchId: Long, nassign: Int = 2): Unit =
+    admitAt(spark, root, batch, idCol, vecCol, batchId, currentGen(root), nassign)
+
+  /** [[admit]] with the pointer read the caller already took — the
+    * seam that makes the race fence testable: a real race interleaves
+    * (read pointer, write, refit publishes, re-check) inside one admit
+    * call; a test hands in a stale `asOfGen` to stand for the first
+    * step having happened before the refit.
+    */
+  private[graft] def admitAt(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, batchId: Long, asOfGen: Long,
+      nassign: Int = 2): Unit = {
+    val (cents, books) = loadGenIndex(spark, root, asOfGen)
     Similarity.appendCodedBatch(batch, idCol, vecCol, cents, books,
-      batchId, codedDir(root, gen), nassign)
+      batchId, codedDir(root, asOfGen), nassign)
+    val now = currentGen(root)
+    if (now != asOfGen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a refit: wrote under gen=$asOfGen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
   /** The current generation's per-batch drift dashboard
@@ -210,14 +231,27 @@ object VectorStore {
   /** Phase 3: atomically advance `_CURRENT`. Refuses to publish a
     * generation missing any of the previous generation's batches — the
     * guard that a crashed partial migration cannot be published by a
-    * buggy retry that skips phase 2.
+    * buggy retry that skips phase 2, AND the fence that catches a
+    * batch admitted to the source generation after the refit's phase-2
+    * batch listing (the re-list here runs at publish time, so such a
+    * straggler fails the subset check loudly instead of silently
+    * missing from the new generation). After the pointer moves, the
+    * source generation is re-listed ONCE more and any batch admitted
+    * in the list→publish window is migrated into the published
+    * generation (idempotent, converges) — closing the last
+    * interleaving; an admit that lands later still re-checks the
+    * pointer itself and throws ([[admit]]).
     */
-  def refitFinish(spark: SparkSession, root: String, toGen: Long): Unit = {
+  def refitFinish(spark: SparkSession, root: String, toGen: Long,
+      nassign: Int = 2): Unit = {
     val prev = listBatchIds(spark, codedDir(root, toGen - 1)).toSet
     val got = listBatchIds(spark, codedDir(root, toGen)).toSet
     require(prev.subsetOf(got),
       s"refusing to publish gen=$toGen: batches ${(prev -- got).toSeq.sorted.mkString(",")} not migrated")
     writePointer(root, toGen)
+    val stragglers = listBatchIds(spark, codedDir(root, toGen - 1)).toSet -- got
+    stragglers.toSeq.sorted.foreach(
+      migrateBatch(spark, root, toGen - 1, toGen, _, nassign))
   }
 
   /** The whole actuator: CAS-guarded fit + per-batch migration + atomic
@@ -233,7 +267,7 @@ object VectorStore {
     val ng = refitStart(spark, root, cur, nlist, kmeansIters, m, kcode, pqIters)
     listBatchIds(spark, codedDir(root, cur))
       .foreach(migrateBatch(spark, root, cur, ng, _, nassign))
-    refitFinish(spark, root, ng)
+    refitFinish(spark, root, ng, nassign)
     ng
   }
 
@@ -301,11 +335,15 @@ object VectorStore {
   def listGenerations(root: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._
     val cur = currentGen(root)
-    java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      .iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
-      .filter(_ <= cur).toSeq.sorted
+    // closed listing stream (fd leak on long-lived drivers otherwise);
+    // `gen=<N>.deleted` tombstones don't match -> reported as vacuumed
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(root))) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
+        .filter(_ <= cur).toSeq.sorted
+    }
   }
 
   /** Retention for superseded generations, the vector twin of
@@ -318,17 +356,19 @@ object VectorStore {
     * must finish (pointer moved) before its old side becomes eligible.
     * Deleting never touches the pointer or any retained generation;
     * readers of a vacuumed generation fail loudly in [[loadGenIndex]]
-    * rather than seeing partial data.
+    * rather than seeing partial data: the generation directory is
+    * atomically renamed to a `gen=<N>.deleted` tombstone before the
+    * recursive delete (the CDC vacuum's discipline,
+    * [[graft.streaming.EventStreams.tombstoneDelete]]), so a crash
+    * mid-vacuum or a racing reader can never observe a partial
+    * generation that still resolves.
     */
   def vacuumGenerations(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the current generation")
-    import scala.jdk.CollectionConverters._
+    graft.streaming.EventStreams.sweepTombstones(java.nio.file.Paths.get(root))
     val drop = listGenerations(root).dropRight(keepLast)
-    drop.foreach { g =>
-      val dir = java.nio.file.Paths.get(genRoot(root, g))
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists)
-    }
+    drop.foreach(g => graft.streaming.EventStreams.tombstoneDelete(
+      java.nio.file.Paths.get(genRoot(root, g))))
     drop
   }
 }

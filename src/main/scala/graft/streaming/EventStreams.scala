@@ -424,15 +424,23 @@ object EventStreams {
     spark.read.parquet(s"$stateDir/v$version")
   }
 
-  /** Published versions still on disk, ascending. */
+  /** Published versions still on disk, ascending. Tombstoned directories
+    * (`v<N>.deleted`, a vacuum in progress or crashed mid-delete) do not
+    * match and are correctly reported as vacuumed.
+    */
   def listCdcVersions(stateDir: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._
     val cur = readCdcVersion(stateDir)
-    java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
-      .iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .filter(_ <= cur).toSeq.sorted
+    // Files.list holds a directory handle until closed: these listings
+    // run once per streaming micro-batch on long-lived drivers, so an
+    // unclosed stream is a slow fd leak (ADVICE r9)
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+        .filter(_ <= cur).toSeq.sorted
+    }
   }
 
   /** SNAPSHOT DIFF: the minimal change feed that turns version `fromV`
@@ -477,19 +485,58 @@ object EventStreams {
     * as in log-structured table formats. Deleting old directories never
     * touches the pointer or any retained version, so concurrent readers
     * of retained versions are unaffected; readers of a vacuumed version
-    * get [[cdcSnapshotAt]]'s retention error, not silent absence.
+    * get [[cdcSnapshotAt]]'s retention error, not silent absence — the
+    * directory is atomically renamed to a `v<N>.deleted` tombstone
+    * BEFORE the recursive delete, so a crash mid-vacuum (or a reader
+    * racing the delete) can never observe a partial `v<N>` that still
+    * passes the as-of existence check and serves truncated data.
     */
   def vacuumCdc(stateDir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the current version")
+    sweepTombstones(java.nio.file.Paths.get(stateDir))
+    val drop = listCdcVersions(stateDir).dropRight(keepLast)
+    drop.foreach(v =>
+      tombstoneDelete(java.nio.file.Paths.get(stateDir, s"v$v")))
+    drop
+  }
+
+  /** Finish any `.deleted` tombstones a crashed earlier vacuum left
+    * behind — they are already invisible to readers (no listing matches
+    * them), this just reclaims the space. Called at the start of every
+    * vacuum.
+    */
+  private[graft] def sweepTombstones(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    val versions = listCdcVersions(stateDir)
-    val drop = versions.dropRight(keepLast)
-    drop.foreach { v =>
-      val dir = java.nio.file.Paths.get(stateDir, s"v$v")
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val leftovers = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      st => st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".deleted")).toSeq
+    }
+    leftovers.foreach(reallyDelete)
+  }
+
+  private def reallyDelete(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+      st.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists)
     }
-    drop
+  }
+
+  /** Atomic-visibility directory delete: rename to a `.deleted`
+    * tombstone first (readers' exact-name checks fail from that instant
+    * on), then delete the tombstone's contents; a pre-existing tombstone
+    * from a crashed earlier vacuum is finished off first. Shared by the
+    * CDC and vector-generation vacuums.
+    */
+  private[graft] def tombstoneDelete(dir: java.nio.file.Path): Unit = {
+    val tomb = dir.resolveSibling(dir.getFileName.toString + ".deleted")
+    if (java.nio.file.Files.exists(tomb)) reallyDelete(tomb)
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.move(dir, tomb,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      reallyDelete(tomb)
+    }
   }
 
   private def readCdcVersion(stateDir: String): Long =

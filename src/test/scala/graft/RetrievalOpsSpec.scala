@@ -147,4 +147,88 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(store == oneShot)
   }
+
+  // --- positional postings / phrase search (q145 machinery) ---
+
+  test("phrase search: positional intersection, overlapping and repeated-token phrases, across a batch split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"), // "a b" x2, "a b c" x2
+      (2L, "a c b a"),     // both terms present, never adjacent
+      (3L, "b a b a b"),   // "a b" x2; repeated-token "b a b" OVERLAPS: starts 0 and 2
+      (4L, "x y z a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-").toString
+    InvertedIndex.appendBatch(docs.filter(col("doc_id") <= 2),
+      "doc_id", "tk", bucketSize = 2, batchId = 0L, path = dir)
+    InvertedIndex.appendBatch(docs.filter(col("doc_id") >= 3),
+      "doc_id", "tk", bucketSize = 2, batchId = 1L, path = dir)
+    def hits(terms: String*): Seq[(Long, Long)] =
+      InvertedIndex.phraseSearchStore(spark, dir, terms)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits("a", "b") === Seq((1L, 2L), (3L, 2L)))
+    assert(hits("a", "b", "c") === Seq((1L, 2L)))
+    assert(hits("b", "a", "b") === Seq((3L, 2L))) // overlapping starts 0 and 2
+    assert(hits("a", "c") === Seq((2L, 1L)))
+    assert(hits("z", "q").isEmpty) // one term absent from the corpus
+    assertThrows[IllegalArgumentException] {
+      InvertedIndex.phraseSearchStore(spark, dir, Seq("a"))
+    }
+  }
+
+  // --- generational store + compaction (q143 machinery) ---
+
+  test("compaction: serving identical pre/post, fragments collapse, CAS retry no-ops, sealed batch ids refused, admissions append on top") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-")
+      .toString + "/istore"
+    val terms = Seq("join", "vector", "stream", "window")
+    InvertedIndex.initStore(root)
+    InvertedIndex.admitBatch(spark, tokenized.filter(col("doc_id") % 10 < 5),
+      "doc_id", "tk", 7L, batchId = 0L, root = root)
+    InvertedIndex.admitBatch(spark,
+      tokenized.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 < 8),
+      "doc_id", "tk", 7L, batchId = 1L, root = root)
+    InvertedIndex.admitBatch(spark, tokenized.filter(col("doc_id") % 10 === 8),
+      "doc_id", "tk", 7L, batchId = 2L, root = root)
+    def lookupRows() = InvertedIndex.lookupCurrent(spark, root, terms)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+    def bm25Rows() = InvertedIndex.bm25SearchCurrent(spark, root, terms, 15)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(InvertedIndex.fragmentCount(spark, root) === 3L)
+    val (preL, preB) = (lookupRows(), bm25Rows())
+    assert(InvertedIndex.compactStore(spark, root, expectedGen = 1L) === 2L)
+    assert(InvertedIndex.currentGen(root) === 2L)
+    assert(InvertedIndex.fragmentCount(spark, root) === 1L)
+    assert(lookupRows() === preL, "compaction changed the lookup surface")
+    assert(bm25Rows() === preB, "compaction changed BM25 scores")
+    // CAS: stale expectedGen no-ops (returns the published gen, no gen=3)
+    assert(InvertedIndex.compactStore(spark, root, expectedGen = 1L) === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3")))
+    // the retry barrier: compacted batch ids are sealed
+    val sealedErr = intercept[IllegalArgumentException] {
+      InvertedIndex.admitBatch(spark, tokenized.filter(col("doc_id") % 10 === 9),
+        "doc_id", "tk", 7L, batchId = 2L, root = root)
+    }
+    assert(sealedErr.getMessage.contains("compact"))
+    // admissions append ON TOP: the merged fragment + the new batch
+    InvertedIndex.admitBatch(spark, tokenized.filter(col("doc_id") % 10 === 9),
+      "doc_id", "tk", 7L, batchId = 3L, root = root)
+    assert(InvertedIndex.fragmentCount(spark, root) === 2L)
+    // ... and the final store serves the WHOLE corpus exactly like the
+    // flat two-batch store of the same corpus
+    val flat = java.nio.file.Files.createTempDirectory("graft-compact-flat-").toString
+    admitAll(flat)
+    val flatB = InvertedIndex.bm25SearchStore(spark, flat, terms, 15)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(bm25Rows() === flatB)
+    // race fence: an admit whose pointer read predates a compaction throws
+    val staleErr = intercept[IllegalStateException] {
+      InvertedIndex.admitBatchAt(spark,
+        tokenized.filter(col("doc_id") % 10 === 9),
+        "doc_id", "tk", 7L, batchId = 9L, root = root, gen = 1L)
+    }
+    assert(staleErr.getMessage.contains("raced a compaction"))
+  }
 }

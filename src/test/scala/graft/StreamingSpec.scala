@@ -495,6 +495,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.vacuumCdc(dir, keepLast = 2).isEmpty)
   }
 
+  test("vacuum tombstone: a crashed mid-vacuum directory is invisible to readers and finished by the next vacuum") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tombstone")
+    val dir = s"$base/cdc"
+    val v0 = Seq((1L, "a", 0L)).toDF("key", "v", "seq")
+    EventStreams.initCdcState(v0, dir)
+    val b1 = Seq((1L, "a2", 1L, "U")).toDF("key", "v", "seq", "op")
+    EventStreams.publishCdcBatch(spark, dir, b1, Seq("key"), "seq", "op")
+    val b2 = Seq((1L, "a3", 2L, "U")).toDF("key", "v", "seq", "op")
+    EventStreams.publishCdcBatch(spark, dir, b2, Seq("key"), "seq", "op")
+    // simulate the crash window: vacuum renamed v0 to its tombstone and
+    // died before deleting the contents — the PARTIAL directory is still
+    // full of valid parquet, which is exactly the silent-truncation
+    // hazard the tombstone rename exists to close
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "v0"),
+      java.nio.file.Paths.get(dir, "v0.deleted"))
+    // readers: v0 is vacuumed (retention error), NOT silently served
+    assert(EventStreams.listCdcVersions(dir) == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.cdcSnapshotAt(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // the next vacuum finishes the crashed delete and proceeds normally
+    assert(EventStreams.vacuumCdc(dir, keepLast = 1) == Seq(1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v0.deleted")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v1")))
+    assert(EventStreams.cdcSnapshotAt(spark, dir, 2L)
+      .select("key", "v").as[(Long, String)].collect().toSet == Set((1L, "a3")))
+  }
+
   test("streaming crawl-admission loop == one-shot closed form (the q127 capstone as one sink)") {
     val base = java.nio.file.Files.createTempDirectory("graft-crawl-stream")
     val feedDir = s"$base/feed"

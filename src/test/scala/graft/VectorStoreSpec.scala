@@ -148,6 +148,47 @@ class VectorStoreSpec extends AnyFunSuite {
       "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)) === g2full)
   }
 
+  test("admit-vs-refit race: a batch admitted after the migration listing fails the publish loudly, then lands in both generations") {
+    val root = freshStore("race1", Seq(corpus(0, 300), corpus(300, 400)))
+    val (nlist, km, m, kc, pq) = Fit
+    assert(VectorStore.refitStart(spark, root, 1L, nlist, km, m, kc, pq) === 2L)
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 0L)
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 1L)
+    // the racing admission: pointer still reads 1, so this succeeds and
+    // lands in gen 1 — AFTER the refit's migration work already ran
+    VectorStore.admit(spark, root, corpus(400, 450), "vec_id", "embedding", 2L)
+    // publish must now refuse: the re-list at publish time sees batch 2
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.refitFinish(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("not migrated"))
+    assert(VectorStore.currentGen(root) === 1L)
+    // the documented repair: migrate the straggler, retry the publish —
+    // the admitted batch is in BOTH generations, never lost
+    VectorStore.migrateBatch(spark, root, 1L, 2L, 2L)
+    VectorStore.refitFinish(spark, root, 2L)
+    assert(VectorStore.currentGen(root) === 2L)
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L, 2L))
+  }
+
+  test("admit-vs-refit race: an admit whose pointer read predates the publish throws, and a re-admit lands in the new generation") {
+    val root = freshStore("race2", Seq(corpus(0, 300), corpus(300, 400)))
+    val staleGen = VectorStore.currentGen(root) // the racing admit's read
+    assert(doRefit(root, expected = 1L) === 2L) // refit publishes first
+    // the admit's write now lands in superseded gen 1 and the post-write
+    // pointer re-check must fail loudly — never a silent vanish
+    val e = intercept[IllegalStateException] {
+      VectorStore.admitAt(spark, root, corpus(400, 450),
+        "vec_id", "embedding", 2L, asOfGen = staleGen)
+    }
+    assert(e.getMessage.contains("raced a refit"))
+    // the orphan write sits in dead gen 1; the current generation does
+    // not serve it until the caller re-admits properly
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L))
+    VectorStore.admit(spark, root, corpus(400, 450), "vec_id", "embedding", 2L)
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L, 2L))
+  }
+
   test("generation vacuum drops superseded generations, never the current one") {
     val root = freshStore("vacuum", Seq(corpus(0, 300), corpus(300, 400)))
     val q = corpus(0, 5)
