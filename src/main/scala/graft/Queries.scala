@@ -4743,7 +4743,132 @@ object Queries {
               |WHERE len(list_filter(range(1, len(tk)),
               |  i -> ${phrase.zipWithIndex.map { case (w, i) =>
                    s"tk[i + $i] = '$w'" }.mkString(" AND ")})) > 0
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q146_hybrid_retrieval",
+      // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
+      // admission -> index admission -> hybrid BM25 + vector retrieval,
+      // all INCREMENTAL across a batch boundary, equal to the one-shot
+      // closed form the oracle states. Both stores grow batch-at-a-time
+      // (80/20 doc-id split): the retrieval index admits posting/stats
+      // fragments (q139 machinery), the vector store admits coded
+      // batches under its generation pointer (q123/q128 machinery).
+      // The hybrid query then runs ENTIRELY from the stores — BM25
+      // top-20 from index rows, an exact-cosine top-10 tier over the
+      // store's own reconstructed vectors (VectorStore.vectors: the
+      // primary-replica filter, proving the store is self-contained;
+      // at 100 TB this tier is the q120 ANN join, the fusion below is
+      // tier-agnostic since it consumes only (query, doc, rank)) —
+      // and reciprocal-rank fusion (k=60, the standard constant)
+      // combines them: rrf = 1/(60+rank_knn) + 1/(60+rank_bm25) over
+      // the union of both candidate lists, missing ranks contributing
+      // 0. Determinism: ranks are integers from (score desc, id)
+      // orders whose adjacent-gap margins exceed cross-engine float
+      // noise (measured >= 7.8e-6); the reciprocal sums are the same
+      // two IEEE operations in the same written order both engines;
+      // rrf ties (rank i in one list only vs rank i in the other)
+      // break on doc_id.
+      (s, d) => {
+        val root = scratchDir("q146")
+        val idir = root + "/istore"
+        val vroot = root + "/vstore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 0L, path = idir)
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, path = idir)
+        val emb = t(s, d, "embeddings")
+        val b1 = emb.filter(col("vec_id") % 10 < 8)
+        val b2 = emb.filter(col("vec_id") % 10 >= 8)
+        val (c1, bk1) = Similarity.fitIvfPq(b1, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, vroot, c1, bk1)
+        VectorStore.admit(s, vroot, b1, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, vroot, b2, "vec_id", "embedding", 1L)
+        val q = emb.filter(col("vec_id") < 3)
+        val knn = Similarity.bruteForceTopK(q,
+            VectorStore.vectors(s, vroot, "vec_id", "embedding"),
+            "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("rk"))
+        val bm = InvertedIndex.bm25SearchStore(s, idir, bm25Terms, 20)
+          .withColumn("rb", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rb"))
+        val qids = knn.select(col("query_id")).distinct()
+        knn.join(qids.crossJoin(bm), Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))).as("rrf"))
+          .withColumn("hrank", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+          .filter(col("hrank") <= 10)
+          .select(col("query_id"), col("hrank"), col("doc_id"), col("rrf"))
+          .orderBy(col("query_id"), col("hrank"))
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |), bmtop AS (
+              |  SELECT doc_id,
+              |    round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
+              |  FROM p ORDER BY bm25 DESC, doc_id LIMIT 20
+              |), bmr AS (
+              |  SELECT doc_id,
+              |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rb
+              |  FROM bmtop
+              |), qv AS (
+              |  SELECT vec_id AS query_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 3
+              |), cs AS (
+              |  SELECT query_id, e.vec_id AS doc_id,
+              |    list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+              |      CAST(e.embedding AS DOUBLE[])) AS cos
+              |  FROM qv, embeddings e WHERE e.vec_id <> qv.query_id
+              |), knn AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+              |  FROM cs QUALIFY rk <= 10
+              |), keys AS (
+              |  SELECT query_id, doc_id FROM knn
+              |  UNION
+              |  SELECT q.query_id, b.doc_id
+              |  FROM (SELECT DISTINCT query_id FROM knn) q, bmr b
+              |), f AS (
+              |  SELECT k.query_id, k.doc_id,
+              |    COALESCE(CAST(1.0 AS DOUBLE)/(60 + kn.rk), CAST(0.0 AS DOUBLE))
+              |      + COALESCE(CAST(1.0 AS DOUBLE)/(60 + b.rb), CAST(0.0 AS DOUBLE)) AS rrf
+              |  FROM keys k
+              |  LEFT JOIN knn kn ON kn.query_id = k.query_id AND kn.doc_id = k.doc_id
+              |  LEFT JOIN bmr b ON b.doc_id = k.doc_id
+              |)
+              |SELECT query_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS hrank,
+              |  doc_id, rrf
+              |FROM f QUALIFY hrank <= 10
+              |ORDER BY query_id, hrank""".stripMargin))
   )
 
   val defs: Seq[QDef] =

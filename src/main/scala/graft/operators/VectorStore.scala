@@ -271,6 +271,23 @@ object VectorStore {
     ng
   }
 
+  /** The admitted corpus reconstructed from the CURRENT generation's
+    * own rows — one row per vector (the primary-replica filter
+    * [[refitStart]]'s fit uses): (idCol, vecCol) with the original
+    * vectors. The store is self-contained: exact-search tiers, refits,
+    * and audits never need the raw source again. One narrow codegen'd
+    * filter over the store scan, no shuffle.
+    */
+  def vectors(spark: SparkSession, root: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val gen = currentGen(root)
+    val (cents, _) = loadGenIndex(spark, root, gen)
+    primaryRows(
+      spark.read.parquet(codedDir(root, gen)).select("cid", "cv", "cell", "codes"),
+      cents)
+      .select(col("cid").as(idCol), col("cv").as(vecCol))
+  }
+
   /** Search one explicit generation (old-reader path during and after a
     * refit — generation directories are immutable once written).
     */
