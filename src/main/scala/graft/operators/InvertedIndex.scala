@@ -134,7 +134,10 @@ object InvertedIndex {
     * fresh [[build]] of the union corpus: batches may split a (term,
     * bucket) cell, so cells merge first (flatten + sort — bounded by
     * bucketSize × batches per cell), then buckets concatenate in order
-    * exactly as [[lookup]] does.
+    * exactly as [[lookup]] does. On a freshly [[compactStore]]-ed
+    * generation the cell merge degenerates to a pass-through (one
+    * fragment per cell) — compaction is precisely this merge, run once
+    * and materialized instead of re-run on every read.
     */
   def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame =
     lookup(
