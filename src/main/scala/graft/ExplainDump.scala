@@ -71,6 +71,7 @@ object ExplainDump {
     "q142_index_lookup_store" -> "index-store lookup surface: the ONLY file scan in the plan is the postings store (both batch_id directories) with the 4-term isin filter in PushedFilters and ReadSchema limited to (tok, bucket, n_docs, postings) — queried-term bucket rows only, never raw text, never doclens/stats; above it the cross-batch cell merge (groupBy (tok,bucket): flatten + bounded re-sort) and the bucket-order concatenation (groupBy tok) are two partial/final aggregation pairs over rows bounded by bucketSize x batches — the linear-in-batch-count read cost this plan shows is exactly what q143's compaction bounds",
     "q143_index_compaction" -> "post-compaction serving: the BM25 search reads the COMPACTED generation — check the postings scan path is gen=2 with batch_id=2 (the single merged fragment) AND batch_id=3 (the post-compaction admission appended on top: two fragments total, not four), the term isin filter in PushedFilters, and the same candidates-only shape as q139 (stats/df broadcast, dl from the posting struct, no doclens, no raw text); the compaction itself (one (term,bucket)-keyed shuffle of index rows + the atomic _CURRENT swap) ran eagerly and correctly leaves NO trace here — readers see a plain store scan with a bounded fragment list",
     "q145_phrase_search" -> "positional phrase search: each phrase slot's candidate list comes off the SAME postings store scan (term isin filter in PushedFilters; ReadSchema includes the positions array), the slots meet on doc_id in an equi-join (at df scale both sides are candidate lists — broadcast here at toy scale, co-partitioned hash join at 100 TB; NEVER a nested-loop), and the adjacency test is the array_intersect of shifted position arrays as a scalar projection above the join — no corpus scan, no per-position explode (positions stay packed in their arrays end to end)",
+    "q147_phrase_bm25" -> "phrase-constrained BM25 (two-stage phrase query): the membership side is the audited q145 positional-intersection plan, the ranking side is the audited q139 candidates-only score plan (stats/df broadcast, dl from the posting struct, no doclens), and they meet in ONE equi-join on doc_id — check both sides read ONLY the phrase terms' posting buckets (same isin PushedFilters on every store scan) and that the smaller intersection side drives the join; the raw corpus appears nowhere in either stage",
     "q141_snapshot_diff" -> "snapshot diff: ONE full-outer join of the two as-of version scans (hash join on the key; at toy scale AQE may broadcast a side — at 100 TB it is the co-partitioned shuffle) comparing payload STRUCTS, then the I/U/D classification as a scalar projection — no log replay, no per-version change storage, no second pass; both inputs are plain v<N> directory scans, the same cost shape as a current read")
 
   /** Queries whose audit target only exists in the EXECUTED final

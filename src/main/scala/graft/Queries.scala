@@ -4745,6 +4745,69 @@ object Queries {
                    s"tk[i + $i] = '$w'" }.mkString(" AND ")})) > 0
               |ORDER BY doc_id""".stripMargin)),
 
+    QDef("q147_phrase_bm25",
+      // PHRASE-CONSTRAINED BM25 ranking — the standard two-stage phrase
+      // query composed from the two store surfaces: the positional
+      // intersection (q145) decides MEMBERSHIP, the BM25 weight of the
+      // phrase's terms (q139's fixed-order summation, bit-identical to
+      // the unconstrained search by construction) RANKS the members.
+      // Admitted in two batches as everywhere. The oracle recomputes
+      // both stages in closed form over the raw text and joins them —
+      // proving the index-only composition loses nothing. At 100 TB
+      // both join sides are the phrase terms' candidate lists (the
+      // intersection side is the smaller and drives); the corpus and
+      // doclens appear nowhere.
+      (s, d) => {
+        val dir = scratchDir("q147") + "/index"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 0L, path = dir)
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, path = dir)
+        InvertedIndex.phraseBm25SearchStore(s, dir, phrase, 15)
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${phrase.distinct.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${phrase.distinct.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |), scores AS (
+              |  SELECT doc_id,
+              |    round(${phrase.distinct.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
+              |  FROM p
+              |), ph AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(range(1, len(tk)),
+              |      i -> ${phrase.zipWithIndex.map { case (wd, i) =>
+                       s"tk[i + $i] = '$wd'" }.mkString(" AND ")})) AS BIGINT)
+              |      AS n_occurrences
+              |  FROM tok
+              |  WHERE len(list_filter(range(1, len(tk)),
+              |    i -> ${phrase.zipWithIndex.map { case (wd, i) =>
+                     s"tk[i + $i] = '$wd'" }.mkString(" AND ")})) > 0
+              |)
+              |SELECT ph.doc_id, ph.n_occurrences, s2.bm25
+              |FROM ph JOIN scores s2 ON s2.doc_id = ph.doc_id
+              |ORDER BY s2.bm25 DESC, ph.doc_id LIMIT 15""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

@@ -165,8 +165,19 @@ object InvertedIndex {
     * is reproducible bit for bit against a single-shot engine.
     */
   def bm25SearchStore(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int): DataFrame = {
-    require(terms.nonEmpty, "bm25SearchStore needs at least one term")
+      k: Int): DataFrame =
+    bm25Scores(spark, path, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  /** The per-candidate-document BM25 score frame of [[bm25SearchStore]]
+    * — (doc_id, bm25) for every document containing at least one query
+    * term, before the top-k cut. Shared with [[phraseBm25SearchStore]],
+    * which restricts it to phrase-matching documents instead of taking
+    * the global top-k.
+    */
+  private def bm25Scores(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 search needs at least one term")
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).cast("long").as("n"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
@@ -188,8 +199,27 @@ object InvertedIndex {
       .reduceLeft(_ + _)
     w.groupBy(col("doc_id")).agg(byTerm.head, byTerm.tail: _*)
       .select(col("doc_id"), round(score, 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
+
+  /** PHRASE-CONSTRAINED BM25: documents containing `phrase` as
+    * consecutive tokens, RANKED by the BM25 weight of the phrase's
+    * terms — the standard two-stage phrase query (positional
+    * intersection decides membership, bag-of-words weights rank). The
+    * candidate set is [[phraseSearchStore]]'s positional intersection;
+    * the score frame is exactly [[bm25SearchStore]]'s (same fixed-order
+    * summation, so scores are bit-identical to the unconstrained
+    * search), restricted by an equi-join on doc_id — at 100 TB both
+    * sides are candidate lists of the phrase's terms, never the corpus,
+    * and the phrase side (the intersection) is the smaller: it drives
+    * the join. Output: (doc_id, n_occurrences, bm25) top-k by
+    * (bm25 desc, doc_id).
+    */
+  def phraseBm25SearchStore(spark: SparkSession, path: String,
+      phrase: Seq[String], k: Int): DataFrame =
+    phraseSearchStore(spark, path, phrase)
+      .join(bm25Scores(spark, path, phrase.distinct), "doc_id")
+      .select(col("doc_id"), col("n_occurrences"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
   /** Exact-PHRASE search over the persisted store: documents containing
     * `terms` as consecutive tokens, with the occurrence count. The
@@ -377,6 +407,20 @@ object InvertedIndex {
       java.nio.file.Paths.get(dst, "_COMPACTED"), hwm.toString.getBytes)
     writePointer(root, cur + 1)
     cur + 1
+  }
+
+  /** The compaction POLICY: compact the current generation when its
+    * fragment count has reached `maxFragments` (the dial that bounds
+    * steady-state read amplification: reads touch at most
+    * maxFragments-1 appended fragments plus the compacted one between
+    * policy firings). Returns the new generation if a compaction ran.
+    * Single-writer discipline as everywhere in the store lifecycle.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    if (fragmentCount(spark, root) < maxFragments) None
+    else Some(compactStore(spark, root, currentGen(root)))
   }
 
   /** [[storeLookup]] through the pointer. */

@@ -375,6 +375,45 @@ object EventStreams {
       }
       .start()
 
+  /** [[indexIngest]] against the GENERATIONAL store with the compaction
+    * policy applied per micro-batch: after each admission,
+    * [[graft.operators.InvertedIndex.compactIfFragmented]] merges the
+    * fragments into a new generation once `maxFragments` accumulate —
+    * the continuous form of the q143 compactor, bounding read
+    * amplification at crawl cadence with no operator in the loop.
+    *
+    * Retry semantics under the seal: a REPLAYED micro-batch (sink
+    * crash after the admission but before the checkpoint commit) whose
+    * id the meantime compaction already sealed is a NO-OP — its rows
+    * are durably inside the compacted fragment (the policy runs only
+    * after its admission completed; single-writer discipline excludes
+    * concurrent compactors), so skipping is exactness, not loss. An
+    * UNSEALED replay overwrites its own directories as always.
+    */
+  def indexIngestCompacting(
+      docs: DataFrame, idCol: String, toksCol: String, bucketSize: Long,
+      root: String, checkpointDir: String,
+      maxFragments: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    // cold start only: a RESTARTED stream must keep the advanced pointer
+    // (initStore rewrites _CURRENT=1, which would resurrect a compacted-
+    // away generation for readers)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_CURRENT")))
+      graft.operators.InvertedIndex.initStore(root)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.InvertedIndex
+        val spark = batch.sparkSession
+        if (batchId > InvertedIndex.compactedHwm(root, InvertedIndex.currentGen(root))) {
+          InvertedIndex.admitBatch(spark, batch, idCol, toksCol,
+            bucketSize, batchId, root)
+          InvertedIndex.compactIfFragmented(spark, root, maxFragments)
+          ()
+        } // else: sealed replay — rows already in the compacted fragment
+      }
+      .start()
+  }
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

@@ -458,6 +458,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStore == oneShot)
   }
 
+  test("streaming compacting index admission: fragments stay bounded, serving == one-shot, sealed replay is a no-op") {
+    import graft.operators.InvertedIndex
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-compact-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/istore"
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    docs.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.indexIngestCompacting(stream, "doc_id", "tk",
+      bucketSize = 64, root, s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    // 4 micro-batches through a maxFragments=2 policy: the store must
+    // have compacted (gen advanced) and never hold more than 2 fragments
+    assert(InvertedIndex.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(InvertedIndex.fragmentCount(spark, root) <= 2L)
+    // serving from the compacted generational store == the one-shot
+    // whole-corpus BM25 (the q68 closed form)
+    val terms = Seq("join", "vector", "stream", "window")
+    val fromStore = InvertedIndex.bm25SearchCurrent(spark, root, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = Queries.queries("q68_bm25")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStore == oneShot)
+    // sealed replay: re-admitting a micro-batch id at or below the
+    // compacted high-water mark must be refused by the store layer (the
+    // sink skips it; a buggy direct call fails loudly, never duplicates)
+    val hwm = InvertedIndex.compactedHwm(root, InvertedIndex.currentGen(root))
+    assert(hwm >= 0L)
+    assertThrows[IllegalArgumentException] {
+      InvertedIndex.admitBatch(spark, docs, "doc_id", "tk", 64L, hwm, root)
+    }
+  }
+
   test("CDC time travel: as-of reads serve immutable history; vacuum bounds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-timetravel")
     val dir = s"$base/cdc"
