@@ -4808,6 +4808,73 @@ object Queries {
               |FROM ph JOIN scores s2 ON s2.doc_id = ph.doc_id
               |ORDER BY s2.bm25 DESC, ph.doc_id LIMIT 15""".stripMargin)),
 
+    QDef("q148_sketch_compaction",
+      // COMPACTION GENERALIZED to the sketch store (the GenStore
+      // discipline proven on postings by q143, applied to the second
+      // fragmenting admission store): three event batches admit per-key
+      // HLL fragments into the generational store, the full estimate
+      // surface is captured eagerly, then compactStore unions each
+      // key's fragments into ONE pre-merged sketch row behind the
+      // atomic pointer swap. The defining gate is EST_IDENTICAL: HLL
+      // union is register-max — associative and commutative — so the
+      // compacted single-sketch read path must reproduce the fragmented
+      // read path's estimates BIT FOR BIT (not within-epsilon: the same
+      // registers reach the same estimator). Plus the lifecycle gates
+      // (fragments 3 -> 1, CAS retry no-op, post-compaction admission
+      // appends on top) and q83's accuracy gates against the one-pass
+      // whole-corpus sketch (1%) and the exact distinct count (5%). At
+      // 100 TB compaction here is one map-side-combined aggregation of
+      // KB-sized sketch rows; the raw events are never rescanned.
+      (s, d) => {
+        val root = scratchDir("q148") + "/sstore"
+        val ev = t(s, d, "events")
+        SketchStore.initStore(root)
+        (0L to 2L).foreach { b =>
+          SketchStore.admitBatch(s, ev.filter(pmod(col("event_id"), lit(4)) === b),
+            Seq("event_type"), "user_id", b, root)
+        }
+        def ests() = SketchStore.estimatesCurrent(s, root, Seq("event_type"))
+          .select(col("event_type"), col("est"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sorted
+        val fragsBefore = SketchStore.fragmentCount(s, root)
+        val pre = ests()
+        val gen2 = SketchStore.compactStore(s, root, expectedGen = 1L,
+          Seq("event_type"))
+        val retry = SketchStore.compactStore(s, root, expectedGen = 1L,
+          Seq("event_type"))
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = SketchStore.fragmentCount(s, root)
+        val estIdentical = ests() == pre
+        SketchStore.admitBatch(s, ev.filter(pmod(col("event_id"), lit(4)) === 3),
+          Seq("event_type"), "user_id", 3L, root)
+        val fragsAfter = SketchStore.fragmentCount(s, root)
+        val whole = ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).cast("long").as("n_exact"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+              .as("whole_est"))
+        SketchStore.estimatesCurrent(s, root, Seq("event_type"))
+          .join(whole, "event_type")
+          .select(col("event_type"), col("n_exact"),
+            lit(fragsBefore).cast("long").as("frags_before"),
+            lit(fragsCompacted).cast("long").as("frags_compacted"),
+            lit(fragsAfter).cast("long").as("frags_after_admit"),
+            lit(retryNoop).as("retry_noop"),
+            lit(estIdentical).as("est_identical"),
+            (abs(col("est") - col("whole_est")) <= col("whole_est") * 0.01)
+              .as("merged_tracks_whole"),
+            (abs(col("est") - col("n_exact")).cast("double") <=
+              col("n_exact") * 0.05).as("within_5pct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  CAST(3 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS est_identical,
+             |  TRUE AS merged_tracks_whole, TRUE AS within_5pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

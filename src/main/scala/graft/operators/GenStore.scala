@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The shared generational-store primitives of the admission-store
+  * family: an atomic `_CURRENT` generation pointer, per-generation
+  * directories, batch-fragment listing, and the `_COMPACTED`
+  * high-water seal. [[InvertedIndex]] (postings/doclens/stats) and
+  * [[SketchStore]] (per-key HLL rows) compact through this;
+  * [[VectorStore]] predates it with the same discipline (its
+  * generations also hold an index artifact, so its pointer logic stays
+  * local).
+  *
+  * Layout under one root:
+  * {{{
+  *   root/_CURRENT            # current generation number (text)
+  *   root/gen=G/...           # one generation's store (layout is the
+  *                            #   owner's; fragments are batch_id=N)
+  *   root/gen=G/_COMPACTED    # max batch id sealed by the compaction
+  *                            #   that produced this generation
+  * }}}
+  *
+  * Pointer discipline: tmp-write + ATOMIC_MOVE — readers see the old
+  * generation or the new one, never a torn pointer. A generation
+  * directory above the pointer is unpublished work (crashed or
+  * in-flight compaction) that no reader may observe.
+  */
+object GenStore {
+
+  private def pointerPath(root: String) =
+    java.nio.file.Paths.get(root, "_CURRENT")
+
+  def writePointer(root: String, gen: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, gen.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Create the store (generation 1, empty). Idempotent. */
+  def init(root: String): Unit = writePointer(root, 1L)
+
+  /** Cold-start init: create generation 1 only if no pointer exists —
+    * the restart-safe form (a plain [[init]] would resurrect a
+    * compacted-away generation for readers).
+    */
+  def initIfAbsent(root: String): Unit =
+    if (!java.nio.file.Files.exists(pointerPath(root))) init(root)
+
+  /** The generation readers currently see. */
+  def currentGen(root: String): Long =
+    new String(java.nio.file.Files.readAllBytes(pointerPath(root))).trim.toLong
+
+  /** One generation's directory. */
+  def genDir(root: String, gen: Long): String = s"$root/gen=$gen"
+
+  /** Batch ids of the fragments under `dir`, ascending. */
+  def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  /** The compacted high-water mark of a generation: the max source
+    * batch id its producing compaction sealed, or -1 for a
+    * never-compacted generation (every admitted id is above it).
+    * Batch ids at or below the seal are INSIDE the compacted fragment
+    * — replaying them must be refused (the LSM rule: merged segments
+    * seal their WAL).
+    */
+  def compactedHwm(root: String, gen: Long): Long = {
+    val m = java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED")
+    if (!java.nio.file.Files.exists(m)) -1L
+    else new String(java.nio.file.Files.readAllBytes(m)).trim.toLong
+  }
+
+  /** Seal a generation's compaction barrier. Written BEFORE the
+    * pointer moves, so a reader that sees the generation also sees its
+    * retry fence.
+    */
+  def seal(root: String, gen: Long, hwm: Long): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED"),
+      hwm.toString.getBytes)
+
+  /** Published generations still on disk, ascending (tombstoned
+    * `.deleted` directories and unpublished generations excluded).
+    */
+  def listGenerations(root: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(root)
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(root))) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
+        .filter(_ <= cur).toSeq.sorted
+    }
+  }
+
+  /** Retention for superseded generations: tombstone-renamed before
+    * deletion ([[graft.streaming.EventStreams.tombstoneDelete]]), so a
+    * crash mid-vacuum or a racing reader can never observe a partial
+    * generation that still resolves. Returns the dropped generations.
+    */
+  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the current generation")
+    graft.streaming.EventStreams.sweepTombstones(java.nio.file.Paths.get(root))
+    val drop = listGenerations(root).dropRight(keepLast)
+    drop.foreach(g => graft.streaming.EventStreams.tombstoneDelete(
+      java.nio.file.Paths.get(genDir(root, g))))
+    drop
+  }
+}

@@ -282,54 +282,31 @@ object InvertedIndex {
   // barrier; admitBatch enforces it.
   // -------------------------------------------------------------------------
 
-  private def pointerPath(root: String) = java.nio.file.Paths.get(root, "_CURRENT")
-
-  private def writePointer(root: String, gen: Long): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, gen.toString.getBytes)
-    java.nio.file.Files.move(tmp, pointerPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  // generational primitives shared with the rest of the admission-store
+  // family live in [[GenStore]]; these are the index store's bindings
 
   /** Create the generational store (generation 1, empty). Idempotent. */
-  def initStore(root: String): Unit = writePointer(root, 1L)
+  def initStore(root: String): Unit = GenStore.init(root)
 
   /** The generation readers currently see. */
-  def currentGen(root: String): Long =
-    new String(java.nio.file.Files.readAllBytes(pointerPath(root))).trim.toLong
+  def currentGen(root: String): Long = GenStore.currentGen(root)
 
   /** One generation's directory — the `path` the flat functions take. */
-  def genDir(root: String, gen: Long): String = s"$root/gen=$gen"
-
-  private def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).sorted
-  }
+  def genDir(root: String, gen: Long): String = GenStore.genDir(root, gen)
 
   /** Fragment (batch-directory) count of the current generation's
     * postings table — the quantity compaction exists to bound.
     */
   def fragmentCount(spark: SparkSession, root: String): Long =
-    listBatchIds(spark, genDir(root, currentGen(root)) + "/postings").size.toLong
+    GenStore.listBatchIds(spark,
+      genDir(root, currentGen(root)) + "/postings").size.toLong
 
-  /** The compacted high-water mark of a generation: the single fragment
-    * a compaction wrote carries the max source batch id; a generation
-    * never compacted has hwm -1 (every admitted id is above it).
-    * Conservative: equals the max batch id IF the generation holds one
-    * fragment that a compaction produced — tracked via a `_COMPACTED`
-    * marker file so post-compaction admissions don't shift it.
+  /** The compacted high-water mark of a generation ([[GenStore
+    * .compactedHwm]]): -1 for a never-compacted generation; batch ids
+    * at or below it are sealed inside the compacted fragment.
     */
-  def compactedHwm(root: String, gen: Long): Long = {
-    val m = java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED")
-    if (!java.nio.file.Files.exists(m)) -1L
-    else new String(java.nio.file.Files.readAllBytes(m)).trim.toLong
-  }
+  def compactedHwm(root: String, gen: Long): Long =
+    GenStore.compactedHwm(root, gen)
 
   /** Admit one tokenized batch under the CURRENT generation (the
     * [[appendBatch]] pass routed through the pointer), with two fences:
@@ -384,7 +361,7 @@ object InvertedIndex {
     val cur = currentGen(root)
     if (cur != expectedGen) return cur
     val src = genDir(root, cur)
-    val ids = listBatchIds(spark, s"$src/postings")
+    val ids = GenStore.listBatchIds(spark, s"$src/postings")
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
     val dst = genDir(root, cur + 1)
@@ -403,9 +380,8 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
     // seal the barrier BEFORE publishing: a reader that sees the new
     // generation must also see its retry fence
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dst, "_COMPACTED"), hwm.toString.getBytes)
-    writePointer(root, cur + 1)
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
     cur + 1
   }
 
@@ -442,21 +418,6 @@ object InvertedIndex {
     * deletion, so racing readers fail loudly, never read partial data):
     * drop all but the newest `keepLast` published generations.
     */
-  def vacuumStoreGenerations(root: String, keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, "keepLast must retain at least the current generation")
-    graft.streaming.EventStreams.sweepTombstones(java.nio.file.Paths.get(root))
-    import scala.jdk.CollectionConverters._
-    val cur = currentGen(root)
-    val gens = scala.util.Using.resource(
-        java.nio.file.Files.list(java.nio.file.Paths.get(root))) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("gen=\\d+") => s.drop(4).toLong }
-        .filter(_ <= cur).toSeq.sorted
-    }
-    val drop = gens.dropRight(keepLast)
-    drop.foreach(g => graft.streaming.EventStreams.tombstoneDelete(
-      java.nio.file.Paths.get(genDir(root, g))))
-    drop
-  }
+  def vacuumStoreGenerations(root: String, keepLast: Int): Seq[Long] =
+    GenStore.vacuum(root, keepLast)
 }

@@ -61,4 +61,83 @@ object SketchStore {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_batches"),
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+
+  // -------------------------------------------------------------------------
+  // Generational store + COMPACTION ([[GenStore]] discipline): sketch
+  // fragments accumulate one per crawl batch forever, and the read-side
+  // union re-merges every batch's row for a key on every estimate.
+  // Compaction runs that union ONCE — HLL union is associative and
+  // commutative (register max), so the single pre-unioned sketch per key
+  // yields BIT-IDENTICAL estimates — and seals the merged batch ids
+  // behind the `_COMPACTED` high-water mark. The q143 pattern on the
+  // sketch store; q148 gates it.
+  // -------------------------------------------------------------------------
+
+  /** Create the generational sketch store. Idempotent. */
+  def initStore(root: String): Unit = GenStore.init(root)
+
+  /** Fragments of the current generation. */
+  def fragmentCount(spark: SparkSession, root: String): Long =
+    GenStore.listBatchIds(spark,
+      GenStore.genDir(root, GenStore.currentGen(root))).size.toLong
+
+  /** Admit one batch under the CURRENT generation — [[appendBatch]]
+    * routed through the pointer, with the two lifecycle fences: sealed
+    * batch ids are refused (they are inside the compacted fragment),
+    * and the pointer is re-read after the write so an admission racing
+    * a compaction fails loudly instead of landing invisibly in a
+    * superseded generation.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+      valueCol: String, batchId: Long, root: String,
+      lgK: Int = DefaultLgK): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
+    appendBatch(batch, keyCols, valueCol, batchId, GenStore.genDir(root, gen), lgK)
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** COMPACT the current generation: union every fragment's sketch rows
+    * into ONE row per key (the same register-max union the read path
+    * performs, run once and materialized), written as a single
+    * `batch_id=<hwm>` fragment under `gen=G+1`, sealed, and published
+    * behind the atomic pointer. Compare-and-swap on `expectedGen`
+    * (retry no-ops); readers are generation-isolated throughout. ONE
+    * map-side-combined aggregation of KB-sized sketch rows — the raw
+    * corpus is never touched.
+    */
+  def compactStore(spark: SparkSession, root: String, expectedGen: Long,
+      keyCols: Seq[String]): Long = {
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = GenStore.genDir(root, cur)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    spark.read.parquet(src)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        max(col("lgk")).as("lgk"))
+      .write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
+    cur + 1
+  }
+
+  /** [[mergedEstimates]] through the pointer. `n_batches` counts the
+    * FRAGMENTS contributing per key (post-compaction: the compacted
+    * fragment plus appended batches), which is exactly the read
+    * amplification compaction bounds.
+    */
+  def estimatesCurrent(spark: SparkSession, root: String,
+      keyCols: Seq[String]): DataFrame =
+    mergedEstimates(spark,
+      GenStore.genDir(root, GenStore.currentGen(root)), keyCols)
 }

@@ -395,10 +395,9 @@ object EventStreams {
       root: String, checkpointDir: String,
       maxFragments: Int): org.apache.spark.sql.streaming.StreamingQuery = {
     // cold start only: a RESTARTED stream must keep the advanced pointer
-    // (initStore rewrites _CURRENT=1, which would resurrect a compacted-
-    // away generation for readers)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_CURRENT")))
-      graft.operators.InvertedIndex.initStore(root)
+    // (a plain initStore rewrites _CURRENT=1, which would resurrect a
+    // compacted-away generation for readers)
+    graft.operators.GenStore.initIfAbsent(root)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
