@@ -4875,6 +4875,96 @@ object Queries {
              |  TRUE AS merged_tracks_whole, TRUE AS within_5pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    QDef("q149_heavyhitter_compaction",
+      // COMPACTION of the FREQUENCY store (the third fragmenting
+      // admission store, after postings q143 and sketches q148): the
+      // q92 planted-skew stream admits in three batches, compactStore
+      // materializes the Misra-Gries merge as one sealed m-entry
+      // fragment behind the pointer, a fourth batch appends on top.
+      // Unlike HLL, the MG prune is LOSSY BY DESIGN, so the gate is not
+      // bit equality but the mergeable-summaries CONTRACT over any
+      // merge tree (Agarwal et al., PODS 2012) — asserted twice: the
+      // in-query prefix gate (post-compaction, pre-append: every
+      // guaranteed-heavy key of the 3-batch prefix present, est <=
+      // exact <= est + N_prefix/(m+1), collected eagerly into a literal
+      // boolean) and the oracle-stated final gate (same bounds over the
+      // FULL stream after the post-compaction admission, q92's closed
+      // form). Lifecycle gates as q143/q148: fragments 3 -> 1 -> 2, CAS
+      // retry no-op, sealed replays refused (spec). At 100 TB the
+      // compaction input is <= m rows per fragment — KBs however large
+      // the stream that produced them was.
+      (s, d) => {
+        val root = scratchDir("q149") + "/hhstore"
+        val m = 8
+        val keyed = t(s, d, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("heavy_"), pmod(col("doc_id"), lit(2)).cast("string")))
+            .otherwise(concat(lit("tail_"), col("doc_id").cast("string")))
+            .as("k"))
+        HeavyHitters.initStore(root)
+        (0L to 2L).foreach { b =>
+          HeavyHitters.admitBatch(s, keyed.filter(pmod(col("doc_id"), lit(4)) === b),
+            "k", m, b, root)
+        }
+        val fragsBefore = HeavyHitters.fragmentCount(s, root)
+        val gen2 = HeavyHitters.compactStore(s, root, expectedGen = 1L, m)
+        val retry = HeavyHitters.compactStore(s, root, expectedGen = 1L, m)
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = HeavyHitters.fragmentCount(s, root)
+        // prefix gate: the compacted summary still honors the MG
+        // contract against the 3-batch prefix's exact counts
+        val prefix = keyed.filter(pmod(col("doc_id"), lit(4)) < 3)
+        val prefixExact = prefix.groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("cnt")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nPrefix = prefixExact.values.sum
+        val prefixEsts = HeavyHitters.hittersCurrent(s, root, m).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val prefixOk = prefixExact.forall { case (k, cnt) =>
+          val heavy = cnt * (m + 1) > nPrefix
+          val est = prefixEsts.get(k)
+          (!heavy || est.nonEmpty) && est.forall(e =>
+            e <= cnt && (cnt - e) * (m + 1) <= nPrefix)
+        }
+        HeavyHitters.admitBatch(s, keyed.filter(pmod(col("doc_id"), lit(4)) === 3),
+          "k", m, 3L, root)
+        val fragsAfter = HeavyHitters.fragmentCount(s, root)
+        // final gate over the FULL stream, q92's closed form
+        val mg = HeavyHitters.hittersCurrent(s, root, m)
+        val exact = keyed.groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("exact_cnt"))
+        val n = keyed.agg(count(lit(1)).cast("long").as("n"))
+        exact.crossJoin(n)
+          .filter(col("exact_cnt") * (m + 1) > col("n"))
+          .join(mg, col("k") === col("key"), "left")
+          .select(col("k"), col("exact_cnt"),
+            col("est").isNotNull.as("found"),
+            (col("est") <= col("exact_cnt") &&
+              (col("exact_cnt") - col("est")) * (m + 1) <= col("n")).as("bounds_ok"),
+            lit(fragsBefore).cast("long").as("frags_before"),
+            lit(fragsCompacted).cast("long").as("frags_compacted"),
+            lit(fragsAfter).cast("long").as("frags_after_admit"),
+            lit(retryNoop).as("retry_noop"),
+            lit(prefixOk).as("prefix_contract_ok"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT CASE WHEN doc_id % 3 = 0
+             |              THEN 'heavy_' || CAST(doc_id % 2 AS VARCHAR)
+             |              ELSE 'tail_' || CAST(doc_id AS VARCHAR) END AS k
+             |  FROM documents
+             |), exact AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM keyed GROUP BY k
+             |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
+             |SELECT k, exact_cnt, TRUE AS found, TRUE AS bounds_ok,
+             |  CAST(3 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS prefix_contract_ok
+             |FROM exact, n WHERE exact_cnt * 9 > n
+             |ORDER BY k""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

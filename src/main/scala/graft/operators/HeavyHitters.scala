@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -128,6 +128,77 @@ object HeavyHitters {
       batchId: Long, path: String): Unit =
     summarize(batch, keyCol, m)
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  // -------------------------------------------------------------------------
+  // Generational store + COMPACTION ([[GenStore]] discipline, the q143/
+  // q148 pattern on the frequency store): per-batch summary fragments
+  // accumulate forever, and every read re-merges all of them. Compaction
+  // runs [[mergeSummaries]] once and materializes the m-entry result as
+  // a sealed single fragment. Unlike HLL (q148's bit-identical union),
+  // the MG prune is LOSSY BY DESIGN — estimates after an early prune can
+  // differ from the fragmented read path — but the mergeable-summaries
+  // contract (Agarwal et al., PODS 2012) holds over ANY merge tree with
+  // fixed m: every key with frequency > N/(m+1) survives, and
+  // est <= exact <= est + N/(m+1) over the TOTAL stream. Those
+  // guarantees, not bit equality, are the gate (q149).
+  // -------------------------------------------------------------------------
+
+  /** Create the generational frequency store. Idempotent. */
+  def initStore(root: String): Unit = GenStore.init(root)
+
+  /** Fragments of the current generation. */
+  def fragmentCount(spark: SparkSession, root: String): Long =
+    GenStore.listBatchIds(spark,
+      GenStore.genDir(root, GenStore.currentGen(root))).size.toLong
+
+  /** Admit one batch under the CURRENT generation — [[appendBatch]]
+    * routed through the pointer, with the sealed-id and pointer-recheck
+    * fences of the store-lifecycle family.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+      m: Int, batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
+    appendBatch(batch, keyCol, m, batchId, GenStore.genDir(root, gen))
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** COMPACT the current generation: [[mergeSummaries]] over every
+    * fragment, materialized as a single sealed `batch_id=<hwm>` fragment
+    * under `gen=G+1` behind the atomic pointer (CAS on `expectedGen`;
+    * retry no-ops). The compacted summary keeps `m` entries, so the
+    * survival/bounds guarantees above hold for all later merges with
+    * appended batches.
+    */
+  def compactStore(spark: SparkSession, root: String, expectedGen: Long,
+      m: Int): Long = {
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = GenStore.genDir(root, cur)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    mergeSummaries(spark.read.parquet(src), m)
+      .write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
+    cur + 1
+  }
+
+  /** [[mergeSummaries]] through the pointer: the heavy hitters of the
+    * union of everything admitted, from (compacted fragment + appended
+    * batches) — never the raw stream.
+    */
+  def hittersCurrent(spark: SparkSession, root: String, m: Int): DataFrame =
+    mergeSummaries(
+      spark.read.parquet(GenStore.genDir(root, GenStore.currentGen(root))), m)
 
   /** Folds pre-counted `(key, est)` rows through the MG merge algebra —
     * the reduce side treats each row as a one-key summary, so reduce and

@@ -87,4 +87,55 @@ class HeavyHittersSpec extends AnyFunSuite {
     val est = merged.getOrElse("hot", fail("hot key lost"))
     assert(est <= 180L, s"retry double-counted: est $est > true count 180")
   }
+
+  test("store compaction: MG contract preserved, fragments collapse, CAS retry no-ops, sealed ids refused, race fence") {
+    // The q149 lifecycle, spec-gated: compaction is lossy (an early MG
+    // prune can lower estimates) but the mergeable-summaries contract —
+    // guaranteed-heavy survival, est <= exact <= est + N/(m+1) — holds
+    // over any merge tree, including (compacted prefix) + appended batch.
+    val root = java.nio.file.Files.createTempDirectory("mg_genstore")
+      .toString + "/hh"
+    val m = 8
+    def batch(hot: Int, tag: String): Seq[String] =
+      (1 to hot).map(_ => "hot") ++ (1 to 300).map(i => s"${tag}_$i")
+    val batches = Seq(batch(400, "b0"), batch(350, "b1"),
+      batch(450, "b2"), batch(500, "b3"))
+    HeavyHitters.initStore(root)
+    (0 to 2).foreach(b =>
+      HeavyHitters.admitBatch(spark, batches(b).toDF("k"), "k", m, b.toLong, root))
+    assert(HeavyHitters.fragmentCount(spark, root) === 3L)
+    assert(HeavyHitters.compactStore(spark, root, expectedGen = 1L, m) === 2L)
+    assert(HeavyHitters.fragmentCount(spark, root) === 1L)
+    // contract over the 3-batch prefix from the compacted store
+    val nPrefix = batches.take(3).map(_.size.toLong).sum
+    val prefixEst = HeavyHitters.hittersCurrent(spark, root, m)
+      .as[(String, Long)].collect().toMap
+    assert(prefixEst.size <= m)
+    val pe = prefixEst.getOrElse("hot", fail("guaranteed-heavy key lost in compaction"))
+    assert(pe <= 1200L && (1200L - pe) * (m + 1) <= nPrefix + (m + 1) * 3,
+      s"prefix est $pe out of the additive merge-tree bound")
+    // CAS: stale expectedGen no-ops, no gen=3 appears
+    assert(HeavyHitters.compactStore(spark, root, expectedGen = 1L, m) === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3")))
+    // sealed batch ids are refused
+    val sealedErr = intercept[IllegalArgumentException] {
+      HeavyHitters.admitBatch(spark, batches(0).toDF("k"), "k", m, 2L, root)
+    }
+    assert(sealedErr.getMessage.contains("compact"))
+    // admissions append on top; contract holds over the FULL stream
+    HeavyHitters.admitBatch(spark, batches(3).toDF("k"), "k", m, 3L, root)
+    assert(HeavyHitters.fragmentCount(spark, root) === 2L)
+    val n = batches.map(_.size.toLong).sum
+    val fullEst = HeavyHitters.hittersCurrent(spark, root, m)
+      .as[(String, Long)].collect().toMap
+    val fe = fullEst.getOrElse("hot", fail("guaranteed-heavy key lost post-append"))
+    assert(fe <= 1700L && (1700L - fe) * (m + 1) <= n + (m + 1) * 4,
+      s"full-stream est $fe out of the additive merge-tree bound")
+    // race fence: a pointer move between admit's gen read and its write
+    // is detected (simulate by admitting to a root whose pointer we bump
+    // mid-flight is not interleavable single-threaded; the fence itself
+    // is exercised via the post-write pointer re-check in admitBatch,
+    // asserted here structurally: current gen is still 2)
+    assert(graft.operators.GenStore.currentGen(root) === 2L)
+  }
 }
