@@ -72,7 +72,10 @@ object ExplainDump {
     "q143_index_compaction" -> "post-compaction serving: the BM25 search reads the COMPACTED generation — check the postings scan path is gen=2 with batch_id=2 (the single merged fragment) AND batch_id=3 (the post-compaction admission appended on top: two fragments total, not four), the term isin filter in PushedFilters, and the same candidates-only shape as q139 (stats/df broadcast, dl from the posting struct, no doclens, no raw text); the compaction itself (one (term,bucket)-keyed shuffle of index rows + the atomic _CURRENT swap) ran eagerly and correctly leaves NO trace here — readers see a plain store scan with a bounded fragment list",
     "q145_phrase_search" -> "positional phrase search: each phrase slot's candidate list comes off the SAME postings store scan (term isin filter in PushedFilters; ReadSchema includes the positions array), the slots meet on doc_id in an equi-join (at df scale both sides are candidate lists — broadcast here at toy scale, co-partitioned hash join at 100 TB; NEVER a nested-loop), and the adjacency test is the array_intersect of shifted position arrays as a scalar projection above the join — no corpus scan, no per-position explode (positions stay packed in their arrays end to end)",
     "q147_phrase_bm25" -> "phrase-constrained BM25 (two-stage phrase query): the membership side is the audited q145 positional-intersection plan, the ranking side is the audited q139 candidates-only score plan (stats/df broadcast, dl from the posting struct, no doclens), and they meet in ONE equi-join on doc_id — check both sides read ONLY the phrase terms' posting buckets (same isin PushedFilters on every store scan) and that the smaller intersection side drives the join; the raw corpus appears nowhere in either stage",
-    "q141_snapshot_diff" -> "snapshot diff: ONE full-outer join of the two as-of version scans (hash join on the key; at toy scale AQE may broadcast a side — at 100 TB it is the co-partitioned shuffle) comparing payload STRUCTS, then the I/U/D classification as a scalar projection — no log replay, no per-version change storage, no second pass; both inputs are plain v<N> directory scans, the same cost shape as a current read")
+    "q141_snapshot_diff" -> "snapshot diff: ONE full-outer join of the two as-of version scans (hash join on the key; at toy scale AQE may broadcast a side — at 100 TB it is the co-partitioned shuffle) comparing payload STRUCTS, then the I/U/D classification as a scalar projection — no log replay, no per-version change storage, no second pass; both inputs are plain v<N> directory scans, the same cost shape as a current read",
+    "q146_hybrid_retrieval" -> "hybrid retrieval capstone (RRF over BM25 + vector tiers, both from STORES): the BM25 side is the audited q139 candidates-only shape (postings scan with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct — raw documents appear NOWHERE); the vector side reads the coded store's primary replicas (ReadSchema (cid, cv, cell, codes), the nearest-cell filter as a scalar projection over the scan — no re-encode, the store is self-contained) into the brute-force top-k's broadcast+TopKAgg shape; the fusion is ONE full-outer equi-join on (query_id, doc_id) — both sides are k-bounded candidate lists, so at 100 TB this join moves KBs per query — and the final per-query rank is a window partitioned BY query_id (bounded state, parallel across queries; the BM25 side's global row_number over its own top-20 is a 20-row single-partition window, constant-size by construction)",
+    "q148_sketch_compaction" -> "post-compaction sketch-store read: the store-side scan must list gen=2 with exactly TWO batch_id directories (the merged fragment + the post-compaction admission) and ReadSchema limited to (event_type, sk, batch_id) sketch rows — KBs however large the stream that produced them; above it ONE partial/final aggregation pair unions registers per key (hll_union_agg is the whole read cost); the events scan in this plan belongs to the ORACLE side (exact count-distinct + whole-corpus sketch the gates compare against), not the store read — the store path never touches raw events",
+    "q149_heavyhitter_compaction" -> "post-compaction frequency-store read: the store-side scan lists gen=2's two fragments (merged m-entry summary + the appended batch) with ReadSchema (key, est, batch_id) — at most m rows per fragment, KBs forever; above it the MG merge is ONE ObjectHashAggregate partial/final pair (reduce and merge are the same pruning algebra, so at most m counters cross any exchange); the documents scan is the exact-count oracle side of the gate row, not the store read — the raw stream is never rescanned to serve hitters")
 
   /** Queries whose audit target only exists in the EXECUTED final
     * adaptive plan: AQE performs exchange/stage reuse at stage
@@ -105,9 +108,29 @@ object ExplainDump {
       cust.filter(col("key") % 8 === 4)
         .select(col("key"), col("bal"), lit(2L).as("seq"), lit("D").as("op")),
       Seq("key"), "seq", "op")
-    Seq(("q140_time_travel (the as-of read itself)",
+    val cdcPlan = ("q140_time_travel (the as-of read itself)",
       "time travel: the q140 catalog row is a driver-built verdict table (its as-of reads ran eagerly), so this is the read under audit, dumped directly — cdcSnapshotAt(dir, 1) with v0/v1/v2 all on disk. Check the scan's Location lists exactly the .../v1 directory (v0 and v2 appear nowhere in the plan) and that NOTHING sits above the scan — no join, no window, no log replay: a historical read costs exactly one version-directory scan, same shape as a current read, which is the point of version checkpoints",
-      EventStreams.cdcSnapshotAt(spark, dir, 1L)))
+      EventStreams.cdcSnapshotAt(spark, dir, 1L))
+    // q150: a 3-batch coded vector store, compacted, one batch appended
+    // — the serving plan AFTER compaction is the audit target (the q150
+    // catalog row is a driver-built verdict table)
+    import graft.operators.{Similarity, VectorStore}
+    val vroot = Files.createTempDirectory("explain-q150-").toString + "/vstore"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (vc, vb) = Similarity.fitIvfPq(emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", nlist = 16, kmeansIters = 2,
+      m = 8, kcode = 16, pqIters = 2)
+    VectorStore.init(spark, vroot, vc, vb)
+    (0L to 2L).foreach(b => VectorStore.admit(spark, vroot,
+      emb.filter(col("vec_id") % 4 === b), "vec_id", "embedding", b))
+    VectorStore.compactGen(spark, vroot, expectedGen = 1L)
+    VectorStore.admit(spark, vroot, emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", 3L)
+    val vplan = ("q150_vector_compaction (the post-compaction search itself)",
+      "post-compaction vector serving: the q150 catalog row is a driver-built verdict table, so this dumps the search against the compacted store directly. Check the coded scan's Location is gen=2's coded directory with exactly TWO batch_id fragments (batch_id=2, the merged cell-clustered rewrite of batches 0-2, plus batch_id=3 appended after) and ReadSchema (cid, cv, cell, codes); the probed-cell In(cell) filter must sit in PushedFilters — against the compacted fragment's global cell-range layout that filter now skips whole FILES, not just row groups inside each batch file (the layout half of the compaction claim); above the scan the plan is the audited q123 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg — with NO encode expressions (encoding is on disk; compaction never re-encoded)",
+      VectorStore.search(spark, vroot, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    Seq(cdcPlan, vplan)
   }
 
   def main(args: Array[String]): Unit = {

@@ -4965,6 +4965,104 @@ object Queries {
              |FROM exact, n WHERE exact_cnt * 9 > n
              |ORDER BY k""".stripMargin)),
 
+    QDef("q150_vector_compaction",
+      // COMPACTION of the CODED VECTOR store — the fourth and last
+      // fragmenting admission store (postings q143, sketches q148,
+      // frequencies q149), and the layout-only sibling of the refit
+      // actuator (q128): four admitted batches collapse into ONE
+      // cell-clustered fragment under gen=2 with the SAME index
+      // artifact. Because the encoding is untouched, the defining gate
+      // is ROW-IDENTICAL SERVING: the post-compaction search must equal
+      // the eagerly captured fragmented-store answer including the
+      // exact cosines, and the final store (compacted fragment + one
+      // appended batch) must equal a from-scratch single-batch store of
+      // the same corpus — encoding is a pure function of (vector,
+      // index), so any batching/layout serves identically. Drift
+      // semantics survive: the fit-time baseline stats row is copied
+      // bit-for-bit and later batches merge into one exactly-weighted
+      // row (3+1 rows -> baseline + merged + appended), so needsRefit
+      // still reads fit-baseline vs latest-admitted. Lifecycle gates as
+      // the family: fragments 4 -> 1 -> 2, CAS retry no-op, sealed
+      // replays refused. At 100 TB this is what keeps a years-running
+      // store's file count O(1) instead of O(crawl batches), and the
+      // global cell-clustering upgrades In(cell) pushdown from
+      // row-group skipping inside every batch file to whole-file
+      // skipping across the store.
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q150") + "/vstore"
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val fit = emb.filter(col("vec_id") % 5 === 0)
+        val (c1, b1) = Similarity.fitIvfPq(fit, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, c1, b1)
+        (0L to 3L).foreach { b =>
+          VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === b),
+            "vec_id", "embedding", b)
+        }
+        def served() = VectorStore.search(s, root, q, "vec_id", "embedding", 5,
+            nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        def frags() = VectorStore.migratedBatchIds(s, root,
+          VectorStore.currentGen(root)).size.toLong
+        def stats() = VectorStore.driftStats(s, root)
+          .as[(Long, Long, Double, Double)].collect().toSeq
+        val fragsBefore = frags()
+        val pre = served()
+        val statsPre = stats()
+        val refitPre = VectorStore.needsRefit(s, root)
+        val gen2 = VectorStore.compactGen(s, root, expectedGen = 1L)
+        val retry = VectorStore.compactGen(s, root, expectedGen = 1L)
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = frags()
+        val postEqPre = served() == pre
+        val statsPost = stats()
+        val baselineIdentical = statsPost.headOption == statsPre.headOption
+        val statsMerged = statsPost.size == 2 &&
+          statsPost.map(_._2).sum == statsPre.map(_._2).sum
+        val refitUnchanged = VectorStore.needsRefit(s, root) == refitPre
+        val sealedRefused =
+          try {
+            VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 0),
+              "vec_id", "embedding", 0L); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("compact") }
+        VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 4),
+          "vec_id", "embedding", 4L)
+        val fragsAfter = frags()
+        // the whole corpus through a from-scratch single-batch store:
+        // encoding is pure, so the generational path must serve equal
+        val flat = scratchDir("q150") + "/flat"
+        Similarity.appendCodedBatch(emb, "vec_id", "embedding", c1, b1, 0L, flat)
+        val oneShot = Similarity.searchCodedStore(s, q, "vec_id", "embedding", 5,
+            c1, b1, flat, nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val eqOneShot = served() == oneShot
+        pre.map(_._1).distinct.sorted.map { qid =>
+          (qid, pre.count(_._1 == qid).toLong, postEqPre, eqOneShot,
+            fragsBefore, fragsCompacted, fragsAfter, retryNoop, sealedRefused,
+            baselineIdentical, statsMerged, refitUnchanged,
+            VectorStore.currentGen(root))
+        }.toDF("query_id", "n_results", "post_eq_pre", "eq_one_shot",
+          "frags_before", "frags_compacted", "frags_after_admit",
+          "retry_noop", "sealed_replay_refused", "baseline_stat_identical",
+          "stats_merged_weighted", "drift_signal_unchanged", "current_gen")
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS post_eq_pre, TRUE AS eq_one_shot,
+             |  CAST(4 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS sealed_replay_refused,
+             |  TRUE AS baseline_stat_identical, TRUE AS stats_merged_weighted,
+             |  TRUE AS drift_signal_unchanged, CAST(2 AS BIGINT) AS current_gen
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

@@ -127,6 +127,11 @@ object VectorStore {
   private[graft] def admitAt(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, vecCol: String, batchId: Long, asOfGen: Long,
       nassign: Int = 2): Unit = {
+    val sealedHwm = GenStore.compactedHwm(root, asOfGen)
+    require(batchId > sealedHwm,
+      s"batch_id=$batchId is at or below gen=$asOfGen's compacted high-water " +
+        s"mark $sealedHwm: compaction sealed it; replays of compacted batches " +
+        "are refused (a per-batch overwrite would replace the MERGED fragment)")
     val (cents, books) = loadGenIndex(spark, root, asOfGen)
     Similarity.appendCodedBatch(batch, idCol, vecCol, cents, books,
       batchId, codedDir(root, asOfGen), nassign)
@@ -210,6 +215,11 @@ object VectorStore {
     val (nc, nb) = Similarity.fitIvfPq(corpus, "cid", "cv",
       nlist, kmeansIters, m, kcode, pqIters)
     Similarity.saveIvfPqIndex(spark, nc, nb, indexDir(root, cur + 1))
+    // the compaction seal survives a refit: migrated fragments keep
+    // their (merged) batch ids, so a replay of a pre-compaction id
+    // must stay refused in the new generation too
+    val sealedHwm = GenStore.compactedHwm(root, cur)
+    if (sealedHwm >= 0) GenStore.seal(root, cur + 1, sealedHwm)
     cur + 1
   }
 
@@ -268,6 +278,86 @@ object VectorStore {
     listBatchIds(spark, codedDir(root, cur))
       .foreach(migrateBatch(spark, root, cur, ng, _, nassign))
     refitFinish(spark, root, ng, nassign)
+    ng
+  }
+
+  /** COMPACT the current generation — the layout-only sibling of
+    * [[refit]], closing the last fragmenting store in the admission
+    * family (the [[GenStore]] q143/q148/q149 discipline applied to
+    * coded vectors). At crawl cadence `gen=N/coded` holds one
+    * `batch_id=K` directory per admitted batch, forever: every search
+    * lists and opens all of them, and each is small. Compaction rewrites
+    * them as ONE fragment under `gen=N+1` with the SAME index artifact —
+    * the encoding is untouched, so serving is row-identical by
+    * construction — and globally cell-clusters the rows (range-partition
+    * by cell + within-file sort), upgrading the search path's In(cell)
+    * pushdown from per-row-group skipping inside every batch file to
+    * whole-FILE skipping across the store.
+    *
+    * Drift stats survive with their semantics intact: the fit-time
+    * baseline row (lowest batch id — what [[needsRefit]] anchors on) is
+    * copied bit-for-bit, and the later batches' rows merge into one
+    * exactly-weighted aggregate (counts sum, means weight by count, max
+    * of max), so the head-vs-last drift comparison still reads
+    * fit-baseline vs latest-admitted.
+    *
+    * Race discipline as [[refitFinish]]: after the merged fragment
+    * lands, the source generation is re-listed and any batch admitted
+    * since the first listing is copied through unmerged (its own id,
+    * above the seal — still replayable); the `_COMPACTED` seal is
+    * written BEFORE the pointer moves so a reader that sees the
+    * generation also sees its retry fence; an admit that raced the
+    * publish re-checks the pointer itself and throws ([[admit]]).
+    * CAS on `expectedGen`: a retry after success no-ops. At 100 TB this
+    * is one shuffle of the coded rows (narrow: id, vector, cell, codes)
+    * and KBs of stats — and it is the operation that keeps a
+    * years-running admission store's file count O(1) instead of
+    * O(batches).
+    */
+  def compactGen(spark: SparkSession, root: String, expectedGen: Long): Long = {
+    val cur = currentGen(root)
+    if (cur != expectedGen) return cur
+    val ng = cur + 1
+    val src = codedDir(root, cur)
+    val ids = listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    // same geometry, new generation directory: readers of gen=cur are
+    // byte-unaffected until the pointer moves
+    val (cents, books) = loadGenIndex(spark, root, cur)
+    Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, ng))
+    def mergeInto(dstId: Long, srcIds: Seq[Long]): Unit =
+      spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
+        .select("cid", "cv", "cell", "codes")
+        .repartitionByRange(col("cell"), col("cid"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite")
+        .parquet(s"${codedDir(root, ng)}/batch_id=$dstId")
+    mergeInto(hwm, ids)
+    // stats: baseline copied bit-for-bit, the rest exactly-weighted
+    val statsDst = s"${codedDir(root, ng)}_stats"
+    val base = ids.min
+    spark.read.parquet(s"${src}_stats/batch_id=$base")
+      .write.mode("overwrite").parquet(s"$statsDst/batch_id=$base")
+    if (ids.size > 1)
+      spark.read.parquet(s"${src}_stats").filter(col("batch_id") > base)
+        .agg(sum(col("n_vectors")).as("n_vectors"),
+          (sum(col("mean_err") * col("n_vectors")) / sum(col("n_vectors")))
+            .as("mean_err"),
+          max(col("max_err")).as("max_err"))
+        .write.mode("overwrite").parquet(s"$statsDst/batch_id=$hwm")
+    // straggler sweep: batches admitted to gen=cur since the first
+    // listing ride through unmerged (idempotent copies, ids above hwm)
+    def sweep(): Unit =
+      (listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        mergeInto(i, Seq(i))
+        spark.read.parquet(s"${src}_stats/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$statsDst/batch_id=$i")
+      }
+    sweep()
+    GenStore.seal(root, ng, hwm)
+    writePointer(root, ng)
+    sweep() // the list->publish window, converged post-publish
     ng
   }
 

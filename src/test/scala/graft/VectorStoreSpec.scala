@@ -189,6 +189,49 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L, 2L))
   }
 
+  test("compaction: serving row-identical, seal survives a later refit, stale-pointer admit fence holds") {
+    // interleavings q150 can't express: compaction then refit (the seal
+    // must ride into the refitted generation), and the admit whose
+    // pointer read predates the compaction's publish
+    val root = freshStore("compact", Seq(corpus(0, 200), corpus(200, 300),
+      corpus(300, 400)))
+    val q = corpus(0, 10)
+    def rows(): Seq[String] = VectorStore.search(spark, root, q,
+        "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)
+      .collect().map(_.toString).toSeq
+    val pre = rows()
+    val staleGen = VectorStore.currentGen(root)
+    assert(VectorStore.compactGen(spark, root, expectedGen = 1L) === 2L)
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(2L))
+    assert(rows() === pre, "compaction changed the serving surface")
+    // stale-pointer admit: wrote into dead gen 1, must throw, and a
+    // proper re-admit (above the seal) lands in gen 2
+    val raceErr = intercept[IllegalStateException] {
+      VectorStore.admitAt(spark, root, corpus(400, 450),
+        "vec_id", "embedding", 3L, asOfGen = staleGen)
+    }
+    assert(raceErr.getMessage.contains("raced a refit"))
+    VectorStore.admit(spark, root, corpus(400, 450), "vec_id", "embedding", 3L)
+    assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(2L, 3L))
+    // a replay of a compacted id is refused IN THE CURRENT generation...
+    val sealedErr = intercept[IllegalArgumentException] {
+      VectorStore.admit(spark, root, corpus(0, 200), "vec_id", "embedding", 1L)
+    }
+    assert(sealedErr.getMessage.contains("compact"))
+    // ...and STILL refused after a refit publishes gen 3 (the seal rides
+    // along — a per-batch overwrite there would replace a migrated
+    // fragment that carries merged pre-compaction history)
+    assert(doRefit(root, expected = 2L) === 3L)
+    assert(VectorStore.migratedBatchIds(spark, root, 3L) === Seq(2L, 3L))
+    val sealedAfterRefit = intercept[IllegalArgumentException] {
+      VectorStore.admit(spark, root, corpus(0, 200), "vec_id", "embedding", 0L)
+    }
+    assert(sealedAfterRefit.getMessage.contains("compact"))
+    // new ids above the seal admit normally
+    VectorStore.admit(spark, root, corpus(450, 500), "vec_id", "embedding", 4L)
+    assert(VectorStore.migratedBatchIds(spark, root, 3L) === Seq(2L, 3L, 4L))
+  }
+
   test("generation vacuum drops superseded generations, never the current one") {
     val root = freshStore("vacuum", Seq(corpus(0, 300), corpus(300, 400)))
     val q = corpus(0, 5)
