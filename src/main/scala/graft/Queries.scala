@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, Layout, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -5062,6 +5062,243 @@ object Queries {
              |  TRUE AS baseline_stat_identical, TRUE AS stats_merged_weighted,
              |  TRUE AS drift_signal_unchanged, CAST(2 AS BIGINT) AS current_gen
              |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q151_signature_compaction",
+      // COMPACTION of the DEDUP SIGNATURE store — the GenStore family
+      // (q143/q148/q149/q150) extended to the MinHash admission state,
+      // where it is genuine DATA reduction, not just file-count
+      // reduction: the store is a distinct (band, bucket) KEY SET, so
+      // fragments across crawl batches overlap (a recloned doc writes
+      // its keys every batch) and compaction's single cross-batch
+      // distinct removes them. The defining gate is BIT-IDENTICAL
+      // ADMISSION DECISIONS: a LEFT-SEMI probe is multiset-insensitive,
+      // so the probe batch's (hit_bands, admit) rows pre-compaction,
+      // post-compaction, and from the one-shot closed form (the
+      // oracle, q105's portable-md5 key family) are all equal. Plus the
+      // family lifecycle: fragments 3 -> 1 -> 2, CAS retry no-op,
+      // sealed replays refused (a per-batch overwrite would drop the
+      // other merged batches' keys). At 100 TB this is the store the
+      // crawl admission loop probes EVERY batch — compaction keeps that
+      // semi-join's build side at distinct-corpus size instead of
+      // sum-of-batches size, forever.
+      (s, d) => {
+        val root = scratchDir("q151") + "/sigstore"
+        val docs = t(s, d, "documents")
+        val probe = docs.filter(col("doc_id") % 5 === 4)
+        KeySetStore.init(root)
+        (0L to 2L).foreach { b =>
+          Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === b),
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+            batchId = b, root = root, portableKeys = true)
+        }
+        def decisions() = Dedup.admitAgainstMinHashStoreGen(probe,
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+            root = root, portableKeys = true)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        val fragsBefore = KeySetStore.fragmentCount(s, root)
+        val pre = decisions()
+        val gen2 = KeySetStore.compactStore(s, root, expectedGen = 1L)
+        val retry = KeySetStore.compactStore(s, root, expectedGen = 1L)
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = KeySetStore.fragmentCount(s, root)
+        val postEqPre = decisions() == pre && pre.nonEmpty
+        // compaction dedups keys ACROSS batches: the compacted fragment
+        // must hold exactly the distinct union, never more rows than
+        // the fragments it merged
+        val keyRowsFragmented = s.read.parquet(root + "/gen=1").count()
+        val keyRowsCompacted = s.read.parquet(root + "/gen=2").count()
+        val crossBatchDedup = keyRowsCompacted <= keyRowsFragmented &&
+          keyRowsCompacted ==
+            s.read.parquet(root + "/gen=1").drop("batch_id").distinct().count()
+        val sealedRefused =
+          try {
+            Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === 0),
+              "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+              batchId = 0L, root = root, portableKeys = true); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("compact") }
+        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === 3),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 3L, root = root, portableKeys = true)
+        val fragsAfter = KeySetStore.fragmentCount(s, root)
+        // the oracle-stated surface: the probe batch's decisions against
+        // the FULL admitted history (batches 0-3), from the compacted
+        // store + the appended fragment
+        Dedup.admitAgainstMinHashStoreGen(probe,
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+            root = root, portableKeys = true)
+          .select(col("id").as("doc_id"), col("hit_bands"), col("admit"),
+            lit(fragsBefore).cast("long").as("frags_before"),
+            lit(fragsCompacted).cast("long").as("frags_compacted"),
+            lit(fragsAfter).cast("long").as("frags_after_admit"),
+            lit(retryNoop).as("retry_noop"),
+            lit(postEqPre).as("decisions_identical"),
+            lit(crossBatchDedup).as("cross_batch_dedup"),
+            lit(sealedRefused).as("sealed_replay_refused"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), store AS (
+             |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 5 < 4
+             |), hits AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+             |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             |  WHERE b.doc_id % 5 = 4
+             |  GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+             |  coalesce(h.hit_bands, 0) = 0 AS admit,
+             |  CAST(3 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS decisions_identical,
+             |  TRUE AS cross_batch_dedup, TRUE AS sealed_replay_refused
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+             |LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q152_pipeline_manifest",
+      // CROSS-STORE SNAPSHOT ISOLATION — the coordination layer the
+      // store family was missing: the q146 hybrid retrieval reads TWO
+      // generational stores (retrieval index + vector store) whose
+      // pointers move independently under compaction (q143) and refit
+      // (q128); a reader resolving each pointer separately can observe
+      // a joint state no writer ever published. The manifest pins both
+      // generations in ONE versioned, atomically-published file, and
+      // every read resolves through it. Gates: (1) a reader pinned to
+      // manifest v1 is BIT-IDENTICAL before and after BOTH stores
+      // publish new generations (index compaction + vector refit) —
+      // generation immutability makes the pin sufficient; (2) manifest
+      // v2 (new pins) equals reads through the stores' own current
+      // pointers, bit-for-bit; (3) publish is CAS (retry no-op);
+      // (4) a vacuumed manifest version fails LOUDLY, never silently
+      // re-resolves; (5) retainedPins is the store-vacuum reference
+      // set: after the manifest vacuum drops v1, vacuuming BOTH stores'
+      // gen-1 leaves the v2 read byte-identical. At 100 TB this is how
+      // a fleet of query nodes sees index+vector refits land as one
+      // atomic cutover with zero read downtime.
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q152")
+        val iroot = root + "/istore"
+        val vroot = root + "/vstore"
+        val mroot = root + "/manifest"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(iroot)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 8),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
+        val emb = t(s, d, "embeddings")
+        val (c1, bk1) = Similarity.fitIvfPq(
+          emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, vroot, c1, bk1)
+        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 < 8),
+          "vec_id", "embedding", 0L)
+        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 >= 8),
+          "vec_id", "embedding", 1L)
+        Manifest.init(mroot, Map("index" -> 1L, "vectors" -> 1L))
+        val q = emb.filter(col("vec_id") < 3)
+        // the q146 hybrid, every store read resolved through ONE
+        // manifest version (gen-scoped reads of immutable directories)
+        def fuse(knn: DataFrame, bm: DataFrame): Seq[(Long, Long, Long)] = {
+          val qids = knn.select(col("query_id")).distinct()
+          knn.join(qids.crossJoin(bm), Seq("query_id", "doc_id"), "full_outer")
+            .select(col("query_id"), col("doc_id"),
+              (coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))).as("rrf"))
+            .withColumn("hrank", row_number()
+              .over(Window.partitionBy(col("query_id"))
+                .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+            .filter(col("hrank") <= 10)
+            .select(col("query_id"), col("hrank"), col("doc_id"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        }
+        def hybridAt(version: Long): Seq[(Long, Long, Long)] = {
+          val p = Manifest.pins(mroot, version)
+          val knn = VectorStore.searchGen(s, vroot, p("vectors"), q,
+              "vec_id", "embedding", 10, nprobe = 12, shortlistFactor = 32)
+            .select(col("query_id"), col("neighbor_id").as("doc_id"),
+              col("rank").as("rk"))
+          val bm = InvertedIndex.bm25SearchStore(s,
+              InvertedIndex.genDir(iroot, p("index")), bm25Terms, 20)
+            .withColumn("rb", row_number()
+              .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+            .select(col("doc_id"), col("rb"))
+          fuse(knn, bm)
+        }
+        val r1 = hybridAt(1L)
+        // the world moves: BOTH stores publish new generations
+        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
+        VectorStore.refit(s, vroot, expectedGen = 1L,
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        val v1Stable = hybridAt(1L) == r1
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> InvertedIndex.currentGen(iroot),
+            "vectors" -> VectorStore.currentGen(vroot)))
+        val retry = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> 99L, "vectors" -> 99L))
+        val retryNoop = v2 == 2L && retry == 2L &&
+          Manifest.pins(mroot, 2L) == Map("index" -> 2L, "vectors" -> 2L)
+        val r2 = hybridAt(2L)
+        // v2 == reads through the stores' own current pointers
+        val knnCur = VectorStore.search(s, vroot, q,
+            "vec_id", "embedding", 10, nprobe = 12, shortlistFactor = 32)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("rk"))
+        val bmCur = InvertedIndex.bm25SearchCurrent(s, iroot, bm25Terms, 20)
+          .withColumn("rb", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rb"))
+        val v2EqCurrent = r2 == fuse(knnCur, bmCur)
+        val retainedOk = Manifest.retainedPins(mroot) ==
+          Map("index" -> Set(1L, 2L), "vectors" -> Set(1L, 2L))
+        // retention: drop manifest v1, then (and only then) the stores'
+        // gen-1 — the v2 read must be byte-unaffected
+        val dropped = Manifest.vacuum(mroot, keepLast = 1) == Seq(1L)
+        val staleFails =
+          try { Manifest.pins(mroot, 1L); false }
+          catch { case _: IllegalArgumentException => true }
+        val retainedAfter = Manifest.retainedPins(mroot) ==
+          Map("index" -> Set(2L), "vectors" -> Set(2L))
+        InvertedIndex.vacuumStoreGenerations(iroot, keepLast = 1)
+        VectorStore.vacuumGenerations(vroot, keepLast = 1)
+        val postVacuum = hybridAt(2L) == r2
+        r2.map(_._1).distinct.sorted.map { qid =>
+          (qid, r2.count(_._1 == qid).toLong, v1Stable, v2EqCurrent,
+            retryNoop, dropped && staleFails && retainedOk && retainedAfter,
+            postVacuum, Manifest.currentVersion(mroot))
+        }.toDF("query_id", "n_results", "v1_stable_under_publishes",
+          "v2_eq_current", "retry_noop", "retention_contract_ok",
+          "post_vacuum_identical", "current_version")
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  TRUE AS v1_stable_under_publishes, TRUE AS v2_eq_current,
+             |  TRUE AS retry_noop, TRUE AS retention_contract_ok,
+             |  TRUE AS post_vacuum_identical,
+             |  CAST(2 AS BIGINT) AS current_version
+             |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin)),
 
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl

@@ -766,6 +766,70 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------------
+  // Generational forms of the two dedup admission stores, through
+  // [[KeySetStore]] (the GenStore compaction family): same keys, same
+  // decisions, but fragments stay bounded at crawl cadence and
+  // compaction dedups keys ACROSS batches (the flat `batch=` stores
+  // above keep every batch's overlap forever). The read paths skip the
+  // flat forms' read-side distinct(): a LEFT-SEMI probe is
+  // multiset-insensitive, so fragment overlap is harmless pre-compaction
+  // and gone after — one shuffle less per admission check either way.
+  // ---------------------------------------------------------------------
+
+  /** [[appendMinHashStore]] through the generational store. */
+  def admitMinHashBatch(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      batchId: Long, root: String, portableKeys: Boolean = false): Unit =
+    KeySetStore.admitBatch(
+      minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+        .select(col("band"), col("bucket")),
+      batchId, root)
+
+  /** [[admitAgainstMinHashStore]] through the generational store —
+    * decisions are BIT-IDENTICAL to the flat form on the same admitted
+    * history (semi-join against the same key set), which is what lets
+    * q151 gate compaction as a pure serving no-op.
+    */
+  def admitAgainstMinHashStoreGen(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      root: String, portableKeys: Boolean = false): DataFrame = {
+    val keys = minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+    val store = KeySetStore.keysCurrent(docs.sparkSession, root)
+      .select(col("band"), col("bucket"))
+    val hits = keys.join(store, Seq("band", "bucket"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("hit_bands"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+        (coalesce(col("hit_bands"), lit(0L)) === 0L).as("admit"))
+      .orderBy(col("id"))
+  }
+
+  /** [[appendGramStore]] through the generational store. */
+  def admitGramBatch(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      batchId: Long, root: String, portableKeys: Boolean = false): Unit =
+    KeySetStore.admitBatch(
+      gramPostings(tokenized(docs, idCol, textCol, minTokens), minTokens,
+        portableKeys).select(col("g")),
+      batchId, root)
+
+  /** [[spansAgainstStore]] through the generational store. */
+  def spansAgainstStoreGen(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      root: String, portableKeys: Boolean = false): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol, minTokens)
+    val grams = gramPostings(tok, minTokens, portableKeys)
+    val store = KeySetStore.keysCurrent(docs.sparkSession, root).select(col("g"))
+    val dupPos = grams.join(store, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spansFromPositions(dupPos, tok, minTokens)
+  }
+
   /** SemDeDup in its corpus-scale form: kNN join -> threshold ->
     * connected components. Every vector meets only its approximate
     * top-`k` neighbors (the [[Similarity.ivfPqKnnJoin]] bucketed plan —

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generational DISTINCT-KEY-SET store — the [[GenStore]] discipline
+  * (q143 postings / q148 sketches / q149 frequencies / q150 coded
+  * vectors) for the dedup admission family, whose persisted state is a
+  * set of keys: the span-dedup gram store (distinct gram hashes,
+  * [[Dedup.appendGramStore]]) and the MinHash signature store (distinct
+  * (band, bucket) rows, [[Dedup.appendMinHashStore]]). Schema-generic:
+  * a fragment holds whatever key columns the owner admits.
+  *
+  * Why compaction matters MORE here than for the other stores: the
+  * state is a set, so fragments across crawl batches overlap — an exact
+  * reclone admitted in every batch writes its keys every time. The
+  * per-batch fragments are each internally distinct but not mutually,
+  * so compaction (union all fragments, distinct ONCE, one sealed
+  * fragment) is genuine data reduction, not just file-count reduction —
+  * and every post-compaction semi-join probes a smaller store. Reads
+  * stay correct against any fragmentation because a LEFT-SEMI join is
+  * multiset-insensitive: duplicate keys across fragments change
+  * nothing, which is also why the compacted store serves BIT-IDENTICAL
+  * admission decisions (the gate q151 states).
+  *
+  * Lifecycle contract (shared with the family): CAS compaction on
+  * `expectedGen` (retry no-ops), `_COMPACTED` seal refuses replays of
+  * merged batch ids (a per-batch overwrite would silently drop every
+  * OTHER batch's keys that were merged into the fragment), post-write
+  * pointer re-check fences an admit racing a compaction, straggler
+  * sweep re-lists around the pointer move.
+  */
+object KeySetStore {
+
+  /** Create the generational store. Idempotent. */
+  def init(root: String): Unit = GenStore.init(root)
+
+  /** Fragments of the current generation. */
+  def fragmentCount(spark: SparkSession, root: String): Long =
+    GenStore.listBatchIds(spark,
+      GenStore.genDir(root, GenStore.currentGen(root))).size.toLong
+
+  /** Admit one batch's key rows (made distinct here) under the CURRENT
+    * generation, with the family's sealed-id and pointer-recheck fences.
+    * Idempotent per batch id (mode overwrite).
+    */
+  def admitBatch(keys: DataFrame, batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are " +
+        "refused (a per-batch overwrite would drop the other merged batches' keys)")
+    keys.distinct().write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, gen)}/batch_id=$batchId")
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** The key set through the pointer — every key column of every
+    * fragment of the current generation (the discovered `batch_id`
+    * partition column dropped). A multiset until compacted; callers
+    * semi-join against it, so overlap across fragments is harmless.
+    */
+  def keysCurrent(spark: SparkSession, root: String): DataFrame = {
+    val df = spark.read.parquet(
+      GenStore.genDir(root, GenStore.currentGen(root)))
+    df.drop("batch_id")
+  }
+
+  /** COMPACT the current generation: union every fragment, distinct
+    * ONCE, one sealed `batch_id=<hwm>` fragment under `gen=G+1` behind
+    * the atomic pointer. CAS on `expectedGen`; straggler sweep as the
+    * family ([[VectorStore.compactGen]]).
+    */
+  def compactStore(spark: SparkSession, root: String,
+      expectedGen: Long): Long = {
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val ng = cur + 1
+    val src = GenStore.genDir(root, cur)
+    val dst = GenStore.genDir(root, ng)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    spark.read.parquet(src).drop("batch_id").distinct()
+      .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
+    GenStore.seal(root, ng, hwm)
+    GenStore.writePointer(root, ng)
+    sweep()
+    ng
+  }
+
+  /** The continuous-compaction policy ([[InvertedIndex
+    * .compactIfFragmented]]'s shape): compact once `maxFragments`
+    * accumulate. Returns the new generation when it fired.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    if (fragmentCount(spark, root) < maxFragments) None
+    else Some(compactStore(spark, root, GenStore.currentGen(root)))
+  }
+
+  /** Retention for superseded generations ([[GenStore.vacuum]]). */
+  def vacuum(root: String, keepLast: Int): Seq[Long] =
+    GenStore.vacuum(root, keepLast)
+}

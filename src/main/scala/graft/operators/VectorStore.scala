@@ -361,6 +361,21 @@ object VectorStore {
     ng
   }
 
+  /** The continuous-compaction policy over [[compactGen]]
+    * ([[InvertedIndex.compactIfFragmented]]'s shape): compact once
+    * `maxFragments` accumulate. Returns the new generation when it
+    * fired. Layout-only, so it composes freely with the refit policy
+    * ([[needsRefit]]) — drift decides WHEN the geometry changes,
+    * fragmentation decides when the files do.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    val gen = currentGen(root)
+    if (listBatchIds(spark, codedDir(root, gen)).size < maxFragments) None
+    else Some(compactGen(spark, root, gen))
+  }
+
   /** The admitted corpus reconstructed from the CURRENT generation's
     * own rows — one row per vector (the primary-replica filter
     * [[refitStart]]'s fit uses): (idCol, vecCol) with the original

@@ -413,6 +413,65 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming VECTOR admission with the compaction policy — the
+    * [[indexIngestCompacting]] pattern on the coded vector store: each
+    * micro-batch encodes against the current generation's index
+    * ([[graft.operators.VectorStore.admit]], one narrow pass) and
+    * [[graft.operators.VectorStore.compactIfFragmented]] keeps the
+    * fragment count bounded at crawl cadence. The store must already be
+    * initialized with a fitted index ([[graft.operators.VectorStore
+    * .init]] — fitting is a policy-layer action, not a sink side
+    * effect); a restarted stream keeps whatever generation the pointer
+    * reached. Sealed replays (micro-batch retried after a meantime
+    * compaction sealed its id) are no-ops: their rows are durably
+    * inside the compacted fragment. Refit-on-drift composes above this
+    * sink exactly as in batch — compaction never changes the geometry.
+    */
+  def vectorIngestCompacting(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      root: String, checkpointDir: String, maxFragments: Int,
+      nassign: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, VectorStore}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, VectorStore.currentGen(root))) {
+          VectorStore.admit(spark, root, batch, idCol, vecCol, batchId, nassign)
+          VectorStore.compactIfFragmented(spark, root, maxFragments)
+          ()
+        } // else: sealed replay — rows already in the compacted fragment
+      }
+      .start()
+
+  /** Streaming KEY-SET admission with the compaction policy — the same
+    * pattern on the dedup stores ([[graft.operators.KeySetStore]]):
+    * `keys` is a streaming frame of key rows (e.g.
+    * [[graft.operators.Dedup.minHashBandKeys]] over a crawl stream —
+    * per-row expressions, so it streams as a map); each micro-batch
+    * lands as one distinct fragment and the policy's cross-batch
+    * distinct keeps both the fragment count AND the key overlap
+    * bounded. Cold-start initializes generation 1; a restart keeps the
+    * advanced pointer; sealed replays are no-ops.
+    */
+  def keySetIngestCompacting(
+      keys: DataFrame, root: String, checkpointDir: String,
+      maxFragments: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    keys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, KeySetStore}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          KeySetStore.admitBatch(batch, batchId, root)
+          KeySetStore.compactIfFragmented(spark, root, maxFragments)
+          ()
+        } // else: sealed replay — keys already in the compacted fragment
+      }
+      .start()
+  }
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Manifest
+
+/** The cross-store manifest's mechanics (q152 gates the end-to-end
+  * snapshot-isolation story over real stores; these pin the pointer/
+  * CAS/retention file semantics, driver-side only).
+  */
+class ManifestSpec extends AnyFunSuite {
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft-manifest-$tag").toString + "/m"
+
+  test("init/publish/resolve: CAS semantics and sorted round-trip") {
+    val root = fresh("cas")
+    Manifest.init(root, Map("index" -> 1L, "vectors" -> 1L))
+    assert(Manifest.currentVersion(root) === 1L)
+    assert(Manifest.pinsCurrent(root) === Map("index" -> 1L, "vectors" -> 1L))
+    // stale CAS no-ops and leaves no directory behind
+    assert(Manifest.publish(root, expectedVersion = 7L, Map("index" -> 9L)) === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v2")))
+    // real publish; a retry against the consumed version no-ops
+    assert(Manifest.publish(root, 1L, Map("index" -> 2L, "vectors" -> 1L)) === 2L)
+    assert(Manifest.publish(root, 1L, Map("index" -> 99L)) === 2L)
+    assert(Manifest.pins(root, 2L) === Map("index" -> 2L, "vectors" -> 1L))
+    // historical versions stay resolvable until vacuumed
+    assert(Manifest.pins(root, 1L) === Map("index" -> 1L, "vectors" -> 1L))
+    assert(Manifest.resolve(root, 2L, "index") === 2L)
+  }
+
+  test("invalid pins are refused eagerly") {
+    val root = fresh("valid")
+    assertThrows[IllegalArgumentException] { Manifest.init(root, Map.empty) }
+    assertThrows[IllegalArgumentException] {
+      Manifest.init(root, Map("a=b" -> 1L))
+    }
+    Manifest.init(root, Map("ok" -> 1L))
+    assertThrows[RuntimeException] { Manifest.resolve(root, 1L, "missing") }
+    assertThrows[IllegalArgumentException] { Manifest.pins(root, 5L) }
+  }
+
+  test("vacuum: tombstoned versions fail loudly; retainedPins tracks what survives") {
+    val root = fresh("vacuum")
+    Manifest.init(root, Map("index" -> 1L, "vectors" -> 1L))
+    Manifest.publish(root, 1L, Map("index" -> 2L, "vectors" -> 1L))
+    Manifest.publish(root, 2L, Map("index" -> 2L, "vectors" -> 2L))
+    assert(Manifest.listVersions(root) === Seq(1L, 2L, 3L))
+    assert(Manifest.retainedPins(root) ===
+      Map("index" -> Set(1L, 2L), "vectors" -> Set(1L, 2L)))
+    assert(Manifest.vacuum(root, keepLast = 2) === Seq(1L))
+    assert(Manifest.listVersions(root) === Seq(2L, 3L))
+    assertThrows[IllegalArgumentException] { Manifest.pins(root, 1L) }
+    assert(Manifest.retainedPins(root) ===
+      Map("index" -> Set(2L), "vectors" -> Set(1L, 2L)))
+    // keepLast floor; idempotence once satisfied
+    assertThrows[IllegalArgumentException] { Manifest.vacuum(root, 0) }
+    assert(Manifest.vacuum(root, keepLast = 2).isEmpty)
+  }
+
+  test("an unpublished version directory above the pointer is invisible") {
+    val root = fresh("unpub")
+    Manifest.init(root, Map("index" -> 1L))
+    // a crashed publish: pins written, pointer never moved
+    val dir = java.nio.file.Paths.get(root, "v2")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("PINS"), "index=2".getBytes)
+    assert(Manifest.currentVersion(root) === 1L)
+    assert(Manifest.listVersions(root) === Seq(1L))
+    assert(Manifest.retainedPins(root) === Map("index" -> Set(1L)))
+    // the retry completes the publish and the version becomes visible
+    assert(Manifest.publish(root, 1L, Map("index" -> 2L)) === 2L)
+    assert(Manifest.listVersions(root) === Seq(1L, 2L))
+  }
+}

@@ -495,6 +495,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming compacting vector admission: fragments bounded, serving == one-shot, sealed replay refused") {
+    import graft.operators.{Similarity, VectorStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-vec-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/vstore"
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    emb.repartition(4).write.mode("overwrite").parquet(feedDir)
+    // index fit is a policy action BEFORE the stream starts
+    val (c1, b1) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    VectorStore.init(spark, root, c1, b1)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.vectorIngestCompacting(stream, "vec_id", "embedding",
+      root, s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(VectorStore.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(VectorStore.migratedBatchIds(spark, root,
+      VectorStore.currentGen(root)).size <= 2)
+    // serving == a from-scratch single-batch store of the same corpus
+    // under the same index (compaction is layout-only; encode is pure)
+    val queries = emb.filter(col("vec_id") < 5)
+    val served = VectorStore.search(spark, root, queries,
+        "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 32)
+      .collect().map(_.toString).toSeq
+    val flat = s"$base/flat"
+    Similarity.appendCodedBatch(emb, "vec_id", "embedding", c1, b1, 0L, flat)
+    val oneShot = Similarity.searchCodedStore(spark, queries,
+        "vec_id", "embedding", 5, c1, b1, flat,
+        nprobe = 12, shortlistFactor = 32)
+      .collect().map(_.toString).toSeq
+    assert(served == oneShot)
+    // sealed replay refused at the store layer (the sink skips it)
+    val hwm = graft.operators.GenStore.compactedHwm(root,
+      VectorStore.currentGen(root))
+    assert(hwm >= 0L)
+    assertThrows[IllegalArgumentException] {
+      VectorStore.admit(spark, root, emb, "vec_id", "embedding", hwm)
+    }
+  }
+
+  test("streaming compacting key-set admission: fragments bounded, decisions == flat store") {
+    import graft.operators.{Dedup, KeySetStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-keys-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/kstore"
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 5 < 4)
+    val probe = docs.filter(col("doc_id") % 5 === 4)
+    history.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(history.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    // band keys are per-row expressions -> they stream as a map
+    val keys = Dedup.minHashBandKeys(stream, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8)
+      .select(col("band"), col("bucket"))
+    val q = EventStreams.keySetIngestCompacting(keys, root,
+      s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.operators.GenStore.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(KeySetStore.fragmentCount(spark, root) <= 2L)
+    // admission decisions == the flat store fed the same history once
+    val flat = java.nio.file.Files.createTempDirectory("graft-keys-flat").toString
+    Dedup.appendMinHashStore(history, "doc_id", "text",
+      numHashes = 32, bands = 8, batchId = 0L, path = flat)
+    val fromStream = Dedup.admitAgainstMinHashStoreGen(probe, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, root = root)
+      .collect().map(_.toString).toSeq
+    val fromFlat = Dedup.admitAgainstMinHashStore(probe, "doc_id", "text",
+        numHashes = 32, bands = 8, path = flat)
+      .collect().map(_.toString).toSeq
+    assert(fromStream == fromFlat)
+  }
+
   test("CDC time travel: as-of reads serve immutable history; vacuum bounds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-timetravel")
     val dir = s"$base/cdc"

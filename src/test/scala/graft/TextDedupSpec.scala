@@ -660,4 +660,61 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(spans == Seq((1L, 3L, 9L, shared), (2L, 1L, 9L, shared)))
   }
+
+  test("generational gram store: decisions match the flat store, compaction dedups overlap, lifecycle fences hold") {
+    // the q151 machinery on the GRAM store (q151 itself gates the
+    // signature store): same admitted history through both forms must
+    // yield identical span hits; compaction's cross-batch distinct
+    // shrinks the store when batches share boilerplate; sealed ids and
+    // the CAS retry behave as the family requires
+    import graft.operators.KeySetStore
+    val boiler = (1 to 9).map(i => s"b$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"n$i").mkString(" ")
+    val flat = java.nio.file.Files.createTempDirectory("graft-gramflat").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-gramgen")
+      .toString + "/gstore"
+    // both batches carry the SAME boilerplate -> overlapping gram keys
+    val b0 = Seq((1L, s"intro words $boiler outro")).toDF("doc_id", "text")
+    val b1 = Seq((2L, s"other head $boiler tail"), (3L, s"pad pad2 $fresh"))
+      .toDF("doc_id", "text")
+    Dedup.appendGramStore(b0, "doc_id", "text", 8, batchId = 0L, path = flat)
+    Dedup.appendGramStore(b1, "doc_id", "text", 8, batchId = 1L, path = flat)
+    KeySetStore.init(root)
+    Dedup.admitGramBatch(b0, "doc_id", "text", 8, batchId = 0L, root = root)
+    Dedup.admitGramBatch(b1, "doc_id", "text", 8, batchId = 1L, root = root)
+    val probe = Seq((10L, s"u1 u2 $boiler u3"), (11L, s"x1 x2 x3 $fresh"))
+      .toDF("doc_id", "text")
+    def hitsGen() = Dedup.spansAgainstStoreGen(probe, "doc_id", "text", 8, root)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val flatHits = Dedup.spansAgainstStore(probe, "doc_id", "text", 8, flat)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val pre = hitsGen()
+    assert(pre == flatHits, "generational store diverged from the flat store")
+    assert(pre.map(_._1).toSet == Set(10L, 11L))
+    // compaction: decisions identical, cross-batch overlap removed
+    val fragRows = spark.read.parquet(root + "/gen=1").count()
+    val distinctRows = spark.read.parquet(root + "/gen=1")
+      .drop("batch_id").distinct().count()
+    assert(distinctRows < fragRows,
+      "fixture premise: the batches overlap, so compaction must shrink the store")
+    assert(KeySetStore.compactStore(spark, root, expectedGen = 1L) === 2L)
+    assert(KeySetStore.fragmentCount(spark, root) === 1L)
+    assert(spark.read.parquet(root + "/gen=2").count() === distinctRows)
+    assert(hitsGen() == pre, "compaction changed admission decisions")
+    // CAS retry no-op; sealed replay refused; appends go on top
+    assert(KeySetStore.compactStore(spark, root, expectedGen = 1L) === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3")))
+    val sealedErr = intercept[IllegalArgumentException] {
+      Dedup.admitGramBatch(b0, "doc_id", "text", 8, batchId = 1L, root = root)
+    }
+    assert(sealedErr.getMessage.contains("compact"))
+    Dedup.admitGramBatch(probe, "doc_id", "text", 8, batchId = 2L, root = root)
+    assert(KeySetStore.fragmentCount(spark, root) === 2L)
+    // the appended batch is live history now
+    val later = Dedup.spansAgainstStoreGen(
+        Seq((20L, s"z1 z2 u1 u2 $boiler u3")).toDF("doc_id", "text"),
+        "doc_id", "text", 8, root)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(later.nonEmpty && later.head._1 == 20L)
+  }
 }
