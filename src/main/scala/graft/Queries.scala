@@ -5281,9 +5281,13 @@ object Queries {
           catch { case _: IllegalArgumentException => true }
         val retainedAfter = Manifest.retainedPins(mroot) ==
           Map("index" -> Set(2L), "vectors" -> Set(2L))
-        InvertedIndex.vacuumStoreGenerations(iroot, keepLast = 1)
-        VectorStore.vacuumGenerations(vroot, keepLast = 1)
-        val postVacuum = hybridAt(2L) == r2
+        // the ENFORCED store vacuums: gen 1 drops only because no
+        // retained manifest version pins it anymore (the pin is an
+        // invariant the vacuum cannot violate, not an advisory audit)
+        val storeDrops =
+          Manifest.vacuumStore(mroot, "index", iroot, keepLast = 1) == Seq(1L) &&
+          Manifest.vacuumStore(mroot, "vectors", vroot, keepLast = 1) == Seq(1L)
+        val postVacuum = hybridAt(2L) == r2 && storeDrops
         r2.map(_._1).distinct.sorted.map { qid =>
           (qid, r2.count(_._1 == qid).toLong, v1Stable, v2EqCurrent,
             retryNoop, dropped && staleFails && retainedOk && retainedAfter,

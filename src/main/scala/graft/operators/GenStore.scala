@@ -108,10 +108,21 @@ object GenStore {
     * crash mid-vacuum or a racing reader can never observe a partial
     * generation that still resolves. Returns the dropped generations.
     */
-  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+  def vacuum(root: String, keepLast: Int): Seq[Long] =
+    vacuumExcept(root, keepLast, Set.empty)
+
+  /** [[vacuum]] with an exclusion set: generations in `keep` survive
+    * even when older than the retention window — the enforcement hook
+    * for cross-store pins ([[Manifest.vacuumStore]] passes the
+    * generations that retained manifest versions still pin, turning
+    * [[Manifest.retainedPins]] from an advisory audit into an invariant
+    * the vacuum cannot violate).
+    */
+  def vacuumExcept(root: String, keepLast: Int,
+      keep: Set[Long]): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the current generation")
     graft.streaming.EventStreams.sweepTombstones(java.nio.file.Paths.get(root))
-    val drop = listGenerations(root).dropRight(keepLast)
+    val drop = listGenerations(root).dropRight(keepLast).filterNot(keep)
     drop.foreach(g => graft.streaming.EventStreams.tombstoneDelete(
       java.nio.file.Paths.get(genDir(root, g))))
     drop

@@ -160,4 +160,18 @@ object Manifest {
   def retainedPins(root: String): Map[String, Set[Long]] =
     listVersions(root).flatMap(v => pins(root, v).toSeq)
       .groupBy(_._1).map { case (n, gs) => n -> gs.map(_._2).toSet }
+
+  /** Vacuum one pinned store's generations WITHOUT ever dropping a
+    * generation a retained manifest version still pins —
+    * [[retainedPins]] enforced, not just auditable. Works on any store
+    * with the family layout (`_CURRENT` + `gen=N` directories:
+    * [[GenStore]] owners and [[VectorStore]] alike). The safe order for
+    * full retirement is therefore: manifest [[vacuum]] first (drop the
+    * versions), then per-store [[vacuumStore]] (their pins are no
+    * longer retained). Returns the dropped generations.
+    */
+  def vacuumStore(manifestRoot: String, store: String,
+      storeRoot: String, keepLast: Int): Seq[Long] =
+    GenStore.vacuumExcept(storeRoot, keepLast,
+      retainedPins(manifestRoot).getOrElse(store, Set.empty))
 }

@@ -61,6 +61,34 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.vacuum(root, keepLast = 2).isEmpty)
   }
 
+  test("vacuumStore never drops a generation a retained manifest version pins") {
+    import graft.operators.GenStore
+    val root = fresh("enforce")
+    val store = Files.createTempDirectory("graft-manifest-store").toString + "/s"
+    // a family-layout store with three published generations
+    GenStore.init(store)
+    (1L to 3L).foreach { g =>
+      Files.createDirectories(java.nio.file.Paths.get(GenStore.genDir(store, g)))
+      Files.write(java.nio.file.Paths.get(GenStore.genDir(store, g), "x"),
+        g.toString.getBytes)
+    }
+    GenStore.writePointer(store, 3L)
+    // the manifest's retained versions pin gen 2 (v2); gen 1 is unpinned
+    Manifest.init(root, Map("s" -> 1L))
+    Manifest.publish(root, 1L, Map("s" -> 2L))
+    Manifest.publish(root, 2L, Map("s" -> 3L))
+    Manifest.vacuum(root, keepLast = 2) // v1 (pin of gen 1) retired
+    // keepLast=1 would drop gens 1 and 2 — but gen 2 is still pinned
+    assert(Manifest.vacuumStore(root, "s", store, keepLast = 1) === Seq(1L))
+    assert(GenStore.listGenerations(store) === Seq(2L, 3L))
+    // retire v2, and the same vacuum may now drop gen 2
+    Manifest.vacuum(root, keepLast = 1)
+    assert(Manifest.vacuumStore(root, "s", store, keepLast = 1) === Seq(2L))
+    assert(GenStore.listGenerations(store) === Seq(3L))
+    // a store the manifest never pinned vacuums on the window alone
+    assert(Manifest.vacuumStore(root, "unpinned", store, keepLast = 1).isEmpty)
+  }
+
   test("an unpublished version directory above the pointer is invisible") {
     val root = fresh("unpub")
     Manifest.init(root, Map("index" -> 1L))
