@@ -68,7 +68,7 @@ object ExplainDump {
     "q134_tpch_q9" -> "TPC-H Q9 (profit rollup): the red-name substring filter evaluates on the PART side (Contains reaches the part scan's filter; a substring predicate prunes ~87% of parts BEFORE broadcast), part and supplier⋈nation are BroadcastHashJoins, and the ONE shuffle is lineitem⋈orders on the orderkey; the profit expression (extendedprice/discount/retailprice/quantity) is a scalar projection above the joins feeding a single partial/final HashAggregate pair on (nation, year) — one pass, decimal-exact",
     "q137_tpch_q14" -> "TPC-H Q14 (promo ratio): both shipdate bounds in the lineitem scan's PushedFilters — one month of a 7-year range means ~98.8% of row groups prune on stats before the join; part is a BroadcastHashJoin carrying only (p_partkey, p_type); the conditional numerator and the denominator accumulate in the SAME single HashAggregate pair (check exactly one aggregation — a second scan for the denominator is the classic mistake this shape punishes); the ratio is a 1-row scalar projection",
     "q139_index_admission" -> "incremental retrieval-index admission: the search plan reads ONLY store rows — check the postings scan lists both batch_id directories with the 4-term isin filter in PushedFilters (term buckets, never the corpus), the stats side is a 1-row-per-batch scan aggregated and broadcast (cross join), and df is an aggregation of bucket sizes broadcast onto the exploded posting rows; since round 10 `dl` rides INSIDE the posting struct, so the corpus-sized doclens relation appears NOWHERE in this plan (r9's only non-broadcast exchange is structurally gone — the remaining exchange is the per-doc score aggregation over candidate rows only); the raw documents table must appear NOWHERE — text was touched at admission, which ran eagerly before",
-    "q142_index_lookup_store" -> "index-store lookup surface: the ONLY file scan in the plan is the postings store (both batch_id directories) with the 4-term isin filter in PushedFilters and ReadSchema limited to (tok, bucket, n_docs, postings) — queried-term bucket rows only, never raw text, never doclens/stats; above it the cross-batch cell merge (groupBy (tok,bucket): flatten + bounded re-sort) and the bucket-order concatenation (groupBy tok) are two partial/final aggregation pairs over rows bounded by bucketSize x batches — the linear-in-batch-count read cost this plan shows is exactly what q143's compaction bounds",
+    "q142_index_lookup_store" -> "index-store lookup surface: the ONLY file scan in the plan is the postings store (both batch_id directories) with the 4-term isin filter in PushedFilters and ReadSchema limited to (tok, n_docs, postings) — queried-term bucket rows only, never raw text, never doclens/stats; above it exactly ONE partial/final aggregation pair on tok (disjoint ascending buckets + unique doc admission make the global sorted flatten equal the per-cell-merge-then-concat form, so r9's intermediate (tok,bucket) exchange is structurally gone); rows entering it are bounded by bucketSize x batches — the linear-in-batch-count read cost this plan shows is exactly what q143's compaction bounds",
     "q143_index_compaction" -> "post-compaction serving: the BM25 search reads the COMPACTED generation — check the postings scan path is gen=2 with batch_id=2 (the single merged fragment) AND batch_id=3 (the post-compaction admission appended on top: two fragments total, not four), the term isin filter in PushedFilters, and the same candidates-only shape as q139 (stats/df broadcast, dl from the posting struct, no doclens, no raw text); the compaction itself (one (term,bucket)-keyed shuffle of index rows + the atomic _CURRENT swap) ran eagerly and correctly leaves NO trace here — readers see a plain store scan with a bounded fragment list",
     "q145_phrase_search" -> "positional phrase search: each phrase slot's candidate list comes off the SAME postings store scan (term isin filter in PushedFilters; ReadSchema includes the positions array), the slots meet on doc_id in an equi-join (at df scale both sides are candidate lists — broadcast here at toy scale, co-partitioned hash join at 100 TB; NEVER a nested-loop), and the adjacency test is the array_intersect of shifted position arrays as a scalar projection above the join — no corpus scan, no per-position explode (positions stay packed in their arrays end to end)",
     "q147_phrase_bm25" -> "phrase-constrained BM25 (two-stage phrase query): the membership side is the audited q145 positional-intersection plan, the ranking side is the audited q139 candidates-only score plan (stats/df broadcast, dl from the posting struct, no doclens), and they meet in ONE equi-join on doc_id — check both sides read ONLY the phrase terms' posting buckets (same isin PushedFilters on every store scan) and that the smaller intersection side drives the join; the raw corpus appears nowhere in either stage",

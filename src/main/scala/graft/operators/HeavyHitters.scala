@@ -192,6 +192,17 @@ object HeavyHitters {
     cur + 1
   }
 
+  /** The continuous-compaction policy ([[InvertedIndex
+    * .compactIfFragmented]]'s shape): compact once `maxFragments`
+    * accumulate. Returns the new generation when it fired.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String, m: Int,
+      maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    if (fragmentCount(spark, root) < maxFragments) None
+    else Some(compactStore(spark, root, GenStore.currentGen(root), m))
+  }
+
   /** [[mergeSummaries]] through the pointer: the heavy hitters of the
     * union of everything admitted, from (compacted fragment + appended
     * batches) — never the raw stream.

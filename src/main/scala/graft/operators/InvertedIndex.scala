@@ -131,24 +131,25 @@ object InvertedIndex {
   }
 
   /** Term lookup across EVERY admitted batch, equal to [[lookup]] over a
-    * fresh [[build]] of the union corpus: batches may split a (term,
-    * bucket) cell, so cells merge first (flatten + sort — bounded by
-    * bucketSize × batches per cell), then buckets concatenate in order
-    * exactly as [[lookup]] does. On a freshly [[compactStore]]-ed
-    * generation the cell merge degenerates to a pass-through (one
-    * fragment per cell) — compaction is precisely this merge, run once
-    * and materialized instead of re-run on every read.
+    * fresh [[build]] of the union corpus — in ONE aggregation (the r9
+    * review's double-shuffle nit, closed): buckets cover disjoint
+    * ascending doc-id ranges and a doc_id is admitted by exactly one
+    * batch, so the globally sorted flatten of every fragment's id
+    * arrays IS the bucket-ordered concatenation of per-bucket merges
+    * that [[lookup]]-over-[[build]] produces, and `n_docs` sums exactly
+    * — no intermediate (term, bucket) cell-merge exchange needed. Rows
+    * entering the aggregation are bounded by fragments × buckets of the
+    * queried terms; on a freshly [[compactStore]]-ed generation that is
+    * one row per (term, bucket).
     */
   def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame =
-    lookup(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tok").isin(terms: _*))
-        .select(col("tok"), col("bucket"), col("n_docs"),
-          transform(col("postings"), _.getField("doc_id")).as("ids"))
-        .groupBy(col("tok"), col("bucket"))
-        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          array_sort(flatten(collect_list(col("ids")))).as("postings")),
-      terms)
+    spark.read.parquet(s"$path/postings")
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok"), col("n_docs"),
+        transform(col("postings"), _.getField("doc_id")).as("ids"))
+      .groupBy(col("tok"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        array_sort(flatten(collect_list(col("ids")))).as("postings"))
 
   /** BM25 top-k over the persisted store — the textbook corpus-wide
     * score (df, N, avgdl across ALL admitted batches) computed from

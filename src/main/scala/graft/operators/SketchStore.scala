@@ -131,6 +131,17 @@ object SketchStore {
     cur + 1
   }
 
+  /** The continuous-compaction policy ([[InvertedIndex
+    * .compactIfFragmented]]'s shape): compact once `maxFragments`
+    * accumulate. Returns the new generation when it fired.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      keyCols: Seq[String], maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    if (fragmentCount(spark, root) < maxFragments) None
+    else Some(compactStore(spark, root, GenStore.currentGen(root), keyCols))
+  }
+
   /** [[mergedEstimates]] through the pointer. `n_batches` counts the
     * FRAGMENTS contributing per key (post-compaction: the compacted
     * fragment plus appended batches), which is exactly the read

@@ -472,6 +472,59 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming SKETCH admission with the compaction policy — the same
+    * pattern on the per-key HLL store: each micro-batch lands its
+    * sketch rows and [[graft.operators.SketchStore.compactIfFragmented]]
+    * unions fragments per key once the policy fires (estimates
+    * bit-identical, q148's gate). Cold-start initializes generation 1;
+    * sealed replays are no-ops.
+    */
+  def sketchIngestCompacting(
+      events: DataFrame, keyCols: Seq[String], valueCol: String,
+      root: String, checkpointDir: String, maxFragments: Int,
+      lgK: Int = graft.operators.SketchStore.DefaultLgK):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, SketchStore}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          SketchStore.admitBatch(spark, batch, keyCols, valueCol, batchId,
+            root, lgK)
+          SketchStore.compactIfFragmented(spark, root, keyCols, maxFragments)
+          ()
+        } // else: sealed replay — registers already unioned into the fragment
+      }
+      .start()
+  }
+
+  /** Streaming FREQUENCY admission with the compaction policy — the
+    * same pattern on the Misra-Gries store: each micro-batch summarizes
+    * to at most `m` counters and the policy merges fragments under the
+    * mergeable-summaries contract (q149's gate). Cold-start initializes
+    * generation 1; sealed replays are no-ops.
+    */
+  def frequencyIngestCompacting(
+      rows: DataFrame, keyCol: String, m: Int,
+      root: String, checkpointDir: String, maxFragments: Int):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, HeavyHitters}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          HeavyHitters.admitBatch(spark, batch, keyCol, m, batchId, root)
+          HeavyHitters.compactIfFragmented(spark, root, m, maxFragments)
+          ()
+        } // else: sealed replay — counts already pruned into the fragment
+      }
+      .start()
+  }
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

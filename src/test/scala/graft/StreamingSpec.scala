@@ -572,6 +572,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream == fromFlat)
   }
 
+  test("streaming compacting sketch admission: fragments bounded, estimates track the one-pass sketch") {
+    import graft.operators.SketchStore
+    val base = java.nio.file.Files.createTempDirectory("graft-sketch-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/sstore"
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("event_type"), col("user_id"))
+    ev.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.sketchIngestCompacting(stream, Seq("event_type"),
+      "user_id", root, s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.operators.GenStore.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(SketchStore.fragmentCount(spark, root) <= 2L)
+    // estimates track the one-pass whole-corpus sketch: exact in the
+    // sparse/coupon regime, <=1% once dense (the SketchStoreSpec scoping)
+    val whole = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"),
+        lit(SketchStore.DefaultLgK))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SketchStore.estimatesCurrent(spark, root, Seq("event_type"))
+      .select(col("event_type"), col("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == whole.keySet)
+    got.foreach { case (k, est) =>
+      if (whole(k) < 1000) assert(est == whole(k), s"$k: $est != ${whole(k)}")
+      else assert(math.abs(est - whole(k)) <= whole(k) / 100, s"$k drifted >1%")
+    }
+  }
+
+  test("streaming compacting frequency admission: fragments bounded, MG contract holds over the stream") {
+    import graft.operators.HeavyHitters
+    val base = java.nio.file.Files.createTempDirectory("graft-freq-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/hstore"
+    val m = 8
+    // planted skew over the documents ids (the q149 recipe)
+    val keyed = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("heavy_"), pmod(col("doc_id"), lit(2)).cast("string")))
+        .otherwise(concat(lit("tail_"), col("doc_id").cast("string"))).as("k"))
+    keyed.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(keyed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.frequencyIngestCompacting(stream, "k", m,
+      root, s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.operators.GenStore.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(HeavyHitters.fragmentCount(spark, root) <= 2L)
+    // the mergeable-summaries contract over the WHOLE stream, whatever
+    // merge tree the interleaved compactions produced
+    val exact = keyed.groupBy(col("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val est = HeavyHitters.hittersCurrent(spark, root, m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= m)
+    exact.foreach { case (k, cnt) =>
+      if (cnt * (m + 1) > n) {
+        val e = est.getOrElse(k, fail(s"guaranteed-heavy $k lost in the stream"))
+        assert(e <= cnt && (cnt - e) * (m + 1) <= n + (m + 1) * 4,
+          s"$k: est $e out of the additive merge-tree bound (exact $cnt)")
+      }
+    }
+  }
+
   test("CDC time travel: as-of reads serve immutable history; vacuum bounds it") {
     val base = java.nio.file.Files.createTempDirectory("graft-timetravel")
     val dir = s"$base/cdc"
