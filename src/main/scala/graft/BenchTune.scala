@@ -543,6 +543,102 @@ object BenchTune {
       f"time=$incT%.1f s (vs $r0%d rounds / $full%.1f s from scratch)")
   }
 
+  /** `--compaction [batches] [docsPerBatch] [vecsPerBatch]`: the
+    * measured payoff of admission-store compaction — the q143/q150
+    * claim ("read amplification grows with fragment count, compaction
+    * bounds it") as numbers instead of prose. Builds the retrieval
+    * index and the coded vector store at `batches` fragments (the
+    * years-of-crawl shape), times the hot read path (BM25 search /
+    * store kNN search) fragmented, compacts, re-times the identical
+    * query, and reports wall times plus the store file counts. The
+    * results are bit-identical by the stores' compaction gates, so the
+    * delta is pure read-path cost. Synthetic corpora (hash-derived
+    * tokens/vectors, the knnDemo recipe) so fragment count is the only
+    * variable.
+    */
+  private def compactionDemo(spark: SparkSession, batches: Int,
+      docsPerBatch: Long, vecsPerBatch: Long): Unit = {
+    import graft.operators.{GenStore, InvertedIndex, Similarity, VectorStore}
+    def fileCount(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+    }
+    def timeIt(body: => Unit): Double = {
+      body // warm
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compaction-probe").toString
+    // ---- retrieval index: `batches` fragments of hash-token docs ----
+    val iroot = s"$base/istore"
+    InvertedIndex.initStore(iroot)
+    val vocabSize = 2000
+    def docBatch(b: Int): DataFrame =
+      spark.range(b * docsPerBatch, (b + 1) * docsPerBatch)
+        .select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(39)), j =>
+            concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocabSize.toLong))
+              .cast("string"))).as("tk"))
+    (0 until batches).foreach(b =>
+      InvertedIndex.admitBatch(spark, docBatch(b), "doc_id", "tk",
+        bucketSize = 4096L, batchId = b.toLong, root = iroot))
+    val terms = Seq("w10", "w20", "w30", "w40")
+    def bm25() = InvertedIndex.bm25SearchCurrent(spark, iroot, terms, 15)
+      .collect()
+    val genBefore = GenStore.genDir(iroot, InvertedIndex.currentGen(iroot))
+    val idxFilesBefore = fileCount(genBefore)
+    val idxFragT = timeIt(bm25())
+    val idxCompT = { val t0 = System.nanoTime()
+      InvertedIndex.compactStore(spark, iroot, InvertedIndex.currentGen(iroot))
+      (System.nanoTime() - t0) / 1e9 }
+    val genAfter = GenStore.genDir(iroot, InvertedIndex.currentGen(iroot))
+    val idxFilesAfter = fileCount(genAfter)
+    val idxOneT = timeIt(bm25())
+    println(f"[compaction] index batches=$batches%d docs=${batches * docsPerBatch}%d " +
+      f"bm25_fragmented=$idxFragT%.2f s bm25_compacted=$idxOneT%.2f s " +
+      f"speedup=${idxFragT / idxOneT}%.2fx compact_cost=$idxCompT%.1f s " +
+      f"files=$idxFilesBefore%d->$idxFilesAfter%d")
+    // ---- coded vector store: `batches` fragments of hash vectors ----
+    val vroot = s"$base/vstore"
+    val dim = 64
+    def vecBatch(b: Int): DataFrame =
+      spark.range(b * vecsPerBatch, (b + 1) * vecsPerBatch)
+        .select(col("id").as("vec_id"),
+          array((0 until dim).map(j =>
+            ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+              .cast("double")): _*).as("embedding"))
+    val (cents, books) = Similarity.fitIvfPq(vecBatch(0), "vec_id", "embedding",
+      nlist = 64, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    VectorStore.init(spark, vroot, cents, books)
+    (0 until batches).foreach(b =>
+      VectorStore.admit(spark, vroot, vecBatch(b), "vec_id", "embedding",
+        b.toLong))
+    val queries = vecBatch(0).filter(col("vec_id") < 100)
+    def knn() = VectorStore.search(spark, vroot, queries,
+      "vec_id", "embedding", 10, nprobe = 12, shortlistFactor = 32).collect()
+    val vgBefore = s"${VectorStore.codedDir(vroot, VectorStore.currentGen(vroot))}"
+    val vecFilesBefore = fileCount(vgBefore)
+    val vecFragT = timeIt(knn())
+    val vecCompT = { val t0 = System.nanoTime()
+      VectorStore.compactGen(spark, vroot, VectorStore.currentGen(vroot))
+      (System.nanoTime() - t0) / 1e9 }
+    val vecFilesAfter = fileCount(
+      s"${VectorStore.codedDir(vroot, VectorStore.currentGen(vroot))}")
+    val vecOneT = timeIt(knn())
+    println(f"[compaction] vector batches=$batches%d vecs=${batches * vecsPerBatch}%d " +
+      f"search_fragmented=$vecFragT%.2f s search_compacted=$vecOneT%.2f s " +
+      f"speedup=${vecFragT / vecOneT}%.2fx compact_cost=$vecCompT%.1f s " +
+      f"files=$vecFilesBefore%d->$vecFilesAfter%d")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -575,6 +671,15 @@ object BenchTune {
         nums.drop(3).headOption.getOrElse(1L).toInt,
         nums.drop(4).headOption.getOrElse(8L).toInt,
         nums.drop(5).headOption.getOrElse(16L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--compaction")) {
+      val nums = args.dropWhile(_ != "--compaction").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      compactionDemo(spark, nums.headOption.getOrElse(32L).toInt,
+        nums.drop(1).headOption.getOrElse(20000L),
+        nums.drop(2).headOption.getOrElse(10000L))
       spark.stop()
       return
     }
