@@ -5304,6 +5304,100 @@ object Queries {
              |  CAST(2 AS BIGINT) AS current_version
              |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin)),
 
+    QDef("q153_training_pipeline",
+      // The TRAINING-DATA CAPSTONE — q146's composition idea on the
+      // curation side: an incremental crawl pipeline whose every stage
+      // is an already-gated operator, composed end-to-end and equal to
+      // the one-shot closed form. Batch 1 (even doc ids) flows quality
+      // gate (q27's exact score, threshold 0.5) -> its survivors' MinHash
+      // band keys admit to the generational signature store (q151
+      // machinery, portable-md5 keys). Batch 2 (odd ids) flows the same
+      // quality gate -> dedup ADMISSION against history (one semi-join
+      // probe of the store, q105/q151 — history never rescanned; clones
+      // of retained batch-1 docs are rejected, intra-batch dups are
+      // not) -> the retained corpus (batch-1 survivors + batch-2
+      // admissions) is token-counted (q26) and packed into 2048-token
+      // context windows sharded by source (q66's integer window
+      // arithmetic). Output = the packed layout of the final corpus,
+      // bit-exact vs DuckDB recomputing the whole pipeline from scratch
+      // (quality doubles are the same IEEE arithmetic both engines —
+      // q27's gate — so the threshold cut is deterministic; everything
+      // after is integer/md5-exact). At 100 TB every stage is the
+      // audited scale shape: narrow quality/tokenize maps, one
+      // semi-join per crawl batch against a compacted key set, one
+      // window per shard for packing.
+      (s, d) => {
+        val root = scratchDir("q153") + "/sigstore"
+        val qual = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+        val b1 = qual.filter(col("doc_id") % 2 === 0 && col("quality") >= 0.5)
+        val b2 = qual.filter(col("doc_id") % 2 === 1 && col("quality") >= 0.5)
+        KeySetStore.init(root)
+        Dedup.admitMinHashBatch(b1, "doc_id", "text", n = 3, numHashes = 32,
+          bands = 8, batchId = 0L, root = root, portableKeys = true)
+        val admitted = b2.join(
+          Dedup.admitAgainstMinHashStoreGen(b2, "doc_id", "text", n = 3,
+              numHashes = 32, bands = 8, root = root, portableKeys = true)
+            .filter(col("admit")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val corpus = b1.unionByName(admitted)
+        Packing.packByBudget(
+          corpus.select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", 2048L)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""$tokCte, qual AS (
+              |  SELECT doc_id,
+              |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.4
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(len(list_filter(tk, x -> list_contains($stoplist, x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) * 5.0) * 0.3
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) / 8.0) * 0.3 AS quality
+              |  FROM tok
+              |), keep AS (
+              |  SELECT doc_id FROM qual WHERE quality >= 0.5
+              |), tri AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              |  FROM tok WHERE len(tk) >= 3 AND doc_id IN (SELECT doc_id FROM keep)
+              |), sigs AS (
+              |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+              |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+              |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+              |  GROUP BY doc_id, i
+              |), bnd AS (
+              |  SELECT doc_id, i // 4 AS band,
+              |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+              |  FROM sigs GROUP BY doc_id, i // 4
+              |), store AS (
+              |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 2 = 0
+              |), hits AS (
+              |  SELECT b.doc_id, count(*) AS hit_bands
+              |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id
+              |), corpus AS (
+              |  SELECT doc_id FROM keep WHERE doc_id % 2 = 0
+              |  UNION ALL
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits h USING (doc_id)
+              |  WHERE k.doc_id % 2 = 1 AND coalesce(h.hit_bands, 0) = 0
+              |), tokc AS (
+              |  SELECT d.doc_id, d.source, CAST(len(t.tk) AS BIGINT) AS n_tokens
+              |  FROM documents d
+              |  JOIN tok t ON d.doc_id = t.doc_id
+              |  JOIN corpus c ON d.doc_id = c.doc_id
+              |), w AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS strt
+              |  FROM tokc
+              |)
+              |SELECT doc_id, source, n_tokens,
+              |  strt // 2048 AS bin, strt % 2048 AS bin_offset
+              |FROM w ORDER BY source, doc_id""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,
