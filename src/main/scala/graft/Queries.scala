@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, RangeJoin, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -4913,20 +4913,23 @@ object Queries {
           !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
         val fragsCompacted = HeavyHitters.fragmentCount(s, root)
         // prefix gate: the compacted summary still honors the MG
-        // contract against the 3-batch prefix's exact counts
+        // contract against the 3-batch prefix's exact counts — checked
+        // DISTRIBUTIVELY (the exact histogram is corpus-keyed, so it
+        // must never cross to the driver: the m-row summary broadcasts
+        // onto it and only the 1-row min-verdict collects)
+        import s.implicits._
         val prefix = keyed.filter(pmod(col("doc_id"), lit(4)) < 3)
-        val prefixExact = prefix.groupBy(col("k"))
-          .agg(count(lit(1)).cast("long").as("cnt")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nPrefix = prefixExact.values.sum
+        val nPrefix = prefix.count()
         val prefixEsts = HeavyHitters.hittersCurrent(s, root, m).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val prefixOk = prefixExact.forall { case (k, cnt) =>
-          val heavy = cnt * (m + 1) > nPrefix
-          val est = prefixEsts.get(k)
-          (!heavy || est.nonEmpty) && est.forall(e =>
-            e <= cnt && (cnt - e) * (m + 1) <= nPrefix)
-        }
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val prefixOk = prefix.groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .join(broadcast(prefixEsts.toDF("key", "est")),
+            col("k") === col("key"), "left")
+          .select(((col("cnt") * (m + 1) <= nPrefix || col("est").isNotNull) &&
+            (col("est").isNull || (col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (m + 1) <= nPrefix))).as("ok"))
+          .agg(min(col("ok"))).head.getBoolean(0)
         HeavyHitters.admitBatch(s, keyed.filter(pmod(col("doc_id"), lit(4)) === 3),
           "k", m, 3L, root)
         val fragsAfter = HeavyHitters.fragmentCount(s, root)
@@ -5397,6 +5400,48 @@ object Queries {
               |SELECT doc_id, source, n_tokens,
               |  strt // 2048 AS bin, strt % 2048 AS bin_offset
               |FROM w ORDER BY source, doc_id""".stripMargin)),
+
+    QDef("q154_range_join",
+      // POINT-IN-INTERVAL range join without an equi-key — the join
+      // flavor between the equi family and the as-of join (q34): every
+      // event matched to every maintenance window containing it, where
+      // Spark's native plan for the bare BETWEEN condition would be a
+      // broadcast nested-loop (O(P x I)). RangeJoin's bucketed rewrite
+      // (intervals explode to the fixed-width buckets they overlap,
+      // points map to their one bucket, equi-join on bucket, exact
+      // containment prunes the boundary) keeps it a plain co-partitioned
+      // hash join — the only plan that survives when neither side
+      // broadcasts at 100 TB. Windows: 100 90-minute windows every 6
+      // hours from the corpus's min event time (computed identically in
+      // both engines, broadcast as one row, never per-row). Epoch-ms
+      // coordinates both sides (the catalog's timestamp convention);
+      // window arithmetic is integer-exact; inclusive bounds. The
+      // oracle is DuckDB's own range join over the same BETWEEN.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+        val t0 = ev.agg(min(col("ms")).as("t0"))
+        val windows = s.range(100).crossJoin(broadcast(t0))
+          .select(col("id").as("window_id"),
+            (col("t0") + col("id") * 21600000L).as("ws"),
+            (col("t0") + col("id") * 21600000L + 5400000L).as("we"))
+        RangeJoin.pointInInterval(ev, windows, "ms", "ws", "we",
+          bucketWidth = 5400000L)
+          .select(col("event_id"), col("window_id"), col("ms"),
+            col("ws"), col("we"))
+          .orderBy(col("event_id"), col("window_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events
+             |), t0 AS (SELECT min(ms) AS t0 FROM e
+             |), w AS (
+             |  SELECT CAST(i AS BIGINT) AS window_id,
+             |    t0 + i * 21600000 AS ws, t0 + i * 21600000 + 5400000 AS we
+             |  FROM (SELECT unnest(range(0, 100)) AS i) CROSS JOIN t0
+             |)
+             |SELECT e.event_id, w.window_id, e.ms, w.ws, w.we
+             |FROM e JOIN w ON e.ms >= w.ws AND e.ms <= w.we
+             |ORDER BY event_id, window_id""".stripMargin)),
 
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl

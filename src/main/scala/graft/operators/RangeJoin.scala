@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed POINT-IN-INTERVAL (range) join — the missing join flavor
+  * between the equi-join family and [[AsOfJoin]]: match every point
+  * `p` to every interval `[start, end]` containing it, where the two
+  * sides share NO equi-key. Spark's native plan for a bare range
+  * condition is a broadcast nested-loop (or a cartesian) — O(P × I)
+  * comparisons, a scale-killer the moment neither side broadcasts.
+  *
+  * The scale shape instead is the classic bucketed rewrite (interval
+  * trees flattened into a hash join; e.g. Chawda et al., "Processing
+  * Interval Joins On Map-Reduce", EDBT 2014): intervals EXPLODE to the
+  * fixed-width buckets they overlap, points map to their single bucket,
+  * the sides meet in an ordinary equi-join on the bucket id, and the
+  * exact containment predicate prunes boundary false-positives. A
+  * matching point lies in exactly one bucket, so no output pair
+  * duplicates and no distinct is needed. Work per bucket is
+  * (points in bucket) × (intervals overlapping it) — the bucket width
+  * is the dial that trades interval replication (span/width rows per
+  * interval) against per-bucket join fan-in, and the join itself is
+  * shuffle-partitioned on bucket id: co-located, AQE-skew-splittable,
+  * never a driver loop, never P × I.
+  *
+  * Contract: coordinates are integral (cast timestamps to epoch
+  * millis/micros first — the catalog's oracle-determinism convention),
+  * bounds are INCLUSIVE on both ends, and intervals wider than
+  * `maxIntervalBuckets` buckets fail loudly at execution (the
+  * replication fence: one degenerate years-long interval must not
+  * explode the build side silently — widen the buckets or route such
+  * intervals to a tiny broadcast side instead).
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, maxIntervalBuckets: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty,
+      s"point and interval column names must be disjoint; both carry: " +
+        clash.toSeq.sorted.mkString(", "))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val b0 = bucketOf(col(startCol))
+    val b1 = bucketOf(col(endCol))
+    val exploded = intervals
+      .withColumn("__rj_guard", assert_true(
+        col(startCol) <= col(endCol) &&
+          (b1 - b0) < lit(maxIntervalBuckets),
+        concat(lit(s"RangeJoin: interval [${startCol}, ${endCol}] = ["),
+          col(startCol), lit(", "), col(endCol),
+          lit(s"] is empty or spans >= $maxIntervalBuckets buckets of " +
+            s"width $bucketWidth — widen bucketWidth or broadcast " +
+            "degenerate intervals separately"))))
+      .withColumn("__rj_bucket", explode(sequence(b0, b1)))
+      .drop("__rj_guard")
+    points.withColumn("__rj_bucket", bucketOf(col(pointCol)))
+      .join(exploded, Seq("__rj_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__rj_bucket")
+  }
+
+  /** Interval-overlap join: pairs of intervals (aStart,aEnd) ×
+    * (bStart,bEnd) that INTERSECT — the two-sided generalization, same
+    * bucketed rewrite. Both sides explode; a pair sharing k buckets
+    * would match k times, so the pair is kept only in the FIRST bucket
+    * the overlap occupies (the standard dedup-free trick: emit where
+    * the bucket holds max(aStart, bStart)) — no distinct, no double
+    * counting.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long, maxIntervalBuckets: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"interval column names must be disjoint; both carry: " +
+        clash.toSeq.sorted.mkString(", "))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    def explodeSide(df: DataFrame, s: String, e: String) = df
+      .withColumn("__rj_guard", assert_true(
+        col(s) <= col(e) &&
+          (bucketOf(col(e)) - bucketOf(col(s))) < lit(maxIntervalBuckets),
+        lit(s"RangeJoin: interval [$s, $e] is empty or spans >= " +
+          s"$maxIntervalBuckets buckets of width $bucketWidth")))
+      .withColumn("__rj_bucket", explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+      .drop("__rj_guard")
+    explodeSide(a, aStart, aEnd)
+      .join(explodeSide(b, bStart, bEnd).withColumnRenamed("__rj_bucket", "__rj_b2"),
+        col("__rj_bucket") === col("__rj_b2"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__rj_bucket") ===
+        bucketOf(greatest(col(aStart), col(bStart))))
+      .drop("__rj_bucket", "__rj_b2")
+  }
+}
