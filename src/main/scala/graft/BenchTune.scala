@@ -398,7 +398,8 @@ object BenchTune {
     * gate shortlist instead of paying the 128x shortlist wall.
     */
   private def knnDemo(spark: SparkSession, n: Long, clusters: Int,
-      shortlist: Int, cellSalt: Int, m: Int = 8, kcode: Int = 16): Unit = {
+      shortlist: Int, cellSalt: Int, m: Int = 8, kcode: Int = 16,
+      tier: String = "pq"): Unit = {
     import graft.operators.Similarity
     val dim = 64
     val vec = if (clusters <= 0) {
@@ -420,14 +421,24 @@ object BenchTune {
     emb.count()
     val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
     val t0 = System.nanoTime()
-    val (cents, books) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-      nlist = nlist, kmeansIters = 2, m = m, kcode = kcode, pqIters = 2)
+    // the SQ tier needs only the coarse index: no codebook fit at all —
+    // part of the point (m sequential subspace Lloyd loops vanish)
+    val (cents, books) =
+      if (tier == "sq")
+        (Similarity.fitCentroids(emb, "vec_id", "embedding", nlist, 2), null)
+      else Similarity.fitIvfPq(emb, "vec_id", "embedding",
+        nlist = nlist, kmeansIters = 2, m = m, kcode = kcode, pqIters = 2)
     val fitT = (System.nanoTime() - t0) / 1e9
     val k = 10
     val t1 = System.nanoTime()
-    val out = Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", k,
-      cents, books, nprobe = 12, nassign = 2, shortlistFactor = shortlist,
-      cellSalt = cellSalt)
+    val out =
+      if (tier == "sq")
+        Similarity.ivfSqKnnJoin(emb, "vec_id", "embedding", k,
+          cents, nprobe = 12, nassign = 2, shortlistFactor = shortlist,
+          cellSalt = cellSalt)
+      else Similarity.ivfPqKnnJoin(emb, "vec_id", "embedding", k,
+        cents, books, nprobe = 12, nassign = 2, shortlistFactor = shortlist,
+        cellSalt = cellSalt)
     val rows = out.count()
     val joinT = (System.nanoTime() - t1) / 1e9
     require(rows <= n * k, s"expected at most ${n * k} rows, got $rows")
@@ -442,8 +453,9 @@ object BenchTune {
     val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
     val denom = exact.count()
     val corpusKind = if (clusters <= 0) "uniform" else s"clustered($clusters)"
-    println(f"[knn] corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
-      f"shortlist=${shortlist}%dx salt=$cellSalt%d m=$m%d kcode=$kcode%d " +
+    val codeKind = if (tier == "sq") "sq8" else s"m=$m kcode=$kcode"
+    println(f"[knn] tier=$tier%s corpus=$corpusKind%s n=$n%d dim=$dim nlist=$nlist nprobe=12 nassign=2 " +
+      f"shortlist=${shortlist}%dx salt=$cellSalt%d codes=$codeKind%s " +
       f"fit=$fitT%.1f s knn_join=$joinT%.1f s " +
       f"rows_out=$rows%d served=${rows.toDouble / (n * k)}%.3f " +
       f"recall@$k=${hits.toDouble / math.max(1L, denom)}%.3f " +
@@ -671,6 +683,19 @@ object BenchTune {
         nums.drop(3).headOption.getOrElse(1L).toInt,
         nums.drop(4).headOption.getOrElse(8L).toInt,
         nums.drop(5).headOption.getOrElse(16L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--knnsq")) {
+      // the SQ8 tier at the same gate geometry: `--knnsq n [clusters]
+      // [shortlist] [cellSalt]` — no PQ geometry args (SQ has none)
+      val nums = args.dropWhile(_ != "--knnsq").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      knnDemo(spark, nums.headOption.getOrElse(100000L),
+        nums.drop(1).headOption.getOrElse(0L).toInt,
+        nums.drop(2).headOption.getOrElse(4L).toInt,
+        nums.drop(3).headOption.getOrElse(1L).toInt,
+        tier = "sq")
       spark.stop()
       return
     }

@@ -5443,6 +5443,89 @@ object Queries {
              |FROM e JOIN w ON e.ms >= w.ws AND e.ms <= w.we
              |ORDER BY event_id, window_id""".stripMargin)),
 
+    QDef("q156_interval_overlap",
+      // The two-sided range join (q154's generalization): pairs of
+      // order-fulfillment windows that INTERSECT across two order
+      // families — both sides are intervals, so both explode to their
+      // overlapped buckets and a pair sharing k buckets must still
+      // emit ONCE (RangeJoin keeps it in the bucket holding
+      // max(a_s, b_s) — no distinct, hence no corpus-wide dedup
+      // shuffle at 100 TB). Windows: start = order date, length =
+      // 1..20 days keyed off the order id (heterogeneous lengths are
+      // the case that breaks naive fixed-stride approaches). Oracle is
+      // DuckDB's own inequality join over the same intervals.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast is the same instant DuckDB's epoch_ms sees
+        def side(m: Int, p: String) = o
+          .filter(pmod(col("o_orderkey"), lit(10)) === m)
+          .select(col("o_orderkey").as(s"${p}_key"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as(s"${p}_s"),
+            (unix_millis(col("o_orderdate").cast("timestamp")) +
+              (pmod(floor(col("o_orderkey") / 10).cast("long"), lit(20L)) + 1L)
+                * 86400000L).as(s"${p}_e"))
+        RangeJoin.intervalOverlap(side(0, "a"), side(1, "b"),
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 864000000L)
+          .select(col("a_key"), col("b_key"), col("a_s"), col("a_e"),
+            col("b_s"), col("b_e"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS a_key,
+             |    CAST(epoch_ms(o_orderdate) AS BIGINT) AS a_s,
+             |    CAST(epoch_ms(o_orderdate) AS BIGINT)
+             |      + ((o_orderkey // 10) % 20 + 1) * 86400000 AS a_e
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |), b AS (
+             |  SELECT o_orderkey AS b_key,
+             |    CAST(epoch_ms(o_orderdate) AS BIGINT) AS b_s,
+             |    CAST(epoch_ms(o_orderdate) AS BIGINT)
+             |      + ((o_orderkey // 10) % 20 + 1) * 86400000 AS b_e
+             |  FROM orders WHERE o_orderkey % 10 = 1
+             |)
+             |SELECT a_key, b_key, a_s, a_e, b_s, b_e
+             |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+             |ORDER BY a_key, b_key""".stripMargin)),
+
+    QDef("q155_ivfsq_topk",
+      // The WITHIN-CLUSTER RESOLUTION tier (IVF-SQ8): same IVF probe
+      // and exact-re-rank shape as q116's IVF-PQ, but the residual term
+      // scores against 8-bit-per-dimension scalar codes instead of
+      // 4-bit product codes. The measured motivation (SCALE.md): on
+      // clustered corpora PQ's approximate ranking cannot order
+      // candidates INSIDE a tight cluster, so recall is shortlist-capped
+      // (0.746 at the 32x gate) and chasing it costs a 128x shortlist.
+      // SQ8 ranks at near-full precision, so the gate here is BOTH
+      // stricter and cheaper than q116's: recall >= 0.9 at a 4x
+      // shortlist (q116 gates 0.8 at 32x). Oracle-gated with the q116
+      // recall pattern — the in-query brute force is the truth, DuckDB
+      // pins the expected verdict rows.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val cents = Similarity.fitCentroids(emb, "vec_id", "embedding",
+          nlist = 16, iters = 3)
+        val sq = Similarity.ivfSqSearch(q, emb, "vec_id", "embedding", 5,
+            cents, nprobe = 12, nassign = 2, shortlistFactor = 4)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy() // 10 rows by this point: tiny
+        sq.join(bf.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_results"),
+            (sum(col("n_hits")).over(w).cast("double")
+              / sum(col("n_results")).over(w) >= 0.9).as("recall_ge_090"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS recall_ge_090
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

@@ -506,6 +506,123 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** The SQ8 code struct: a per-vector scale and one signed byte per
+    * dimension. 8 bits/dim is the resolution tier BETWEEN PQ codes
+    * (m sub-codes per vector — 100 TB candidate generation) and the
+    * raw vector (exact re-rank): fine enough to rank neighbors INSIDE
+    * a tight cluster, where 4-bit product codes saturate (the measured
+    * r9 recall ceiling), at 1/4 the bytes of the float vector.
+    */
+  val SqCodeType: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", BinaryType, nullable = false)))
+
+  /** SQ8-encode kernel: scale = max|v_i| / 127, codes_i = round(v_i /
+    * scale) in [-127, 127]. One fused pass. Degenerate inputs (null
+    * elements, all-zero vector) encode as scale 0.0 + zero codes, which
+    * [[sqDotKernel]] scores 0.0 — the same absorbing stance as the
+    * cosine kernel.
+    */
+  def sqEncodeKernel(v: ArrayData, kind: Int): GenericInternalRow = {
+    val n = v.numElements()
+    val codes = new Array[Byte](n)
+    if (hasNullElement(v))
+      return new GenericInternalRow(Array[Any](0.0, codes))
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(readElem(v, i, kind))
+      if (a > mx) mx = a
+      i += 1
+    }
+    if (mx == 0.0 || java.lang.Double.isNaN(mx))
+      return new GenericInternalRow(Array[Any](0.0, new Array[Byte](n)))
+    val scale = mx / 127.0
+    i = 0
+    while (i < n) {
+      codes(i) = math.round(readElem(v, i, kind) / scale).toByte
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](scale, codes))
+  }
+
+  /** SQ8 encode: array<numeric> -> struct<scale:double, codes:binary>.
+    * Applied to the IVF residual at admission time; the codes column is
+    * what the scoring join reads instead of the vector.
+    */
+  case class SqEncode(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = SqCodeType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("sq_encode", child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      sqEncodeKernel(input.asInstanceOf[ArrayData], elemKind(child.dataType))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.sqEncodeKernel(" +
+          s"$c, ${elemKind(child.dataType)});")
+    override def prettyName: String = "sq_encode"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** SQ8 asymmetric dot kernel: scale * Σ q_i * codes_i — the query
+    * side stays full-precision (asymmetric distance, the same stance as
+    * the PQ LUT), only the corpus side is quantized. Degenerate inputs
+    * (dim mismatch, null query elements, zero-scale codes) score 0.0.
+    */
+  def sqDotKernel(q: ArrayData, kind: Int,
+      sq: org.apache.spark.sql.catalyst.InternalRow): Double = {
+    val scale = sq.getDouble(0)
+    val codes = sq.getBinary(1)
+    val n = q.numElements()
+    if (n != codes.length || scale == 0.0 || hasNullElement(q)) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += readElem(q, i, kind) * codes(i)
+      i += 1
+    }
+    acc * scale
+  }
+
+  /** dot(query_vector, sq8_codes) — the per-candidate scoring kernel of
+    * the IVF-SQ tier: one fused multiply-add loop over d bytes per
+    * candidate, codegen'd inside the cell join's stage.
+    */
+  case class SqDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorType("sq_dot", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+          case s: StructType if s.length == 2 &&
+              s(0).dataType == DoubleType && s(1).dataType == BinaryType =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"sq_dot needs a struct<scale:double, codes:binary> right input, " +
+              s"got ${other.simpleString}")
+        }
+        case fail => fail
+      }
+
+    override protected def nullSafeEval(q: Any, sq: Any): Any =
+      sqDotKernel(q.asInstanceOf[ArrayData], elemKind(left.dataType),
+        sq.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, sq) =>
+        s"${ev.value} = graft.functions.VectorExprs.sqDotKernel(" +
+          s"$q, ${elemKind(left.dataType)}, $sq);")
+
+    override def prettyName: String = "sq_dot"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `cents` is a Seq-of-Seq so the case class keeps structural
     * equality/canonicalization (an Array field would compare by
     * reference and defeat common-subexpression elimination).

@@ -68,6 +68,23 @@ object VectorFunctions {
       org.apache.spark.sql.GraftBridge.expression(v),
       books.map(_.map(_.toSeq).toSeq).toSeq))
 
+  /** SQ8-encode a vector (typically the IVF residual) into
+    * struct<scale:double, codes:binary> — 8 bits/dim, the resolution
+    * tier between PQ codes and the raw vector (see
+    * [[graft.functions.VectorExprs.SqEncode]]).
+    */
+  def sqEncode(v: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.SqEncode(
+      org.apache.spark.sql.GraftBridge.expression(v)))
+
+  /** Asymmetric dot of a full-precision query vector with SQ8 codes
+    * (see [[graft.functions.VectorExprs.SqDot]]).
+    */
+  def sqDot(q: Column, sq: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.SqDot(
+      org.apache.spark.sql.GraftBridge.expression(q),
+      org.apache.spark.sql.GraftBridge.expression(sq)))
+
   /** The composed (zip_with/aggregate) cosine — same math, same strict
     * left-to-right accumulation; used to cross-check the native
     * expression and as the pattern reference for new vector ops.

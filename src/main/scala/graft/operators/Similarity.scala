@@ -588,6 +588,23 @@ object Similarity {
     val residualLut = (0 until m).map(j =>
       element_at(col("lut"), lit(j * kcode + 1) + col("codes").getItem(j)))
       .reduce(_ + _)
+    probedCellTopK(c, q, probes, col("cell_dot") + residualLut,
+      k, shortlistFactor, broadcastQueries, cellSalt)
+  }
+
+  /** The shared probed-cell search core of the IVF-PQ and IVF-SQ tiers:
+    * prune the coded scan to probed cells (broadcast path), salt hot
+    * cells if asked, equi-join probes to coded candidates on cell,
+    * score with the tier's `approxScore` expression, shortlist
+    * k*shortlistFactor per query via TopKAgg, exact-cosine re-rank to
+    * top k. `c` is (cid, cv, cell, <tier code columns>); `probes` is
+    * (query_id, cell, <tier probe columns>); `approxScore` references
+    * columns of their join.
+    */
+  private def probedCellTopK(
+      c: DataFrame, q: DataFrame, probes: DataFrame, approxScore: Column,
+      k: Int, shortlistFactor: Int,
+      broadcastQueries: Boolean, cellSalt: Int): DataFrame = {
     // PROBED-CELL PRUNING (broadcast path only): with a small query side
     // the union of probed cells is tiny and knowable up front (nq x
     // nprobe values — the same frame we are about to broadcast anyway),
@@ -638,7 +655,7 @@ object Similarity {
     val scored = joined
       .filter(col("query_id") =!= col("cid"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
-        (col("cell_dot") + residualLut).as("cos"))
+        approxScore.as("cos"))
     val shortlist = emitTopK(scored, k * shortlistFactor)
       .select(col("query_id"), col("neighbor_id"))
     // NO distinct() on the replica frame: dedup there would shuffle the
@@ -717,6 +734,88 @@ object Similarity {
       nprobe: Int = 4, nassign: Int = 2,
       shortlistFactor: Int = 8, cellSalt: Int = 1): DataFrame =
     ivfPqSearch(corpus, corpus, idCol, vecCol, k, cents, books,
+      nprobe, nassign, shortlistFactor, broadcastQueries = false,
+      cellSalt = cellSalt)
+
+  // ---------- IVF-SQ: the within-cluster resolution tier ----------
+
+  /** The SQ8-coded corpus frame: one narrow pass (unitize, `nassign`
+    * replica cells, per-cell residual SQ8-encoded) — (cid, cv, cell,
+    * sq). The SQ twin of [[codedCorpus]]: 8 bits per DIMENSION instead
+    * of 4 bits per SUBSPACE, 1/4 the bytes of the float vector.
+    */
+  private def sqCodedCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], nassign: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        unitizeCol(col(vecCol)).as("uv"))
+      .select(col("cid"), col("cv"), col("uv"),
+        explode(bestCells(col("uv"), cents, nassign)).as("cell"))
+      .select(col("cid"), col("cv"), col("cell"),
+        VectorFunctions.sqEncode(
+          VectorFunctions.residual(col("uv"), col("cell"), cents)).as("sq"))
+
+  /** IVF-SQ8 ANN search with exact re-ranking — the WITHIN-CLUSTER
+    * RESOLUTION tier. Same decomposition as [[ivfPqSearch]]
+    * (cos = dot(q, centroid) + dot(q, residual)) and the same
+    * probed-cell join shape, but the residual term is scored against
+    * 8-bit-per-dimension scalar codes instead of the m-subspace PQ LUT.
+    *
+    * Why it exists (measured, SCALE.md): on CLUSTERED corpora — the
+    * regime IVF is for — probed cells hold thousands of candidates
+    * whose 4-bit product codes are near-identical, so the PQ
+    * approximate ranking cannot order them and recall is capped by the
+    * shortlist (0.746 at the 32x gate with m=32; 128x costs 3.9x wall).
+    * SQ8 codes rank candidates at ~full-precision fidelity (per-dim
+    * quantization error <= max|r|/254), so the shortlist collapses to a
+    * small factor (default 4x) and recall approaches exact. Cost: d
+    * bytes per replica row instead of m nibbles (4x the float-vector
+    * savings still), and d multiply-adds per candidate instead of m LUT
+    * adds — the trade is MORE storage/scan than PQ, LESS shortlist and
+    * re-rank work. At 100 TB: PQ remains the billion-scale
+    * candidate-generation tier; SQ is the tier you pick when within-
+    * cluster ordering is the bottleneck (dedup thresholds, recall
+    * gates), or the re-rank stage between them. The probe side carries
+    * the unit query vector itself (d doubles — SMALLER than the m*k
+    * LUT), so the probe build stays one narrow map; everything else —
+    * probed-cell pruning, hot-cell salting, TopKAgg shortlist, exact
+    * re-rank — is [[probedCellTopK]], shared verbatim with the PQ tier.
+    */
+  def ivfSqSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int = 4, nassign: Int = 2,
+      shortlistFactor: Int = 4,
+      broadcastQueries: Boolean = true, cellSalt: Int = 1): DataFrame = {
+    val c = sqCodedCorpus(corpus, idCol, vecCol, cents, nassign)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
+      .select(col("query_id"), col("uq"),
+        explode(VectorFunctions.nearestCellDots(col("uq"), cents, nprobe)).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"),
+        col("pc.dot").as("cell_dot"), col("uq"))
+    probedCellTopK(c, q, probes,
+      col("cell_dot") + VectorFunctions.sqDot(col("uq"), col("sq")),
+      k, shortlistFactor, broadcastQueries, cellSalt)
+  }
+
+  /** Distributed kNN join on the SQ8 tier: [[ivfSqSearch]] with the
+    * corpus as its own query set and no broadcast — the
+    * [[ivfPqKnnJoin]] co-partitioned shape with within-cluster
+    * resolution. The shortlist factor the PQ tier needs to chase
+    * recall on clustered data (32-128x) is what makes its TopKAgg and
+    * re-rank expensive; SQ8 scoring buys the same recall at a small
+    * factor, trading scan bytes for shortlist work.
+    */
+  def ivfSqKnnJoin(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int = 4, nassign: Int = 2,
+      shortlistFactor: Int = 4, cellSalt: Int = 1): DataFrame =
+    ivfSqSearch(corpus, corpus, idCol, vecCol, k, cents,
       nprobe, nassign, shortlistFactor, broadcastQueries = false,
       cellSalt = cellSalt)
 

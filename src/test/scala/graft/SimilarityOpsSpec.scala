@@ -188,6 +188,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad == Seq.fill(m * kcode)(0.0))
   }
 
+  test("sq_encode/sq_dot: reconstruction within the 8-bit bound, codegen == interpreted, degenerate zero") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
+    def vals() = emb
+      .select(col("vec_id"), VectorFunctions.unit(col("embedding")).as("uq"))
+      .select(col("vec_id"), col("uq"),
+        VectorFunctions.sqEncode(col("uq")).as("sq"))
+      .select(col("vec_id"), col("uq"), col("sq.scale").as("scale"),
+        VectorFunctions.sqDot(col("uq"), col("sq")).as("sqd"))
+      .as[(Long, Seq[Double], Double, Double)].collect().sortBy(_._1).toSeq
+    val withCodegen = vals()
+    withCodegen.foreach { case (id, uq, scale, sqd) =>
+      // encoding a unit vector against itself: dot(u, decode(u)) must
+      // sit within the quantization bound of dot(u, u) = 1. Per-dim
+      // error <= scale/2, so |error| <= (scale/2) * sum|u_i| and
+      // sum|u_i| <= sqrt(d) for unit u.
+      val bound = scale / 2 * math.sqrt(uq.length.toDouble) + 1e-12
+      assert(math.abs(sqd - 1.0) <= bound,
+        s"vec $id: sq_dot=$sqd deviates from 1.0 beyond $bound")
+      assert(scale > 0 && scale <= 1.0 / 127.0 + 1e-12,
+        s"vec $id: unit-vector scale $scale out of range")
+    }
+    assert(withInterpreted(vals()) == withCodegen)
+    // degenerate stances: zero vector -> scale 0, sq_dot 0; dim
+    // mismatch between query and codes -> 0
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0, 3.0))).toDF("zero", "three")
+    val zr = z.select(
+        VectorFunctions.sqDot(col("zero"),
+          VectorFunctions.sqEncode(col("zero"))).as("zz"),
+        VectorFunctions.sqDot(col("three"),
+          VectorFunctions.sqEncode(col("zero"))).as("mismatch"))
+      .as[(Double, Double)].head()
+    assert(zr == ((0.0, 0.0)))
+  }
+
+  test("ivfSqSearch: SQ8 ranking beats the PQ recall ceiling at a 4x shortlist") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 3)
+    val got = Similarity.ivfSqSearch(q, emb, "vec_id", "embedding", 5,
+        cents, nprobe = 12, nassign = 2, shortlistFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.count(want.contains).toDouble / want.size
+    assert(recall >= 0.9, s"IVF-SQ recall=$recall at shortlist 4x")
+  }
+
+  test("ivfSqKnnJoin: full-corpus self-join, no broadcast in the plan, recall >= 0.9") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val n = emb.count()
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 3)
+    val knn = Similarity.ivfSqKnnJoin(emb, "vec_id", "embedding", 5,
+      cents, nprobe = 12, nassign = 2, shortlistFactor = 4)
+    assert(!knn.queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+    val got = knn.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == n)
+    assert(got.groupBy(_._1).values.forall(_.length == 5))
+    val want = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.count(want.contains).toDouble / want.size
+    assert(recall >= 0.9, s"SQ kNN-join recall=$recall")
+  }
+
   test("TopKAgg keeps the MAX replica score per id — buffer is input-order-independent") {
     import Similarity.{TopItem, TopKBuf}
     val agg = new Similarity.TopKAgg(3)
