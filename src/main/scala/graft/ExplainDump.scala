@@ -77,6 +77,8 @@ object ExplainDump {
     "q148_sketch_compaction" -> "post-compaction sketch-store read: the store-side scan must list gen=2 with exactly TWO batch_id directories (the merged fragment + the post-compaction admission) and ReadSchema limited to (event_type, sk, batch_id) sketch rows — KBs however large the stream that produced them; above it ONE partial/final aggregation pair unions registers per key (hll_union_agg is the whole read cost); the events scan in this plan belongs to the ORACLE side (exact count-distinct + whole-corpus sketch the gates compare against), not the store read — the store path never touches raw events",
     "q149_heavyhitter_compaction" -> "post-compaction frequency-store read: the store-side scan lists gen=2's two fragments (merged m-entry summary + the appended batch) with ReadSchema (key, est, batch_id) — at most m rows per fragment, KBs forever; above it the MG merge is ONE ObjectHashAggregate partial/final pair (reduce and merge are the same pruning algebra, so at most m counters cross any exchange); the documents scan is the exact-count oracle side of the gate row, not the store read — the raw stream is never rescanned to serve hitters",
     "q155_ivfsq_topk" -> "IVF-SQ8 (the within-cluster resolution tier): structurally the q116 IVF-PQ shape — corpus-side encode is ONE narrow pass off the embeddings scan (unitize kernel, replica-cell explode, residual kernel, then sq_encode instead of pq codes; no join, no shuffle, no codebook anywhere because SQ has none to fit), the 10-query probe frame broadcasts carrying the unit query vector itself (d doubles — SMALLER than q116's m*k LUT payload), per-candidate scoring is the codegen'd sq_dot kernel inside the cell join's stage, TopKAgg partial/final bounds the shuffle at k*4 per query (q116 needs k*32 — the whole point: 8-bit-per-dim codes rank within-cluster candidates the 4-bit product codes cannot, so the shortlist collapses), and only the 4x shortlist touches original vectors in the exact re-rank; the BroadcastNestedLoopJoin branch is the fenced in-query brute-force recall gate, not the operator",
+    "q157_sq_store_tier" -> "the SQ8 tier served from the persisted store (read-time tier dial): the store branch's scan must show ReadSchema (cid, cv, cell, sq) — the PQ codes column is NOT read (parquet pruning: each tier pays only for its own bytes) and NO encode expression sits above the scan (both tiers landed at admission from one residual pass); the probed-cell In(cell) filter reaches this scan exactly as in the audited q123 PQ read; scoring is the codegen'd sq_dot kernel against the broadcast probe frame (which carries the 64-double unit query vector, not a LUT); the fresh branch is the q155 inline encode of the same corpus; both feed TopKAgg partial/final at the CHEAP 4x shortlist and the full-outer null-safe compare joins their 5-row-per-query outputs",
+    "q158_quantile_store" -> "post-compaction quantile-store read (the sketch-family triad's order-statistics member): the store-side scan lists gen=2's two fragments (the summed histogram + the appended batch) with ReadSchema (l_returnflag, bin, cnt, batch_id) — at most nbins rows per key per fragment, KBs forever, the lineitem scan in this plan is the gate construction's admission side, never the read path; above the store scan ONE partial/final aggregation pair re-sums (key, bin) cells, then the rank windows partition BY KEY over <= nbins rows each (bounded state, parallel across keys — no global sort, no corpus-sized exchange), and the four quantile picks are conditional mins in ONE aggregation; addition is associative so the compacted read is bit-identical to the fragmented one — the defining family gate",
     "q154_range_join" -> "bucketed range join: the defining check is NEGATIVE — the point-x-interval condition is a bare BETWEEN with no equi-key, yet it must NOT execute as a nested-loop/cartesian over the two relations; the bucketed rewrite surfaces it as an ordinary equi-join on the derived bucket id (broadcast here because 100 windows are tiny — at 100 TB the same plan becomes the co-partitioned shuffle hash join, exactly like the audited q120 candidate join) with the interval side's explode(sequence(...)) replication narrow above its input and the exact containment predicate as a post-join Filter; the one BroadcastNestedLoopJoin in the dump is NOT the range join — it is the 1-row min-event-time aggregate broadcast into the 100-row window construction (a constant-size cross by construction, the audited q111/q122 scalar-broadcast shape), computed once, never per data row",
     "q153_training_pipeline" -> "the training-data capstone (quality gate -> dedup admission -> token count -> packing, end to end): the quality score and token count are narrow codegen'd projections off the documents scan (no UDF, no shuffle); batch 2's band keys are per-row expressions meeting the signature-store scan in a LEFT-SEMI hash join on (band, bucket) with the per-doc hit count one partial/final HashAggregate pair (the audited q151 shape — history is never rescanned); the retained corpus unions and feeds EXACTLY ONE window (running sum partitioned BY source — per-shard bounded state, parallel across shards, the audited q66 shape); check there is no global sort before the packing window and no corpus-sized exchange anywhere except the window's shard partitioning — at 100 TB every stage is an O(batch) map or one bounded join per crawl batch",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)")

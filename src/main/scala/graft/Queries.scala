@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, RangeJoin, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, QuantileStore, RangeJoin, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -5525,6 +5525,120 @@ object Queries {
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS recall_ge_090
              |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q157_sq_store_tier",
+      // The SQ8 tier served FROM THE STORE (q123's admission gate at
+      // the other resolution): admission persists BOTH code tiers from
+      // one residual pass, so tier choice is a read-time dial — the
+      // same batch_id=N store that serves PQ candidate generation must
+      // serve SQ8 within-cluster resolution with NO re-encode, equal
+      // ROW FOR ROW to a from-scratch inline IVF-SQ search (encoding
+      // is a pure function of (vector, centroids); the store merely
+      // materializes it). Each tier reads only its own code column
+      // (parquet pruning) — a PQ search never pays for the sq bytes
+      // and vice versa. Shortlist 4x: the SQ gate runs at the CHEAP
+      // setting the resolution tier exists to enable.
+      (s, d) => {
+        val dir = scratchDir("q157")
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 < 8)
+        val late = emb.filter(col("vec_id") % 10 >= 8)
+        val q = emb.filter(col("vec_id") < 10)
+        val (cents, books) = Similarity.fitIvfPq(base, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        Similarity.appendCodedBatch(base, "vec_id", "embedding", cents, books,
+          batchId = 0L, path = dir + "/store")
+        Similarity.appendCodedBatch(late, "vec_id", "embedding", cents, books,
+          batchId = 1L, path = dir + "/store")
+        val admitted = Similarity.searchCodedStore(s, q,
+            "vec_id", "embedding", 5, cents, books, dir + "/store",
+            nprobe = 12, shortlistFactor = 4, tier = "sq")
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_admitted"))
+        val fresh = Similarity.ivfSqSearch(q, emb, "vec_id", "embedding", 5,
+            cents, nprobe = 12, nassign = 2, shortlistFactor = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id").as("n_fresh"))
+        admitted.join(fresh, Seq("query_id", "rank"), "full")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("long").as("n_results"),
+            bool_and(col("n_admitted") <=> col("n_fresh")).as("store_eq_fresh"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS store_eq_fresh
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q158_quantile_store",
+      // The QUANTILE store completes the sketch-store family triad
+      // (distinct counts q83/q148 HLL, frequencies q92/q149 MG, order
+      // statistics HERE): per-batch fixed-range histogram fragments
+      // admit under the GenStore discipline, quantile questions read
+      // ONLY count rows (the raw stream is never rescanned), and
+      // compaction is one groupBy-sum — LOSSLESS, so unlike MG's
+      // contract bound the gate is bit-identity, like HLL's. On this
+      // integral domain (l_quantity in 1..50, unit bins) the store's
+      // integer-rank estimates are EXACT order statistics, which is
+      // what lets DuckDB recompute them from the raw table with plain
+      // window SQL: ranks use integer ceiling division on BOTH engines
+      // (rank = (N*num + den-1) div den), so no float rank can round
+      // differently. Gates: 3 fragments -> 1, CAS retry no-op,
+      // post-compaction answers bit-identical, a fourth batch appends
+      // on top, and the final p25/p50/p75/p95 per return flag equal
+      // the exact statistics of the WHOLE stream.
+      (s, d) => {
+        val root = scratchDir("q158") + "/qstore"
+        val li = t(s, d, "lineitem")
+        val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+        QuantileStore.initStore(root)
+        (0L to 2L).foreach { b =>
+          QuantileStore.admitBatch(s, li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+            Seq("l_returnflag"), "l_quantity", lo = 1.0, width = 1.0,
+            nbins = 50, batchId = b, root = root)
+        }
+        def quants() = QuantileStore.quantilesCurrent(s, root,
+            Seq("l_returnflag"), qs, lo = 1.0, width = 1.0)
+          .collect().map(_.toString).sorted.toSeq
+        val fragsBefore = QuantileStore.fragmentCount(s, root)
+        val pre = quants()
+        val gen2 = QuantileStore.compactStore(s, root, expectedGen = 1L,
+          Seq("l_returnflag"))
+        val retry = QuantileStore.compactStore(s, root, expectedGen = 1L,
+          Seq("l_returnflag"))
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = QuantileStore.fragmentCount(s, root)
+        val estIdentical = quants() == pre
+        QuantileStore.admitBatch(s, li.filter(pmod(col("l_orderkey"), lit(4)) === 3),
+          Seq("l_returnflag"), "l_quantity", lo = 1.0, width = 1.0,
+          nbins = 50, batchId = 3L, root = root)
+        val fragsAfter = QuantileStore.fragmentCount(s, root)
+        QuantileStore.quantilesCurrent(s, root, Seq("l_returnflag"), qs,
+            lo = 1.0, width = 1.0)
+          .select(col("l_returnflag"),
+            col("p25"), col("p50"), col("p75"), col("p95"),
+            lit(fragsBefore).cast("long").as("frags_before"),
+            lit(fragsCompacted).cast("long").as("frags_compacted"),
+            lit(fragsAfter).cast("long").as("frags_after_admit"),
+            lit(retryNoop).as("retry_noop"),
+            lit(estIdentical).as("est_identical"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag AS k, l_quantity AS v, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2
+             |), w AS (
+             |  SELECT k, v, sum(cnt) OVER (PARTITION BY k ORDER BY v) AS cum,
+             |         sum(cnt) OVER (PARTITION BY k) AS n FROM c
+             |)
+             |SELECT k AS l_returnflag,
+             |  min(CASE WHEN cum >= (n*1 + 3) // 4 THEN v END) AS p25,
+             |  min(CASE WHEN cum >= (n*1 + 1) // 2 THEN v END) AS p50,
+             |  min(CASE WHEN cum >= (n*3 + 3) // 4 THEN v END) AS p75,
+             |  min(CASE WHEN cum >= (n*19 + 19) // 20 THEN v END) AS p95,
+             |  CAST(3 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS est_identical
+             |FROM w GROUP BY k ORDER BY k""".stripMargin)),
 
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl

@@ -74,6 +74,14 @@ object GraftFunctions {
       case Seq(v, cents) => VectorExprs.NearestCells(v, centsArg(cents), 1)
       case Seq(v, cents, nprobe) => VectorExprs.NearestCells(v, centsArg(cents), intArg(nprobe))
       case _ => throw new IllegalArgumentException("nearest_cells(vec, centroids[, nprobe])")
+    }),
+    "sq_encode" -> (args => args match {
+      case Seq(v) => VectorExprs.SqEncode(v)
+      case _ => throw new IllegalArgumentException("sq_encode(vec)")
+    }),
+    "sq_dot" -> (args => args match {
+      case Seq(q, sq) => VectorExprs.SqDot(q, sq)
+      case _ => throw new IllegalArgumentException("sq_dot(vec, sq_struct)")
     }))
   // Note: the Column-composition functions (TextFunctions/VectorFunctions)
   // are deliberately NOT SQL-registered — a composed Column converted back

@@ -592,9 +592,10 @@ object VectorExprs {
     * candidate, codegen'd inside the cell join's stage.
     */
   case class SqDot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    override def inputTypes = Seq(VectorTypes, SqCodeType)
 
     override def checkInputDataTypes(): TypeCheckResult =
       checkVectorType("sq_dot", left.dataType) match {

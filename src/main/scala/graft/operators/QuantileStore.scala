@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted, mergeable QUANTILE state — the third member of the
+  * sketch-store family (distinct counts: [[SketchStore]] HLL;
+  * frequencies: [[HeavyHitters]] Misra-Gries; order statistics: THIS).
+  * Each ingest batch reduces to per-(key, bin) counts of a FIXED-RANGE
+  * equi-width histogram, landed in its own `batch_id=N` fragment;
+  * quantile questions then read only the histogram rows — the raw
+  * stream is never rescanned. Bin-count addition is associative and
+  * commutative, so batches merge in any order, any tree, and
+  * compaction (one groupBy-sum, the [[GenStore]] discipline) is
+  * LOSSLESS: post-compaction answers are bit-identical, the strongest
+  * gate in the family (HLL shares it; MG's is the contract bound).
+  *
+  * Accuracy contract: the estimate returned for quantile q is the
+  * LOWER EDGE of the first bin whose cumulative count reaches
+  * rank ceil(q*N) — within one bin WIDTH of the exact order statistic
+  * by construction, and EXACT (the order statistic itself, discrete
+  * semantics) whenever values are integral and the store is configured
+  * with unit bins covering the domain (`lo` integral, `width` 1), the
+  * common telemetry/quality-score shape. Values outside
+  * [lo, lo + width*nbins) clamp to the edge bins — the standard
+  * fixed-range histogram stance (HDR histograms): configure the range
+  * to the domain, or read edge-bin answers as range bounds. Ranks are
+  * computed with INTEGER ceiling division (rank = (N*num + den-1) div
+  * den for q = num/den), so estimates are engine-portable — no float
+  * rank ever rounds differently between this store and an oracle.
+  *
+  * The reference engine has no quantile surface (README scope list);
+  * north-star extension. q158 gates the lifecycle end-to-end.
+  */
+object QuantileStore {
+
+  private def binOf(valueCol: String, lo: Double, width: Double, nbins: Int): Column =
+    least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+      lit(nbins - 1L)).cast("long")
+
+  /** Reduce one ingest batch to per-(key, bin) count rows under
+    * `batch_id=N` (mode overwrite: replayed batches are storage
+    * no-ops — the family layout). One map-side-combined aggregation
+    * over the batch; at most `nbins` rows per key per batch.
+    */
+  def appendBatch(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+      lo: Double, width: Double, nbins: Int,
+      batchId: Long, path: String): Unit = {
+    require(keyCols.nonEmpty, "appendBatch needs at least one key column")
+    require(width > 0 && nbins > 0, "width and nbins must be positive")
+    batch.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ binOf(valueCol, lo, width, nbins).as("bin")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** The merged histogram across every persisted fragment: one scan of
+    * count rows (never the raw stream), one sum per (key, bin).
+    */
+  def mergedHistogram(spark: SparkSession, path: String,
+      keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a merged histogram: for each (name, num,
+    * den) the value at integer rank ceil(N * num/den) — smallest bin
+    * lower edge whose cumulative count reaches the rank. Bounded state:
+    * the windows partition BY key over at most nbins rows each.
+    */
+  def quantilesOf(hist: DataFrame, keyCols: Seq[String],
+      qs: Seq[(String, Int, Int)], lo: Double, width: Double): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(byKey))
+    val aggs = qs.map { case (name, num, den) =>
+      // integer ceiling division: products stay far below 2^53, so the
+      // double floor-division is exact and engine-portable
+      val rank = floor((col("n") * num + (den - 1)) / den).cast("long")
+      min(when(col("cum") >= rank, lit(lo) + col("bin") * width)).as(name)
+    }
+    cum.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -------------------------------------------------------------------------
+  // Generational store + COMPACTION ([[GenStore]] discipline, the q148
+  // pattern): fragments accumulate one per crawl batch; compaction sums
+  // each (key, bin)'s counts ONCE into a sealed fragment. Addition is
+  // lossless, so every post-compaction answer is bit-identical.
+  // -------------------------------------------------------------------------
+
+  /** Create the generational quantile store. Idempotent. */
+  def initStore(root: String): Unit = GenStore.init(root)
+
+  /** Fragments of the current generation. */
+  def fragmentCount(spark: SparkSession, root: String): Long =
+    GenStore.listBatchIds(spark,
+      GenStore.genDir(root, GenStore.currentGen(root))).size.toLong
+
+  /** Admit one batch under the CURRENT generation, with the family's
+    * two lifecycle fences: sealed batch ids refused, pointer re-read
+    * after the write so an admission racing a compaction fails loudly.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+      valueCol: String, lo: Double, width: Double, nbins: Int,
+      batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
+    appendBatch(batch, keyCols, valueCol, lo, width, nbins, batchId,
+      GenStore.genDir(root, gen))
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** COMPACT the current generation: sum every fragment's (key, bin)
+    * counts into ONE fragment at the high-water batch id under
+    * `gen=G+1`, sealed and published behind the atomic pointer.
+    * Compare-and-swap on `expectedGen` (retry no-ops). Lossless —
+    * the read path performs this same sum; compaction materializes it.
+    */
+  def compactStore(spark: SparkSession, root: String, expectedGen: Long,
+      keyCols: Seq[String]): Long = {
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = GenStore.genDir(root, cur)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to compact under $src")
+    val hwm = ids.max
+    mergedHistogram(spark, src, keyCols)
+      .write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
+    cur + 1
+  }
+
+  /** The continuous-compaction policy: compact once `maxFragments`
+    * accumulate. Returns the new generation when it fired.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+      keyCols: Seq[String], maxFragments: Int): Option[Long] = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    if (fragmentCount(spark, root) < maxFragments) None
+    else Some(compactStore(spark, root, GenStore.currentGen(root), keyCols))
+  }
+
+  /** [[quantilesOf]] over the current generation's merged histogram. */
+  def quantilesCurrent(spark: SparkSession, root: String, keyCols: Seq[String],
+      qs: Seq[(String, Int, Int)], lo: Double, width: Double): DataFrame =
+    quantilesOf(
+      mergedHistogram(spark,
+        GenStore.genDir(root, GenStore.currentGen(root)), keyCols),
+      keyCols, qs, lo, width)
+}

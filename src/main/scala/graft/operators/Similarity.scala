@@ -561,6 +561,29 @@ object Similarity {
           VectorFunctions.residual(col("uv"), col("cell"), cents), books)
           .as("codes"))
 
+  /** [[codedCorpus]] carrying BOTH code tiers: the per-cell residual is
+    * computed once and lands as PQ codes (candidate-generation tier)
+    * AND an SQ8 struct (resolution tier) — what [[appendCodedBatch]]
+    * persists, so a store admitted once can later serve EITHER tier
+    * without re-encoding (tier choice is a read-time dial, not an
+    * admission-time commitment). Inline searches keep the single-tier
+    * frames — no query pays for a tier it does not score.
+    */
+  private def codedCorpusBothTiers(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nassign: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        unitizeCol(col(vecCol)).as("uv"))
+      .select(col("cid"), col("cv"), col("uv"),
+        explode(bestCells(col("uv"), cents, nassign)).as("cell"))
+      .select(col("cid"), col("cv"), col("cell"),
+        VectorFunctions.residual(col("uv"), col("cell"), cents).as("r"))
+      .select(col("cid"), col("cv"), col("cell"),
+        pqEncodeExpr(col("r"), books).as("codes"),
+        VectorFunctions.sqEncode(col("r")).as("sq"))
+
   /** [[ivfPqSearch]] over an already-coded corpus frame
     * (cid, cv, cell, codes) — the scoring/shortlist/re-rank half,
     * shared with [[searchCodedStore]] so a persisted coded corpus
@@ -788,8 +811,22 @@ object Similarity {
       cents: Array[Array[Double]],
       nprobe: Int = 4, nassign: Int = 2,
       shortlistFactor: Int = 4,
-      broadcastQueries: Boolean = true, cellSalt: Int = 1): DataFrame = {
-    val c = sqCodedCorpus(corpus, idCol, vecCol, cents, nassign)
+      broadcastQueries: Boolean = true, cellSalt: Int = 1): DataFrame =
+    ivfSqSearchCoded(sqCodedCorpus(corpus, idCol, vecCol, cents, nassign),
+      queries, idCol, vecCol, k, cents, nprobe, shortlistFactor,
+      broadcastQueries, cellSalt)
+
+  /** [[ivfSqSearch]] over an already-coded frame (cid, cv, cell, sq) —
+    * the scoring half, shared with the persisted-store SQ tier so a
+    * store search runs EXACTLY the inline code path (the same sharing
+    * contract as [[ivfPqSearchCoded]]/[[searchCodedStore]]).
+    */
+  private def ivfSqSearchCoded(
+      c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int, shortlistFactor: Int,
+      broadcastQueries: Boolean, cellSalt: Int = 1): DataFrame = {
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q.select(col("query_id"), unitizeCol(col("qv")).as("uq"))
@@ -877,8 +914,11 @@ object Similarity {
     // stats become tight ranges, so the broadcast search path's In(cell)
     // pushdown (ivfPqSearchCoded) skips unprobed cells' row groups at
     // scan time — the layout half of making a store search an index
-    // lookup rather than a table scan
-    codedCorpus(batch, idCol, vecCol, cents, books, nassign)
+    // lookup rather than a table scan. Both code tiers land (PQ +
+    // SQ8): the residual is in hand anyway, and it makes read-time
+    // tier choice free — searches that don't score a tier never read
+    // its column (parquet pruning).
+    codedCorpusBothTiers(batch, idCol, vecCol, cents, books, nassign)
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
     // the drift signal that decides WHEN the policy above this layer
@@ -946,17 +986,25 @@ object Similarity {
       books: Array[Array[Array[Double]]],
       storePath: String,
       nprobe: Int = 4, shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame =
-    ivfPqSearchCoded(
-      spark.read.parquet(storePath).select("cid", "cv", "cell", "codes"),
-      queries, idCol, vecCol, k, cents, books,
-      nprobe, shortlistFactor, broadcastQueries)
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame =
+    searchCodedFrame(spark.read.parquet(storePath), queries,
+      idCol, vecCol, k, cents, books,
+      nprobe, shortlistFactor, broadcastQueries, tier)
 
-  /** [[searchCodedStore]] over a caller-supplied coded frame
-    * (cid, cv, cell, codes) instead of a whole store directory — the
-    * entry point [[VectorStore.searchTransitional]] needs to search a
-    * SUBSET of a store's batches (those not yet migrated to a new index
-    * generation) with the index they were encoded with.
+  /** [[searchCodedStore]] over a caller-supplied coded frame instead of
+    * a whole store directory — the entry point
+    * [[VectorStore.searchTransitional]] needs to search a SUBSET of a
+    * store's batches (those not yet migrated to a new index generation)
+    * with the index they were encoded with.
+    *
+    * `tier` picks the read-time resolution: "pq" scores the m-subspace
+    * codes (the default — candidate generation at 16-64× compression),
+    * "sq" scores the 8-bit-per-dim SQ8 struct (within-cluster
+    * resolution at a small shortlist — the measured clustered-recall
+    * fix, SCALE.md). Each tier reads ONLY its code column (parquet
+    * pruning); a pre-SQ8 store searched with tier="sq" fails loudly at
+    * analysis (missing `sq` column) rather than serving degraded
+    * results — re-admit or migrate such stores to add the tier.
     */
   def searchCodedFrame(
       coded: DataFrame, queries: DataFrame,
@@ -964,10 +1012,19 @@ object Similarity {
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame =
-    ivfPqSearchCoded(coded.select("cid", "cv", "cell", "codes"),
-      queries, idCol, vecCol, k, cents, books,
-      nprobe, shortlistFactor, broadcastQueries)
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame =
+    tier match {
+      case "pq" =>
+        ivfPqSearchCoded(coded.select("cid", "cv", "cell", "codes"),
+          queries, idCol, vecCol, k, cents, books,
+          nprobe, shortlistFactor, broadcastQueries)
+      case "sq" =>
+        ivfSqSearchCoded(coded.select("cid", "cv", "cell", "sq"),
+          queries, idCol, vecCol, k, cents,
+          nprobe, shortlistFactor, broadcastQueries)
+      case other => throw new IllegalArgumentException(
+        s"unknown search tier '$other' (expected pq or sq)")
+    }
 
   /** Merge per-query result lists back down to top-k: the input carries
     * (query_id, neighbor_id, cos) rows from ANY number of searches whose

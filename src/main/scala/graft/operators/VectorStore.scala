@@ -328,7 +328,7 @@ object VectorStore {
     Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, ng))
     def mergeInto(dstId: Long, srcIds: Seq[Long]): Unit =
       spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
-        .select("cid", "cv", "cell", "codes")
+        .select("cid", "cv", "cell", "codes", "sq")
         .repartitionByRange(col("cell"), col("cid"))
         .sortWithinPartitions(col("cell"))
         .write.mode("overwrite")
@@ -399,20 +399,24 @@ object VectorStore {
   def searchGen(spark: SparkSession, root: String, gen: Long,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4, shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame = {
     val (cents, books) = loadGenIndex(spark, root, gen)
     Similarity.searchCodedStore(spark, queries, idCol, vecCol, k,
       cents, books, codedDir(root, gen), nprobe, shortlistFactor,
-      broadcastQueries)
+      broadcastQueries, tier)
   }
 
-  /** Search whatever `_CURRENT` points at. */
+  /** Search whatever `_CURRENT` points at. `tier` is the read-time
+    * resolution dial ([[Similarity.searchCodedFrame]]): "pq" for
+    * candidate generation, "sq" for within-cluster resolution —
+    * admission stores both, so no re-encode is ever needed to switch.
+    */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4, shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame =
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame =
     searchGen(spark, root, currentGen(root), queries, idCol, vecCol, k,
-      nprobe, shortlistFactor, broadcastQueries)
+      nprobe, shortlistFactor, broadcastQueries, tier)
 
   /** Serve queries MID-MIGRATION with no read downtime: batches already
     * under `newGen` search with the new index, the rest with the old,
@@ -429,7 +433,7 @@ object VectorStore {
       oldGen: Long, newGen: Long, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4, shortlistFactor: Int = 8,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame = {
     val migrated = migratedBatchIds(spark, root, newGen)
     val remaining = listBatchIds(spark, codedDir(root, oldGen))
       .filterNot(migrated.toSet)
@@ -440,7 +444,7 @@ object VectorStore {
         val coded = spark.read.parquet(
           ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
         Some(Similarity.searchCodedFrame(coded, queries, idCol, vecCol, k,
-          cents, books, nprobe, shortlistFactor, broadcastQueries))
+          cents, books, nprobe, shortlistFactor, broadcastQueries, tier))
       }
     (side(newGen, migrated), side(oldGen, remaining)) match {
       case (Some(n), Some(o)) => Similarity.mergeTopK(n.unionByName(o), k)

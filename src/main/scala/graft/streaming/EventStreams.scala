@@ -525,6 +525,36 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming QUANTILE admission with the compaction policy — the
+    * family pattern on the histogram store ([[graft.operators
+    * .QuantileStore]]): each micro-batch reduces to at most nbins count
+    * rows per key and the policy sums fragments losslessly (q158's
+    * bit-identity gate). Cold-start initializes generation 1; sealed
+    * replays are no-ops (their counts are already inside the fragment —
+    * re-adding them would double-count, which is exactly what the
+    * high-water fence prevents).
+    */
+  def quantileIngestCompacting(
+      rows: DataFrame, keyCols: Seq[String], valueCol: String,
+      lo: Double, width: Double, nbins: Int,
+      root: String, checkpointDir: String, maxFragments: Int):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, QuantileStore}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          QuantileStore.admitBatch(spark, batch, keyCols, valueCol,
+            lo, width, nbins, batchId, root)
+          QuantileStore.compactIfFragmented(spark, root, keyCols, maxFragments)
+          ()
+        } // else: sealed replay — counts already summed into the fragment
+      }
+      .start()
+  }
+
   def initCdcState(initial: DataFrame, stateDir: String): Unit = {
     initial.write.mode("overwrite").parquet(s"$stateDir/v0")
     writeCdcVersion(stateDir, 0)

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QuantileStore
+
+/** The mergeable quantile store's estimator mechanics (q158 gates the
+  * lifecycle end-to-end against DuckDB): integer-rank exactness on
+  * integral domains, the one-bin-width bound on coarse bins, merge
+  * insensitivity to batch split, clamping, and the seal fence.
+  */
+class QuantileStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+
+  /** The definition the store implements: value at integer rank
+    * ceil(n * num/den) of the sorted multiset.
+    */
+  private def exactRank(values: Seq[Double], num: Int, den: Int): Double = {
+    val sorted = values.sorted
+    val rank = (values.size.toLong * num + den - 1) / den
+    sorted((rank - 1).toInt)
+  }
+
+  test("unit bins on an integral domain: store quantiles ARE the exact order statistics") {
+    // skewed multiset with ties and a heavy mode — the awkward shape
+    val vals: Seq[Double] = (1 to 60).map(_.toDouble) ++
+      Seq.fill(40)(7.0) ++ Seq.fill(25)(42.0) ++ Seq(1.0, 60.0, 60.0)
+    val root = Files.createTempDirectory("graft-qstore").toString + "/s"
+    QuantileStore.initStore(root)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "k", v) }
+      .toDF("id", "k", "v")
+    (0 to 2).foreach { b =>
+      QuantileStore.admitBatch(spark, df.filter(pmod(col("id"), lit(3)) === b),
+        Seq("k"), "v", lo = 1.0, width = 1.0, nbins = 60, batchId = b.toLong,
+        root = root)
+    }
+    val got = QuantileStore.quantilesCurrent(spark, root, Seq("k"), Qs,
+      lo = 1.0, width = 1.0).as[(String, Double, Double, Double, Double)].head()
+    val want = ("k", exactRank(vals, 1, 4), exactRank(vals, 1, 2),
+      exactRank(vals, 3, 4), exactRank(vals, 19, 20))
+    assert(got == want)
+  }
+
+  test("merge is split-insensitive and compaction is lossless: 1 batch == 3 batches == compacted") {
+    val df = spark.range(1000).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(97L)) + 1).cast("double").as("v"),
+      concat(lit("g"), pmod(col("id"), lit(3))).as("k"))
+    def build(tag: String, splits: Int): String = {
+      val root = Files.createTempDirectory(s"graft-qstore-$tag").toString + "/s"
+      QuantileStore.initStore(root)
+      (0 until splits).foreach { b =>
+        QuantileStore.admitBatch(spark,
+          df.filter(pmod(col("id"), lit(splits)) === b),
+          Seq("k"), "v", lo = 1.0, width = 1.0, nbins = 97,
+          batchId = b.toLong, root = root)
+      }
+      root
+    }
+    def answers(root: String): Seq[String] =
+      QuantileStore.quantilesCurrent(spark, root, Seq("k"), Qs, 1.0, 1.0)
+        .collect().map(_.toString).sorted.toSeq
+    val (one, three) = (build("one", 1), build("three", 3))
+    assert(answers(one) == answers(three))
+    QuantileStore.compactStore(spark, three, expectedGen = 1L, Seq("k"))
+    assert(QuantileStore.fragmentCount(spark, three) == 1L)
+    assert(answers(three) == answers(one), "compaction must be lossless")
+    // the seal refuses replays of compacted batches
+    assertThrows[IllegalArgumentException] {
+      QuantileStore.admitBatch(spark, df.limit(10), Seq("k"), "v",
+        1.0, 1.0, 97, batchId = 2L, root = three)
+    }
+  }
+
+  test("coarse bins: estimate within one bin width below the exact statistic; out-of-range clamps to edges") {
+    val vals = (1 to 500).map(_ * 0.37 + 3.0)
+    val root = Files.createTempDirectory("graft-qstore-coarse").toString + "/s"
+    QuantileStore.initStore(root)
+    QuantileStore.admitBatch(spark,
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, "k", v) }.toDF("id", "k", "v"),
+      Seq("k"), "v", lo = 0.0, width = 10.0, nbins = 20, batchId = 0L, root = root)
+    val got = QuantileStore.quantilesCurrent(spark, root, Seq("k"), Qs, 0.0, 10.0)
+      .as[(String, Double, Double, Double, Double)].head()
+    Seq((got._2, (1, 4)), (got._3, (1, 2)), (got._4, (3, 4)), (got._5, (19, 20)))
+      .foreach { case (est, (num, den)) =>
+        val exact = exactRank(vals, num, den)
+        assert(est <= exact && exact < est + 10.0,
+          s"q=$num/$den: est $est not within one bin width below exact $exact")
+      }
+    // values beyond the range land in the edge bins: the store answers
+    // with range endpoints rather than inventing values
+    val root2 = Files.createTempDirectory("graft-qstore-clamp").toString + "/s"
+    QuantileStore.initStore(root2)
+    QuantileStore.admitBatch(spark,
+      Seq((0L, "k", -50.0), (1L, "k", 5.0), (2L, "k", 999.0)).toDF("id", "k", "v"),
+      Seq("k"), "v", lo = 0.0, width = 1.0, nbins = 10, batchId = 0L, root = root2)
+    val c = QuantileStore.quantilesCurrent(spark, root2, Seq("k"),
+        Seq(("qlo", 1, 100), ("qhi", 99, 100)), 0.0, 1.0)
+      .as[(String, Double, Double)].head()
+    assert(c._2 == 0.0 && c._3 == 9.0)
+  }
+}

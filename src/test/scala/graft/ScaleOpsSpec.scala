@@ -108,6 +108,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assertThrows[Exception] {
       spark.sql("SELECT nearest_cells(array(1.0), array(array(rand())))").head()
     }
+    // the SQ8 tier kernels: encode round-trips through sq_dot within
+    // the 8-bit bound, and the zero vector scores 0
+    val sq = spark.sql(
+      """SELECT sq_dot(array(0.6, 0.8), sq_encode(array(0.6, 0.8))) AS d,
+        |       sq_dot(array(1.0, 1.0), sq_encode(array(0.0, 0.0))) AS z
+        |""".stripMargin).head()
+    assert(math.abs(sq.getAs[Double]("d") - 1.0) <= 0.8 / 127.0 / 2 * 2 + 1e-12)
+    assert(sq.getAs[Double]("z") == 0.0)
   }
 
   test("GraftExtensions injects functions at session build time") {

@@ -572,6 +572,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream == fromFlat)
   }
 
+  test("streaming compacting quantile admission: fragments bounded, answers == one-shot exact order statistics") {
+    import graft.operators.QuantileStore
+    val base = java.nio.file.Files.createTempDirectory("graft-quant-stream")
+    val feedDir = s"$base/feed"
+    val root = s"$base/qstore"
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    li.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = EventStreams.quantileIngestCompacting(stream, Seq("l_returnflag"),
+      "l_quantity", lo = 1.0, width = 1.0, nbins = 50,
+      root = root, checkpointDir = s"$base/_cp", maxFragments = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.operators.GenStore.currentGen(root) > 1L,
+      "the compaction policy never fired across 4 micro-batches")
+    assert(QuantileStore.fragmentCount(spark, root) <= 2L)
+    // histogram sums are lossless whatever merge tree the interleaved
+    // compactions produced: the store's answers are the EXACT order
+    // statistics of the whole stream (unit bins, integral domain)
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+    val got = QuantileStore.quantilesCurrent(spark, root,
+        Seq("l_returnflag"), qs, 1.0, 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = li.collect().groupBy(_.getString(0)).map { case (k, rows) =>
+      val sorted = rows.map(_.getDouble(1)).sorted
+      def rank(num: Int, den: Int) =
+        sorted(((sorted.length.toLong * num + den - 1) / den - 1).toInt)
+      k -> (rank(1, 4), rank(1, 2), rank(3, 4), rank(19, 20))
+    }
+    assert(got == exact)
+  }
+
   test("streaming compacting sketch admission: fragments bounded, estimates track the one-pass sketch") {
     import graft.operators.SketchStore
     val base = java.nio.file.Files.createTempDirectory("graft-sketch-stream")

@@ -189,6 +189,49 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.migratedBatchIds(spark, root, 2L) === Seq(0L, 1L, 2L))
   }
 
+  test("sq tier: store search == inline IVF-SQ, survives compaction and refit; pq-only frame fails loudly") {
+    val root = freshStore("sqtier", Seq(corpus(0, 200), corpus(200, 400)))
+    val q = corpus(0, 5)
+    def rows(df: DataFrame): Seq[String] =
+      df.select("query_id", "rank", "neighbor_id", "cos")
+        .collect().map(_.toString).sorted.toSeq
+    val (cents, _) = VectorStore.loadGenIndex(spark, root, 1L)
+    val inline = rows(Similarity.ivfSqSearch(q, corpus(0, 400),
+      "vec_id", "embedding", 5, cents,
+      nprobe = 12, nassign = 2, shortlistFactor = 4))
+    val store = rows(VectorStore.search(spark, root, q,
+      "vec_id", "embedding", 5, nprobe = 12, shortlistFactor = 4,
+      tier = "sq"))
+    assert(store == inline,
+      "store SQ tier must equal the from-scratch inline IVF-SQ search")
+    // layout-only compaction preserves the sq column: serving identical
+    VectorStore.compactGen(spark, root, expectedGen = 1L)
+    assert(rows(VectorStore.search(spark, root, q, "vec_id", "embedding", 5,
+      nprobe = 12, shortlistFactor = 4, tier = "sq")) == store)
+    // refit re-encodes both tiers against the new generation's index:
+    // the migrated store must equal a fresh inline SQ search under the
+    // NEW centroids (not the old result — the geometry changed)
+    val g = doRefit(root, expected = 2L)
+    val (nc, _) = VectorStore.loadGenIndex(spark, root, g)
+    assert(rows(VectorStore.search(spark, root, q, "vec_id", "embedding", 5,
+        nprobe = 12, shortlistFactor = 4, tier = "sq")) ==
+      rows(Similarity.ivfSqSearch(q, corpus(0, 400), "vec_id", "embedding", 5,
+        nc, nprobe = 12, nassign = 2, shortlistFactor = 4)))
+    // a frame without the sq column must fail at analysis, not serve
+    // degraded results (the pre-SQ8-store contract)
+    val (c1, b1) = VectorStore.loadGenIndex(spark, root, g)
+    val pqOnly = spark.read.parquet(VectorStore.codedDir(root, g))
+      .select("cid", "cv", "cell", "codes")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Similarity.searchCodedFrame(pqOnly, q, "vec_id", "embedding", 5,
+        c1, b1, nprobe = 12, shortlistFactor = 4, tier = "sq").collect()
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.searchCodedFrame(pqOnly, q, "vec_id", "embedding", 5,
+        c1, b1, tier = "flat")
+    }
+  }
+
   test("compaction: serving row-identical, seal survives a later refit, stale-pointer admit fence holds") {
     // interleavings q150 can't express: compaction then refit (the seal
     // must ride into the refitted generation), and the admit whose
