@@ -4929,7 +4929,7 @@ object Queries {
           .select(((col("cnt") * (m + 1) <= nPrefix || col("est").isNotNull) &&
             (col("est").isNull || (col("est") <= col("cnt") &&
               (col("cnt") - col("est")) * (m + 1) <= nPrefix))).as("ok"))
-          .agg(min(col("ok"))).head.getBoolean(0)
+          .agg(coalesce(min(col("ok")), lit(true))).head.getBoolean(0)
         HeavyHitters.admitBatch(s, keyed.filter(pmod(col("doc_id"), lit(4)) === 3),
           "k", m, 3L, root)
         val fragsAfter = HeavyHitters.fragmentCount(s, root)

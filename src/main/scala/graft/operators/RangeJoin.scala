@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed POINT-IN-INTERVAL (range) join — the missing join flavor
@@ -30,9 +30,42 @@ import org.apache.spark.sql.functions._
   * `maxIntervalBuckets` buckets fail loudly at execution (the
   * replication fence: one degenerate years-long interval must not
   * explode the build side silently — widen the buckets or route such
-  * intervals to a tiny broadcast side instead).
+  * intervals to a tiny broadcast side instead). Bucket ids are
+  * computed in PURE INTEGER arithmetic (floor division on longs), so
+  * coordinates anywhere in the long range bucket exactly — a
+  * double-rounded floor would silently drop boundary pairs above
+  * ~2^52 (epoch-nanosecond regimes).
   */
 object RangeJoin {
+
+  /** floor(c / width) on longs without a double round-trip:
+    * (c - pmod(c, width)) is an exact multiple of width, so the
+    * integral divide is exact for any long coordinate (pmod keeps the
+    * floor semantics for negative coordinates).
+    */
+  private def bucketOf(c: Column, width: Long): Column = {
+    val cl = c.cast("long")
+    val floored = cl - pmod(cl, lit(width))
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(floored),
+        org.apache.spark.sql.GraftBridge.expression(lit(width))))
+  }
+
+  private def guarded(df: DataFrame, s: String, e: String,
+      bucketWidth: Long, maxIntervalBuckets: Long): DataFrame = {
+    val b0 = bucketOf(col(s), bucketWidth)
+    val b1 = bucketOf(col(e), bucketWidth)
+    df.withColumn("__rj_guard", assert_true(
+        col(s) <= col(e) && (b1 - b0) < lit(maxIntervalBuckets),
+        concat(lit(s"RangeJoin: interval [$s, $e] = ["),
+          col(s), lit(", "), col(e),
+          lit(s"] is empty or spans >= $maxIntervalBuckets buckets of " +
+            s"width $bucketWidth — widen bucketWidth or broadcast " +
+            "degenerate intervals separately"))))
+      .withColumn("__rj_bucket", explode(sequence(b0, b1)))
+      .drop("__rj_guard")
+  }
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
@@ -43,22 +76,9 @@ object RangeJoin {
     require(clash.isEmpty,
       s"point and interval column names must be disjoint; both carry: " +
         clash.toSeq.sorted.mkString(", "))
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / bucketWidth).cast("long")
-    val b0 = bucketOf(col(startCol))
-    val b1 = bucketOf(col(endCol))
-    val exploded = intervals
-      .withColumn("__rj_guard", assert_true(
-        col(startCol) <= col(endCol) &&
-          (b1 - b0) < lit(maxIntervalBuckets),
-        concat(lit(s"RangeJoin: interval [${startCol}, ${endCol}] = ["),
-          col(startCol), lit(", "), col(endCol),
-          lit(s"] is empty or spans >= $maxIntervalBuckets buckets of " +
-            s"width $bucketWidth — widen bucketWidth or broadcast " +
-            "degenerate intervals separately"))))
-      .withColumn("__rj_bucket", explode(sequence(b0, b1)))
-      .drop("__rj_guard")
-    points.withColumn("__rj_bucket", bucketOf(col(pointCol)))
+    val exploded = guarded(intervals, startCol, endCol,
+      bucketWidth, maxIntervalBuckets)
+    points.withColumn("__rj_bucket", bucketOf(col(pointCol), bucketWidth))
       .join(exploded, Seq("__rj_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__rj_bucket")
@@ -76,26 +96,18 @@ object RangeJoin {
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketWidth: Long, maxIntervalBuckets: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
     val clash = a.columns.toSet.intersect(b.columns.toSet)
     require(clash.isEmpty,
       s"interval column names must be disjoint; both carry: " +
         clash.toSeq.sorted.mkString(", "))
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / bucketWidth).cast("long")
-    def explodeSide(df: DataFrame, s: String, e: String) = df
-      .withColumn("__rj_guard", assert_true(
-        col(s) <= col(e) &&
-          (bucketOf(col(e)) - bucketOf(col(s))) < lit(maxIntervalBuckets),
-        lit(s"RangeJoin: interval [$s, $e] is empty or spans >= " +
-          s"$maxIntervalBuckets buckets of width $bucketWidth")))
-      .withColumn("__rj_bucket", explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
-      .drop("__rj_guard")
-    explodeSide(a, aStart, aEnd)
-      .join(explodeSide(b, bStart, bEnd).withColumnRenamed("__rj_bucket", "__rj_b2"),
+    guarded(a, aStart, aEnd, bucketWidth, maxIntervalBuckets)
+      .join(guarded(b, bStart, bEnd, bucketWidth, maxIntervalBuckets)
+          .withColumnRenamed("__rj_bucket", "__rj_b2"),
         col("__rj_bucket") === col("__rj_b2"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .filter(col("__rj_bucket") ===
-        bucketOf(greatest(col(aStart), col(bStart))))
+        bucketOf(greatest(col(aStart), col(bStart)), bucketWidth))
       .drop("__rj_bucket", "__rj_b2")
   }
 }

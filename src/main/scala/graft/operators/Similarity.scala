@@ -547,19 +547,30 @@ object Similarity {
     * (cid, cv, cell, codes). Shared by the inline search path and the
     * persisted admission store ([[appendCodedBatch]]).
     */
-  private def codedCorpus(
+  /** The shared encode front half: unitize, `nassign` replica cells,
+    * per-cell residual — (cid, cv, cell, r). Every coded-corpus form
+    * (PQ, SQ, both-tiers) is this one pipeline plus its code-column
+    * projection, so replica assignment and residual math can never
+    * drift between the tiers the equality gates compare.
+    */
+  private def replicaResiduals(
       corpus: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], nassign: Int): DataFrame =
+      cents: Array[Array[Double]], nassign: Int): DataFrame =
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         unitizeCol(col(vecCol)).as("uv"))
       .select(col("cid"), col("cv"), col("uv"),
         explode(bestCells(col("uv"), cents, nassign)).as("cell"))
       .select(col("cid"), col("cv"), col("cell"),
-        pqEncodeExpr(
-          VectorFunctions.residual(col("uv"), col("cell"), cents), books)
-          .as("codes"))
+        VectorFunctions.residual(col("uv"), col("cell"), cents).as("r"))
+
+  private def codedCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nassign: Int): DataFrame =
+    replicaResiduals(corpus, idCol, vecCol, cents, nassign)
+      .select(col("cid"), col("cv"), col("cell"),
+        pqEncodeExpr(col("r"), books).as("codes"))
 
   /** [[codedCorpus]] carrying BOTH code tiers: the per-cell residual is
     * computed once and lands as PQ codes (candidate-generation tier)
@@ -573,13 +584,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]], nassign: Int): DataFrame =
-    corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        unitizeCol(col(vecCol)).as("uv"))
-      .select(col("cid"), col("cv"), col("uv"),
-        explode(bestCells(col("uv"), cents, nassign)).as("cell"))
-      .select(col("cid"), col("cv"), col("cell"),
-        VectorFunctions.residual(col("uv"), col("cell"), cents).as("r"))
+    replicaResiduals(corpus, idCol, vecCol, cents, nassign)
       .select(col("cid"), col("cv"), col("cell"),
         pqEncodeExpr(col("r"), books).as("codes"),
         VectorFunctions.sqEncode(col("r")).as("sq"))
@@ -770,14 +775,9 @@ object Similarity {
   private def sqCodedCorpus(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], nassign: Int): DataFrame =
-    corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        unitizeCol(col(vecCol)).as("uv"))
-      .select(col("cid"), col("cv"), col("uv"),
-        explode(bestCells(col("uv"), cents, nassign)).as("cell"))
+    replicaResiduals(corpus, idCol, vecCol, cents, nassign)
       .select(col("cid"), col("cv"), col("cell"),
-        VectorFunctions.sqEncode(
-          VectorFunctions.residual(col("uv"), col("cell"), cents)).as("sq"))
+        VectorFunctions.sqEncode(col("r")).as("sq"))
 
   /** IVF-SQ8 ANN search with exact re-ranking — the WITHIN-CLUSTER
     * RESOLUTION tier. Same decomposition as [[ivfPqSearch]]

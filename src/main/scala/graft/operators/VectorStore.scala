@@ -326,13 +326,19 @@ object VectorStore {
     // byte-unaffected until the pointer moves
     val (cents, books) = loadGenIndex(spark, root, cur)
     Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, ng))
-    def mergeInto(dstId: Long, srcIds: Seq[Long]): Unit =
-      spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
-        .select("cid", "cv", "cell", "codes", "sq")
+    // compaction is layout-only, so it carries whatever code tiers the
+    // store was admitted with — a pre-SQ8 store (no sq column) compacts
+    // fine and stays pq-only; adding the tier is refit's job, not this
+    def mergeInto(dstId: Long, srcIds: Seq[Long]): Unit = {
+      val frags = spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
+      frags
+        .select(("cid" +: "cv" +: "cell" +: "codes" +:
+          (if (frags.columns.contains("sq")) Seq("sq") else Nil)).map(col): _*)
         .repartitionByRange(col("cell"), col("cid"))
         .sortWithinPartitions(col("cell"))
         .write.mode("overwrite")
         .parquet(s"${codedDir(root, ng)}/batch_id=$dstId")
+    }
     mergeInto(hwm, ids)
     // stats: baseline copied bit-for-bit, the rest exactly-weighted
     val statsDst = s"${codedDir(root, ng)}_stats"
