@@ -463,6 +463,47 @@ object BenchTune {
     emb.unpersist()
   }
 
+  /** `--rangejoin [points] [intervals]`: the bucketed range join at
+    * volume (default 10M x 100k) — the shape a nested-loop plan cannot
+    * survive (10M x 100k = 10^12 comparisons; the bucketed rewrite does
+    * (points-per-bucket x intervals-overlapping) per bucket, shuffled on
+    * the bucket id). Points uniform over a year of epoch-millis,
+    * interval lengths 1-60 minutes (hash-derived, deterministic),
+    * bucket width 1 hour — so intervals replicate at most 2x and the
+    * per-point match rate is realistic telemetry density. Correctness
+    * rides along: a deterministic small slice re-joins through Spark's
+    * own nested-loop plan and must agree pair-for-pair.
+    */
+  private def rangeJoinDemo(spark: SparkSession, nPoints: Long, nIntervals: Long): Unit = {
+    import graft.operators.RangeJoin
+    val spanMs = 365L * 86400000L
+    val pts = spark.range(nPoints).select(col("id").as("pid"),
+      pmod(xxhash64(col("id"), lit(1)), lit(spanMs)).as("p"))
+    val ivs = spark.range(nIntervals).select(col("id").as("iid"),
+        pmod(xxhash64(col("id"), lit(2)), lit(spanMs)).as("s"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(59L * 60000L)) + 60000L).as("len"))
+      .select(col("iid"), col("s"), (col("s") + col("len")).as("e"))
+    val t0 = System.nanoTime()
+    val joined = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e",
+      bucketWidth = 3600000L)
+    val rows = joined.count()
+    val joinT = (System.nanoTime() - t0) / 1e9
+    // pair-exactness on a slice small enough for the nested-loop plan
+    val ptsS = pts.filter(col("pid") % 200 === 0).limit(50000)
+    val ivsS = ivs.filter(col("iid") % 100 === 0).limit(1000)
+    val naive = ptsS.join(ivsS,
+        col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = RangeJoin.pointInInterval(ptsS, ivsS, "p", "s", "e", 3600000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(bucketed == naive,
+      s"bucketed slice (${bucketed.size}) != nested-loop slice (${naive.size})")
+    println(f"[rangejoin] points=$nPoints%d intervals=$nIntervals%d " +
+      f"bucket=1h join=$joinT%.1f s rows_out=$rows%d " +
+      f"pairs_per_point=${rows.toDouble / nPoints}%.2f " +
+      f"slice_check=${naive.size}%d pairs equal (bucketed == nested-loop)")
+  }
+
   /** `--components [edges]`: connected components at scale (default 10M
     * edges) on the three structurally extreme graphs:
     *  - path: worst-case diameter (= edge count) — pins the
@@ -683,6 +724,14 @@ object BenchTune {
         nums.drop(3).headOption.getOrElse(1L).toInt,
         nums.drop(4).headOption.getOrElse(8L).toInt,
         nums.drop(5).headOption.getOrElse(16L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--rangejoin")) {
+      val nums = args.dropWhile(_ != "--rangejoin").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      rangeJoinDemo(spark, nums.headOption.getOrElse(10000000L),
+        nums.drop(1).headOption.getOrElse(100000L))
       spark.stop()
       return
     }

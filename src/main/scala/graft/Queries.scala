@@ -5640,6 +5640,90 @@ object Queries {
              |  TRUE AS retry_noop, TRUE AS est_identical
              |FROM w GROUP BY k ORDER BY k""".stripMargin)),
 
+    QDef("q159_mmr_rerank",
+      // DIVERSIFIED retrieval (maximal marginal relevance): greedy
+      // re-rank of a 25-candidate pool where each pick balances
+      // relevance against max similarity to prior picks (lambda=0.5 —
+      // exact in binary, so both engines weigh identically). The
+      // oracle UNROLLS the same greedy: five chained CTEs, each step's
+      // argmax a row_number over score with the id tie-break — the
+      // sequential dependence that makes MMR inexpressible as one
+      // window is exactly k-bounded, so k CTE steps state it in closed
+      // form. Engine-specific float values (cos, score) are excluded
+      // per the q30 stance; the SELECTION is stable because score gaps
+      // dwarf cross-engine noise. In Spark the greedy is ONE codegen'd
+      // kernel call per query over its collected bounded pool — the
+      // only shuffle MMR adds is the per-query collect_list.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrTopK(emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", 5, poolFactor = 5, lambda = 0.5)
+          .select("query_id", "rank", "neighbor_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10
+             |), sc AS (
+             |  SELECT query_id, vec_id AS id,
+             |    list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) AS cos,
+             |    CAST(embedding AS DOUBLE[]) AS v
+             |  FROM q, embeddings WHERE vec_id <> query_id
+             |), pool AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id) AS rn FROM sc) WHERE rn <= 25
+             |), s1 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY 0.5*cos DESC, id) AS pk FROM pool) WHERE pk = 1
+             |), s2 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*list_cosine_similarity(p.v, a.v) DESC,
+             |        p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id)
+             |    WHERE p.id <> a.id) WHERE pk = 1
+             |), s3 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id)) WHERE pk = 1
+             |), s4 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v),
+             |          list_cosine_similarity(p.v, c.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |      JOIN s3 c USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id, c.id)) WHERE pk = 1
+             |), s5 AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT p.query_id, p.id,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v),
+             |          list_cosine_similarity(p.v, c.v),
+             |          list_cosine_similarity(p.v, e.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |      JOIN s3 c USING (query_id) JOIN s4 e USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id, c.id, e.id)) WHERE pk = 1
+             |)
+             |SELECT query_id, CAST(1 AS BIGINT) AS rank, id AS neighbor_id FROM s1
+             |UNION ALL SELECT query_id, 2, id FROM s2
+             |UNION ALL SELECT query_id, 3, id FROM s3
+             |UNION ALL SELECT query_id, 4, id FROM s4
+             |UNION ALL SELECT query_id, 5, id FROM s5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,

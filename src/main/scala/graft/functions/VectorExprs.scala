@@ -624,6 +624,119 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** Greedy MAXIMAL-MARGINAL-RELEVANCE selection kernel (Carbonell &
+    * Goldstein, SIGIR 1998): from a bounded candidate pool
+    * [(cos, id, vec)], pick k items maximizing
+    * `lambda*rel - (1-lambda)*max_sim_to_already_selected` — the
+    * diversified top-k a training-data pipeline wants when the top of
+    * a plain similarity ranking is k near-copies of one document. The
+    * pool is per-query bounded (k*poolFactor rows), so the O(k * n * d)
+    * greedy runs as ONE codegen'd kernel call per query row — never a
+    * driver loop, never corpus-sized. Every greedy step scans ALL
+    * remaining candidates with the total tie-break (score desc, id
+    * asc), so the result is independent of collect_list's
+    * nondeterministic input order — no sort needed, the argmax is
+    * order-free by construction. Null/degenerate candidate vectors
+    * contribute similarity 0 (the cosine kernel's stance) — they
+    * diversify nothing and exclude nothing.
+    */
+  def mmrSelectKernel(cands: ArrayData, kind: Int, k: Int,
+      lambda: Double): ArrayData = {
+    val n = cands.numElements()
+    if (n == 0 || k <= 0) return new GenericArrayData(Array.empty[Any])
+    val cos = new Array[Double](n)
+    val ids = new Array[Long](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 3)
+      cos(i) = r.getDouble(0)
+      ids(i) = r.getLong(1)
+      vecs(i) = if (r.isNullAt(2)) null else r.getArray(2)
+      i += 1
+    }
+    val kk = math.min(k, n)
+    val used = new Array[Boolean](n)
+    // max similarity to the selected set — genuinely the MAX, which can
+    // be NEGATIVE (an anti-similar candidate earns a diversity BONUS);
+    // before anything is selected the diversity term is defined as 0
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = new Array[Any](kk)
+    var s = 0
+    while (s < kk) {
+      var best = -1
+      var bestScore = 0.0
+      i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val score = lambda * cos(i) -
+            (1 - lambda) * (if (s == 0) 0.0 else maxSim(i))
+          if (best < 0 || java.lang.Double.compare(score, bestScore) > 0 ||
+              (score == bestScore && ids(i) < ids(best))) {
+            best = i
+            bestScore = score
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      out(s) = new GenericInternalRow(Array[Any](ids(best), cos(best), bestScore))
+      i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val sim = if (vecs(i) == null || vecs(best) == null) 0.0
+            else cosineKernel(vecs(i), vecs(best), kind, kind)
+          if (sim > maxSim(i)) maxSim(i) = sim
+        }
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MMR over a candidate array:
+    * array<struct<cos:double, id:long, vec:array<numeric>>> ->
+    * array<struct<id:long, cos:double, score:double>> in selection
+    * order. See [[mmrSelectKernel]].
+    */
+  case class MmrSelect(child: Expression, k: Int, lambda: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private def vecElemKind: Int = child.dataType match {
+      case ArrayType(s: StructType, _) => elemKind(s(2).dataType)
+      case other => throw new IllegalStateException(s"unchecked input $other")
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 3 &&
+          s(0).dataType == DoubleType && s(1).dataType == LongType &&
+          checkVectorType("mmr_select", s(2).dataType) ==
+            TypeCheckResult.TypeCheckSuccess =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "mmr_select needs array<struct<cos:double, id:long, " +
+          s"vec:array<numeric>>>, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      mmrSelectKernel(input.asInstanceOf[ArrayData], vecElemKind, k, lambda)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.mmrSelectKernel(" +
+          s"$c, $vecElemKind, $k, ${lambda}D);")
+
+    override def prettyName: String = "mmr_select"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `cents` is a Seq-of-Seq so the case class keeps structural
     * equality/canonicalization (an Array field would compare by
     * reference and defeat common-subexpression elimination).

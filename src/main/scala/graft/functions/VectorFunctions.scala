@@ -85,6 +85,13 @@ object VectorFunctions {
       org.apache.spark.sql.GraftBridge.expression(q),
       org.apache.spark.sql.GraftBridge.expression(sq)))
 
+  /** Greedy MMR selection over a bounded candidate array (see
+    * [[graft.functions.VectorExprs.MmrSelect]]).
+    */
+  def mmrSelect(cands: Column, k: Int, lambda: Double): Column =
+    org.apache.spark.sql.GraftBridge.column(VectorExprs.MmrSelect(
+      org.apache.spark.sql.GraftBridge.expression(cands), k, lambda))
+
   /** The composed (zip_with/aggregate) cosine — same math, same strict
     * left-to-right accumulation; used to cross-check the native
     * expression and as the pattern reference for new vector ops.

@@ -140,6 +140,43 @@ object Similarity {
     emitTopK(scored, k)
   }
 
+  /** DIVERSIFIED top-k via maximal marginal relevance: a plain
+    * similarity top-k over a near-duplicate-rich corpus returns k
+    * copies of one document; MMR re-ranks a bounded candidate pool so
+    * each pick balances relevance against similarity to what is
+    * already picked (`lambda` = 1 is pure relevance, 0 pure
+    * diversity). The scale shape: the pool (k*poolFactor per query)
+    * comes from an existing search tier, candidate vectors join in by
+    * id, ONE groupBy collects each query's pool (bounded rows — this
+    * is the only shuffle MMR adds), and the greedy selection runs as
+    * one codegen'd kernel call per query ([[graft.functions
+    * .VectorExprs.MmrSelect]]) — O(k * pool * d) per query, never a
+    * driver loop, never corpus-sized. Output: (query_id, rank,
+    * neighbor_id, cos, mmr_score), rank 1..k in selection order.
+    */
+  def mmrTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      poolFactor: Int = 5, lambda: Double = 0.5): DataFrame = {
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, k * poolFactor)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    // the pool is nq * k * poolFactor rows — the small side; the corpus
+    // never re-keys (stats-driven broadcast at any realistic pool size)
+    val withVec = pool.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+      "neighbor_id")
+    withVec.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("cos"), col("neighbor_id").as("id"),
+        col("nv").as("vec"))).as("cands"))
+      .select(col("query_id"),
+        posexplode(VectorFunctions.mmrSelect(col("cands"), k, lambda))
+          .as(Seq("pos", "pick")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("pick.id").as("neighbor_id"), col("pick.cos").as("cos"),
+        col("pick.score").as("mmr_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Unit-normalize a centroid so cosine argmax reduces to a plain dot
     * product (|v| is constant across cells for a given row, so it cancels
     * out of the argmax; zero vectors stay zero).

@@ -10,6 +10,9 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // id shift for planted-clone fixtures (2^40, the catalog's CloneShift)
+  private val CloneShiftSpec = 1L << 40
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f)),
@@ -251,6 +254,79 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = got.count(want.contains).toDouble / want.size
     assert(recall >= 0.9, s"SQ kNN-join recall=$recall")
+  }
+
+  test("mmrTopK == an independent greedy reference; lambda=1 degenerates to plain top-k") {
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.mmrTopK(q, emb, "vec_id", "embedding", 5,
+        poolFactor = 5, lambda = 0.5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // independent reference: driver-side greedy over the same pool
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) d / nn else 0.0
+    }
+    val want = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(25)
+      var selected = Vector.empty[Long]
+      (1 to 5).map { rank =>
+        val pick = pool.filterNot(p => selected.contains(p._1))
+          .map { case (id, c) =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(s => cosine(vecs(id), vecs(s))).max
+            (id, 0.5 * c - 0.5 * ms)
+          }.minBy { case (id, score) => (-score, id) }._1
+        selected :+= pick
+        (qid, rank.toLong, pick)
+      }
+    }.sorted
+    assert(got == want)
+    // lambda=1: the diversity term vanishes — MMR IS the relevance top-k
+    val pure = Similarity.mmrTopK(q, emb, "vec_id", "embedding", 5,
+        poolFactor = 5, lambda = 1.0)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pure == plain)
+  }
+
+  test("mmrTopK diversifies a clone-polluted pool: plain top-k drowns in copies, MMR does not") {
+    // corpus = embeddings plus FOUR exact clones of every vector: the
+    // plain top-5 for any query is its nearest neighbor and that
+    // neighbor's clones; MMR at lambda=0.5 must pick 5 DISTINCT
+    // underlying documents (a clone's marginal score collapses to
+    // 0.5*cos - 0.5*1.0 < any non-duplicate candidate's)
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val polluted = (0 to 4).map(i => emb.select(
+        (col("vec_id") + i * CloneShiftSpec).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val q = emb.filter(col("vec_id") === 0)
+    def originals(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("neighbor_id").as[Long].collect().toSeq
+        .map(id => id % CloneShiftSpec)
+    val plain = originals(Similarity.bruteForceTopK(q, polluted,
+      "vec_id", "embedding", 5))
+    assert(plain.distinct.size < 5,
+      s"fixture broken: plain top-5 found no clone groups ($plain)")
+    val mmr = originals(Similarity.mmrTopK(q, polluted,
+      "vec_id", "embedding", 5, poolFactor = 5, lambda = 0.5))
+    assert(mmr.distinct.size == 5,
+      s"MMR must pick 5 distinct underlying documents, got $mmr")
   }
 
   test("TopKAgg keeps the MAX replica score per id — buffer is input-order-independent") {
