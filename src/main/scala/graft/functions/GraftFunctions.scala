@@ -25,6 +25,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
+  private def doubleArg(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+    }
+
   /** A foldable literal centroid matrix (e.g. `array(array(1.0, 0.0), ...)`
     * — any numeric element type, normalized through a cast to
     * array<array<double>>) for the SQL form of nearest_cells. The Column
@@ -82,6 +92,11 @@ object GraftFunctions {
     "sq_dot" -> (args => args match {
       case Seq(q, sq) => VectorExprs.SqDot(q, sq)
       case _ => throw new IllegalArgumentException("sq_dot(vec, sq_struct)")
+    }),
+    "mmr_select" -> (args => args match {
+      case Seq(c, k, l) => VectorExprs.MmrSelect(c, intArg(k), doubleArg(l))
+      case _ => throw new IllegalArgumentException(
+        "mmr_select(candidates, k, lambda)")
     }))
   // Note: the Column-composition functions (TextFunctions/VectorFunctions)
   // are deliberately NOT SQL-registered — a composed Column converted back

@@ -855,18 +855,41 @@ object Dedup {
     * shortlistFactor), while every emitted edge is exact (re-ranked
     * cosine). q124 gates the groups against the same closed-form
     * reachability oracle as q56/q57.
+    *
+    * `tier` picks the candidate-ranking codes: "pq" (default, the q124
+    * shape — m/kcode/pqIters apply, shortlistFactor ~32 on clustered
+    * data) or "sq" (the 8-bit-per-dim resolution tier — SemDeDup is
+    * EXACTLY the within-cluster-ordering workload SQ8 exists for:
+    * near-threshold pairs live inside tight clusters where 4-bit
+    * product codes cannot rank them; the measured SCALE.md row reaches
+    * recall 1.000 at a 4x shortlist FASTER than any PQ setting, and no
+    * codebook fit is needed, so pass shortlistFactor ~4 and m/kcode/
+    * pqIters are ignored). Both tiers emit exactly re-ranked edges, so
+    * the groups differ only through candidate recall.
     */
   def semanticDedupGroupsKnn(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, k: Int = 5,
       nlist: Int = 16, kmeansIters: Int = 3,
       m: Int = 16, kcode: Int = 16, pqIters: Int = 2,
-      nprobe: Int = 12, nassign: Int = 2, shortlistFactor: Int = 32): DataFrame = {
+      nprobe: Int = 12, nassign: Int = 2, shortlistFactor: Int = 32,
+      tier: String = "pq"): DataFrame = {
     val v = vecs.filter(col(vecCol).isNotNull)
-    val (cents, books) = Similarity.fitIvfPq(v, idCol, vecCol,
-      nlist, kmeansIters, m, kcode, pqIters)
-    val edges = Similarity.ivfPqKnnJoin(v, idCol, vecCol, k,
-      cents, books, nprobe, nassign, shortlistFactor)
+    val knn = tier match {
+      case "pq" =>
+        val (cents, books) = Similarity.fitIvfPq(v, idCol, vecCol,
+          nlist, kmeansIters, m, kcode, pqIters)
+        Similarity.ivfPqKnnJoin(v, idCol, vecCol, k,
+          cents, books, nprobe, nassign, shortlistFactor)
+      case "sq" =>
+        val cents = Similarity.fitCentroids(v, idCol, vecCol,
+          nlist, kmeansIters)
+        Similarity.ivfSqKnnJoin(v, idCol, vecCol, k,
+          cents, nprobe, nassign, shortlistFactor)
+      case other => throw new IllegalArgumentException(
+        s"unknown SemDeDup tier '$other' (expected pq or sq)")
+    }
+    val edges = knn
       .filter(col("cos") >= threshold)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
     Components.withSingletonComponents(

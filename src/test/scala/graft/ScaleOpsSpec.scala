@@ -116,6 +116,21 @@ class ScaleOpsSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(math.abs(sq.getAs[Double]("d") - 1.0) <= 0.8 / 127.0 / 2 * 2 + 1e-12)
     assert(sq.getAs[Double]("z") == 0.0)
+    // mmr_select: three candidates where pure relevance would take the
+    // two near-identical vectors; MMR at lambda=0.5 must take the
+    // orthogonal one second (struct fields need explicit casts — the
+    // nested shape is checked exactly, not coerced)
+    val mmr = spark.sql(
+      """SELECT transform(mmr_select(array(
+        |  named_struct('cos', CAST(0.98 AS DOUBLE), 'id', CAST(1 AS BIGINT),
+        |    'vec', CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)),
+        |  named_struct('cos', CAST(0.97 AS DOUBLE), 'id', CAST(2 AS BIGINT),
+        |    'vec', CAST(array(1.0, 0.01) AS ARRAY<DOUBLE>)),
+        |  named_struct('cos', CAST(0.60 AS DOUBLE), 'id', CAST(3 AS BIGINT),
+        |    'vec', CAST(array(0.0, 1.0) AS ARRAY<DOUBLE>))
+        |), 2, 0.5), x -> x.id) AS picks""".stripMargin).head()
+      .getAs[scala.collection.Seq[Long]]("picks")
+    assert(mmr == Seq(1L, 3L), s"got $mmr")
   }
 
   test("GraftExtensions injects functions at session build time") {

@@ -443,6 +443,26 @@ class DedupSpec extends AnyFunSuite {
       s"got $labels")
   }
 
+  test("semanticDedupGroupsKnn sq tier: clone groups identical to the pq tier at 1/8th the shortlist") {
+    // the q124 clone fixture: every vector unioned with an id-shifted
+    // exact copy — both tiers must recover exactly {v, v+shift} groups;
+    // the sq tier does it at shortlist 4x (vs the pq gate's 32x) with
+    // no codebook fit, which is the point of the dial
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val recrawl = emb.unionByName(
+      emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
+    val sq = Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding",
+        shortlistFactor = 4, tier = "sq")
+      .as[(Long, Long)].collect().toSet
+    val want = emb.select("vec_id").as[Long].collect().toSet
+      .flatMap((i: Long) => Set((i, i), (i + CloneShift, i)))
+    assert(sq == want)
+    assertThrows[IllegalArgumentException] {
+      Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding", tier = "flat")
+    }
+  }
+
   test("embedding near-dup finds planted duplicates exactly") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
