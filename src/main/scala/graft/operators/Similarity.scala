@@ -157,14 +157,27 @@ object Similarity {
   def mmrTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      poolFactor: Int = 5, lambda: Double = 0.5): DataFrame = {
-    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, k * poolFactor)
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-    // the pool is nq * k * poolFactor rows — the small side; the corpus
+      poolFactor: Int = 5, lambda: Double = 0.5): DataFrame =
+    mmrRerank(bruteForceTopK(queries, corpus, idCol, vecCol, k * poolFactor),
+      corpus, idCol, vecCol, k, lambda)
+
+  /** MMR over a caller-supplied candidate pool — (query_id,
+    * neighbor_id, cos) rows from ANY search tier, which is the 100 TB
+    * composition: generate the pool with the index ([[ivfSqSearch]],
+    * [[ivfPqSearch]], [[VectorStore.search]]...), then diversify it
+    * here. Every public search emits exactly re-ranked cosines, so
+    * pools are tier-interchangeable; the greedy itself only ever sees
+    * the bounded pool.
+    */
+  def mmrRerank(
+      pool: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    // the pool is nq * poolsize rows — the small side; the corpus
     // never re-keys (stats-driven broadcast at any realistic pool size)
-    val withVec = pool.join(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-      "neighbor_id")
+    val withVec = pool.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
     withVec.groupBy(col("query_id"))
       .agg(collect_list(struct(col("cos"), col("neighbor_id").as("id"),
         col("nv").as("vec"))).as("cands"))

@@ -304,6 +304,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pure == plain)
   }
 
+  test("mmrRerank over an ANN-tier pool == mmrTopK's brute pool when index recall is exhaustive") {
+    // the 100 TB composition: the pool comes from the IVF-SQ index, the
+    // greedy from mmrRerank — in the exhaustive-probe regime (nprobe ==
+    // nlist at this toy scale, recall 1.0) the two pools are identical,
+    // so the selections must be too
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 16, 3)
+    val pool = Similarity.ivfSqSearch(q, emb, "vec_id", "embedding", 25,
+      cents, nprobe = 16, nassign = 2, shortlistFactor = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rows(Similarity.mmrRerank(pool, emb, "vec_id", "embedding", 5)) ==
+      rows(Similarity.mmrTopK(q, emb, "vec_id", "embedding", 5,
+        poolFactor = 5, lambda = 0.5)))
+  }
+
   test("mmrTopK diversifies a clone-polluted pool: plain top-k drowns in copies, MMR does not") {
     // corpus = embeddings plus FOUR exact clones of every vector: the
     // plain top-5 for any query is its nearest neighbor and that
