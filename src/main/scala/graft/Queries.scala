@@ -5724,6 +5724,30 @@ object Queries {
              |UNION ALL SELECT query_id, 5, id FROM s5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    QDef("q160_semdedup_sq",
+      // SemDeDup on the SQ8 tier (q124's gate at the resolution tier
+      // that is MEASURED to own this workload): near-threshold pairs
+      // live inside tight clusters, where 4-bit product codes cannot
+      // rank candidates and the PQ tier needs a 32x shortlist —
+      // SQ8 ranks them at 4x with no codebook fit (SCALE.md: recall
+      // 1.000 at 284.6 s vs PQ's best 0.930 at 700 s on clustered
+      // 100k). Same re-crawl fixture, same closed-form reachability
+      // oracle: every clone pair must meet in the kNN join, edges
+      // above threshold are exactly the clone pairs, components are
+      // exactly {v, v+shift} with comp = original id.
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val recrawl = emb.unionByName(
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
+        Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding",
+            shortlistFactor = 4, tier = "sq")
+          .orderBy(col("id"))
+      },
+      Some(s"""SELECT vec_id AS id, vec_id AS comp FROM embeddings
+              |UNION ALL
+              |SELECT vec_id + $CloneShift AS id, vec_id AS comp FROM embeddings
+              |ORDER BY id""".stripMargin)),
+
     QDef("q146_hybrid_retrieval",
       // The END-TO-END RETRIEVAL CAPSTONE (the r9 stretch): crawl
       // admission -> index admission -> hybrid BM25 + vector retrieval,
