@@ -535,7 +535,11 @@ object VectorExprs {
       if (a > mx) mx = a
       i += 1
     }
-    if (mx == 0.0 || java.lang.Double.isNaN(mx))
+    // !isFinite also rejects an Infinity element: a scale of Infinity
+    // would encode every dimension to code 0 yet score NaN in sqDot
+    // (0 * Infinity), and NaN sorts ABOVE every real score — the
+    // degenerate vector must absorb to 0.0 like the other cases
+    if (mx == 0.0 || !java.lang.Double.isFinite(mx))
       return new GenericInternalRow(Array[Any](0.0, new Array[Byte](n)))
     val scale = mx / 127.0
     i = 0
@@ -642,19 +646,28 @@ object VectorExprs {
     */
   def mmrSelectKernel(cands: ArrayData, kind: Int, k: Int,
       lambda: Double): ArrayData = {
-    val n = cands.numElements()
-    if (n == 0 || k <= 0) return new GenericArrayData(Array.empty[Any])
-    val cos = new Array[Double](n)
-    val ids = new Array[Long](n)
-    val vecs = new Array[ArrayData](n)
-    var i = 0
-    while (i < n) {
-      val r = cands.getStruct(i, 3)
-      cos(i) = r.getDouble(0)
-      ids(i) = r.getLong(1)
-      vecs(i) = if (r.isNullAt(2)) null else r.getArray(2)
-      i += 1
+    val n0 = cands.numElements()
+    if (n0 == 0 || k <= 0) return new GenericArrayData(Array.empty[Any])
+    val cos = new Array[Double](n0)
+    val ids = new Array[Long](n0)
+    val vecs = new Array[ArrayData](n0)
+    // the input array type may carry containsNull=true (collect_list of
+    // an outer-joined struct): a null candidate element is no candidate
+    // at all — skipped, not an NPE
+    var n = 0
+    var j = 0
+    while (j < n0) {
+      if (!cands.isNullAt(j)) {
+        val r = cands.getStruct(j, 3)
+        cos(n) = r.getDouble(0)
+        ids(n) = r.getLong(1)
+        vecs(n) = if (r.isNullAt(2)) null else r.getArray(2)
+        n += 1
+      }
+      j += 1
     }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    var i = 0
     val kk = math.min(k, n)
     val used = new Array[Boolean](n)
     // max similarity to the selected set — genuinely the MAX, which can

@@ -143,8 +143,11 @@ object HeavyHitters {
   // guarantees, not bit equality, are the gate (q149).
   // -------------------------------------------------------------------------
 
-  /** Create the generational frequency store. Idempotent. */
-  def initStore(root: String): Unit = GenStore.init(root)
+  /** Create the generational frequency store if no pointer exists.
+    * Idempotent and restart-safe ([[GenStore.initIfAbsent]]): a no-op
+    * on an advanced store, never a pointer rewind.
+    */
+  def initStore(root: String): Unit = GenStore.initIfAbsent(root)
 
   /** Fragments of the current generation. */
   def fragmentCount(spark: SparkSession, root: String): Long =
@@ -174,21 +177,45 @@ object HeavyHitters {
     * under `gen=G+1` behind the atomic pointer (CAS on `expectedGen`;
     * retry no-ops). The compacted summary keeps `m` entries, so the
     * survival/bounds guarantees above hold for all later merges with
-    * appended batches.
+    * appended batches. Straggler sweep as the family
+    * ([[KeySetStore.compactStore]]): batches admitted since the
+    * fragment listing are re-listed and copied through unmerged, once
+    * before the seal and once after the pointer move — an admit racing
+    * the compaction either lands or throws, never silently vanishes.
     */
   def compactStore(spark: SparkSession, root: String, expectedGen: Long,
-      m: Int): Long = {
+      m: Int): Long =
+    compactStoreHooked(spark, root, expectedGen, m, () => ())
+
+  /** [[compactStore]] with a hook run between the fragment listing and
+    * the merge — the test seam for the straggler-sweep race window.
+    */
+  private[graft] def compactStoreHooked(spark: SparkSession, root: String,
+      expectedGen: Long, m: Int, midHook: () => Unit): Long = {
     val cur = GenStore.currentGen(root)
     if (cur != expectedGen) return cur
     val src = GenStore.genDir(root, cur)
     val ids = GenStore.listBatchIds(spark, src)
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
-    mergeSummaries(spark.read.parquet(src), m)
+    midHook()
+    val dst = GenStore.genDir(root, cur + 1)
+    // merge the LISTED fragments explicitly (parquet listing is lazy):
+    // a directory-wide read would fold a straggler admitted after the
+    // listing into the merge AND the sweep — double-counting its
+    // estimates, which breaks est <= exact
+    mergeSummaries(spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*), m)
       .write.mode("overwrite")
-      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+      .parquet(s"$dst/batch_id=$hwm")
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
     GenStore.seal(root, cur + 1, hwm)
     GenStore.writePointer(root, cur + 1)
+    sweep()
     cur + 1
   }
 

@@ -286,8 +286,12 @@ object InvertedIndex {
   // generational primitives shared with the rest of the admission-store
   // family live in [[GenStore]]; these are the index store's bindings
 
-  /** Create the generational store (generation 1, empty). Idempotent. */
-  def initStore(root: String): Unit = GenStore.init(root)
+  /** Create the generational store (generation 1, empty) if no pointer
+    * exists. Idempotent AND restart-safe: on an advanced store this is
+    * a no-op (a plain [[GenStore.init]] would re-point readers at the
+    * superseded generation 1).
+    */
+  def initStore(root: String): Unit = GenStore.initIfAbsent(root)
 
   /** The generation readers currently see. */
   def currentGen(root: String): Long = GenStore.currentGen(root)
@@ -357,32 +361,69 @@ object InvertedIndex {
     * (term, bucket) — each reduce group is bounded by bucketSize ×
     * batch-count structs, never a term's full df — plus narrow unions;
     * the raw corpus is never touched.
+    *
+    * Straggler discipline ([[KeySetStore.compactStore]] /
+    * [[VectorStore.compactGen]]): a batch admitted to `gen=G` AFTER the
+    * fragment listing would otherwise vanish from `gen=G+1` while its
+    * admit reported success (its pointer re-check can run before the
+    * publish). The source generation is therefore re-listed and any new
+    * batch copied through unmerged — once before the seal, once after
+    * the pointer move; an admit landing later than that re-checks the
+    * pointer itself and throws.
     */
-  def compactStore(spark: SparkSession, root: String, expectedGen: Long): Long = {
+  def compactStore(spark: SparkSession, root: String, expectedGen: Long): Long =
+    compactStoreHooked(spark, root, expectedGen, () => ())
+
+  /** [[compactStore]] with a hook run between the fragment listing and
+    * the merge — the test seam that makes the straggler sweep's race
+    * window reproducible (the [[VectorStore.admitAt]] pattern).
+    */
+  private[graft] def compactStoreHooked(spark: SparkSession, root: String,
+      expectedGen: Long, midHook: () => Unit): Long = {
     val cur = currentGen(root)
     if (cur != expectedGen) return cur
     val src = genDir(root, cur)
     val ids = GenStore.listBatchIds(spark, s"$src/postings")
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
+    midHook()
     val dst = genDir(root, cur + 1)
-    spark.read.parquet(s"$src/postings")
+    // the merge reads the LISTED fragments explicitly, never the whole
+    // directory: parquet listing is lazy (it happens at write time, not
+    // at listBatchIds time), so a directory-wide read would fold a
+    // straggler admitted after the listing INTO the merge and then the
+    // sweep would copy it AGAIN — duplicating its postings and stats
+    def frag(table: String, is: Seq[Long]) =
+      spark.read.parquet(is.map(i => s"$src/$table/batch_id=$i"): _*)
+    frag("postings", ids)
       .groupBy(col("tok"), col("bucket"))
       .agg(array_sort(flatten(collect_list(col("postings")))).as("postings"))
       .select(col("tok"), col("bucket"),
         size(col("postings")).cast("long").as("n_docs"), col("postings"))
       .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
-    spark.read.parquet(s"$src/doclens")
+    frag("doclens", ids)
       .select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
-    spark.read.parquet(s"$src/stats")
+    frag("stats", ids)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
+    // straggler sweep: batches admitted to gen=cur since the first
+    // listing ride through unmerged (idempotent per-path copies)
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, s"$src/postings").toSet -- ids).toSeq.sorted
+        .foreach { i =>
+          Seq("postings", "doclens", "stats").foreach { t =>
+            frag(t, Seq(i))
+              .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$i")
+          }
+        }
+    sweep()
     // seal the barrier BEFORE publishing: a reader that sees the new
     // generation must also see its retry fence
     GenStore.seal(root, cur + 1, hwm)
     GenStore.writePointer(root, cur + 1)
+    sweep() // the list->publish window, converged post-publish
     cur + 1
   }
 

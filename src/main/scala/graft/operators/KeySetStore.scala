@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object KeySetStore {
 
-  /** Create the generational store. Idempotent. */
-  def init(root: String): Unit = GenStore.init(root)
+  /** Create the generational store if no pointer exists. Idempotent
+    * and restart-safe ([[GenStore.initIfAbsent]]): a no-op on an
+    * advanced store, never a pointer rewind.
+    */
+  def init(root: String): Unit = GenStore.initIfAbsent(root)
 
   /** Fragments of the current generation. */
   def fragmentCount(spark: SparkSession, root: String): Long =
@@ -85,7 +88,12 @@ object KeySetStore {
     val ids = GenStore.listBatchIds(spark, src)
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
-    spark.read.parquet(src).drop("batch_id").distinct()
+    // merge the LISTED fragments explicitly (parquet listing is lazy):
+    // a directory-wide read could fold a straggler admitted after the
+    // listing into the merge and the sweep both — harmless HERE (the
+    // key set is distinct, reads are semi-joins), but the family keeps
+    // one discipline so the lossy stores can't inherit the wrong shape
+    spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*).distinct()
       .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
     def sweep(): Unit =
       (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>

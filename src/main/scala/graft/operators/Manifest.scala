@@ -80,15 +80,47 @@ object Manifest {
     new String(java.nio.file.Files.readAllBytes(pointerPath(root))).trim.toLong
 
   /** Publish a new pin set as version `expectedVersion + 1` — CAS on
-    * the version the writer planned against (a racing second publish
-    * no-ops and returns the published version). The pin file lands
-    * complete before the pointer moves, so readers see the old snapshot
-    * or the new one, never a torn manifest.
+    * the version the writer planned against (a racing publish that
+    * already MOVED the pointer no-ops and returns the published
+    * version). The pin file lands complete before the pointer moves,
+    * so readers see the old snapshot or the new one, never a torn
+    * manifest.
+    *
+    * The version-DIRECTORY creation is the mutual-exclusion lock (an
+    * atomic filesystem createDirectory), closing the read-then-write
+    * window of a pointer-only CAS: two concurrent publishers planning
+    * against the same version can no longer both "succeed" at v+1 with
+    * different pins — exactly one wins the directory; the loser either
+    * observes the winner's finished publish (and returns it, the CAS
+    * no-op), or finds its OWN crashed attempt (same pins already on
+    * disk — completing it is idempotent, so the retry converges), or
+    * fails LOUDLY. A loud failure also names the one manual repair an
+    * orphaned attempt needs (remove the unpublished `v<N>` directory
+    * and retry) — an unpublished version directory is invisible to
+    * readers, so the repair is always safe.
     */
   def publish(root: String, expectedVersion: Long,
       pins: Map[String, Long]): Long = {
     val cur = currentVersion(root)
     if (cur != expectedVersion) return cur
+    val dir = versionDir(root, cur + 1)
+    try java.nio.file.Files.createDirectory(dir)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val now = currentVersion(root)
+        if (now != cur) return now // the racing winner finished first
+        // pointer unmoved: a crashed attempt (ours — completing it is
+        // the documented retry) or a DIFFERENT publisher's in-flight
+        // work (loud — the pins disagree, or aren't even written yet)
+        val f = dir.resolve("PINS")
+        val samePins =
+          java.nio.file.Files.exists(f) && Manifest.pins(root, cur + 1) == pins
+        if (!samePins) throw new IllegalStateException(
+          s"manifest publish of v${cur + 1} at $root lost the directory " +
+            "lock: another publish is in flight, or a crashed publish left " +
+            s"an unpublished $dir with different pins — readers cannot see " +
+            "it; remove it and retry")
+    }
     writePins(root, cur + 1, pins)
     writePointer(root, cur + 1)
     cur + 1

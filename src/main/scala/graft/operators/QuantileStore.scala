@@ -91,8 +91,11 @@ object QuantileStore {
   // lossless, so every post-compaction answer is bit-identical.
   // -------------------------------------------------------------------------
 
-  /** Create the generational quantile store. Idempotent. */
-  def initStore(root: String): Unit = GenStore.init(root)
+  /** Create the generational quantile store if no pointer exists.
+    * Idempotent and restart-safe ([[GenStore.initIfAbsent]]): a no-op
+    * on an advanced store, never a pointer rewind.
+    */
+  def initStore(root: String): Unit = GenStore.initIfAbsent(root)
 
   /** Fragments of the current generation. */
   def fragmentCount(spark: SparkSession, root: String): Long =
@@ -124,20 +127,46 @@ object QuantileStore {
     * `gen=G+1`, sealed and published behind the atomic pointer.
     * Compare-and-swap on `expectedGen` (retry no-ops). Lossless —
     * the read path performs this same sum; compaction materializes it.
+    * Straggler sweep as the family ([[KeySetStore.compactStore]]):
+    * batches admitted since the fragment listing are re-listed and
+    * copied through unmerged, once before the seal and once after the
+    * pointer move — an admit racing the compaction either lands or
+    * throws, never silently vanishes.
     */
   def compactStore(spark: SparkSession, root: String, expectedGen: Long,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long =
+    compactStoreHooked(spark, root, expectedGen, keyCols, () => ())
+
+  /** [[compactStore]] with a hook run between the fragment listing and
+    * the merge — the test seam for the straggler-sweep race window.
+    */
+  private[graft] def compactStoreHooked(spark: SparkSession, root: String,
+      expectedGen: Long, keyCols: Seq[String], midHook: () => Unit): Long = {
     val cur = GenStore.currentGen(root)
     if (cur != expectedGen) return cur
     val src = GenStore.genDir(root, cur)
     val ids = GenStore.listBatchIds(spark, src)
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
-    mergedHistogram(spark, src, keyCols)
+    midHook()
+    val dst = GenStore.genDir(root, cur + 1)
+    // merge the LISTED fragments explicitly (parquet listing is lazy):
+    // a directory-wide read would fold a straggler admitted after the
+    // listing into the merge AND the sweep — double-counting its bins
+    spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*)
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
       .write.mode("overwrite")
-      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+      .parquet(s"$dst/batch_id=$hwm")
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
     GenStore.seal(root, cur + 1, hwm)
     GenStore.writePointer(root, cur + 1)
+    sweep()
     cur + 1
   }
 

@@ -73,8 +73,11 @@ object SketchStore {
   // sketch store; q148 gates it.
   // -------------------------------------------------------------------------
 
-  /** Create the generational sketch store. Idempotent. */
-  def initStore(root: String): Unit = GenStore.init(root)
+  /** Create the generational sketch store if no pointer exists.
+    * Idempotent and restart-safe ([[GenStore.initIfAbsent]]): a no-op
+    * on an advanced store, never a pointer rewind.
+    */
+  def initStore(root: String): Unit = GenStore.initIfAbsent(root)
 
   /** Fragments of the current generation. */
   def fragmentCount(spark: SparkSession, root: String): Long =
@@ -110,24 +113,47 @@ object SketchStore {
     * behind the atomic pointer. Compare-and-swap on `expectedGen`
     * (retry no-ops); readers are generation-isolated throughout. ONE
     * map-side-combined aggregation of KB-sized sketch rows — the raw
-    * corpus is never touched.
+    * corpus is never touched. Straggler sweep as the family
+    * ([[KeySetStore.compactStore]]): batches admitted since the
+    * fragment listing are re-listed and copied through unmerged, once
+    * before the seal and once after the pointer move, so an admit
+    * racing the compaction either lands in the new generation or
+    * throws at its own pointer re-check — never silently vanishes.
     */
   def compactStore(spark: SparkSession, root: String, expectedGen: Long,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long =
+    compactStoreHooked(spark, root, expectedGen, keyCols, () => ())
+
+  /** [[compactStore]] with a hook run between the fragment listing and
+    * the merge — the test seam for the straggler-sweep race window.
+    */
+  private[graft] def compactStoreHooked(spark: SparkSession, root: String,
+      expectedGen: Long, keyCols: Seq[String], midHook: () => Unit): Long = {
     val cur = GenStore.currentGen(root)
     if (cur != expectedGen) return cur
     val src = GenStore.genDir(root, cur)
     val ids = GenStore.listBatchIds(spark, src)
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
-    spark.read.parquet(src)
+    midHook()
+    val dst = GenStore.genDir(root, cur + 1)
+    // merge the LISTED fragments explicitly (parquet listing is lazy):
+    // a straggler admitted after the listing belongs to the sweep only
+    spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(hll_union_agg(col("sketch")).as("sketch"),
         max(col("lgk")).as("lgk"))
       .write.mode("overwrite")
-      .parquet(s"${GenStore.genDir(root, cur + 1)}/batch_id=$hwm")
+      .parquet(s"$dst/batch_id=$hwm")
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
     GenStore.seal(root, cur + 1, hwm)
     GenStore.writePointer(root, cur + 1)
+    sweep()
     cur + 1
   }
 

@@ -103,4 +103,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.publish(root, 1L, Map("index" -> 2L)) === 2L)
     assert(Manifest.listVersions(root) === Seq(1L, 2L))
   }
+
+  test("the version directory is the publish lock: a second publisher with different pins fails loudly, never both succeed") {
+    val root = fresh("lock")
+    Manifest.init(root, Map("index" -> 1L))
+    // publisher A won the v2 directory and wrote its pins, but has not
+    // yet moved the pointer; publisher B planned against v1 too
+    val dir = java.nio.file.Paths.get(root, "v2")
+    Files.createDirectory(dir)
+    Files.write(dir.resolve("PINS"), "index=7".getBytes)
+    val e = intercept[IllegalStateException] {
+      Manifest.publish(root, 1L, Map("index" -> 2L))
+    }
+    assert(e.getMessage.contains("lock"))
+    assert(Manifest.currentVersion(root) === 1L,
+      "the losing publisher must not have moved the pointer")
+    // a publisher that raced the WINNER's pointer move no-ops to it
+    Manifest.init(root + "2", Map("index" -> 1L))
+    assert(Manifest.publish(root + "2", 1L, Map("index" -> 2L)) === 2L)
+    assert(Manifest.publish(root + "2", 1L, Map("index" -> 9L)) === 2L)
+    // an in-flight v-dir with NO pins yet is also a loud loss
+    val root3 = fresh("lock3")
+    Manifest.init(root3, Map("index" -> 1L))
+    Files.createDirectory(java.nio.file.Paths.get(root3, "v2"))
+    assertThrows[IllegalStateException] {
+      Manifest.publish(root3, 1L, Map("index" -> 2L))
+    }
+  }
 }

@@ -133,6 +133,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(mmr == Seq(1L, 3L), s"got $mmr")
   }
 
+  test("kernel degenerate inputs: null mmr candidates are skipped; an Infinity element absorbs to sq scale 0") {
+    // a null element in the candidate array (containsNull=true, e.g.
+    // collect_list over an outer join) is no candidate at all — the
+    // selection proceeds over the real ones instead of an NPE
+    val mmr = spark.sql(
+      """SELECT transform(mmr_select(array(
+        |  named_struct('cos', CAST(0.9 AS DOUBLE), 'id', CAST(1 AS BIGINT),
+        |    'vec', CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)),
+        |  CAST(NULL AS STRUCT<cos: DOUBLE, id: BIGINT, vec: ARRAY<DOUBLE>>),
+        |  named_struct('cos', CAST(0.5 AS DOUBLE), 'id', CAST(3 AS BIGINT),
+        |    'vec', CAST(array(0.0, 1.0) AS ARRAY<DOUBLE>))
+        |), 3, 0.5), x -> x.id) AS picks""".stripMargin).head()
+      .getAs[scala.collection.Seq[Long]]("picks")
+    assert(mmr == Seq(1L, 3L), s"got $mmr")
+    // an all-null candidate array selects nothing
+    val empty = spark.sql(
+      """SELECT mmr_select(array(
+        |  CAST(NULL AS STRUCT<cos: DOUBLE, id: BIGINT, vec: ARRAY<DOUBLE>>)
+        |), 2, 0.5) AS picks""".stripMargin).head()
+      .getAs[scala.collection.Seq[Any]]("picks")
+    assert(empty.isEmpty)
+    // an Infinity element would make scale Infinity and every sq_dot
+    // NaN (0 * Infinity) — NaN sorts above all reals, silently topping
+    // shortlists; it must absorb to the degenerate 0.0 stance instead
+    val inf = spark.sql(
+      """SELECT sq_dot(array(1.0, 1.0),
+        |              sq_encode(array(CAST('Infinity' AS DOUBLE), 1.0))) AS d
+        |""".stripMargin).head().getAs[Double]("d")
+    assert(inf == 0.0, s"Infinity element must score 0.0, got $inf")
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // a derived session (shared context, fresh state) picks up injections
     // applied through the registry path; builder-time extension classes
