@@ -5871,7 +5871,128 @@ object Queries {
               |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS hrank,
               |  doc_id, rrf
               |FROM f QUALIFY hrank <= 10
-              |ORDER BY query_id, hrank""".stripMargin))
+              |ORDER BY query_id, hrank""".stripMargin)),
+
+    QDef("q161_store_takedown",
+      // DELETION/TAKEDOWN across the admission-store family — the LSM
+      // delete-marker pattern on the GenStore discipline. A training
+      // pipeline hits takedown/contamination purges routinely; before
+      // this the only answer was a full store rebuild. A delete batch
+      // admits doc ids once (per-batch idempotent overwrite, the
+      // family's fences); every read then excludes them by an anti-join
+      // on index-sized candidate rows — BM25's corpus stats (N, avgdl)
+      // and per-term df shrink EXACTLY — and the next compaction
+      // removes them physically: the compacted generation matches a
+      // store built without the documents and carries no pending set.
+      // Gates (booleans computed eagerly in-query, the q143 pattern):
+      // replayed delete + never-admitted-id delete are no-ops; post-
+      // compaction serving equals pending-delete serving; no deleted id
+      // survives anywhere in the compacted fragments and the stats row
+      // shrank to the clean corpus; and the VECTOR store's takedown
+      // (same discipline on coded vectors) serves identically to a
+      // store built without the deleted vectors — same index artifact,
+      // exhaustive probe, so the exact-cosine re-rank makes equality
+      // strict — before AND after its physical compaction. The emitted
+      // rows are the post-takedown BM25 top-15, whose closed form the
+      // oracle states over `documents WHERE doc_id % 7 <> 3`. At 100 TB
+      // a takedown is one tiny delete-fragment write; reads pay one
+      // anti-join against a distinct id set until the next compaction
+      // folds the purge into work it was doing anyway.
+      (s, d) => {
+        import s.implicits._
+        val root = scratchDir("q161") + "/istore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 5),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = root)
+        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 5),
+          "doc_id", "tk", IndexBucket, batchId = 1L, root = root)
+        val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+        InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
+        def bm25Rows() = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val pending = bm25Rows()
+        InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
+        InvertedIndex.admitDeleteBatch(s,
+          Seq(Long.MaxValue - 1).toDF("doc_id"), "doc_id", 1L, root)
+        val replayNoop = bm25Rows() == pending
+        InvertedIndex.compactStore(s, root, expectedGen = 1L)
+        val postEqPending = bm25Rows() == pending
+        val gen2 = InvertedIndex.genDir(root, 2L)
+        val purged = s.read.parquet(s"$gen2/postings")
+          .select(explode(col("postings")).as("p"))
+          .filter(col("p.doc_id") % 7 === 3).isEmpty &&
+          s.read.parquet(s"$gen2/doclens")
+            .filter(col("doc_id") % 7 === 3).isEmpty &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
+        val emb = t(s, d, "embeddings")
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        val vroot = scratchDir("q161") + "/vstore"
+        val vclean = scratchDir("q161") + "/vclean"
+        VectorStore.init(s, vroot, vc, vb)
+        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", 0L)
+        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 1L)
+        VectorStore.init(s, vclean, vc, vb)
+        VectorStore.admit(s, vclean, emb.filter(col("vec_id") % 5 =!= 2),
+          "vec_id", "embedding", 0L)
+        VectorStore.admitDeletes(s, vroot,
+          emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id", 0L)
+        def vsearch(r: String) = VectorStore.search(s, r,
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+            nprobe = 16, shortlistFactor = 1000)
+          .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+          .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+          .sorted
+        val vwant = vsearch(vclean)
+        val vPending = vsearch(vroot) == vwant
+        VectorStore.compactGen(s, vroot, expectedGen = 1L)
+        val vCompacted = vsearch(vroot) == vwant &&
+          s.read.parquet(VectorStore.codedDir(vroot, 2L))
+            .filter(col("cid") % 5 === 2).isEmpty
+        InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("post_eq_pending", lit(postEqPending))
+          .withColumn("physical_purge", lit(purged))
+          .withColumn("vector_pending_ok", lit(vPending))
+          .withColumn("vector_compacted_ok", lit(vCompacted))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 7 <> 3
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS replay_noop, TRUE AS post_eq_pending,
+              |  TRUE AS physical_purge, TRUE AS vector_pending_ok,
+              |  TRUE AS vector_compacted_ok
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -130,6 +130,44 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$path/stats/batch_id=$batchId")
   }
 
+  // -------------------------------------------------------------------------
+  // DELETION (takedown): the pending-delete set of a store directory —
+  // `path/deletes/batch_id=N` fragments of doc_id rows, the LSM
+  // delete-marker pattern on the existing per-batch admission layout. A
+  // takedown/contamination purge admits the doc ids once ([[
+  // admitDeleteBatch]]); every read then excludes them by an anti-join
+  // on index-sized candidate rows (never the corpus), corpus stats
+  // (N, avgdl, df) shrink exactly, and compaction applies the set
+  // PHYSICALLY — the compacted generation is bit-identical to a store
+  // built without those documents, and carries no pending deletes.
+  // Replaying a delete batch is a no-op twice over: the per-batch
+  // overwrite is a storage no-op, and anti-joining an already-removed
+  // id changes nothing. Deleting an id the store never admitted is
+  // equally harmless.
+  // -------------------------------------------------------------------------
+
+  /** Lands one batch of doc ids to delete under `path/deletes` — the
+    * flat-path form ([[appendBatch]]'s sibling); id space is the
+    * delete table's own (a delete batch id never collides with an
+    * admission batch id — different subdirectory).
+    */
+  def appendDeleteBatch(ids: DataFrame, idCol: String, batchId: Long,
+      path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/deletes/batch_id=$batchId")
+
+  /** The pending delete set of a store directory: distinct doc ids
+    * across every delete fragment, or None when no deletes were ever
+    * admitted (the zero-cost common case — read plans are unchanged).
+    */
+  private def pendingDeletes(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/deletes")
+      .select(col("doc_id")).distinct())
+  }
+
   /** Term lookup across EVERY admitted batch, equal to [[lookup]] over a
     * fresh [[build]] of the union corpus — in ONE aggregation (the r9
     * review's double-shuffle nit, closed): buckets cover disjoint
@@ -141,15 +179,31 @@ object InvertedIndex {
     * entering the aggregation are bounded by fragments × buckets of the
     * queried terms; on a freshly [[compactStore]]-ed generation that is
     * one row per (term, bucket).
+    *
+    * With pending deletes the candidate ids anti-join the delete set
+    * before re-aggregation (per-id rows instead of the array flatten —
+    * still bounded by the queried terms' candidates, never the corpus);
+    * with none, the plan is untouched.
     */
-  def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame =
-    spark.read.parquet(s"$path/postings")
+  def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
-      .select(col("tok"), col("n_docs"),
-        transform(col("postings"), _.getField("doc_id")).as("ids"))
-      .groupBy(col("tok"))
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        array_sort(flatten(collect_list(col("ids")))).as("postings"))
+    pendingDeletes(spark, path) match {
+      case None =>
+        base.select(col("tok"), col("n_docs"),
+            transform(col("postings"), _.getField("doc_id")).as("ids"))
+          .groupBy(col("tok"))
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            array_sort(flatten(collect_list(col("ids")))).as("postings"))
+      case Some(del) =>
+        base.select(col("tok"),
+            explode(transform(col("postings"), _.getField("doc_id"))).as("doc_id"))
+          .join(del, Seq("doc_id"), "left_anti")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+    }
+  }
 
   /** BM25 top-k over the persisted store — the textbook corpus-wide
     * score (df, N, avgdl across ALL admitted batches) computed from
@@ -179,16 +233,44 @@ object InvertedIndex {
   private def bm25Scores(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "BM25 search needs at least one term")
-    val st = spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).cast("long").as("n"),
-        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    val del = pendingDeletes(spark, path)
+    // corpus stats: with pending deletes, N and sum(dl) shrink by
+    // EXACTLY the deleted docs' doclens rows (one aggregate over the
+    // semi-joined 2-long rows — the only read that touches doclens,
+    // and it vanishes once compaction applies the set physically)
+    val st = del match {
+      case None =>
+        spark.read.parquet(s"$path/stats")
+          .agg(sum(col("n_docs")).cast("long").as("n"),
+            (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+      case Some(d) =>
+        val full = spark.read.parquet(s"$path/stats")
+          .agg(sum(col("n_docs")).cast("long").as("n0"),
+            sum(col("sum_dl")).cast("long").as("sd0"))
+        val gone = spark.read.parquet(s"$path/doclens")
+          .join(d, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("dn"),
+            coalesce(sum(col("dl")), lit(0L)).cast("long").as("dsum"))
+        full.crossJoin(gone)
+          .select((col("n0") - col("dn")).as("n"),
+            ((col("sd0") - col("dsum")).cast("double") /
+              (col("n0") - col("dn"))).as("avgdl"))
+    }
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
-    val dfc = post.groupBy(col("tok"))
-      .agg(sum(col("n_docs")).cast("long").as("df"))
-    val tf = post.select(col("tok"), explode(col("postings")).as("p"))
+    val tf0 = post.select(col("tok"), explode(col("postings")).as("p"))
       .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"),
         col("p.dl").as("dl"))
+    val tf = del.map(d => tf0.join(d, Seq("doc_id"), "left_anti")).getOrElse(tf0)
+    // document frequency: bucket-size sums when nothing is deleted
+    // (never explodes); the exact count of surviving candidates when
+    // deletes are pending — df shrinks with N, term by term
+    val dfc = del match {
+      case None => post.groupBy(col("tok"))
+        .agg(sum(col("n_docs")).cast("long").as("df"))
+      case Some(_) => tf.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("df"))
+    }
     val w = tf.join(broadcast(dfc), "tok")
       .crossJoin(broadcast(st))
       .withColumn("w", expr(bm25Weight("n", "df", "tf", "dl", "avgdl")))
@@ -239,11 +321,15 @@ object InvertedIndex {
   def phraseSearchStore(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
-    val post = spark.read.parquet(s"$path/postings")
+    val post0 = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms.distinct: _*))
       .select(col("tok"), explode(col("postings")).as("p"))
       .select(col("tok"), col("p.doc_id").as("doc_id"),
         col("p.positions").as("positions"))
+    // pending deletes excluded at the candidate-row level — one
+    // anti-join below every phrase slot
+    val post = pendingDeletes(spark, path)
+      .map(d => post0.join(d, Seq("doc_id"), "left_anti")).getOrElse(post0)
     // one side per PHRASE SLOT (a token may occupy several slots:
     // "the more the merrier" — each slot filters the same posting rows)
     val sides = terms.zipWithIndex.map { case (term, i) =>
@@ -344,6 +430,31 @@ object InvertedIndex {
         s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
+  /** TAKEDOWN: admit one batch of doc ids to delete under the CURRENT
+    * generation ([[appendDeleteBatch]] routed through the pointer).
+    * Every subsequent read excludes them; the next [[compactStore]]
+    * removes them physically. Same pointer-re-read fence as
+    * [[admitBatch]]; no sealed-id fence — replaying a delete batch is a
+    * semantic no-op whether or not a compaction already applied it
+    * (anti-joining an absent id removes nothing), as is deleting an id
+    * the store never admitted.
+    */
+  def admitDeleteBatch(spark: SparkSession, ids: DataFrame, idCol: String,
+      batchId: Long, root: String): Unit =
+    admitDeleteBatchAt(spark, ids, idCol, batchId, root, currentGen(root))
+
+  /** [[admitDeleteBatch]] with the pointer read the caller already took
+    * — the race-fence test seam (the [[admitBatchAt]] pattern).
+    */
+  private[graft] def admitDeleteBatchAt(spark: SparkSession, ids: DataFrame,
+      idCol: String, batchId: Long, root: String, gen: Long): Unit = {
+    appendDeleteBatch(ids, idCol, batchId, genDir(root, gen))
+    val now = currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"delete batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
   /** COMPACT the current generation: merge every batch fragment of
     * postings (per-(term, bucket) cell merge — [[storeLookup]]'s
     * flatten + bounded re-sort, run ONCE at compaction instead of every
@@ -395,22 +506,59 @@ object InvertedIndex {
     // sweep would copy it AGAIN — duplicating its postings and stats
     def frag(table: String, is: Seq[Long]) =
       spark.read.parquet(is.map(i => s"$src/$table/batch_id=$i"): _*)
-    frag("postings", ids)
-      .groupBy(col("tok"), col("bucket"))
-      .agg(array_sort(flatten(collect_list(col("postings")))).as("postings"))
-      .select(col("tok"), col("bucket"),
-        size(col("postings")).cast("long").as("n_docs"), col("postings"))
-      .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
-    frag("doclens", ids)
-      .select(col("doc_id"), col("dl"))
-      .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
-    frag("stats", ids)
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_dl")).cast("long").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
+    // pending deletes listed alongside the data fragments are applied
+    // PHYSICALLY here: the compacted generation holds no trace of the
+    // deleted docs (postings entries removed, doclens rows dropped,
+    // stats recomputed) and starts with no pending set — bit-identical
+    // to a store built without those documents
+    val delIds = GenStore.listBatchIds(spark, s"$src/deletes")
+    val del = if (delIds.isEmpty) None
+      else Some(spark.read.parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
+        .select(col("doc_id")).distinct())
+    del match {
+      case None =>
+        frag("postings", ids)
+          .groupBy(col("tok"), col("bucket"))
+          .agg(array_sort(flatten(collect_list(col("postings")))).as("postings"))
+          .select(col("tok"), col("bucket"),
+            size(col("postings")).cast("long").as("n_docs"), col("postings"))
+          .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
+        frag("doclens", ids)
+          .select(col("doc_id"), col("dl"))
+          .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
+        frag("stats", ids)
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("sum_dl")).cast("long").as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
+      case Some(d) =>
+        // per-entry anti-join (struct sort restores the doc_id order the
+        // admission layout guarantees); cells whose entries all die
+        // disappear entirely, exactly as a fresh build would have it
+        frag("postings", ids)
+          .select(col("tok"), col("bucket"), explode(col("postings")).as("p"))
+          .withColumn("doc_id", col("p.doc_id"))
+          .join(d, Seq("doc_id"), "left_anti")
+          .groupBy(col("tok"), col("bucket"))
+          .agg(sort_array(collect_list(col("p"))).as("postings"))
+          .select(col("tok"), col("bucket"),
+            size(col("postings")).cast("long").as("n_docs"), col("postings"))
+          .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
+        frag("doclens", ids)
+          .select(col("doc_id"), col("dl"))
+          .join(d, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
+        // stats recomputed from the surviving doclens rows — N, sum_dl
+        // shrink exactly, so post-compaction BM25 needs no pending set
+        spark.read.parquet(s"$dst/doclens/batch_id=$hwm")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
+    }
     // straggler sweep: batches admitted to gen=cur since the first
-    // listing ride through unmerged (idempotent per-path copies)
-    def sweep(): Unit =
+    // listing ride through unmerged (idempotent per-path copies) —
+    // including DELETE batches, which stay pending in the new
+    // generation (the merge only applied the sets it listed)
+    def sweep(): Unit = {
       (GenStore.listBatchIds(spark, s"$src/postings").toSet -- ids).toSeq.sorted
         .foreach { i =>
           Seq("postings", "doclens", "stats").foreach { t =>
@@ -418,6 +566,12 @@ object InvertedIndex {
               .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$i")
           }
         }
+      (GenStore.listBatchIds(spark, s"$src/deletes").toSet -- delIds).toSeq.sorted
+        .foreach { i =>
+          spark.read.parquet(s"$src/deletes/batch_id=$i")
+            .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$i")
+        }
+    }
     sweep()
     // seal the barrier BEFORE publishing: a reader that sees the new
     // generation must also see its retry fence

@@ -141,9 +141,63 @@ object VectorStore {
         s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
+  // -------------------------------------------------------------------------
+  // DELETION (takedown): pending delete sets as `gen=N/deletes/
+  // batch_id=K` fragments of vec ids — the [[InvertedIndex]] delete
+  // discipline on the coded store. Reads anti-join the set (a narrow
+  // filter above the store scan — cell pruning still applies);
+  // [[compactGen]] removes the rows physically; a refit CARRIES the
+  // pending set into the new generation ([[refitFinish]]), so a
+  // takedown admitted mid-migration is never lost. Replayed delete
+  // batches are no-ops (overwrite + anti-join of absent ids); so are
+  // deletes of never-admitted ids.
+  // -------------------------------------------------------------------------
+
+  private def deletesDir(root: String, gen: Long) = genRoot(root, gen) + "/deletes"
+
+  /** TAKEDOWN: admit one batch of vec ids to delete under the CURRENT
+    * generation, with the [[admit]] pointer-re-read fence. No sealed-id
+    * fence — delete replay is a semantic no-op.
+    */
+  def admitDeletes(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val gen = currentGen(root)
+    ids.select(col(idCol).cast("long").as("cid")).distinct()
+      .write.mode("overwrite").parquet(s"${deletesDir(root, gen)}/batch_id=$batchId")
+    val now = currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"delete batch_id=$batchId raced a refit/compaction: wrote under " +
+        s"gen=$gen but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** The pending delete set of one generation (distinct vec ids), or
+    * None when nothing was ever deleted — the common case keeps every
+    * read plan untouched.
+    */
+  private def pendingDeletes(spark: SparkSession, root: String,
+      gen: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletesDir(root, gen))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(deletesDir(root, gen))
+      .select(col("cid")).distinct())
+  }
+
+  /** Excludes a generation's pending deletes from a coded frame — the
+    * one anti-join every delete-aware read shares. Applied BEFORE the
+    * top-k cut (a post-filter would let deleted rows crowd real ones
+    * out of the shortlist).
+    */
+  private def minusDeleted(spark: SparkSession, root: String, gen: Long,
+      coded: DataFrame): DataFrame =
+    pendingDeletes(spark, root, gen)
+      .map(d => coded.join(d, Seq("cid"), "left_anti")).getOrElse(coded)
+
   /** The current generation's per-batch drift dashboard
     * ([[Similarity.codedStoreDriftStats]]): (batch_id, n_vectors,
-    * mean_err, max_err) ordered by batch.
+    * mean_err, max_err) ordered by batch. Counts are ADMISSION-time
+    * (pending deletes don't rewrite history rows — the dashboard reads
+    * fit-time quantization drift, not serving cardinality).
     */
   def driftStats(spark: SparkSession, root: String): DataFrame =
     Similarity.codedStoreDriftStats(spark, codedDir(root, currentGen(root)))
@@ -209,9 +263,12 @@ object VectorStore {
     val cur = currentGen(root)
     if (cur != expectedGen) return cur
     val (oldCents, _) = loadGenIndex(spark, root, cur)
-    val corpus = primaryRows(
+    // pending takedowns are excluded from the fit corpus: a new
+    // geometry must not be shaped around vectors the store will never
+    // serve again
+    val corpus = minusDeleted(spark, root, cur, primaryRows(
       spark.read.parquet(codedDir(root, cur)).select("cid", "cv", "cell", "codes"),
-      oldCents)
+      oldCents))
     val (nc, nb) = Similarity.fitIvfPq(corpus, "cid", "cv",
       nlist, kmeansIters, m, kcode, pqIters)
     Similarity.saveIvfPqIndex(spark, nc, nb, indexDir(root, cur + 1))
@@ -258,7 +315,19 @@ object VectorStore {
     val got = listBatchIds(spark, codedDir(root, toGen)).toSet
     require(prev.subsetOf(got),
       s"refusing to publish gen=$toGen: batches ${(prev -- got).toSeq.sorted.mkString(",")} not migrated")
+    // a refit migrates every admitted row, deleted or not (migration is
+    // a pure re-encode); the pending delete set rides along as PENDING
+    // fragments, copied before AND after the pointer move so a
+    // takedown admitted in the publish window is never lost — the next
+    // compaction applies them physically
+    def sweepDeletes(): Unit =
+      listBatchIds(spark, deletesDir(root, toGen - 1)).foreach { i =>
+        spark.read.parquet(s"${deletesDir(root, toGen - 1)}/batch_id=$i")
+          .write.mode("overwrite").parquet(s"${deletesDir(root, toGen)}/batch_id=$i")
+      }
+    sweepDeletes()
     writePointer(root, toGen)
+    sweepDeletes()
     val stragglers = listBatchIds(spark, codedDir(root, toGen - 1)).toSet -- got
     stragglers.toSeq.sorted.foreach(
       migrateBatch(spark, root, toGen - 1, toGen, _, nassign))
@@ -326,12 +395,27 @@ object VectorStore {
     // byte-unaffected until the pointer moves
     val (cents, books) = loadGenIndex(spark, root, cur)
     Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, ng))
+    // pending takedowns listed alongside the data fragments are applied
+    // PHYSICALLY to the merged fragment (deleted rows dropped for
+    // good); delete fragments admitted after this listing stay pending
+    // (swept through below). Straggler DATA batches copied unmerged
+    // keep all their rows — a delete targets docs admitted before it,
+    // so the two never overlap.
+    val delIds = listBatchIds(spark, deletesDir(root, cur))
+    val del = if (delIds.isEmpty) None
+      else Some(spark.read.parquet(
+          delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
+        .select(col("cid")).distinct())
     // compaction is layout-only, so it carries whatever code tiers the
     // store was admitted with — a pre-SQ8 store (no sq column) compacts
     // fine and stays pq-only; adding the tier is refit's job, not this
-    def mergeInto(dstId: Long, srcIds: Seq[Long]): Unit = {
+    def mergeInto(dstId: Long, srcIds: Seq[Long], applyDeletes: Boolean): Unit = {
       val frags = spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
-      frags
+      val kept =
+        if (applyDeletes) del.map(d => frags.join(d, Seq("cid"), "left_anti"))
+          .getOrElse(frags)
+        else frags
+      kept
         .select(("cid" +: "cv" +: "cell" +: "codes" +:
           (if (frags.columns.contains("sq")) Seq("sq") else Nil)).map(col): _*)
         .repartitionByRange(col("cell"), col("cid"))
@@ -339,7 +423,7 @@ object VectorStore {
         .write.mode("overwrite")
         .parquet(s"${codedDir(root, ng)}/batch_id=$dstId")
     }
-    mergeInto(hwm, ids)
+    mergeInto(hwm, ids, applyDeletes = true)
     // stats: baseline copied bit-for-bit, the rest exactly-weighted
     val statsDst = s"${codedDir(root, ng)}_stats"
     val base = ids.min
@@ -354,12 +438,19 @@ object VectorStore {
         .write.mode("overwrite").parquet(s"$statsDst/batch_id=$hwm")
     // straggler sweep: batches admitted to gen=cur since the first
     // listing ride through unmerged (idempotent copies, ids above hwm)
-    def sweep(): Unit =
+    // — delete batches stay PENDING in the new generation
+    def sweep(): Unit = {
       (listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
-        mergeInto(i, Seq(i))
+        mergeInto(i, Seq(i), applyDeletes = false)
         spark.read.parquet(s"${src}_stats/batch_id=$i")
           .write.mode("overwrite").parquet(s"$statsDst/batch_id=$i")
       }
+      (listBatchIds(spark, deletesDir(root, cur)).toSet -- delIds).toSeq.sorted
+        .foreach { i =>
+          spark.read.parquet(s"${deletesDir(root, cur)}/batch_id=$i")
+            .write.mode("overwrite").parquet(s"${deletesDir(root, ng)}/batch_id=$i")
+        }
+    }
     sweep()
     GenStore.seal(root, ng, hwm)
     writePointer(root, ng)
@@ -393,9 +484,9 @@ object VectorStore {
       idCol: String, vecCol: String): DataFrame = {
     val gen = currentGen(root)
     val (cents, _) = loadGenIndex(spark, root, gen)
-    primaryRows(
+    minusDeleted(spark, root, gen, primaryRows(
       spark.read.parquet(codedDir(root, gen)).select("cid", "cv", "cell", "codes"),
-      cents)
+      cents))
       .select(col("cid").as(idCol), col("cv").as(vecCol))
   }
 
@@ -407,8 +498,11 @@ object VectorStore {
       nprobe: Int = 4, shortlistFactor: Int = 8,
       broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame = {
     val (cents, books) = loadGenIndex(spark, root, gen)
-    Similarity.searchCodedStore(spark, queries, idCol, vecCol, k,
-      cents, books, codedDir(root, gen), nprobe, shortlistFactor,
+    // pending takedowns are excluded BEFORE the shortlist/top-k cut —
+    // a narrow anti-join above the store scan (cell pruning intact)
+    Similarity.searchCodedFrame(
+      minusDeleted(spark, root, gen, spark.read.parquet(codedDir(root, gen))),
+      queries, idCol, vecCol, k, cents, books, nprobe, shortlistFactor,
       broadcastQueries, tier)
   }
 
@@ -443,12 +537,22 @@ object VectorStore {
     val migrated = migratedBatchIds(spark, root, newGen)
     val remaining = listBatchIds(spark, codedDir(root, oldGen))
       .filterNot(migrated.toSet)
+    // a takedown admitted mid-migration lives in whichever generation
+    // its admit landed in; both sides exclude the UNION of the two
+    // pending sets (by cid, so it applies to migrated re-encodes too)
+    val del = (pendingDeletes(spark, root, oldGen),
+        pendingDeletes(spark, root, newGen)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (a, b) => a.orElse(b)
+    }
     def side(gen: Long, ids: Seq[Long]): Option[DataFrame] =
       if (ids.isEmpty) None
       else {
         val (cents, books) = loadGenIndex(spark, root, gen)
-        val coded = spark.read.parquet(
+        val coded0 = spark.read.parquet(
           ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
+        val coded = del.map(d => coded0.join(d, Seq("cid"), "left_anti"))
+          .getOrElse(coded0)
         Some(Similarity.searchCodedFrame(coded, queries, idCol, vecCol, k,
           cents, books, nprobe, shortlistFactor, broadcastQueries, tier))
       }
