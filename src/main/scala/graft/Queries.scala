@@ -5992,7 +5992,104 @@ object Queries {
               |  TRUE AS replay_noop, TRUE AS post_eq_pending,
               |  TRUE AS physical_purge, TRUE AS vector_pending_ok,
               |  TRUE AS vector_compacted_ok
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q162_store_mmr",
+      // MMR FROM THE PERSISTED STORE — the actual 100 TB composition
+      // (q159 proved the kernel over a brute-force pool; this closes
+      // the store -> tier -> diversity chain): the candidate pool comes
+      // from VectorStore.search on the SQ8 tier, and the candidate
+      // vectors come from the store's own reconstruction
+      // (VectorStore.vectors — no raw-source rescan anywhere in the
+      // read path). Exhaustive probe (nprobe = nlist) + corpus-covering
+      // shortlist make the pool DETERMINISTIC and exactly the
+      // brute-force top-25 (every public search re-ranks on exact
+      // cosine and excludes self), so q159's unrolled-greedy CTE oracle
+      // states the same closed form over the raw table. In production
+      // the same two calls run at index geometry (small nprobe,
+      // cell-pruned scan) — the composition is tier-agnostic because
+      // mmrRerank consumes only (query_id, neighbor_id, cos) pools.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val root = scratchDir("q162") + "/vstore"
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, vc, vb)
+        VectorStore.admit(s, root, emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", 0L)
+        VectorStore.admit(s, root, emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 1L)
+        val pool = VectorStore.search(s, root, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 25, nprobe = 16, shortlistFactor = 1000,
+          tier = "sq")
+        Similarity.mmrRerank(pool,
+            VectorStore.vectors(s, root, "vec_id", "embedding"),
+            "vec_id", "embedding", 5, lambda = 0.5)
+          .select("query_id", "rank", "neighbor_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 10
+             |), sc AS (
+             |  SELECT query_id, vec_id AS id,
+             |    list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])) AS cos,
+             |    CAST(embedding AS DOUBLE[]) AS v
+             |  FROM q, embeddings WHERE vec_id <> query_id
+             |), pool AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id) AS rn FROM sc) WHERE rn <= 25
+             |), s1 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY 0.5*cos DESC, id) AS pk FROM pool) WHERE pk = 1
+             |), s2 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*list_cosine_similarity(p.v, a.v) DESC,
+             |        p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id)
+             |    WHERE p.id <> a.id) WHERE pk = 1
+             |), s3 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id)) WHERE pk = 1
+             |), s4 AS (
+             |  SELECT query_id, id, cos, v FROM (
+             |    SELECT p.query_id, p.id, p.cos, p.v,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v),
+             |          list_cosine_similarity(p.v, c.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |      JOIN s3 c USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id, c.id)) WHERE pk = 1
+             |), s5 AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT p.query_id, p.id,
+             |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+             |        0.5*p.cos - 0.5*greatest(
+             |          list_cosine_similarity(p.v, a.v),
+             |          list_cosine_similarity(p.v, b.v),
+             |          list_cosine_similarity(p.v, c.v),
+             |          list_cosine_similarity(p.v, e.v)) DESC, p.id) AS pk
+             |    FROM pool p JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+             |      JOIN s3 c USING (query_id) JOIN s4 e USING (query_id)
+             |    WHERE p.id NOT IN (a.id, b.id, c.id, e.id)) WHERE pk = 1
+             |)
+             |SELECT query_id, CAST(1 AS BIGINT) AS rank, id AS neighbor_id FROM s1
+             |UNION ALL SELECT query_id, 2, id FROM s2
+             |UNION ALL SELECT query_id, 3, id FROM s3
+             |UNION ALL SELECT query_id, 4, id FROM s4
+             |UNION ALL SELECT query_id, 5, id FROM s5
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   val defs: Seq[QDef] =
