@@ -6089,7 +6089,107 @@ object Queries {
              |UNION ALL SELECT query_id, 3, id FROM s3
              |UNION ALL SELECT query_id, 4, id FROM s4
              |UNION ALL SELECT query_id, 5, id FROM s5
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    QDef("q163_quantile_hdr",
+      // HDR (LOG-WIDTH) QUANTILE BINS — the unbounded-domain mode q158's
+      // fixed-range store cannot serve: on the heavy-tailed
+      // l_extendedprice domain (~900..114000) a 50-unit-bin store
+      // provably CLAMPS — every percentile collapses to the top edge
+      // (demonstrated in-query: the fixed_clamps gate admits the same
+      // stream into the fixed store and checks all four percentiles ==
+      // 50.0). The HDR mode (base-2 exponent buckets, 2^subBits linear
+      // sub-buckets) keeps a RELATIVE-error contract instead:
+      // edge <= exact < edge*(1 + 2^-subBits) at any magnitude. Bin
+      // assignment and edge reconstruction are EXACT INTEGER math (bit
+      // length + shifts — no float log whose last ulp could differ
+      // between engines), which is what lets DuckDB recompute the
+      // identical histogram: e = bitlength(v)-1, shift = max(e-4, 0),
+      // bin = shift*16 + (v >> shift); edge inverts with the same
+      // shifts. Same fragment schema as q158, so the whole lifecycle is
+      // shared verbatim and re-gated here: 3 fragments -> 1, CAS retry
+      // no-op, post-compaction answers bit-identical (lossless sum), a
+      // fourth batch appends on top, and the final per-flag
+      // p25/p50/p75/p95 edges equal the oracle's closed form.
+      (s, d) => {
+        val root = scratchDir("q163") + "/qstore"
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("v"), col("l_orderkey"))
+        val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+        QuantileStore.initStore(root)
+        (0L to 2L).foreach { b =>
+          QuantileStore.admitBatchHdr(s, li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+            Seq("l_returnflag"), "v", subBits = 4, nbins = 2048,
+            batchId = b, root = root)
+        }
+        def quants() = QuantileStore.quantilesCurrentHdr(s, root,
+            Seq("l_returnflag"), qs, subBits = 4)
+          .collect().map(_.toString).sorted.toSeq
+        val fragsBefore = QuantileStore.fragmentCount(s, root)
+        val pre = quants()
+        val gen2 = QuantileStore.compactStore(s, root, expectedGen = 1L,
+          Seq("l_returnflag"))
+        val retry = QuantileStore.compactStore(s, root, expectedGen = 1L,
+          Seq("l_returnflag"))
+        val retryNoop = gen2 == 2L && retry == 2L &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+        val fragsCompacted = QuantileStore.fragmentCount(s, root)
+        val estIdentical = quants() == pre
+        QuantileStore.admitBatchHdr(s, li.filter(pmod(col("l_orderkey"), lit(4)) === 3),
+          Seq("l_returnflag"), "v", subBits = 4, nbins = 2048,
+          batchId = 3L, root = root)
+        val fragsAfter = QuantileStore.fragmentCount(s, root)
+        // the fixed-range CLAMP: the same stream through q158's
+        // unit-bin store bounded at 50 collapses every percentile to
+        // the top edge — the failure mode HDR binning exists to fix
+        val froot = scratchDir("q163") + "/fixed"
+        QuantileStore.initStore(froot)
+        QuantileStore.admitBatch(s, li, Seq("l_returnflag"), "v",
+          lo = 1.0, width = 1.0, nbins = 50, batchId = 0L, root = froot)
+        val fixedClamps = QuantileStore.quantilesCurrent(s, froot,
+            Seq("l_returnflag"), qs, lo = 1.0, width = 1.0)
+          .collect().forall(r => (1 to 4).forall(i => r.getDouble(i) == 50.0))
+        QuantileStore.quantilesCurrentHdr(s, root, Seq("l_returnflag"), qs,
+            subBits = 4)
+          .select(col("l_returnflag"),
+            col("p25"), col("p50"), col("p75"), col("p95"),
+            lit(fragsBefore).cast("long").as("frags_before"),
+            lit(fragsCompacted).cast("long").as("frags_compacted"),
+            lit(fragsAfter).cast("long").as("frags_after_admit"),
+            lit(retryNoop).as("retry_noop"),
+            lit(estIdentical).as("est_identical"),
+            lit(fixedClamps).as("fixed_clamps"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS k,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS v
+             |  FROM lineitem
+             |), b AS (
+             |  SELECT k, v, greatest(length(bin(v)) - 1 - 4, 0) AS sh FROM v
+             |), c AS (
+             |  SELECT k, least(sh * 16 + (v >> sh), 2047) AS bin,
+             |    count(*) AS cnt
+             |  FROM b GROUP BY 1, 2
+             |), w AS (
+             |  SELECT k, bin, sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             |         sum(cnt) OVER (PARTITION BY k) AS n FROM c
+             |), e AS (
+             |  SELECT k, cum, n,
+             |    CAST(((bin - greatest(bin // 16 - 1, 0) * 16)
+             |      << greatest(bin // 16 - 1, 0)) AS BIGINT) AS edge
+             |  FROM w
+             |)
+             |SELECT k AS l_returnflag,
+             |  min(CASE WHEN cum >= (n*1 + 3) // 4 THEN edge END) AS p25,
+             |  min(CASE WHEN cum >= (n*1 + 1) // 2 THEN edge END) AS p50,
+             |  min(CASE WHEN cum >= (n*3 + 3) // 4 THEN edge END) AS p75,
+             |  min(CASE WHEN cum >= (n*19 + 19) // 20 THEN edge END) AS p95,
+             |  CAST(3 AS BIGINT) AS frags_before,
+             |  CAST(1 AS BIGINT) AS frags_compacted,
+             |  CAST(2 AS BIGINT) AS frags_after_admit,
+             |  TRUE AS retry_noop, TRUE AS est_identical, TRUE AS fixed_clamps
+             |FROM e GROUP BY k ORDER BY k""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * with unit bins covering the domain (`lo` integral, `width` 1), the
   * common telemetry/quality-score shape. Values outside
   * [lo, lo + width*nbins) clamp to the edge bins — the standard
-  * fixed-range histogram stance (HDR histograms): configure the range
-  * to the domain, or read edge-bin answers as range bounds. Ranks are
+  * fixed-range histogram stance: configure the range to the domain,
+  * read edge-bin answers as range bounds, or use the HDR log-width
+  * mode ([[appendBatchHdr]]) for unbounded heavy-tailed domains, which
+  * trades the absolute one-bin-width bound for a relative-error
+  * contract that holds at any magnitude. Ranks are
   * computed with INTEGER ceiling division (rank = (N*num + den-1) div
   * den for q = num/den), so estimates are engine-portable — no float
   * rank ever rounds differently between this store and an oracle.
@@ -38,6 +41,62 @@ object QuantileStore {
   private def binOf(valueCol: String, lo: Double, width: Double, nbins: Int): Column =
     least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
       lit(nbins - 1L)).cast("long")
+
+  /** Exact long integral division (the [[RangeJoin.bucketOf]] idiom):
+    * no double round-trip, so it cannot lose precision at any
+    * magnitude and both engines of an oracle compare agree bit for bit.
+    */
+  private def intDiv(num: Column, den: Long): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(num.cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(lit(den))))
+
+  private def shiftR(v: Column, n: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        org.apache.spark.sql.GraftBridge.expression(v.cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(n.cast("int"))))
+
+  private def shiftL(v: Column, n: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftBridge.expression(v.cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(n.cast("int"))))
+
+  // -------------------------------------------------------------------------
+  // HDR (log-width) binning: the unbounded-domain mode. Fixed-range
+  // equi-width bins clamp heavy-tailed domains into the edge bin —
+  // every quantile above the configured range collapses to one answer.
+  // The HDR-histogram stance (base-2 exponent buckets, 2^subBits
+  // linear sub-buckets each) keeps a RELATIVE-error contract instead:
+  // estimate <= exact < estimate * (1 + 2^-subBits), at any magnitude,
+  // with ~subBits*64 bins total. Bin assignment is EXACT INTEGER math
+  // (bit length + shifts — no float log whose last ulp could differ
+  // between engines), so a DuckDB oracle recomputes identical bins:
+  //   e     = bitlength(v) - 1            (= floor(log2 v), 0 for v=0)
+  //   shift = max(e - subBits, 0)
+  //   bin   = shift * 2^subBits + (v >> shift)   [clamped to nbins-1]
+  // and the inverse lower edge: for bin >= 2^(subBits+1),
+  //   shift = bin div 2^subBits - 1, edge = (bin - shift*2^subBits) << shift;
+  // below that, edge = bin (the linear unit-bin region). Negative
+  // values clamp to bin 0 — the domain contract is non-negative
+  // integral measures (sizes, counts, latencies, prices in cents).
+  // -------------------------------------------------------------------------
+
+  private def hdrBinOf(valueCol: String, subBits: Int, nbins: Int): Column = {
+    val v = greatest(col(valueCol).cast("long"), lit(0L))
+    val e = (length(bin(v)) - lit(1)).cast("long")
+    val shift = greatest(e - subBits, lit(0L))
+    least(shift * (1L << subBits) + shiftR(v, shift), lit(nbins - 1L)).cast("long")
+  }
+
+  /** The lower edge of an HDR bin — the value [[quantilesOfHdr]] emits. */
+  private def hdrEdge(binCol: Column, subBits: Int): Column = {
+    val sub = 1L << subBits
+    val shift = greatest(intDiv(binCol, sub) - 1L, lit(0L))
+    shiftL(binCol.cast("long") - shift * sub, shift)
+  }
 
   /** Reduce one ingest batch to per-(key, bin) count rows under
     * `batch_id=N` (mode overwrite: replayed batches are storage
@@ -76,13 +135,71 @@ object QuantileStore {
       .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bin"))))
       .withColumn("n", sum(col("cnt")).over(byKey))
     val aggs = qs.map { case (name, num, den) =>
-      // integer ceiling division: products stay far below 2^53, so the
-      // double floor-division is exact and engine-portable
-      val rank = floor((col("n") * num + (den - 1)) / den).cast("long")
+      // rank = ceil(N * num/den), in PURE long arithmetic end to end
+      val rank = intDiv(col("n") * num + (den - 1), den.toLong)
       min(when(col("cum") >= rank, lit(lo) + col("bin") * width)).as(name)
     }
     cum.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[appendBatch]] under HDR (log-width) binning — same fragment
+    * schema (keyCols..., bin, cnt), so the whole lifecycle (admit
+    * fences, lossless compaction, straggler sweep) is shared verbatim.
+    */
+  def appendBatchHdr(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+      subBits: Int, nbins: Int, batchId: Long, path: String): Unit = {
+    require(keyCols.nonEmpty, "appendBatchHdr needs at least one key column")
+    require(subBits >= 1 && subBits <= 16, "subBits must be in [1, 16]")
+    require(nbins > 0, "nbins must be positive")
+    batch.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ hdrBinOf(valueCol, subBits, nbins).as("bin")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** [[quantilesOf]] under HDR binning: the value at integer rank
+    * ceil(N*num/den) is the LOWER EDGE of its bin — within the
+    * relative-error contract `edge <= exact < edge * (1 + 2^-subBits)`
+    * of the exact order statistic (exact whenever the rank falls in
+    * the linear unit-bin region below 2^(subBits+1)).
+    */
+  def quantilesOfHdr(hist: DataFrame, keyCols: Seq[String],
+      qs: Seq[(String, Int, Int)], subBits: Int): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(byKey))
+    val aggs = qs.map { case (name, num, den) =>
+      val rank = intDiv(col("n") * num + (den - 1), den.toLong)
+      min(when(col("cum") >= rank, hdrEdge(col("bin"), subBits))).as(name)
+    }
+    cum.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[admitBatch]] under HDR binning — the same two lifecycle fences. */
+  def admitBatchHdr(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+      valueCol: String, subBits: Int, nbins: Int,
+      batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
+    appendBatchHdr(batch, keyCols, valueCol, subBits, nbins, batchId,
+      GenStore.genDir(root, gen))
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** [[quantilesOfHdr]] over the current generation's merged histogram. */
+  def quantilesCurrentHdr(spark: SparkSession, root: String, keyCols: Seq[String],
+      qs: Seq[(String, Int, Int)], subBits: Int): DataFrame =
+    quantilesOfHdr(
+      mergedHistogram(spark,
+        GenStore.genDir(root, GenStore.currentGen(root)), keyCols),
+      keyCols, qs, subBits)
 
   // -------------------------------------------------------------------------
   // Generational store + COMPACTION ([[GenStore]] discipline, the q148

@@ -104,4 +104,49 @@ class QuantileStoreSpec extends AnyFunSuite {
       .as[(String, Double, Double)].head()
     assert(c._2 == 0.0 && c._3 == 9.0)
   }
+
+  test("HDR bins: relative-error contract holds across five orders of magnitude where fixed bins clamp") {
+    // heavy tail: magnitudes 1..100000, dense low end, sparse top —
+    // the domain shape (file sizes, token counts) fixed-range bins
+    // cannot cover without either clamping or absurd bin counts
+    val vals: Seq[Long] = (1L to 200L) ++ (1L to 50L).map(_ * 97L) ++
+      (1L to 20L).map(_ * 4831L) ++ Seq(100000L, 99999L, 12345L, 1L, 0L)
+    val subBits = 4
+    val root = Files.createTempDirectory("graft-qstore-hdr").toString + "/s"
+    QuantileStore.initStore(root)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "k", v) }
+      .toDF("id", "k", "v")
+    (0 to 2).foreach { b =>
+      QuantileStore.admitBatchHdr(spark, df.filter(pmod(col("id"), lit(3)) === b),
+        Seq("k"), "v", subBits, nbins = 2048, batchId = b.toLong, root = root)
+    }
+    def quants() = QuantileStore.quantilesCurrentHdr(spark, root, Seq("k"),
+      Qs, subBits).as[(String, Long, Long, Long, Long)].head()
+    val got = quants()
+    Seq((got._2, (1, 4)), (got._3, (1, 2)), (got._4, (3, 4)), (got._5, (19, 20)))
+      .foreach { case (est, (num, den)) =>
+        val exact = exactRank(vals.map(_.toDouble), num, den)
+        assert(est <= exact && exact < est * (1.0 + math.pow(2, -subBits)) + 1,
+          s"q=$num/$den: est $est violates the relative bound around exact $exact")
+      }
+    // lossless compaction: bit-identical answers, seal fence intact
+    QuantileStore.compactStore(spark, root, expectedGen = 1L, Seq("k"))
+    assert(quants() == got, "HDR compaction must be lossless")
+    assertThrows[IllegalArgumentException] {
+      QuantileStore.admitBatchHdr(spark, df.limit(5), Seq("k"), "v",
+        subBits, 2048, batchId = 2L, root = root)
+    }
+    // the linear unit-bin region (v < 2^(subBits+1)) is EXACT
+    val small = (0L to 31L) ++ (0L to 31L)
+    val root2 = Files.createTempDirectory("graft-qstore-hdr-lin").toString + "/s"
+    QuantileStore.initStore(root2)
+    QuantileStore.admitBatchHdr(spark,
+      small.zipWithIndex.map { case (v, i) => (i.toLong, "k", v) }.toDF("id", "k", "v"),
+      Seq("k"), "v", subBits, nbins = 2048, batchId = 0L, root = root2)
+    val lin = QuantileStore.quantilesCurrentHdr(spark, root2, Seq("k"), Qs, subBits)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert((lin._2.toDouble, lin._3.toDouble, lin._4.toDouble, lin._5.toDouble) ==
+      (exactRank(small.map(_.toDouble), 1, 4), exactRank(small.map(_.toDouble), 1, 2),
+        exactRank(small.map(_.toDouble), 3, 4), exactRank(small.map(_.toDouble), 19, 20)))
+  }
 }
