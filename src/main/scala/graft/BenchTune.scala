@@ -463,6 +463,39 @@ object BenchTune {
     emb.unpersist()
   }
 
+  /** `--saltprobe [n] [clusters]`: see the dispatch note — the cell
+    * histogram and derived auto-salt of the knnDemo clustered corpus.
+    */
+  private def saltProbe(spark: SparkSession, n: Long, clusters: Int): Unit = {
+    import graft.operators.Similarity
+    val dim = 64
+    val cl = pmod(xxhash64(col("id"), lit(777)), lit(clusters.toLong))
+    val vec = array((0 until dim).map { j =>
+      val center = (pmod(xxhash64(cl, lit(j + 10000)), lit(2001L)) - 1000L) / 1000.0
+      val noise = (pmod(xxhash64(col("id"), lit(j + 20000)), lit(2001L)) - 1000L) / 5000.0
+      (center + noise).cast("double")
+    }: _*)
+    val emb = spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+      .repartition(32).cache()
+    emb.count()
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", nlist, 2)
+    val coded = emb.select(col("vec_id").as("cid"),
+      explode(Similarity.bestCells(
+        graft.functions.VectorFunctions.unit(col("embedding")), cents, 2)).as("cell"))
+    val h = coded.groupBy(col("cell")).count()
+      .agg(max(col("count")).as("mx"),
+        expr("percentile_approx(count, 0.5)").as("med"),
+        count(lit(1)).as("nonempty")).head()
+    println(s"[saltprobe] corpus=clustered($clusters) n=$n nlist=$nlist nassign=2 " +
+      s"max_cell_rows=${h.getLong(0)} median_cell_rows=${h.get(1)} " +
+      s"nonempty_cells=${h.getLong(2)}")
+    for (t <- Seq(1L << 20, 100000L, 10000L, 2000L))
+      println(s"[saltprobe] target_rows_per_task=$t " +
+        s"auto_salt=${Similarity.autoCellSalt(coded, t)}")
+    emb.unpersist()
+  }
+
   /** `--rangejoin [points] [intervals]`: the bucketed range join at
     * volume (default 10M x 100k) — the shape a nested-loop plan cannot
     * survive (10M x 100k = 10^12 comparisons; the bucketed rewrite does
@@ -724,6 +757,20 @@ object BenchTune {
         nums.drop(3).headOption.getOrElse(1L).toInt,
         nums.drop(4).headOption.getOrElse(8L).toInt,
         nums.drop(5).headOption.getOrElse(16L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--saltprobe")) {
+      // `--saltprobe [n] [clusters]`: the cell histogram behind the
+      // AUTO hot-cell salt (Similarity.autoCellSalt, the kNN joins'
+      // default) — max/median replica-rows per cell on the knnDemo
+      // corpus recipe, and the S the auto rule derives at several
+      // per-task targets. The equality gate (auto == unsalted, row for
+      // row) is spec-side; this probe documents the DECISION surface.
+      val nums = args.dropWhile(_ != "--saltprobe").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      saltProbe(spark, nums.headOption.getOrElse(100000L),
+        nums.drop(1).headOption.getOrElse(100L).toInt)
       spark.stop()
       return
     }

@@ -679,10 +679,34 @@ object Similarity {
     * (query_id, cell, <tier probe columns>); `approxScore` references
     * columns of their join.
     */
+  /** Derive the hot-cell salt from the corpus' own cell histogram: one
+    * map-side-combined count over the narrow `cell` column (against a
+    * persisted store this reads one column; inline it costs one
+    * assign pass), then S = ceil(hottest-cell rows / target), capped
+    * at 64 (beyond that the probe-side replication dominates — split
+    * the corpus instead). S = 1 on balanced corpora: salting costs
+    * probe rows × S, so it only turns on when one cell's join group
+    * would genuinely overload a task. This closes the manual-dial gap:
+    * clustered corpora no longer need the caller to know their own
+    * skew before searching.
+    */
+  def autoCellSalt(coded: DataFrame,
+      targetCellRowsPerTask: Long = 1L << 20): Int = {
+    require(targetCellRowsPerTask > 0, "targetCellRowsPerTask must be positive")
+    val r = coded.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    if (r.isNullAt(0)) 1
+    else math.min(64L,
+      (r.getLong(0) + targetCellRowsPerTask - 1) / targetCellRowsPerTask).toInt
+  }
+
   private def probedCellTopK(
       c: DataFrame, q: DataFrame, probes: DataFrame, approxScore: Column,
       k: Int, shortlistFactor: Int,
-      broadcastQueries: Boolean, cellSalt: Int): DataFrame = {
+      broadcastQueries: Boolean, cellSalt0: Int): DataFrame = {
+    // cellSalt 0 = AUTO: measure the cell histogram, pick S (above);
+    // positive values remain the explicit dial
+    val cellSalt = if (cellSalt0 > 0) cellSalt0 else autoCellSalt(c)
     // PROBED-CELL PRUNING (broadcast path only): with a small query side
     // the union of probed cells is tiny and knowable up front (nq x
     // nprobe values — the same frame we are about to broadcast anyway),
@@ -810,7 +834,7 @@ object Similarity {
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4, nassign: Int = 2,
-      shortlistFactor: Int = 8, cellSalt: Int = 1): DataFrame =
+      shortlistFactor: Int = 8, cellSalt: Int = 0): DataFrame =
     ivfPqSearch(corpus, corpus, idCol, vecCol, k, cents, books,
       nprobe, nassign, shortlistFactor, broadcastQueries = false,
       cellSalt = cellSalt)
@@ -901,7 +925,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Array[Array[Double]],
       nprobe: Int = 4, nassign: Int = 2,
-      shortlistFactor: Int = 4, cellSalt: Int = 1): DataFrame =
+      shortlistFactor: Int = 4, cellSalt: Int = 0): DataFrame =
     ivfSqSearch(corpus, corpus, idCol, vecCol, k, cents,
       nprobe, nassign, shortlistFactor, broadcastQueries = false,
       cellSalt = cellSalt)

@@ -435,6 +435,28 @@ class SimilaritySpec extends AnyFunSuite {
     // salted join, and TopKAgg's per-id max dedup is partition-order
     // free — so ANY salt must reproduce the exact answer
     for (s <- Seq(2, 5, 32)) assert(run(s) == unsalted, s"salt=$s diverged")
+    // AUTO (cellSalt=0, the kNN-join default): derives S from the cell
+    // histogram and must also reproduce the exact answer
+    assert(run(0) == unsalted, "auto salt diverged")
+  }
+
+  test("autoCellSalt: 1 on balanced cells, scales with the hottest cell, capped") {
+    import spark.implicits._
+    def cells(counts: Seq[(Int, Long)]) = counts.toDF("cell", "n")
+      .select(col("cell"), explode(sequence(lit(1L), col("n"))).as("i"))
+      .select(col("cell"))
+    // balanced: every cell under the target -> no salting
+    assert(Similarity.autoCellSalt(
+      cells(Seq(0 -> 100L, 1 -> 80L)), targetCellRowsPerTask = 1000L) === 1)
+    // one hot cell 5x the target -> S = 5 (ceiling)
+    assert(Similarity.autoCellSalt(
+      cells(Seq(0 -> 100L, 1 -> 4200L)), targetCellRowsPerTask = 1000L) === 5)
+    // cap at 64 no matter how hot
+    assert(Similarity.autoCellSalt(
+      cells(Seq(0 -> 100000L)), targetCellRowsPerTask = 10L) === 64)
+    // empty corpus -> 1
+    assert(Similarity.autoCellSalt(
+      cells(Seq.empty[(Int, Long)]), targetCellRowsPerTask = 10L) === 1)
   }
 
   test("composite IVF-PQ index: one artifact round-trips; loaded search == fresh row for row") {
