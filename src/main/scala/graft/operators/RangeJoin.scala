@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   * never a driver loop, never P × I.
   *
   * Contract: coordinates are integral (cast timestamps to epoch
-  * millis/micros first — the catalog's oracle-determinism convention),
-  * bounds are INCLUSIVE on both ends, and intervals wider than
-  * `maxIntervalBuckets` buckets fail loudly at execution (the
-  * replication fence: one degenerate years-long interval must not
-  * explode the build side silently — widen the buckets or route such
-  * intervals to a tiny broadcast side instead). Bucket ids are
+  * millis/micros first — the catalog's oracle-determinism convention)
+  * and bounds are INCLUSIVE on both ends. Intervals spanning >=
+  * `maxIntervalBuckets` buckets — the handful of degenerate year-long
+  * rows real telemetry always carries — are ROUTED instead of
+  * replicated: they broadcast into a nested-loop term unioned with the
+  * bucketed join (each matches nearly everything anyway, so a
+  * broadcast predicate term is the right plan for them), behind a
+  * COUNT fence (`maxWideIntervals`) that fails loudly when "a few
+  * degenerate rows" turns out to be a misconfigured bucket width.
+  * Empty intervals (start > end) always fail loudly. Bucket ids are
   * computed in PURE INTEGER arithmetic (floor division on longs), so
   * coordinates anywhere in the long range bucket exactly — a
   * double-rounded floor would silently drop boundary pairs above
@@ -67,21 +71,61 @@ object RangeJoin {
       .drop("__rj_guard")
   }
 
+  /** Split an interval frame on the replication fence: (narrow, wide,
+    * wide count). Empty intervals (start > end) fail LOUDLY here — on
+    * the driver, eagerly, since the split must count the wide side
+    * anyway. The count is one narrow aggregation over the interval
+    * side (the small side by construction); the returned frames are
+    * localCheckpoint-free plain filters, so the bucketed path's lazy
+    * plan shape is untouched.
+    */
+  private def splitOnSpan(df: DataFrame, s: String, e: String,
+      bucketWidth: Long, maxIntervalBuckets: Long,
+      maxWideIntervals: Long): (DataFrame, DataFrame, Long) = {
+    val span = bucketOf(col(e), bucketWidth) - bucketOf(col(s), bucketWidth)
+    val counts = df.agg(
+      count(when(col(s) > col(e), lit(1))).as("empty"),
+      count(when(col(s) <= col(e) && span >= maxIntervalBuckets, lit(1)))
+        .as("wide")).head()
+    require(counts.getLong(0) == 0L,
+      s"RangeJoin: ${counts.getLong(0)} interval(s) with $s > $e — empty " +
+        "intervals are a data error, not a match-nothing row")
+    val nWide = counts.getLong(1)
+    require(nWide <= maxWideIntervals,
+      s"RangeJoin: $nWide intervals span >= $maxIntervalBuckets buckets of " +
+        s"width $bucketWidth (fence: $maxWideIntervals) — that many " +
+        "wide intervals would swamp the broadcast term; widen bucketWidth")
+    (df.filter(span < maxIntervalBuckets),
+      df.filter(span >= maxIntervalBuckets), nWide)
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Long, maxIntervalBuckets: Long = 4096L): DataFrame = {
+      bucketWidth: Long, maxIntervalBuckets: Long = 4096L,
+      maxWideIntervals: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
+    require(maxWideIntervals >= 0, "maxWideIntervals must be non-negative")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty,
       s"point and interval column names must be disjoint; both carry: " +
         clash.toSeq.sorted.mkString(", "))
-    val exploded = guarded(intervals, startCol, endCol,
-      bucketWidth, maxIntervalBuckets)
-    points.withColumn("__rj_bucket", bucketOf(col(pointCol), bucketWidth))
-      .join(exploded, Seq("__rj_bucket"))
+    val (narrow, wide, nWide) = splitOnSpan(intervals, startCol, endCol,
+      bucketWidth, maxIntervalBuckets, maxWideIntervals)
+    val bucketed = points
+      .withColumn("__rj_bucket", bucketOf(col(pointCol), bucketWidth))
+      .join(guarded(narrow, startCol, endCol, bucketWidth, maxIntervalBuckets),
+        Seq("__rj_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__rj_bucket")
+    if (nWide == 0L) bucketed
+    else bucketed.unionByName(
+      // the degenerate few: a broadcast predicate join — each wide
+      // interval matches a large fraction of the points anyway, so
+      // replicating it into thousands of buckets buys nothing a
+      // broadcast term doesn't
+      points.join(broadcast(wide),
+        col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)))
   }
 
   /** Interval-overlap join: pairs of intervals (aStart,aEnd) ×
@@ -94,20 +138,34 @@ object RangeJoin {
     */
   def intervalOverlap(a: DataFrame, b: DataFrame,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
-      bucketWidth: Long, maxIntervalBuckets: Long = 4096L): DataFrame = {
+      bucketWidth: Long, maxIntervalBuckets: Long = 4096L,
+      maxWideIntervals: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
+    require(maxWideIntervals >= 0, "maxWideIntervals must be non-negative")
     val clash = a.columns.toSet.intersect(b.columns.toSet)
     require(clash.isEmpty,
       s"interval column names must be disjoint; both carry: " +
         clash.toSeq.sorted.mkString(", "))
-    guarded(a, aStart, aEnd, bucketWidth, maxIntervalBuckets)
-      .join(guarded(b, bStart, bEnd, bucketWidth, maxIntervalBuckets)
+    val (na, wa, nWideA) = splitOnSpan(a, aStart, aEnd,
+      bucketWidth, maxIntervalBuckets, maxWideIntervals)
+    val (nb, wb, nWideB) = splitOnSpan(b, bStart, bEnd,
+      bucketWidth, maxIntervalBuckets, maxWideIntervals)
+    val overlap = col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd)
+    val bucketed = guarded(na, aStart, aEnd, bucketWidth, maxIntervalBuckets)
+      .join(guarded(nb, bStart, bEnd, bucketWidth, maxIntervalBuckets)
           .withColumnRenamed("__rj_bucket", "__rj_b2"),
         col("__rj_bucket") === col("__rj_b2"))
-      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(overlap)
       .filter(col("__rj_bucket") ===
         bucketOf(greatest(col(aStart), col(bStart)), bucketWidth))
       .drop("__rj_bucket", "__rj_b2")
+    // wide terms partition the pair space disjointly (no distinct
+    // needed): narrow×narrow is the bucketed join, wide-a meets ALL of
+    // b in one broadcast term, and narrow-a meets wide-b in the other
+    val terms = Seq(
+      if (nWideA > 0L) Some(broadcast(wa).join(b, overlap)) else None,
+      if (nWideB > 0L) Some(na.join(broadcast(wb), overlap)) else None).flatten
+    terms.foldLeft(bucketed)((acc, t) => acc.unionByName(t))
   }
 }

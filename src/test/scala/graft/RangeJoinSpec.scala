@@ -49,12 +49,20 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.size == 21)
   }
 
-  test("the replication fence trips on a degenerate interval; empty intervals are refused") {
+  test("wide intervals route to the broadcast term; the count fence still trips; empty intervals are refused") {
     val pts = Seq((1L, 5L)).toDF("pid", "p")
     val wide = Seq((1L, 0L, 1000000L)).toDF("iid", "s", "e")
-    val err = intercept[Exception] {
+    // a degenerate 100k-bucket interval used to fail loudly; it now
+    // ANSWERS through the broadcast predicate term
+    val got = RangeJoin.pointInInterval(pts, wide, "p", "s", "e",
+        bucketWidth = 10L, maxIntervalBuckets = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L)))
+    // ... behind a COUNT fence: too many wide rows is a misconfigured
+    // bucket width, not a broadcast candidate
+    val err = intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(pts, wide, "p", "s", "e",
-        bucketWidth = 10L, maxIntervalBuckets = 100L).collect()
+        bucketWidth = 10L, maxIntervalBuckets = 100L, maxWideIntervals = 0L)
     }
     assert(err.getMessage.contains("RangeJoin"))
     val empty = Seq((1L, 10L, 5L)).toDF("iid", "s", "e")
@@ -67,6 +75,37 @@ class RangeJoinSpec extends AnyFunSuite {
       RangeJoin.pointInInterval(Seq((1L, 2L)).toDF("x", "p"),
         Seq((1L, 0L, 9L)).toDF("x", "s", "e"), "p", "s", "e", 10L)
     }
+  }
+
+  test("mixed narrow + year-long intervals: routed union equals the nested-loop reference") {
+    // a year of hourly points against maintenance windows, three of
+    // which are YEAR-LONG (the degenerate rows that used to throw)
+    val pts = (0L until 8760L).map(h => (h, h * 3600000L)).toDF("pid", "p")
+    val year = 365L * 24 * 3600000L
+    val ivs = ((1L to 200L).map(i =>
+        (i, i * 40000000L, i * 40000000L + 7200000L)) ++
+      Seq((901L, 0L, year), (902L, -year, year / 2), (903L, 1000L, 2 * year)))
+      .toDF("iid", "s", "e")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().toSet
+    val routed = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e",
+      bucketWidth = 3600000L, maxIntervalBuckets = 100L)
+    val reference = pts.join(ivs,
+      col("p") >= col("s") && col("p") <= col("e"))
+    assert(key(routed) == key(reference))
+    assert(key(routed).size > 8760, "year-long intervals must contribute")
+    // intervalOverlap with wide rows on BOTH sides, same equality
+    val a = ((1L to 50L).map(i => (i, i * 500000L, i * 500000L + 60000L)) :+
+      (800L, 0L, year)).toDF("aid", "as_", "ae")
+    val b = ((1L to 50L).map(i => (i + 100, i * 700000L, i * 700000L + 90000L)) :+
+      (900L, -100L, 2 * year)).toDF("bid", "bs", "be")
+    val routedO = RangeJoin.intervalOverlap(a, b, "as_", "ae", "bs", "be",
+        bucketWidth = 60000L, maxIntervalBuckets = 64L)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val refO = a.join(b, col("as_") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(routedO.length == routedO.toSet.size, "pair emitted twice")
+    assert(routedO.toSet == refO.toSet)
   }
 
   test("intervalOverlap: each intersecting pair exactly once, disjoint pairs never") {
