@@ -138,7 +138,36 @@ object ExplainDump {
       "post-compaction vector serving: the q150 catalog row is a driver-built verdict table, so this dumps the search against the compacted store directly. Check the coded scan's Location is gen=2's coded directory with exactly TWO batch_id fragments (batch_id=2, the merged cell-clustered rewrite of batches 0-2, plus batch_id=3 appended after) and ReadSchema (cid, cv, cell, codes); the probed-cell In(cell) filter must sit in PushedFilters — against the compacted fragment's global cell-range layout that filter now skips whole FILES, not just row groups inside each batch file (the layout half of the compaction claim); above the scan the plan is the audited q123 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg — with NO encode expressions (encoding is on disk; compaction never re-encoded)",
       VectorStore.search(spark, vroot, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
-    Seq(cdcPlan, vplan)
+    // q144: refit to gen 2, vacuum gen 1, dump the POST-VACUUM serving
+    // read (the q144 catalog row is a driver-built verdict table)
+    val wroot = Files.createTempDirectory("explain-q144-").toString + "/vstore"
+    val (wc, wb) = Similarity.fitIvfPq(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 16, kmeansIters = 2,
+      m = 8, kcode = 16, pqIters = 2)
+    VectorStore.init(spark, wroot, wc, wb)
+    VectorStore.admit(spark, wroot, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 0L)
+    VectorStore.admit(spark, wroot, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", 1L)
+    VectorStore.refit(spark, wroot, expectedGen = 1L,
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    VectorStore.vacuumGenerations(wroot, keepLast = 1)
+    val wplan = ("q144_vector_vacuum (the post-vacuum serving read itself)",
+      "post-vacuum vector serving: the q144 catalog row is a driver-built verdict table (vacuum + the loud-failure probe ran eagerly), so this dumps the search against the RETAINED generation after gen 1 was tombstone-deleted. Check the coded scan's Location lists ONLY gen=2 directories — gen=1 (or its .deleted tombstone) appears NOWHERE in the plan, which is the whole retention claim: dropping superseded generations cannot perturb the serving read because readers were generation-scoped all along; above the scan the plan is the audited q123/q128 store-search shape (ReadSchema (cid, cv, cell, codes), broadcast probes, TopKAgg) with no encode above the scan",
+      VectorStore.search(spark, wroot, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    // q160: the SQ-tier kNN-join EDGE stage (the q160 catalog row is
+    // the label table after eager component iterations — the join
+    // under audit never appears in its final frame)
+    val recrawl = emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding")))
+    val sqCents = Similarity.fitCentroids(recrawl, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    val sqPlan = ("q160_semdedup_sq (the SQ-tier kNN-join edge stage itself)",
+      "SemDeDup's SQ-tier edge stage: the q160 catalog row is the component-label table (edge building + label iterations ran eagerly through localCheckpoints), so this dumps the kNN join under audit directly. Check the corpus-side encode is ONE narrow pass off the embeddings scan — unitize, replica-cell explode, residual kernel, then sq_encode ONLY (no pq_encode, no codebook object anywhere in the plan: the SQ tier needs no codebook fit, part of why it wins this workload); per-candidate scoring is the codegen'd sq_dot kernel inside the cell equi-join's stage; the join carries NO broadcast hint (corpus-as-queries — co-partitioned shuffle at scale, stats-driven here); TopKAgg partial/final bounds the shuffle at k*4 per query (the SQ shortlist, vs PQ's 32x); only the shortlist touches original vectors in the exact re-rank",
+      Similarity.ivfSqKnnJoin(recrawl, "vec_id", "embedding", 10,
+        sqCents, nprobe = 12, nassign = 2, shortlistFactor = 4))
+    Seq(cdcPlan, vplan, wplan, sqPlan)
   }
 
   def main(args: Array[String]): Unit = {
