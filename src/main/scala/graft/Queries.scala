@@ -6189,7 +6189,132 @@ object Queries {
              |  CAST(1 AS BIGINT) AS frags_compacted,
              |  CAST(2 AS BIGINT) AS frags_after_admit,
              |  TRUE AS retry_noop, TRUE AS est_identical, TRUE AS fixed_clamps
-             |FROM e GROUP BY k ORDER BY k""".stripMargin))
+             |FROM e GROUP BY k ORDER BY k""".stripMargin)),
+
+    QDef("q164_streaming_curation",
+      // THE STREAMING CURATION CAPSTONE — q153's batch pipeline as ONE
+      // continuous foreachBatch job (EventStreams.curationIngestCompacting):
+      // the corpus arrives as three crawl files streamed through a file
+      // source (maxFilesPerTrigger=1; each file written only after the
+      // previous micro-batch fully drains, pinning batch ids 0/1/2 to
+      // crawl order), and every micro-batch flows quality gate (q27's
+      // exact score, threshold 0.5) -> ONE MinHash-LSH semi-join probe
+      // against the generational signature store (q151 machinery,
+      // portable-md5 keys; batch 0 probes an empty store, so everything
+      // admits) -> survivors' band keys admitted -> compactIfFragmented
+      // (maxFragments=2, so compaction fires MID-STREAM after batch 1
+      // and batch 2 probes the COMPACTED fragment — the lossless-
+      // compaction claim exercised inside a live stream) -> retained
+      // docs land under batch_id=N. After the stream drains, the
+      // retained corpus is token-counted and packed into 2048-token
+      // context windows sharded by source (q66 arithmetic). The oracle
+      // recomputes the whole SEQUENTIAL admission closed-form: store
+      // after batch k = bands of everything retained so far, batch k+1
+      // admitted iff zero band hits — so stream == batch, bit for bit,
+      // across a mid-stream compaction. Intra-batch duplicates are both
+      // retained (the q153 stance); the mid_stream_compaction column
+      // pins that the generation really advanced while the stream ran.
+      // At 100 TB: each micro-batch is narrow maps plus one key-set
+      // semi-join; no stage ever rescans prior batches' raw docs.
+      (s, d) => {
+        import graft.streaming.EventStreams
+        import graft.operators.GenStore
+        val base = scratchDir("q164")
+        val feed = base + "/feed"
+        val root = base + "/sigstore"
+        val retained = base + "/retained"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        new java.io.File(feed).mkdirs()
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = EventStreams.curationIngestCompacting(stream,
+          "doc_id", "text", root, retained, base + "/_ckpt",
+          maxFragments = 2, qualityThreshold = 0.5,
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+        val genSeen = try {
+          (0 to 2).map { k =>
+            docs.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
+              .write.mode("append").parquet(feed)
+            q.processAllAvailable()
+            GenStore.currentGen(root)
+          }
+        } finally q.stop()
+        // compaction fired while the stream was LIVE: the generation
+        // advanced between micro-batches, not after the last one
+        val midStream = genSeen.init.exists(_ >= 2L)
+        Packing.packByBudget(
+          s.read.parquet(retained).select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", 2048L)
+          .withColumn("mid_stream_compaction", lit(midStream))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""$tokCte, qual AS (
+              |  SELECT doc_id,
+              |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.4
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(len(list_filter(tk, x -> list_contains($stoplist, x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) * 5.0) * 0.3
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) / 8.0) * 0.3 AS quality
+              |  FROM tok
+              |), keep AS (
+              |  SELECT doc_id FROM qual WHERE quality >= 0.5
+              |), tri AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              |  FROM tok WHERE len(tk) >= 3 AND doc_id IN (SELECT doc_id FROM keep)
+              |), sigs AS (
+              |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+              |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+              |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+              |  GROUP BY doc_id, i
+              |), bnd AS (
+              |  SELECT doc_id, i // 4 AS band,
+              |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+              |  FROM sigs GROUP BY doc_id, i // 4
+              |), adm0 AS (
+              |  SELECT doc_id FROM keep WHERE doc_id % 3 = 0
+              |), store1 AS (
+              |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 3 = 0
+              |), hits1 AS (
+              |  SELECT b.doc_id, count(*) AS c FROM bnd b
+              |  JOIN store1 s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 3 = 1 GROUP BY b.doc_id
+              |), adm1 AS (
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits1 h USING (doc_id)
+              |  WHERE k.doc_id % 3 = 1 AND coalesce(h.c, 0) = 0
+              |), store2 AS (
+              |  SELECT band, bucket FROM store1
+              |  UNION
+              |  SELECT band, bucket FROM bnd WHERE doc_id IN (SELECT doc_id FROM adm1)
+              |), hits2 AS (
+              |  SELECT b.doc_id, count(*) AS c FROM bnd b
+              |  JOIN store2 s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 3 = 2 GROUP BY b.doc_id
+              |), adm2 AS (
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits2 h USING (doc_id)
+              |  WHERE k.doc_id % 3 = 2 AND coalesce(h.c, 0) = 0
+              |), corpus AS (
+              |  SELECT doc_id FROM adm0 UNION ALL
+              |  SELECT doc_id FROM adm1 UNION ALL
+              |  SELECT doc_id FROM adm2
+              |), tokc AS (
+              |  SELECT d.doc_id, d.source, CAST(len(t.tk) AS BIGINT) AS n_tokens
+              |  FROM documents d
+              |  JOIN tok t ON d.doc_id = t.doc_id
+              |  JOIN corpus c ON d.doc_id = c.doc_id
+              |), w AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS strt
+              |  FROM tokc
+              |)
+              |SELECT doc_id, source, n_tokens,
+              |  strt // 2048 AS bin, strt % 2048 AS bin_offset,
+              |  TRUE AS mid_stream_compaction
+              |FROM w ORDER BY source, doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

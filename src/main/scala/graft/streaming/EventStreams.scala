@@ -472,6 +472,69 @@ object EventStreams {
       .start()
   }
 
+  /** The STREAMING CURATION pipeline — q153's batch capstone as one
+    * continuous foreachBatch job. Every micro-batch of crawled docs
+    * flows the full admission sequence: quality gate (threshold on
+    * [[graft.functions.TextFunctions.qualityScore]]) -> MinHash-LSH
+    * dedup probe against the generational signature store (ONE
+    * semi-join per batch; history never rescanned; an empty store
+    * admits everything, so batch 0 needs no special casing at the
+    * call site) -> survivors' band keys admitted under this batch id
+    * -> [[graft.operators.KeySetStore.compactIfFragmented]] keeps the
+    * fragment count bounded for the life of the stream -> the retained
+    * docs land as `retainedDir/batch_id=N` (the curated-corpus output,
+    * input columns unchanged).
+    *
+    * Ordering fence: the admission DECISION is pinned with a
+    * localCheckpoint BEFORE this batch's keys enter the store —
+    * otherwise the lazy retained-row write would re-probe a store that
+    * already contains the batch's own keys and reject every doc as its
+    * own clone. Intra-batch duplicates are both retained (the q153
+    * stance: the store dedups ACROSS crawl batches; within a batch the
+    * docs arrived together).
+    *
+    * Replay semantics are the family's: a batch at or below the
+    * compacted high-water mark is a sealed no-op; an uncompacted replay
+    * overwrites its own fragment and retained output idempotently. At
+    * 100 TB each micro-batch costs narrow quality/shingle maps plus one
+    * key-set semi-join — no stage touches prior batches' raw docs.
+    */
+  def curationIngestCompacting(
+      docs: DataFrame, idCol: String, textCol: String,
+      root: String, retainedDir: String, checkpointDir: String,
+      maxFragments: Int, qualityThreshold: Double,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableKeys: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, GenStore, KeySetStore}
+        val spark = batch.sparkSession
+        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          val keep = batch.filter(
+            graft.functions.TextFunctions.qualityScore(col(textCol))
+              >= qualityThreshold)
+          val admitted =
+            if (KeySetStore.fragmentCount(spark, root) == 0L) keep
+            else keep.join(
+              Dedup.admitAgainstMinHashStoreGen(keep, idCol, textCol,
+                  n, numHashes, bands, root, portableKeys)
+                .filter(col("admit")).select(col("id").as(idCol)),
+              Seq(idCol), "left_semi")
+          val landed = admitted.localCheckpoint()
+          Dedup.admitMinHashBatch(landed, idCol, textCol, n, numHashes,
+            bands, batchId, root, portableKeys)
+          KeySetStore.compactIfFragmented(spark, root, maxFragments)
+          landed.write.mode("overwrite")
+            .parquet(s"$retainedDir/batch_id=$batchId")
+          ()
+        } // else: sealed replay — keys and retained rows already landed
+      }
+      .start()
+  }
+
   /** Streaming SKETCH admission with the compaction policy — the same
     * pattern on the per-key HLL store: each micro-batch lands its
     * sketch rows and [[graft.operators.SketchStore.compactIfFragmented]]

@@ -844,4 +844,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(exact(hot) - est <= bound, s"est $est for $hot out of bound")
     }
   }
+
+  test("streaming curation pipeline == sequential batch closed form, across a mid-stream compaction") {
+    import graft.functions.TextFunctions
+    import graft.operators.{Dedup, GenStore, KeySetStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-curation-stream")
+    val feed = s"$base/feed"
+    val root = s"$base/sigstore"
+    val retained = s"$base/retained"
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    new java.io.File(feed).mkdirs()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = EventStreams.curationIngestCompacting(stream, "doc_id", "text",
+      root, retained, s"$base/_cp", maxFragments = 2,
+      qualityThreshold = 0.5, n = 3, numHashes = 32, bands = 8)
+    // one crawl file per micro-batch, each written only after the
+    // previous batch fully drained -> batch ids pinned to crawl order
+    val genSeen = try {
+      (0 to 2).map { k =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
+          .write.mode("append").parquet(feed)
+        q.processAllAvailable()
+        GenStore.currentGen(root)
+      }
+    } finally q.stop()
+    // the compaction fired BETWEEN micro-batches, not after the last
+    assert(genSeen.init.exists(_ >= 2L),
+      s"no mid-stream compaction: generations seen were $genSeen")
+    assert(KeySetStore.fragmentCount(spark, root) <= 2L)
+
+    // batch closed form: the same sequential admission via the batch APIs
+    val broot = s"$base/batch-sigstore"
+    KeySetStore.init(broot)
+    val qual = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+    var want = Set.empty[Long]
+    for (k <- 0 to 2) {
+      val b = qual.filter(pmod(col("doc_id"), lit(3)) === k)
+      val adm =
+        if (k == 0) b.localCheckpoint()
+        else b.join(
+          Dedup.admitAgainstMinHashStoreGen(b, "doc_id", "text",
+              n = 3, numHashes = 32, bands = 8, root = broot)
+            .filter(col("admit")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi").localCheckpoint()
+      Dedup.admitMinHashBatch(adm, "doc_id", "text", n = 3, numHashes = 32,
+        bands = 8, batchId = k.toLong, root = broot)
+      want ++= adm.select("doc_id").as[Long].collect()
+    }
+    val got = spark.read.parquet(retained).select("doc_id").as[Long].collect().toSet
+    assert(got == want, "stream-retained corpus != sequential batch closed form")
+    assert(got.nonEmpty && got.size < docs.count(),
+      "the quality/dedup gates retained everything or nothing")
+    // a sealed replay of an already-compacted batch is refused at the
+    // store layer; the streaming sink's hwm guard is what skips it
+    val hwm = GenStore.compactedHwm(root, GenStore.currentGen(root))
+    assert(hwm >= 1L, s"compaction never sealed a batch (hwm=$hwm)")
+  }
 }
