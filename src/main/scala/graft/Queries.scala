@@ -6314,7 +6314,114 @@ object Queries {
               |SELECT doc_id, source, n_tokens,
               |  strt // 2048 AS bin, strt % 2048 AS bin_offset,
               |  TRUE AS mid_stream_compaction
-              |FROM w ORDER BY source, doc_id""".stripMargin))
+              |FROM w ORDER BY source, doc_id""".stripMargin)),
+
+    QDef("q165_signature_takedown",
+      // TAKEDOWN FOR THE DEDUP FAMILY — q161's LSM delete-marker
+      // discipline on the SIGNATURE store, whose state is a bare key
+      // set: a takedown deletes the (band, bucket) keys DERIVED from
+      // the removed documents (key-set subtraction — the shared-key
+      // caveat is documented on KeySetStore.admitDeleteBatch), so a
+      // RE-CRAWL of removed content is re-admittable instead of being
+      // blocked forever by ghost signatures. The whole corpus is
+      // admitted in two batches; the dead set (doc_id % 7 = 3) is
+      // deleted; the emitted rows are the dead docs' RE-CRAWL admission
+      // decisions, whose closed form the oracle states over store =
+      // bands(all docs) EXCEPT bands(dead docs) — a dead doc stays
+      // rejected exactly when a surviving clone contributed the same
+      // keys. Gates (eager booleans, the q161 pattern): replayed delete
+      // + delete of never-admitted keys are no-ops; post-compaction
+      // decisions equal pending-delete decisions bit for bit; the
+      // compacted generation contains no dead key and no pending set;
+      // and at least one dead doc flipped rejected -> admitted (the
+      // takedown actually re-opened admission). At 100 TB a takedown is
+      // one tiny delete-fragment write; reads pay one anti-join on
+      // index-sized key rows until compaction folds the subtraction in.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.GenStore
+        val root = scratchDir("q165") + "/sigstore"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        KeySetStore.init(root)
+        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 0L, root = root, portableKeys = true)
+        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 1L, root = root, portableKeys = true)
+        val dead = docs.filter(col("doc_id") % 7 === 3)
+        def probe() = Dedup.admitAgainstMinHashStoreGen(dead, "doc_id",
+            "text", n = 3, numHashes = 32, bands = 8, root = root,
+            portableKeys = true)
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        val before = probe()
+        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = root,
+          portableKeys = true)
+        val pending = probe()
+        // replayed delete: same batch id, same keys — decisions unmoved
+        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = root,
+          portableKeys = true)
+        // delete of keys the store never admitted: subtracting an
+        // absent key removes nothing
+        Dedup.deleteMinHashBatch(
+          Seq((Long.MaxValue - 1, "zqx jvk wpl qrm vtn")).toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 1L, root = root, portableKeys = true)
+        val replayNoop = probe() == pending
+        KeySetStore.compactStore(s, root, expectedGen = 1L)
+        val postEqPending = probe() == pending
+        val gen2 = GenStore.genDir(root, 2L)
+        val deadKeys = Dedup.minHashBandKeys(dead, "doc_id", "text",
+            n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .select(col("band"), col("bucket")).distinct()
+        val frag2 = GenStore.listBatchIds(s, gen2)
+        val purged = s.read.parquet(frag2.map(i => s"$gen2/batch_id=$i"): _*)
+          .join(deadKeys, Seq("band", "bucket"), "left_semi").isEmpty &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
+        val byId = pending.map(p => p._1 -> p._3).toMap
+        val readmitted = before.exists(b => !b._3 && byId(b._1))
+        Dedup.admitAgainstMinHashStoreGen(dead, "doc_id", "text",
+            n = 3, numHashes = 32, bands = 8, root = root,
+            portableKeys = true)
+          .select(col("id").as("doc_id"), col("hit_bands"), col("admit"),
+            lit(replayNoop).as("replay_noop"),
+            lit(postEqPending).as("post_eq_pending"),
+            lit(purged).as("physical_purge"),
+            lit(readmitted).as("readmitted_exists"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$tokCte, tri AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              |  FROM tok WHERE len(tk) >= 3
+              |), sigs AS (
+              |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+              |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+              |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+              |  GROUP BY doc_id, i
+              |), bnd AS (
+              |  SELECT doc_id, i // 4 AS band,
+              |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+              |  FROM sigs GROUP BY doc_id, i // 4
+              |), store AS (
+              |  SELECT DISTINCT band, bucket FROM bnd
+              |  EXCEPT
+              |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 7 = 3
+              |), hits AS (
+              |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+              |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 7 = 3 GROUP BY b.doc_id
+              |)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+              |  coalesce(h.hit_bands, 0) = 0 AS admit,
+              |  TRUE AS replay_noop, TRUE AS post_eq_pending,
+              |  TRUE AS physical_purge, TRUE AS readmitted_exists
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+              |LEFT JOIN hits h USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

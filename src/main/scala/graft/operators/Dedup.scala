@@ -809,6 +809,24 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /** TAKEDOWN through the signature store: delete the band keys DERIVED
+    * FROM `docs` ([[KeySetStore.admitDeleteBatch]] — key-set
+    * subtraction; see that method's shared-key caveat). Same
+    * key-derivation parameters as the admissions, or the subtraction
+    * misses. After this (and bit-identically after the next
+    * compaction), a re-crawl of a removed document is re-admittable —
+    * the takedown surface q161 gave the index and vector stores, for
+    * the dedup family.
+    */
+  def deleteMinHashBatch(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      batchId: Long, root: String, portableKeys: Boolean = false): Unit =
+    KeySetStore.admitDeleteBatch(
+      minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+        .select(col("band"), col("bucket")),
+      batchId, root)
+
   /** [[appendGramStore]] through the generational store. */
   def admitGramBatch(
       docs: DataFrame, idCol: String, textCol: String, minTokens: Int,

@@ -62,21 +62,78 @@ object KeySetStore {
         s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
+  // ---------------------------------------------------------------------
+  // DELETION/TAKEDOWN — the q161 LSM delete-marker discipline
+  // (InvertedIndex / VectorStore), restated for a store WITHOUT row
+  // attribution: fragments hold bare keys, so a delete is a KEY-SET
+  // subtraction, not a per-document purge. Taking down a document means
+  // deleting the keys DERIVED FROM IT ([[Dedup.deleteMinHashBatch]]);
+  // if a surviving near-clone contributed the same (band, bucket), that
+  // shared key is forgotten too — the surviving doc stays in the
+  // corpus, but future dedup against it through those bands weakens.
+  // That trade is inherent to set-state (the alternative, attributing
+  // every key to its admitting doc ids, forfeits the cross-batch
+  // distinct that makes this store KB-sized at 100 TB) and is exactly
+  // what takedown needs: a RE-CRAWL of removed content must be
+  // re-admittable, which ghost signatures would block forever.
+  // Contract: reads equal a store rebuilt from (admitted keys) EXCEPT
+  // (deleted keys); the next compaction applies the subtraction
+  // physically and the new generation carries no pending set.
+  // ---------------------------------------------------------------------
+
+  /** Admit one batch of keys to DELETE under the current generation's
+    * `deletes/batch_id=N` (same schema as the data fragments). Replays
+    * are semantic no-ops whether or not a compaction already applied
+    * them — subtracting an absent key removes nothing — so there is no
+    * sealed-id fence, only the family's pointer re-check.
+    */
+  def admitDeleteBatch(keys: DataFrame, batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    keys.distinct().write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, gen)}/deletes/batch_id=$batchId")
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"delete batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
+  /** Pending delete keys of one generation directory, or None when no
+    * deletes were ever admitted (the zero-cost common case — read plans
+    * are untouched).
+    */
+  private def pendingDeletes(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$dir/deletes").drop("batch_id").distinct())
+  }
+
   /** The key set through the pointer — every key column of every
-    * fragment of the current generation (the discovered `batch_id`
-    * partition column dropped). A multiset until compacted; callers
-    * semi-join against it, so overlap across fragments is harmless.
+    * fragment of the current generation. A multiset until compacted;
+    * callers semi-join against it, so overlap across fragments is
+    * harmless. Pending deletes are subtracted by ONE anti-join on the
+    * key columns (index-sized rows, never a corpus); with none pending
+    * the plan is the bare fragment scan.
     */
   def keysCurrent(spark: SparkSession, root: String): DataFrame = {
-    val df = spark.read.parquet(
-      GenStore.genDir(root, GenStore.currentGen(root)))
-    df.drop("batch_id")
+    val dir = GenStore.genDir(root, GenStore.currentGen(root))
+    val ids = GenStore.listBatchIds(spark, dir)
+    require(ids.nonEmpty, s"no fragments under $dir")
+    val df = spark.read.parquet(ids.map(i => s"$dir/batch_id=$i"): _*)
+    pendingDeletes(spark, dir) match {
+      case None => df
+      case Some(del) => df.join(del, df.columns.toSeq, "left_anti")
+    }
   }
 
   /** COMPACT the current generation: union every fragment, distinct
-    * ONCE, one sealed `batch_id=<hwm>` fragment under `gen=G+1` behind
-    * the atomic pointer. CAS on `expectedGen`; straggler sweep as the
-    * family ([[VectorStore.compactGen]]).
+    * ONCE, subtract the pending delete set, one sealed `batch_id=<hwm>`
+    * fragment under `gen=G+1` behind the atomic pointer — the new
+    * generation holds no trace of the deleted keys and no pending set,
+    * bit-identical to a store rebuilt from the surviving keys. CAS on
+    * `expectedGen`; straggler sweep as the family
+    * ([[VectorStore.compactGen]]), covering DELETE fragments too (a
+    * delete admitted after the listing rides through pending).
     */
   def compactStore(spark: SparkSession, root: String,
       expectedGen: Long): Long = {
@@ -88,18 +145,31 @@ object KeySetStore {
     val ids = GenStore.listBatchIds(spark, src)
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
+    val delIds = GenStore.listBatchIds(spark, s"$src/deletes")
     // merge the LISTED fragments explicitly (parquet listing is lazy):
     // a directory-wide read could fold a straggler admitted after the
     // listing into the merge and the sweep both — harmless HERE (the
     // key set is distinct, reads are semi-joins), but the family keeps
     // one discipline so the lossy stores can't inherit the wrong shape
-    spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*).distinct()
-      .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
-    def sweep(): Unit =
+    val merged = spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*).distinct()
+    val survivors =
+      if (delIds.isEmpty) merged
+      else merged.join(
+        spark.read.parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
+          .distinct(),
+        merged.columns.toSeq, "left_anti")
+    survivors.write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
+    def sweep(): Unit = {
       (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
         spark.read.parquet(s"$src/batch_id=$i")
           .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
       }
+      (GenStore.listBatchIds(spark, s"$src/deletes").toSet -- delIds).toSeq.sorted
+        .foreach { i =>
+          spark.read.parquet(s"$src/deletes/batch_id=$i")
+            .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$i")
+        }
+    }
     sweep()
     GenStore.seal(root, ng, hwm)
     GenStore.writePointer(root, ng)

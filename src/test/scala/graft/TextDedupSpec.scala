@@ -737,4 +737,75 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(later.nonEmpty && later.head._1 == 20L)
   }
+
+  test("signature store takedown: re-crawl re-admitted, decisions == key-subtracted rebuild, purge physical") {
+    import graft.operators.KeySetStore
+    val base = java.nio.file.Files.createTempDirectory("graft-sig-takedown")
+    val root = s"$base/store"
+    val rebuilt = s"$base/rebuilt"
+    def doc(id: Long, words: String) = (id, words)
+    // A unique; C and D exact clones; E unique — C is taken down while
+    // its clone D survives (the shared-key caveat made concrete)
+    val corpus = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta"),
+      doc(3L, "shared clone body one two three four"),
+      doc(4L, "shared clone body one two three four"),
+      doc(5L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    KeySetStore.init(root)
+    Dedup.admitMinHashBatch(corpus.filter($"doc_id" < 4), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, batchId = 0L, root = root)
+    Dedup.admitMinHashBatch(corpus.filter($"doc_id" >= 4), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, batchId = 1L, root = root)
+    val dead = corpus.filter($"doc_id" === 1L || $"doc_id" === 3L)
+    def probe() = Dedup.admitAgainstMinHashStoreGen(corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, root = root)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // pre-takedown: every doc's own keys are present -> all rejected
+    assert(probe().forall(!_._3))
+    Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3, numHashes = 32,
+      bands = 8, batchId = 0L, root = root)
+    val pending = probe()
+    val byId = pending.map(p => p._1 -> p._3).toMap
+    // A's keys were uniquely its own -> its re-crawl admits again
+    assert(byId(1L), "takedown of a unique doc must re-open admission")
+    // C's keys are shared with surviving clone D: the SUBTRACTION
+    // removed them, so BOTH C's re-crawl and D's probe admit — the
+    // documented key-set semantics (rebuild without those KEYS)
+    assert(byId(3L) && byId(4L))
+    assert(!byId(5L), "an untouched doc must stay rejected")
+    // decisions == a store rebuilt from (admitted keys) EXCEPT (dead keys)
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashBandKeys(df, "doc_id", "text", n = 3, numHashes = 32,
+        bands = 8).select($"band", $"bucket").distinct()
+    KeySetStore.init(rebuilt)
+    KeySetStore.admitBatch(
+      keysOf(corpus).join(keysOf(dead), Seq("band", "bucket"), "left_anti"),
+      0L, rebuilt)
+    val want = Dedup.admitAgainstMinHashStoreGen(corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, root = rebuilt)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(pending == want, "pending-delete read != key-subtracted rebuild")
+    // replayed delete and delete of never-admitted keys: no-ops
+    Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3, numHashes = 32,
+      bands = 8, batchId = 0L, root = root)
+    Dedup.deleteMinHashBatch(
+      Seq(doc(99L, "never admitted words at all")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+      batchId = 1L, root = root)
+    assert(probe() == pending)
+    // compaction applies the subtraction physically, decisions unmoved
+    assert(KeySetStore.compactStore(spark, root, expectedGen = 1L) === 2L)
+    assert(probe() == pending, "compaction changed takedown decisions")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "gen=2", "deletes")),
+      "the compacted generation must carry no pending delete set")
+    val gen2Keys = spark.read.parquet(s"$root/gen=2").drop("batch_id")
+    assert(gen2Keys.join(keysOf(dead), Seq("band", "bucket"), "left_semi")
+      .isEmpty, "a dead key survived compaction")
+    // post-compaction appends land on top and are live history
+    Dedup.admitMinHashBatch(corpus.filter($"doc_id" === 1L), "doc_id",
+      "text", n = 3, numHashes = 32, bands = 8, batchId = 2L, root = root)
+    assert(!probe().map(p => p._1 -> p._3).toMap.apply(1L),
+      "a re-admitted doc must be history again")
+  }
 }
