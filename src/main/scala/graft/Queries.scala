@@ -6421,7 +6421,113 @@ object Queries {
               |  TRUE AS physical_purge, TRUE AS readmitted_exists
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
               |LEFT JOIN hits h USING (doc_id)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q166_quantile_retraction",
+      // EXACT RETRACTION on the quantile store — the takedown family's
+      // third member, and the only store where deletion is EXACT
+      // without attribution or rebuild: bin counts form an abelian
+      // GROUP (HLL registers max — no inverse; MG counters are lossy —
+      // no inverse), so retracting a batch is just landing its
+      // NEGATED per-(key, bin) aggregation as a normal fragment. Every
+      // read's merge sum subtracts it with zero new machinery; the
+      // lifecycle (fences, sweep, streaming) applies verbatim. Three
+      // batches admit, batch 1's rows are retracted; the emitted
+      // per-flag p25/p50/p75/p95 are the EXACT order statistics of the
+      // surviving stream (unit bins, integral domain), which the oracle
+      // recomputes over lineitem WHERE l_orderkey % 4 IN (0, 2). Gates:
+      // post-retraction answers equal a store built WITHOUT the
+      // retracted batch; compaction leaves answers bit-identical AND
+      // purges physically (merged cells equal the fresh store's, fully
+      // retracted cells dropped, no negative survivor); a retraction
+      // replay after compaction is refused by the sealed-id fence (a
+      // second subtraction is NOT idempotent — the fence q165's key-set
+      // deletes don't need is load-bearing here); and over-retraction
+      // (rows never ingested) fails LOUDLY at compaction BEFORE the
+      // pointer moves — readers keep the old generation. At 100 TB a
+      // retraction costs one map-side-combined aggregation over the
+      // retracted slice; no read ever rescans the surviving stream.
+      (s, d) => {
+        import graft.operators.GenStore
+        val root = scratchDir("q166") + "/qstore"
+        val froot = scratchDir("q166") + "/fresh"
+        val li = t(s, d, "lineitem")
+        val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+        def admit(r: String, slice: Column, b: Long) =
+          QuantileStore.admitBatch(s, li.filter(slice), Seq("l_returnflag"),
+            "l_quantity", lo = 1.0, width = 1.0, nbins = 50,
+            batchId = b, root = r)
+        QuantileStore.initStore(root)
+        (0L to 2L).foreach(b => admit(root, pmod(col("l_orderkey"), lit(4)) === b, b))
+        QuantileStore.retractBatch(s, li.filter(pmod(col("l_orderkey"), lit(4)) === 1),
+          Seq("l_returnflag"), "l_quantity", lo = 1.0, width = 1.0,
+          nbins = 50, batchId = 3L, root = root)
+        def quants(r: String) = QuantileStore.quantilesCurrent(s, r,
+            Seq("l_returnflag"), qs, lo = 1.0, width = 1.0)
+          .collect().map(_.toString).sorted.toSeq
+        val pending = quants(root)
+        QuantileStore.initStore(froot)
+        admit(froot, pmod(col("l_orderkey"), lit(4)) === 0, 0L)
+        admit(froot, pmod(col("l_orderkey"), lit(4)) === 2, 1L)
+        val freshEq = pending == quants(froot)
+        QuantileStore.compactStore(s, root, expectedGen = 1L, Seq("l_returnflag"))
+        val postEqPending = quants(root) == pending
+        def hist(r: String) = QuantileStore.mergedHistogram(s,
+            GenStore.genDir(r, GenStore.currentGen(r)), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("bin"), col("cnt").cast("long"))
+        val frag = s.read.parquet(GenStore.genDir(root, 2L)).drop("batch_id")
+        val physical = frag.filter(col("cnt") <= 0).isEmpty &&
+          hist(root).exceptAll(hist(froot)).isEmpty &&
+          hist(froot).exceptAll(hist(root)).isEmpty
+        val sealedRefused = try {
+          QuantileStore.retractBatch(s,
+            li.filter(pmod(col("l_orderkey"), lit(4)) === 1),
+            Seq("l_returnflag"), "l_quantity", lo = 1.0, width = 1.0,
+            nbins = 50, batchId = 3L, root = root)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("subtract twice") }
+        // over-retraction: a store that never saw orderkey%4==3 rows
+        // retracts them — the compaction must refuse to publish
+        val oroot = scratchDir("q166") + "/over"
+        QuantileStore.initStore(oroot)
+        admit(oroot, pmod(col("l_orderkey"), lit(4)) === 0, 0L)
+        QuantileStore.retractBatch(s, li.filter(pmod(col("l_orderkey"), lit(4)) === 3),
+          Seq("l_returnflag"), "l_quantity", lo = 1.0, width = 1.0,
+          nbins = 50, batchId = 1L, root = oroot)
+        val overLoud = (try {
+          QuantileStore.compactStore(s, oroot, expectedGen = 1L, Seq("l_returnflag"))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("NOT published") }) &&
+          GenStore.currentGen(oroot) == 1L
+        QuantileStore.quantilesCurrent(s, root, Seq("l_returnflag"), qs,
+            lo = 1.0, width = 1.0)
+          .select(col("l_returnflag"),
+            col("p25"), col("p50"), col("p75"), col("p95"),
+            lit(freshEq).as("fresh_eq"),
+            lit(postEqPending).as("post_eq_pending"),
+            lit(physical).as("physical_purge"),
+            lit(sealedRefused).as("sealed_replay_refused"),
+            lit(overLoud).as("over_retraction_loud"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag AS k, l_quantity AS v, count(*) AS cnt
+             |  FROM lineitem WHERE l_orderkey % 4 IN (0, 2) GROUP BY 1, 2
+             |), w AS (
+             |  SELECT k, v, sum(cnt) OVER (PARTITION BY k ORDER BY v) AS cum,
+             |         sum(cnt) OVER (PARTITION BY k) AS n FROM c
+             |)
+             |SELECT k AS l_returnflag,
+             |  min(CASE WHEN cum >= (n*1 + 3) // 4 THEN v END) AS p25,
+             |  min(CASE WHEN cum >= (n*1 + 1) // 2 THEN v END) AS p50,
+             |  min(CASE WHEN cum >= (n*3 + 3) // 4 THEN v END) AS p75,
+             |  min(CASE WHEN cum >= (n*19 + 19) // 20 THEN v END) AS p95,
+             |  TRUE AS fresh_eq, TRUE AS post_eq_pending,
+             |  TRUE AS physical_purge, TRUE AS sealed_replay_refused,
+             |  TRUE AS over_retraction_loud
+             |FROM w GROUP BY k ORDER BY k""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -239,6 +239,63 @@ object QuantileStore {
         s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
+  // -------------------------------------------------------------------------
+  // EXACT RETRACTION — the takedown surface (q161/q165 family) restated
+  // for count state: bin counts form an abelian GROUP, not just a
+  // monoid, so unlike HLL registers (max — no inverse) and Misra-Gries
+  // counters (lossy — no inverse) this store can DELETE exactly. A
+  // retraction batch is the ordinary per-(key, bin) aggregation with
+  // NEGATED counts, landed as a normal fragment: every read's merge sum
+  // and the compaction it materializes subtract it with zero new
+  // machinery, and the whole lifecycle (fences, sweep, streaming sinks)
+  // applies verbatim. The sealed-id fence matters MORE here than for
+  // key-set deletes: retraction is not idempotent once compacted (a
+  // replay would subtract twice), and the hwm fence is exactly what
+  // refuses it. Integrity: retracting rows that were never ingested
+  // drives some (key, bin) negative — compaction VALIDATES the merged
+  // histogram and fails loudly before publishing, so the error cannot
+  // propagate past the generation that introduced it.
+  // -------------------------------------------------------------------------
+
+  /** Retract one batch: [[admitBatch]] with negated counts. Retract the
+    * SAME rows that were ingested (same key/value columns, same bin
+    * geometry) under a FRESH batch id — the inverse fragment of the
+    * original. Uncompacted replays overwrite idempotently; compacted
+    * replays are refused by the sealed-id fence.
+    */
+  def retractBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+      valueCol: String, lo: Double, width: Double, nbins: Int,
+      batchId: Long, root: String): Unit =
+    admitNegated(spark, batch, keyCols,
+      binOf(valueCol, lo, width, nbins), valueCol, batchId, root)
+
+  /** [[retractBatch]] under HDR (log-width) binning. */
+  def retractBatchHdr(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+      valueCol: String, subBits: Int, nbins: Int,
+      batchId: Long, root: String): Unit =
+    admitNegated(spark, batch, keyCols,
+      hdrBinOf(valueCol, subBits, nbins), valueCol, batchId, root)
+
+  private def admitNegated(spark: SparkSession, batch: DataFrame,
+      keyCols: Seq[String], binCol: Column, valueCol: String,
+      batchId: Long, root: String): Unit = {
+    val gen = GenStore.currentGen(root)
+    val hwm = GenStore.compactedHwm(root, gen)
+    require(batchId > hwm,
+      s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
+        s"mark $hwm: compaction sealed it; a replayed retraction would " +
+        "subtract twice and is refused")
+    batch.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ binCol.as("bin")): _*)
+      .agg((-count(lit(1))).cast("long").as("cnt"))
+      .write.mode("overwrite")
+      .parquet(s"${GenStore.genDir(root, gen)}/batch_id=$batchId")
+    val now = GenStore.currentGen(root)
+    if (now != gen) throw new IllegalStateException(
+      s"retraction batch_id=$batchId raced a compaction: wrote under gen=$gen " +
+        s"but _CURRENT is now gen=$now — re-admit under the current generation")
+  }
+
   /** COMPACT the current generation: sum every fragment's (key, bin)
     * counts into ONE fragment at the high-water batch id under
     * `gen=G+1`, sealed and published behind the atomic pointer.
@@ -249,6 +306,14 @@ object QuantileStore {
     * copied through unmerged, once before the seal and once after the
     * pointer move — an admit racing the compaction either lands or
     * throws, never silently vanishes.
+    *
+    * Retractions ([[retractBatch]]) are applied PHYSICALLY here: fully
+    * retracted (key, bin) cells (sum 0) are dropped, so the compacted
+    * fragment is bit-identical to one a store built without the
+    * retracted rows would produce; a merged count below zero means
+    * rows were retracted that were never ingested, and the compaction
+    * fails LOUDLY before sealing or publishing — readers keep the old
+    * generation, the bad retraction fragment stays visible for repair.
     */
   def compactStore(spark: SparkSession, root: String, expectedGen: Long,
       keyCols: Seq[String]): Long =
@@ -269,12 +334,23 @@ object QuantileStore {
     val dst = GenStore.genDir(root, cur + 1)
     // merge the LISTED fragments explicitly (parquet listing is lazy):
     // a directory-wide read would fold a straggler admitted after the
-    // listing into the merge AND the sweep — double-counting its bins
+    // listing into the merge AND the sweep — double-counting its bins.
+    // Fully retracted cells (sum 0) are dropped — the physical purge.
     spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*)
       .groupBy((keyCols :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
       .write.mode("overwrite")
       .parquet(s"$dst/batch_id=$hwm")
+    // over-retraction fence: validate BEFORE sealing/publishing (one
+    // scan of the nbins-x-keys-sized fragment, never the raw stream)
+    val negatives = spark.read.parquet(s"$dst/batch_id=$hwm")
+      .filter(col("cnt") < 0L).count()
+    require(negatives == 0L,
+      s"compaction of $src found $negatives (key, bin) cells with negative " +
+        "merged counts: more rows were retracted than ingested — the new " +
+        "generation is NOT published; repair or remove the offending " +
+        "retraction fragment and retry")
     def sweep(): Unit =
       (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
         spark.read.parquet(s"$src/batch_id=$i")

@@ -149,4 +149,59 @@ class QuantileStoreSpec extends AnyFunSuite {
       (exactRank(small.map(_.toDouble), 1, 4), exactRank(small.map(_.toDouble), 1, 2),
         exactRank(small.map(_.toDouble), 3, 4), exactRank(small.map(_.toDouble), 19, 20)))
   }
+
+  test("exact retraction (both bin modes): == store without the batch; over-retraction refused loudly") {
+    // counts form a group, so retraction is the negated fragment —
+    // q166 gates the fixed-range lifecycle against DuckDB; this pins
+    // the HDR mode and the equivalence/fence mechanics at unit scale
+    val keep: Seq[Long] = (1L to 300L).map(i => (i * 7919L) % 100000L)
+    val gone: Seq[Long] = (1L to 120L).map(i => (i * 104729L) % 100000L)
+    def df(vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, "k", v) }.toDF("id", "k", "v")
+    val subBits = 4
+    val root = Files.createTempDirectory("graft-qretract").toString + "/s"
+    val fresh = Files.createTempDirectory("graft-qretract-fresh").toString + "/s"
+    QuantileStore.initStore(root)
+    QuantileStore.admitBatchHdr(spark, df(keep), Seq("k"), "v", subBits,
+      nbins = 2048, batchId = 0L, root = root)
+    QuantileStore.admitBatchHdr(spark, df(gone), Seq("k"), "v", subBits,
+      nbins = 2048, batchId = 1L, root = root)
+    QuantileStore.retractBatchHdr(spark, df(gone), Seq("k"), "v", subBits,
+      nbins = 2048, batchId = 2L, root = root)
+    QuantileStore.initStore(fresh)
+    QuantileStore.admitBatchHdr(spark, df(keep), Seq("k"), "v", subBits,
+      nbins = 2048, batchId = 0L, root = fresh)
+    def quants(r: String) = QuantileStore
+      .quantilesCurrentHdr(spark, r, Seq("k"), Qs, subBits)
+      .as[(String, Long, Long, Long, Long)].head()
+    val want = quants(fresh)
+    assert(quants(root) == want, "pending retraction != store without the batch")
+    // compaction: answers bit-identical, fully-retracted cells purged
+    QuantileStore.compactStore(spark, root, expectedGen = 1L, Seq("k"))
+    QuantileStore.compactStore(spark, fresh, expectedGen = 1L, Seq("k"))
+    assert(quants(root) == want, "compaction changed retracted answers")
+    val rootRows = spark.read.parquet(s"$root/gen=2").drop("batch_id")
+    val freshRows = spark.read.parquet(s"$fresh/gen=2").drop("batch_id")
+    assert(rootRows.exceptAll(freshRows).isEmpty &&
+      freshRows.exceptAll(rootRows).isEmpty,
+      "compacted cells differ from the store built without the batch")
+    // a compacted retraction must not replay (it would subtract twice)
+    assertThrows[IllegalArgumentException] {
+      QuantileStore.retractBatchHdr(spark, df(gone), Seq("k"), "v", subBits,
+        nbins = 2048, batchId = 2L, root = root)
+    }
+    // over-retraction: compaction refuses to publish, readers keep gen 1
+    val over = Files.createTempDirectory("graft-qretract-over").toString + "/s"
+    QuantileStore.initStore(over)
+    QuantileStore.admitBatch(spark, df(keep), Seq("k"), "v",
+      lo = 0.0, width = 1.0, nbins = 2048, batchId = 0L, root = over)
+    QuantileStore.retractBatch(spark, df(keep ++ gone), Seq("k"), "v",
+      lo = 0.0, width = 1.0, nbins = 2048, batchId = 1L, root = over)
+    val e = intercept[IllegalArgumentException] {
+      QuantileStore.compactStore(spark, over, expectedGen = 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("NOT published"))
+    assert(graft.operators.GenStore.currentGen(over) == 1L,
+      "a failed compaction must not move the pointer")
+  }
 }
