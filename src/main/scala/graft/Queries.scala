@@ -6527,7 +6527,75 @@ object Queries {
              |  TRUE AS fresh_eq, TRUE AS post_eq_pending,
              |  TRUE AS physical_purge, TRUE AS sealed_replay_refused,
              |  TRUE AS over_retraction_loud
-             |FROM w GROUP BY k ORDER BY k""".stripMargin))
+             |FROM w GROUP BY k ORDER BY k""".stripMargin)),
+
+    QDef("q167_hard_negatives",
+      // HARD-NEGATIVE MINING for contrastive embedding training — the
+      // composition every retrieval-model pipeline runs: per query doc,
+      // the top-m most SIMILAR documents that are NOT near-duplicates
+      // of it (a near-dup is a false negative that poisons the loss;
+      // a dissimilar doc is an easy negative that teaches nothing).
+      // Two audited operators meet: the kNN join supplies candidates
+      // (k bounds every query's fan-out structurally) and SemDeDup's
+      // component labels (q124) supply the exclusion set — candidates
+      // join their component by id (co-partitioned, label-sized rows),
+      // same-component neighbors drop, survivors re-rank per query.
+      // Fixture: the q124 re-crawl corpus (every vector + an id-shifted
+      // exact clone), so components are exactly the clone pairs and the
+      // oracle states them in closed form (comp = vec_id % shift) while
+      // computing the cosine top-k independently — each query's rank-1
+      // neighbor is its own clone at cos 1.0, which the component
+      // filter must remove, leaving ranks 2..6 as neg_rank 1..5.
+      // Cosine ties (each neighbor appears with its identical clone)
+      // break by neighbor_id in BOTH engines; distinct-vector gaps are
+      // >= 1.9e-5 (q30), far above float noise. At 100 TB: labels come
+      // from the persisted dedup pipeline, candidates from the
+      // store-served ANN tiers — everything here is id-keyed joins of
+      // k-bounded rows; nothing all-pairs, nothing corpus-sized moves.
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val recrawl = emb.unionByName(
+          emb.select((col("vec_id") + CloneShift).as("vec_id"), col("embedding")))
+        val comps = Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding")
+        val knn = Similarity.bruteForceTopK(
+          recrawl.filter(col("vec_id") < 10), recrawl,
+          "vec_id", "embedding", 6)
+        val negRank = row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("rank")))
+        knn
+          .join(comps.select(col("id").as("query_id"), col("comp").as("qcomp")),
+            Seq("query_id"))
+          .join(comps.select(col("id").as("neighbor_id"), col("comp").as("ncomp")),
+            Seq("neighbor_id"))
+          .filter(col("qcomp") =!= col("ncomp"))
+          .withColumn("neg_rank", negRank.cast("long"))
+          .filter(col("neg_rank") <= 5)
+          .select(col("query_id"), col("neg_rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("neg_rank"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + $CloneShift, embedding FROM embeddings
+              |), q AS (
+              |  SELECT vec_id AS query_id, embedding AS qv FROM base WHERE vec_id < 10
+              |), sc AS (
+              |  SELECT query_id, b.vec_id AS neighbor_id,
+              |    list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+              |  FROM q, base b WHERE b.vec_id <> query_id
+              |), r AS (
+              |  SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM sc QUALIFY rank <= 6
+              |), f AS (
+              |  SELECT query_id, neighbor_id, rank FROM r
+              |  WHERE neighbor_id % $CloneShift <> query_id % $CloneShift
+              |)
+              |SELECT query_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS neg_rank,
+              |  neighbor_id
+              |FROM f QUALIFY neg_rank <= 5
+              |ORDER BY query_id, neg_rank""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -322,6 +322,45 @@ class SimilaritySpec extends AnyFunSuite {
         poolFactor = 5, lambda = 0.5)))
   }
 
+  test("hard negatives from the SQ tier == brute baseline in the exhaustive-probe regime") {
+    // the q167 composition at scale: candidates from the ANN tier,
+    // exclusions from SemDeDup's labels. On the clone-planted corpus
+    // (components == clone pairs) the exhaustive-probe SQ tier must
+    // mine the exact same negatives as the brute-force baseline, and
+    // no mined negative may share a component with its query.
+    import graft.operators.Dedup
+    val shift = 1L << 40
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val recrawl = emb.unionByName(
+      emb.select((col("vec_id") + shift).as("vec_id"), col("embedding")))
+    val comps = Dedup.semanticDedupGroupsKnn(recrawl, "vec_id", "embedding")
+      .localCheckpoint()
+    val q = recrawl.filter(col("vec_id") < 10)
+    def negatives(knn: org.apache.spark.sql.DataFrame) = {
+      val negRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      knn
+        .join(comps.select(col("id").as("query_id"), col("comp").as("qc")), Seq("query_id"))
+        .join(comps.select(col("id").as("neighbor_id"), col("comp").as("nc")), Seq("neighbor_id"))
+        .filter(col("qc") =!= col("nc"))
+        .withColumn("neg_rank", row_number().over(negRank).cast("long"))
+        .filter(col("neg_rank") <= 5)
+        .select("query_id", "neg_rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    val brute = negatives(
+      Similarity.bruteForceTopK(q, recrawl, "vec_id", "embedding", 6))
+    val cents = Similarity.fitCentroids(recrawl, "vec_id", "embedding", 16, 3)
+    val tiered = negatives(
+      Similarity.ivfSqSearch(q, recrawl, "vec_id", "embedding", 6,
+        cents, nprobe = 16, nassign = 2, shortlistFactor = 8))
+    assert(brute == tiered, "SQ-tier negatives diverged from the brute baseline")
+    assert(brute.nonEmpty && brute.groupBy(_._1).forall(_._2.size == 5))
+    // the exclusion held: a query's clone (same component) never mined
+    assert(brute.forall { case (qid, _, nid) => nid % shift != qid % shift })
+  }
+
   test("mmrTopK diversifies a clone-polluted pool: plain top-k drowns in copies, MMR does not") {
     // corpus = embeddings plus FOUR exact clones of every vector: the
     // plain top-5 for any query is its nearest neighbor and that
