@@ -83,6 +83,13 @@ object ExplainDump {
     "q156_interval_overlap" -> "two-sided range join (interval x interval): the defining NEGATIVE check again — a bare intersection predicate (a_s <= b_e AND b_s <= a_e) with no equi-key must NOT plan as a nested loop over the two order families; both sides' explode(sequence(...)) bucket replications are narrow above their pushed-filter orders scans (the mod-10 family split reaches PushedFilters), the sides meet in ONE equi-join on the bucket id (broadcast at this toy scale, the co-partitioned shuffle hash join at 100 TB — same plan, stats-driven strategy), the exact intersection predicate and the first-overlap-bucket dedup (bucket == floor(max(a_s, b_s)/width), pure integer arithmetic) are post-join Filters — no distinct anywhere, because the dedup is algebraic, not a shuffle",
     "q154_range_join" -> "bucketed range join: the defining check is NEGATIVE — the point-x-interval condition is a bare BETWEEN with no equi-key, yet it must NOT execute as a nested-loop/cartesian over the two relations; the bucketed rewrite surfaces it as an ordinary equi-join on the derived bucket id (broadcast here because 100 windows are tiny — at 100 TB the same plan becomes the co-partitioned shuffle hash join, exactly like the audited q120 candidate join) with the interval side's explode(sequence(...)) replication narrow above its input and the exact containment predicate as a post-join Filter; the one BroadcastNestedLoopJoin in the dump is NOT the range join — it is the 1-row min-event-time aggregate broadcast into the 100-row window construction (a constant-size cross by construction, the audited q111/q122 scalar-broadcast shape), computed once, never per data row",
     "q153_training_pipeline" -> "the training-data capstone (quality gate -> dedup admission -> token count -> packing, end to end): the quality score and token count are narrow codegen'd projections off the documents scan (no UDF, no shuffle); batch 2's band keys are per-row expressions meeting the signature-store scan in a LEFT-SEMI hash join on (band, bucket) with the per-doc hit count one partial/final HashAggregate pair (the audited q151 shape — history is never rescanned); the retained corpus unions and feeds EXACTLY ONE window (running sum partitioned BY source — per-shard bounded state, parallel across shards, the audited q66 shape); check there is no global sort before the packing window and no corpus-sized exchange anywhere except the window's shard partitioning — at 100 TB every stage is an O(batch) map or one bounded join per crawl batch",
+    "q161_store_takedown" -> "post-takedown BM25 serving (the compaction already applied the delete set): the postings scan lists gen=2's single purged fragment with the term isin filter in PushedFilters and the audited q143 candidates-only shape above it (stats/df broadcast, dl from the posting struct) — check NO delete anti-join appears anywhere (the pending set is gone; a takedown costs the read path literally nothing after compaction) and the stats side is the shrunken single-row scan; the raw corpus appears nowhere; the PENDING-delete read this plan no longer needs is dumped as its own aux section below",
+    "q162_store_mmr" -> "MMR from the persisted store (the 100 TB diversity composition): the pool side must be the audited q157 SQ-tier store read — coded scan with ReadSchema (cid, cv, cell, sq) (the PQ codes column is NOT read), broadcast probe frame, sq_dot scoring, TopKAgg partial/final, exact-cosine re-rank on the shortlist — and the candidate VECTORS come from VectorStore.vectors (a second scan of the SAME coded store reading only (cid, cv)): no raw-source table appears anywhere in the plan; above both, the q159 MMR shape — ONE groupBy collects each query's 25-row pool and the greedy is a single codegen'd mmr_select kernel call per query row plus a narrow posexplode, never a per-step join ladder",
+    "q163_quantile_hdr" -> "HDR quantile-store read: the store-side scan lists the current generation's fragments with ReadSchema (l_returnflag, bin, cnt, batch_id) — at most nbins rows per key per fragment, KBs forever; ONE partial/final aggregation pair re-sums (key, bin) cells; the rank windows partition BY KEY over <= nbins rows each; bin-edge reconstruction (shifts off the bin id) is a scalar projection — EXACT integer math, no float log anywhere; the lineitem scans in this dump belong to the gate CONSTRUCTION (admission ran eagerly), never the read path",
+    "q164_streaming_curation" -> "the streaming-curation capstone's final read: the retained corpus (landed per micro-batch by the foreachBatch job) scans as a plain batch_id-partitioned parquet source, token counts are narrow codegen'd projections, and the packing is EXACTLY ONE window (running sum partitioned BY source — the audited q66 shape, per-shard bounded state); check no global sort before the window and no corpus-sized exchange except the shard partitioning; the per-micro-batch internals (quality gate, store semi-join probe, band-key admission) are the audited q151/q153 plans and ran inside the stream",
+    "q165_signature_takedown" -> "post-takedown dedup admission (the compaction already subtracted the deleted keys): the store side scans gen=2's single purged fragment with ReadSchema (band, bucket) — check NO delete anti-join appears (pending set applied and dropped; same zero-cost-after-purge claim as q161) and no distinct above the scan (the semi-join is multiset-insensitive); the probe's band keys build as narrow per-row expressions off the documents scan, meet the store in a LEFT-SEMI hash join on (band, bucket), per-doc hit count one partial/final HashAggregate pair — the audited q151 shape, unchanged by the takedown machinery; the PENDING-delete read is dumped as its own aux section below",
+    "q166_quantile_retraction" -> "post-retraction quantile read: the store scans gen=2's single compacted fragment — the negated retraction fragment and the fully-retracted cells are GONE (physical purge), so the plan is indistinguishable from the audited q158 read over a store that never saw the retracted batch: ReadSchema (l_returnflag, bin, cnt, batch_id), one partial/final sum pair, per-key rank windows over <= nbins rows, conditional-min quantile picks in ONE aggregation; the lineitem scans are gate construction, not the read path",
+    "q167_hard_negatives" -> "hard-negative mining (kNN minus SemDeDup components): the candidate stage is the audited q30 brute-force shape (broadcast 10-query frame, codegen'd cosine kernel, TopKAgg partial/final bounding the shuffle at 6 rows per query); the component labels join ON ID — two hash joins of label-sized (id, comp) rows against the k-bounded candidate list, never against vectors; the same-component exclusion is a post-join Filter and the re-rank is ONE window partitioned BY query_id over <= 6 rows; check nothing corpus-sized moves after the kNN stage and the label computation's plan underneath is the audited q124 shape",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)")
 
   /** Queries whose audit target only exists in the EXECUTED final
@@ -167,7 +174,41 @@ object ExplainDump {
       "SemDeDup's SQ-tier edge stage: the q160 catalog row is the component-label table (edge building + label iterations ran eagerly through localCheckpoints), so this dumps the kNN join under audit directly. Check the corpus-side encode is ONE narrow pass off the embeddings scan — unitize, replica-cell explode, residual kernel, then sq_encode ONLY (no pq_encode, no codebook object anywhere in the plan: the SQ tier needs no codebook fit, part of why it wins this workload); per-candidate scoring is the codegen'd sq_dot kernel inside the cell equi-join's stage; the join carries NO broadcast hint (corpus-as-queries — co-partitioned shuffle at scale, stats-driven here); TopKAgg partial/final bounds the shuffle at k*4 per query (the SQ shortlist, vs PQ's 32x); only the shortlist touches original vectors in the exact re-rank",
       Similarity.ivfSqKnnJoin(recrawl, "vec_id", "embedding", 10,
         sqCents, nprobe = 12, nassign = 2, shortlistFactor = 4))
-    Seq(cdcPlan, vplan, wplan, sqPlan)
+    // q161/q165: the PENDING-delete serving reads — the q161/q165
+    // catalog rows return post-compaction frames (purged, anti-join
+    // gone), so the window where the delete set is still pending is
+    // the plan that needs its own dump
+    import graft.operators.{Dedup, InvertedIndex, KeySetStore}
+    val iroot = Files.createTempDirectory("explain-q161-").toString + "/istore"
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    InvertedIndex.initStore(iroot)
+    InvertedIndex.admitBatch(spark, toks, "doc_id", "tk", 64L,
+      batchId = 0L, root = iroot)
+    InvertedIndex.admitDeleteBatch(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+      0L, iroot)
+    val iplan = ("q161_store_takedown (the PENDING-delete BM25 read)",
+      "takedown still pending (delete admitted, compaction not yet run): the postings scan is the audited q139 candidates-only shape, and the delete set joins in as LEFT-ANTI hash joins on doc_id at each bounded relation it feeds (candidate posting entries, the doclens-derived stats inputs, per-term df) — every one over index-sized rows (the delete fragment is a tiny distinct id scan that broadcasts); check the raw corpus appears nowhere and no anti-join input is corpus-sized: pending-delete serving costs one small anti-join per bounded relation, which is exactly what the next compaction folds away (the zero-cost post-purge plan is the main q161 section above)",
+      InvertedIndex.bm25SearchCurrent(spark, iroot,
+        Seq("join", "vector", "stream", "window"), 15))
+    val kroot = Files.createTempDirectory("explain-q165-").toString + "/sigstore"
+    KeySetStore.init(kroot)
+    Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+      batchId = 0L, root = kroot, portableKeys = true)
+    Dedup.deleteMinHashBatch(
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+      batchId = 0L, root = kroot, portableKeys = true)
+    val kplan = ("q165_signature_takedown (the PENDING-delete admission read)",
+      "signature takedown still pending: the store side is the fragment scan with ONE LEFT-ANTI hash join against the delete fragments' distinct (band, bucket) rows — both sides index-sized key rows (the delete set broadcasts at any realistic purge size) — feeding the audited LEFT-SEMI admission probe; check the anti-join sits BETWEEN the fragment scan and the semi-join (subtract, then probe), the probe's band keys build narrow off the documents scan, and nothing corpus-sized enters either join; after compaction the anti-join disappears entirely (the main q165 section above)",
+      Dedup.admitAgainstMinHashStoreGen(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+        root = kroot, portableKeys = true))
+    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan)
   }
 
   def main(args: Array[String]): Unit = {
