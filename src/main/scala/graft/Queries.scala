@@ -6595,7 +6595,152 @@ object Queries {
               |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS neg_rank,
               |  neighbor_id
               |FROM f QUALIFY neg_rank <= 5
-              |ORDER BY query_id, neg_rank""".stripMargin))
+              |ORDER BY query_id, neg_rank""".stripMargin)),
+
+    QDef("q168_takedown_cutover",
+      // THE TAKEDOWN CAPSTONE — one document set purged from ALL THREE
+      // serving stores (retrieval index q161, vector store q161,
+      // signature store q165) and published as ONE atomic manifest
+      // cutover (q152), with the pre-purge world still pinnable for
+      // compliance ("what exactly did we serve before the takedown?").
+      // The load-bearing discipline this query states: pending deletes
+      // are GENERATION-SCOPED state, so a delete admitted to a
+      // generation some manifest pin references would mutate that
+      // pinned read — the cutover therefore PINS v1, ROLLS every store
+      // one generation (pure compaction), admits the deletes into the
+      // rolled generation, compacts again to purge physically, and only
+      // then publishes v2. Gates: v1's index/vector/signature reads are
+      // BIT-IDENTICAL to the pre-takedown captures after the whole
+      // cutover (deletes never touched a pinned generation); v2's
+      // vector read equals the current-pointer read and serves no dead
+      // vector; at least one dead doc's re-crawl flipped
+      // rejected -> admitted at v2 (the q165 re-admission claim,
+      // manifest-resolved); and the emitted rows are v2's BM25 top-15,
+      // whose closed form the oracle states over the clean corpus. At
+      // 100 TB the cutover costs each store one delete-fragment write
+      // and two compactions it was scheduled to do anyway; readers
+      // never block and never see a half-purged world.
+      (s, d) => {
+        import graft.operators.GenStore
+        val base = scratchDir("q168")
+        val iroot = base + "/istore"
+        val vroot = base + "/vstore"
+        val kroot = base + "/sigstore"
+        val mroot = base + "/manifest"
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(iroot)
+        InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 0),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+        InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 1),
+          "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
+        val emb = t(s, d, "embeddings")
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        VectorStore.init(s, vroot, vc, vb)
+        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+        KeySetStore.init(kroot)
+        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 0L, root = kroot, portableKeys = true)
+        Manifest.init(mroot,
+          Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
+        val deadDocs = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        val deadVecs = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+        def bmAt(v: Long) = InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(iroot, Manifest.resolve(mroot, v, "index")),
+            bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        def vsAt(v: Long) = VectorStore.searchGen(s, vroot,
+            Manifest.resolve(mroot, v, "vectors"),
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+            nprobe = 16, shortlistFactor = 1000)
+          .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+          .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+          .sorted
+        def sigAt(v: Long) = Dedup.admitAgainstMinHashStoreAt(deadDocs,
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+            root = kroot, gen = Manifest.resolve(mroot, v, "signatures"),
+            portableKeys = true)
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        val preBm = bmAt(1L)
+        val preVs = vsAt(1L)
+        val preSig = sigAt(1L)
+        // ROLL: a pure compaction moves every store off the pinned
+        // generation, so the deletes below never touch gen 1
+        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
+        VectorStore.compactGen(s, vroot, expectedGen = 1L)
+        KeySetStore.compactStore(s, kroot, expectedGen = 1L)
+        // TAKEDOWN into the rolled generation, then purge physically
+        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+          "doc_id", 0L, iroot)
+        VectorStore.admitDeletes(s, vroot, deadVecs, "vec_id", 0L)
+        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
+          portableKeys = true)
+        InvertedIndex.compactStore(s, iroot, expectedGen = 2L)
+        VectorStore.compactGen(s, vroot, expectedGen = 2L)
+        KeySetStore.compactStore(s, kroot, expectedGen = 2L)
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))
+        // the compliance pin: v1 serves the pre-takedown world, bit
+        // for bit, after the entire cutover
+        val v1Stable = v2 == 2L &&
+          bmAt(1L) == preBm && vsAt(1L) == preVs && sigAt(1L) == preSig
+        // v2: purged everywhere, resolved through one version
+        val postVs = vsAt(2L)
+        val deadSet = deadVecs.collect().map(_.getLong(0)).toSet
+        val vectorPurged = postVs.nonEmpty &&
+          postVs.forall(x => !deadSet.contains(x._3)) &&
+          postVs == VectorStore.search(s, vroot, emb.filter(col("vec_id") < 8),
+              "vec_id", "embedding", 5, nprobe = 16, shortlistFactor = 1000)
+            .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+            .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+            .sorted
+        val postSig = sigAt(2L)
+        val readmitted = preSig.zip(postSig).exists { case (b, p) => !b._3 && p._3 }
+        InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(iroot, Manifest.resolve(mroot, 2L, "index")),
+            bm25Terms, 15)
+          .withColumn("v1_pre_takedown_stable", lit(v1Stable))
+          .withColumn("vector_purged_at_v2", lit(vectorPurged))
+          .withColumn("recrawl_readmitted_at_v2", lit(readmitted))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 7 <> 3
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS v1_pre_takedown_stable,
+              |  TRUE AS vector_purged_at_v2,
+              |  TRUE AS recrawl_readmitted_at_v2
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -795,11 +795,29 @@ object Dedup {
   def admitAgainstMinHashStoreGen(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      root: String, portableKeys: Boolean = false): DataFrame = {
+      root: String, portableKeys: Boolean = false): DataFrame =
+    admitAgainstKeys(docs, idCol, textCol, n, numHashes, bands,
+      KeySetStore.keysCurrent(docs.sparkSession, root), portableKeys)
+
+  /** [[admitAgainstMinHashStoreGen]] at a PINNED generation — the
+    * manifest-resolved read (q152/q168): same decision logic over
+    * [[KeySetStore.keysAt]], so a pinned reader's admission answers
+    * never move under later publishes.
+    */
+  def admitAgainstMinHashStoreAt(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      root: String, gen: Long, portableKeys: Boolean = false): DataFrame =
+    admitAgainstKeys(docs, idCol, textCol, n, numHashes, bands,
+      KeySetStore.keysAt(docs.sparkSession, root, gen), portableKeys)
+
+  private def admitAgainstKeys(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      store: DataFrame, portableKeys: Boolean): DataFrame = {
     val keys = minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
-    val store = KeySetStore.keysCurrent(docs.sparkSession, root)
-      .select(col("band"), col("bucket"))
-    val hits = keys.join(store, Seq("band", "bucket"), "left_semi")
+    val hits = keys.join(store.select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("hit_bands"))
     docs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")

@@ -115,8 +115,16 @@ object KeySetStore {
     * key columns (index-sized rows, never a corpus); with none pending
     * the plan is the bare fragment scan.
     */
-  def keysCurrent(spark: SparkSession, root: String): DataFrame = {
-    val dir = GenStore.genDir(root, GenStore.currentGen(root))
+  def keysCurrent(spark: SparkSession, root: String): DataFrame =
+    keysAt(spark, root, GenStore.currentGen(root))
+
+  /** [[keysCurrent]] at a PINNED generation (manifest reads, q152/q168):
+    * generations are immutable, so the same pin always serves the same
+    * key set — including its own pending deletes, which belong to the
+    * generation that admitted them.
+    */
+  def keysAt(spark: SparkSession, root: String, gen: Long): DataFrame = {
+    val dir = GenStore.genDir(root, gen)
     val ids = GenStore.listBatchIds(spark, dir)
     require(ids.nonEmpty, s"no fragments under $dir")
     val df = spark.read.parquet(ids.map(i => s"$dir/batch_id=$i"): _*)
