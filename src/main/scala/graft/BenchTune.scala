@@ -725,6 +725,88 @@ object BenchTune {
       f"files=$vecFilesBefore%d->$vecFilesAfter%d")
   }
 
+  /** `--takedown [docs] [deadPermille]`: the takedown economics
+    * q161/q165/q166 claim ("a takedown is one tiny fragment write;
+    * pending reads pay one bounded anti-join; compaction folds the
+    * purge into work it was doing anyway"), as numbers. Builds the
+    * retrieval index at `docs` hash-token docs (one compacted
+    * generation — the steady state a purge arrives into), deletes
+    * deadPermille/1000 of the corpus, and times each leg: the clean
+    * BM25 read, the delete admission, the pending-delete read (the
+    * anti-join overhead window), the purging compaction, and the
+    * post-purge read. Then the retraction shape on the quantile
+    * store, whose "pending" leg adds NO join at all — a retraction is
+    * one more nbins-bounded fragment in the merge the read already
+    * performs.
+    */
+  private def takedownDemo(spark: SparkSession, docs: Long,
+      deadPermille: Int): Unit = {
+    import graft.operators.{InvertedIndex, QuantileStore}
+    def timeIt(body: => Unit): Double = {
+      body // warm
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-takedown-probe").toString
+    // ---- retrieval index: delete-marker takedown ----
+    val iroot = s"$base/istore"
+    InvertedIndex.initStore(iroot)
+    val vocab = 2000L
+    val corpus = spark.range(docs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocab))
+          .cast("string"))).as("tk"))
+    InvertedIndex.admitBatch(spark, corpus, "doc_id", "tk",
+      bucketSize = 4096L, batchId = 0L, root = iroot)
+    InvertedIndex.compactStore(spark, iroot, expectedGen = 1L)
+    val terms = Seq("w10", "w20", "w30", "w40")
+    def bm25() = InvertedIndex.bm25SearchCurrent(spark, iroot, terms, 15)
+      .collect()
+    val cleanT = timeIt(bm25())
+    val dead = spark.range(docs)
+      .filter(pmod(col("id"), lit(1000)) < deadPermille)
+      .select(col("id").as("doc_id"))
+    val nDead = dead.count()
+    val delT = wall(InvertedIndex.admitDeleteBatch(spark, dead, "doc_id",
+      0L, iroot))
+    val pendT = timeIt(bm25())
+    val purgeT = wall(InvertedIndex.compactStore(spark, iroot,
+      InvertedIndex.currentGen(iroot)))
+    val postT = timeIt(bm25())
+    println(f"[takedown] index docs=$docs%d dead=$nDead%d " +
+      f"clean_read=$cleanT%.2f s delete_admit=$delT%.2f s " +
+      f"pending_read=$pendT%.2f s (${pendT / cleanT}%.2fx clean) " +
+      f"purge_compact=$purgeT%.1f s post_read=$postT%.2f s")
+    // ---- quantile store: group-inverse retraction ----
+    val qroot = s"$base/qstore"
+    QuantileStore.initStore(qroot)
+    val qrows = spark.range(docs).select(col("id"),
+      pmod(col("id"), lit(7)).cast("string").as("k"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(50)) + 1).cast("double").as("v"))
+    QuantileStore.admitBatch(spark, qrows, Seq("k"), "v",
+      lo = 1.0, width = 1.0, nbins = 50, batchId = 0L, root = qroot)
+    val qs = Seq(("p50", 1, 2), ("p95", 19, 20))
+    def quants() = QuantileStore.quantilesCurrent(spark, qroot, Seq("k"),
+      qs, lo = 1.0, width = 1.0).collect()
+    val qCleanT = timeIt(quants())
+    val slice = qrows.filter(pmod(col("id"), lit(1000)) < deadPermille)
+    val retractT = wall(QuantileStore.retractBatch(spark, slice, Seq("k"),
+      "v", lo = 1.0, width = 1.0, nbins = 50, batchId = 1L, root = qroot))
+    val qPendT = timeIt(quants())
+    val qPurgeT = wall(QuantileStore.compactStore(spark, qroot,
+      graft.operators.GenStore.currentGen(qroot), Seq("k")))
+    val qPostT = timeIt(quants())
+    println(f"[takedown] quantile rows=$docs%d retracted=${nDead}%d " +
+      f"clean_read=$qCleanT%.2f s retract_admit=$retractT%.2f s " +
+      f"pending_read=$qPendT%.2f s (${qPendT / qCleanT}%.2fx clean) " +
+      f"purge_compact=$qPurgeT%.1f s post_read=$qPostT%.2f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -801,6 +883,14 @@ object BenchTune {
       compactionDemo(spark, nums.headOption.getOrElse(32L).toInt,
         nums.drop(1).headOption.getOrElse(20000L),
         nums.drop(2).headOption.getOrElse(10000L))
+      spark.stop()
+      return
+    }
+    if (args.contains("--takedown")) {
+      val nums = args.dropWhile(_ != "--takedown").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      takedownDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(10L).toInt)
       spark.stop()
       return
     }
