@@ -535,6 +535,74 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming TAKEDOWN for the signature store — the delete-marker
+    * side of [[curationIngestCompacting]]: each micro-batch of
+    * documents to take down lands its derived band keys as one delete
+    * fragment ([[graft.operators.Dedup.deleteMinHashBatch]] — key-set
+    * subtraction, q165 semantics). No hwm guard: a replayed delete is
+    * a semantic no-op whether or not a compaction already applied it
+    * (subtracting an absent key removes nothing), so at-least-once
+    * delivery is safe without one — the asymmetry with the admission
+    * sinks, whose replays of compacted batches must be REFUSED.
+    * Delete batch ids live in their own subdirectory, so a takedown
+    * stream and a crawl stream on the same store never collide — but
+    * a SECOND takedown stream (fresh checkpoint, micro-batch ids back
+    * at 0) would overwrite the first one's still-pending fragments:
+    * give each takedown stream a `baseBatchId` above every id the
+    * previous one used (store id = base + micro-batch id; the mapping
+    * is fixed, so checkpoint replays stay idempotent).
+    */
+  def signatureTakedownIngest(
+      docs: DataFrame, idCol: String, textCol: String,
+      root: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableKeys: Boolean = false, baseBatchId: Long = 0L):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.deleteMinHashBatch(batch, idCol, textCol,
+          n, numHashes, bands, baseBatchId + batchId, root, portableKeys)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming RETRACTION for the quantile store — the group-inverse
+    * side of [[quantileIngestCompacting]]: each micro-batch of rows to
+    * retract lands its negated per-(key, bin) counts as one fragment
+    * ([[graft.operators.QuantileStore.retractBatch]]). UNLIKE the
+    * signature takedown, a replay here is NOT harmless once compacted
+    * (it would subtract twice), so the sink keeps the hwm guard the
+    * admission sinks use: a micro-batch at or below the compacted
+    * high-water mark is a checkpoint replay of already-applied work
+    * and is skipped. Retraction fragments share the admissions' id
+    * space (they ARE ordinary fragments with negated counts), so
+    * `baseBatchId` MUST clear every id the store already holds — store
+    * id = base + micro-batch id, a fixed mapping that keeps checkpoint
+    * replays idempotent while never overwriting an admission fragment.
+    */
+  def quantileRetractIngest(
+      rows: DataFrame, keyCols: Seq[String], valueCol: String,
+      lo: Double, width: Double, nbins: Int,
+      root: String, checkpointDir: String, baseBatchId: Long):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{GenStore, QuantileStore}
+        val id = baseBatchId + batchId
+        if (id > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+          QuantileStore.retractBatch(batch.sparkSession, batch, keyCols,
+            valueCol, lo, width, nbins, id, root)
+          ()
+        } // else: sealed replay — the retraction is inside the merged fragment
+      }
+      .start()
+  }
+
   /** Streaming SKETCH admission with the compaction policy — the same
     * pattern on the per-key HLL store: each micro-batch lands its
     * sketch rows and [[graft.operators.SketchStore.compactIfFragmented]]

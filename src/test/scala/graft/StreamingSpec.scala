@@ -902,4 +902,68 @@ class StreamingSpec extends AnyFunSuite {
     val hwm = GenStore.compactedHwm(root, GenStore.currentGen(root))
     assert(hwm >= 1L, s"compaction never sealed a batch (hwm=$hwm)")
   }
+
+  test("streaming takedown and retraction sinks == their batch forms") {
+    import graft.operators.{Dedup, KeySetStore, QuantileStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-stream")
+    // ---- signature takedown stream ----
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val sroot = s"$base/sig-stream"
+    val broot = s"$base/sig-batch"
+    for (r <- Seq(sroot, broot)) {
+      KeySetStore.init(r)
+      Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3,
+        numHashes = 32, bands = 8, batchId = 0L, root = r)
+    }
+    val dead = docs.filter(col("doc_id") % 7 === 3)
+    val feed = s"$base/feed"
+    dead.repartition(2).write.mode("overwrite").parquet(feed)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = EventStreams.signatureTakedownIngest(stream, "doc_id", "text",
+      sroot, s"$base/_cp1")
+    try q.processAllAvailable() finally q.stop()
+    Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3, numHashes = 32,
+      bands = 8, batchId = 0L, root = broot)
+    def decisions(r: String) = Dedup.admitAgainstMinHashStoreGen(docs,
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8, root = r)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val want = decisions(broot)
+    assert(decisions(sroot) == want,
+      "streamed takedown decisions != batch deleteMinHashBatch")
+    assert(want.exists(_._3), "fixture premise: some takedown re-opened admission")
+    // ---- quantile retraction stream (baseBatchId clears the admissions) ----
+    val qroot = s"$base/q-stream"
+    val qfresh = s"$base/q-fresh"
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+    QuantileStore.initStore(qroot)
+    QuantileStore.admitBatch(spark, li, Seq("l_returnflag"), "l_quantity",
+      lo = 1.0, width = 1.0, nbins = 50, batchId = 0L, root = qroot)
+    val slice = li.filter(pmod(col("l_orderkey"), lit(4)) === 1)
+    val qfeed = s"$base/qfeed"
+    slice.repartition(2).write.mode("overwrite").parquet(qfeed)
+    val qstream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(qfeed)
+    val rq = EventStreams.quantileRetractIngest(qstream, Seq("l_returnflag"),
+      "l_quantity", lo = 1.0, width = 1.0, nbins = 50,
+      root = qroot, checkpointDir = s"$base/_cp2", baseBatchId = 1L)
+    try rq.processAllAvailable() finally rq.stop()
+    QuantileStore.initStore(qfresh)
+    QuantileStore.admitBatch(spark,
+      li.filter(pmod(col("l_orderkey"), lit(4)) =!= 1), Seq("l_returnflag"),
+      "l_quantity", lo = 1.0, width = 1.0, nbins = 50, batchId = 0L,
+      root = qfresh)
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+    def quants(r: String) = QuantileStore.quantilesCurrent(spark, r,
+        Seq("l_returnflag"), qs, lo = 1.0, width = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val qwant = quants(qfresh)
+    assert(quants(qroot) == qwant,
+      "streamed retraction != store built without the slice")
+    // the admission fragment survived the retraction stream (no id clash)
+    QuantileStore.compactStore(spark, qroot, expectedGen = 1L, Seq("l_returnflag"))
+    assert(quants(qroot) == qwant, "compaction changed streamed-retraction answers")
+  }
 }
