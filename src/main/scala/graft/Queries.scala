@@ -6740,7 +6740,111 @@ object Queries {
               |  TRUE AS v1_pre_takedown_stable,
               |  TRUE AS vector_purged_at_v2,
               |  TRUE AS recrawl_readmitted_at_v2
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q169_gram_takedown",
+      // TAKEDOWN for the SPAN-dedup family — q165's key-set subtraction
+      // on the gram store: the whole corpus's 8-gram keys are admitted,
+      // the dead set's (doc_id % 7 = 3) derived grams are deleted, and
+      // the emitted rows are the dead docs' per-doc RE-CRAWL flag
+      // counts: spans_before has a CLOSED FORM (a doc's own grams are
+      // all in the full store, so every position flags and the islands
+      // merge to exactly ONE wall-to-wall span for any doc with >= 8
+      // tokens; 0 below the gram width), and spans_after counts the
+      // islands that survive against store = grams(all) EXCEPT
+      // grams(dead) — nonzero only where a SURVIVING document
+      // contributed the same run. Every dead doc emits a row, so the
+      // gate is meaningful even when (as at this SF) no run is shared
+      // and every doc fully de-flags. Gates: replayed delete is a
+      // no-op; post-compaction counts equal pending counts bit for bit;
+      // the compacted generation holds no deleted gram and no pending
+      // set; total flags strictly shrank. Same 100 TB posture as q165:
+      // one tiny delete-fragment write, one bounded anti-join while
+      // pending, folded away by scheduled compaction.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.GenStore
+        val root = scratchDir("q169") + "/gstore"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        KeySetStore.init(root)
+        Dedup.admitGramBatch(docs, "doc_id", "text", minTokens = 8,
+          batchId = 0L, root = root, portableKeys = true)
+        val dead = docs.filter(col("doc_id") % 7 === 3)
+        def spanCounts() = Dedup.spansAgainstStoreGen(dead, "doc_id", "text",
+            minTokens = 8, root = root, portableKeys = true)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val before = spanCounts()
+        Dedup.deleteGramBatch(dead, "doc_id", "text", minTokens = 8,
+          batchId = 0L, root = root, portableKeys = true)
+        val pending = spanCounts()
+        Dedup.deleteGramBatch(dead, "doc_id", "text", minTokens = 8,
+          batchId = 0L, root = root, portableKeys = true)
+        val replayNoop = spanCounts() == pending
+        val shrank = pending.map(_._2).sum < before.map(_._2).sum
+        // the admitted delete keys, read back for the purge check
+        val delKeys = s.read.parquet(s"$root/gen=1/deletes")
+          .select(col("g")).distinct()
+        KeySetStore.compactStore(s, root, expectedGen = 1L)
+        val postEqPending = spanCounts() == pending
+        val gen2 = GenStore.genDir(root, 2L)
+        val frag2 = GenStore.listBatchIds(s, gen2)
+        val purged = s.read.parquet(frag2.map(i => s"$gen2/batch_id=$i"): _*)
+          .join(delKeys, Seq("g"), "left_semi").isEmpty &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
+        val beforeDf = before.toDF("doc_id", "spans_before")
+        val afterDf = pending.toDF("doc_id", "spans_after")
+        dead.select(col("doc_id"))
+          .join(beforeDf, Seq("doc_id"), "left")
+          .join(afterDf, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("spans_before"), lit(0L)).as("spans_before"),
+            coalesce(col("spans_after"), lit(0L)).as("spans_after"),
+            (coalesce(col("spans_after"), lit(0L)) === 0L).as("fully_deflagged"),
+            lit(replayNoop).as("replay_noop"),
+            lit(postEqPending).as("post_eq_pending"),
+            lit(purged).as("physical_purge"),
+            lit(shrank).as("total_flags_shrank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, len(tk) - 6)) AS pos,
+             |    unnest(list_transform(range(1, len(tk) - 6),
+             |      i -> substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 16))) AS gram
+             |  FROM tok WHERE len(tk) >= 8
+             |), store AS (
+             |  SELECT DISTINCT gram FROM g
+             |  EXCEPT
+             |  SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 3
+             |), b AS (
+             |  SELECT doc_id, CAST(1 AS BIGINT) AS spans_before FROM tok
+             |  WHERE doc_id % 7 = 3 AND len(tk) >= 8
+             |), p AS (
+             |  SELECT doc_id, pos FROM g
+             |  WHERE doc_id % 7 = 3 AND gram IN (SELECT gram FROM store)
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM p
+             |), a AS (
+             |  SELECT doc_id, CAST(count(DISTINCT grp) AS BIGINT) AS spans_after
+             |  FROM isl GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(b.spans_before, 0) AS spans_before,
+             |  coalesce(a.spans_after, 0) AS spans_after,
+             |  coalesce(a.spans_after, 0) = 0 AS fully_deflagged,
+             |  TRUE AS replay_noop, TRUE AS post_eq_pending,
+             |  TRUE AS physical_purge, TRUE AS total_flags_shrank
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+             |LEFT JOIN b USING (doc_id)
+             |LEFT JOIN a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -854,6 +854,21 @@ object Dedup {
         portableKeys).select(col("g")),
       batchId, root)
 
+  /** TAKEDOWN through the gram store — [[deleteMinHashBatch]]'s twin
+    * for the span-dedup family: delete the gram keys DERIVED FROM
+    * `docs` ([[KeySetStore.admitDeleteBatch]] — key-set subtraction;
+    * a gram shared with a surviving doc is forgotten too, the q165
+    * caveat). After this (bit-identically after compaction), spans a
+    * removed document contributed stop flagging re-crawls.
+    */
+  def deleteGramBatch(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      batchId: Long, root: String, portableKeys: Boolean = false): Unit =
+    KeySetStore.admitDeleteBatch(
+      gramPostings(tokenized(docs, idCol, textCol, minTokens), minTokens,
+        portableKeys).select(col("g")),
+      batchId, root)
+
   /** [[spansAgainstStore]] through the generational store. */
   def spansAgainstStoreGen(
       docs: DataFrame, idCol: String, textCol: String, minTokens: Int,

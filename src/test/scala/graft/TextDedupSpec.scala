@@ -808,4 +808,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!probe().map(p => p._1 -> p._3).toMap.apply(1L),
       "a re-admitted doc must be history again")
   }
+
+  test("gram store takedown: the removed doc's spans stop flagging; unrelated spans keep flagging") {
+    import graft.operators.KeySetStore
+    val root = java.nio.file.Files.createTempDirectory("graft-gram-takedown")
+      .toString + "/gstore"
+    val runA = (1 to 9).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 9).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"head $runA tail"),
+      (2L, s"pre $runB post")).toDF("doc_id", "text")
+    KeySetStore.init(root)
+    Dedup.admitGramBatch(corpus, "doc_id", "text", 8, batchId = 0L, root = root)
+    val probe = Seq((10L, s"x1 x2 $runA x3"), (11L, s"y1 y2 $runB y3"))
+      .toDF("doc_id", "text")
+    def hits() = Dedup.spansAgainstStoreGen(probe, "doc_id", "text", 8, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits() == Set(10L, 11L), "fixture premise: both runs flag")
+    Dedup.deleteGramBatch(corpus.filter($"doc_id" === 1L), "doc_id", "text",
+      8, batchId = 0L, root = root)
+    assert(hits() == Set(11L),
+      "takedown of doc 1 must stop its run flagging and leave doc 2's alone")
+    KeySetStore.compactStore(spark, root, expectedGen = 1L)
+    assert(hits() == Set(11L), "compaction changed takedown span decisions")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "gen=2", "deletes")))
+  }
 }
