@@ -6844,7 +6844,164 @@ object Queries {
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
              |LEFT JOIN b USING (doc_id)
              |LEFT JOIN a USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QDef("q170_curation_takedown",
+      // THE FULL-CIRCLE CAPSTONE — q164's continuous curation stream
+      // with a TAKEDOWN landing mid-stream and the removed content
+      // RE-CRAWLED afterwards: crawl batches 0 and 1 flow the quality
+      // gate -> store-probe dedup -> admission (compacting mid-stream
+      // as q164); then a takedown purges every retained doc with
+      // doc_id % 5 = 0 from the signature store (q165's key-set
+      // subtraction — the delete lands as pending in the live store);
+      // crawl batch 2 carries the remaining originals PLUS an id-
+      // shifted re-crawl of the taken-down docs, and its ONE admission
+      // probe (against keysCurrent, which subtracts the pending
+      // deletes) must RE-ADMIT the re-crawls that ghost signatures
+      // would have rejected forever — while still rejecting clones of
+      // retained history. The final corpus purges the taken-down
+      // originals (one anti-join on the retained store — the same LSM
+      // read-side pattern) and packs as q164. The oracle recomputes the
+      // whole sequential closed form: two admission stages, the key
+      // EXCEPT, the mixed third stage (originals and re-crawls probe
+      // the subtracted store uniformly), the corpus anti-join, and the
+      // packing arithmetic — stream-with-takedown == batch closed form
+      // bit for bit. At 100 TB every new stage is index-sized: the
+      // takedown is one delete-fragment write, the corpus purge one
+      // anti-join per read until the corpus store's own compaction.
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val base = scratchDir("q170")
+        val feed = base + "/feed"
+        val root = base + "/sigstore"
+        val retained = base + "/retained"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        new java.io.File(feed).mkdirs()
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = EventStreams.curationIngestCompacting(stream,
+          "doc_id", "text", root, retained, base + "/_ckpt",
+          maxFragments = 2, qualityThreshold = 0.5,
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+        val takedown = try {
+          (0 to 1).foreach { k =>
+            docs.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
+              .write.mode("append").parquet(feed)
+            q.processAllAvailable()
+          }
+          // the takedown: purge retained %5==0 docs from the live store
+          val td = s.read.parquet(retained)
+            .filter(pmod(col("doc_id"), lit(5)) === 0)
+            .select(col("doc_id"), col("text")).localCheckpoint()
+          Dedup.deleteMinHashBatch(td, "doc_id", "text", n = 3,
+            numHashes = 32, bands = 8, batchId = 0L, root = root,
+            portableKeys = true)
+          // batch 2: remaining originals + a RE-CRAWL of the purged docs
+          val recrawl = docs
+            .join(td.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select((col("doc_id") + CloneShift).as("doc_id"),
+              col("source"), col("text"))
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+            .unionByName(recrawl).coalesce(1)
+            .write.mode("append").parquet(feed)
+          q.processAllAvailable()
+          td.select("doc_id")
+        } finally q.stop()
+        Packing.packByBudget(
+          s.read.parquet(retained)
+            .join(takedown, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", 2048L)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""$tokCte, qual AS (
+              |  SELECT doc_id,
+              |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.4
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(len(list_filter(tk, x -> list_contains($stoplist, x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) * 5.0) * 0.3
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) / 8.0) * 0.3 AS quality
+              |  FROM tok
+              |), keep AS (
+              |  SELECT doc_id FROM qual WHERE quality >= 0.5
+              |), tri AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              |  FROM tok WHERE len(tk) >= 3 AND doc_id IN (SELECT doc_id FROM keep)
+              |), sigs AS (
+              |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+              |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+              |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+              |  GROUP BY doc_id, i
+              |), bnd AS (
+              |  SELECT doc_id, i // 4 AS band,
+              |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+              |  FROM sigs GROUP BY doc_id, i // 4
+              |), adm0 AS (
+              |  SELECT doc_id FROM keep WHERE doc_id % 3 = 0
+              |), store1 AS (
+              |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 3 = 0
+              |), hits1 AS (
+              |  SELECT b.doc_id, count(*) AS c FROM bnd b
+              |  JOIN store1 s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 3 = 1 GROUP BY b.doc_id
+              |), adm1 AS (
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits1 h USING (doc_id)
+              |  WHERE k.doc_id % 3 = 1 AND coalesce(h.c, 0) = 0
+              |), store2 AS (
+              |  SELECT band, bucket FROM store1
+              |  UNION
+              |  SELECT band, bucket FROM bnd WHERE doc_id IN (SELECT doc_id FROM adm1)
+              |), tdown AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)
+              |  WHERE doc_id % 5 = 0
+              |), store2p AS (
+              |  SELECT band, bucket FROM store2
+              |  EXCEPT
+              |  SELECT band, bucket FROM bnd
+              |  WHERE doc_id IN (SELECT doc_id FROM tdown)
+              |), hits2o AS (
+              |  SELECT b.doc_id, count(*) AS c FROM bnd b
+              |  JOIN store2p s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 3 = 2 GROUP BY b.doc_id
+              |), adm2o AS (
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits2o h USING (doc_id)
+              |  WHERE k.doc_id % 3 = 2 AND coalesce(h.c, 0) = 0
+              |), hits2c AS (
+              |  SELECT b.doc_id, count(*) AS c FROM bnd b
+              |  JOIN store2p s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id IN (SELECT doc_id FROM tdown) GROUP BY b.doc_id
+              |), adm2c AS (
+              |  SELECT t.doc_id FROM tdown t LEFT JOIN hits2c h USING (doc_id)
+              |  WHERE coalesce(h.c, 0) = 0
+              |), corpus AS (
+              |  SELECT doc_id, doc_id AS src_doc FROM adm0
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM tdown)
+              |  UNION ALL
+              |  SELECT doc_id, doc_id FROM adm1
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM tdown)
+              |  UNION ALL
+              |  SELECT doc_id, doc_id FROM adm2o
+              |  UNION ALL
+              |  SELECT doc_id + $CloneShift AS doc_id, doc_id AS src_doc FROM adm2c
+              |), tokc AS (
+              |  SELECT c.doc_id, d.source, CAST(len(t.tk) AS BIGINT) AS n_tokens
+              |  FROM corpus c
+              |  JOIN documents d ON d.doc_id = c.src_doc
+              |  JOIN tok t ON t.doc_id = c.src_doc
+              |), w AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS strt
+              |  FROM tokc
+              |)
+              |SELECT doc_id, source, n_tokens,
+              |  strt // 2048 AS bin, strt % 2048 AS bin_offset
+              |FROM w ORDER BY source, doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =
