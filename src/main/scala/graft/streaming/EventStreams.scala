@@ -569,6 +569,47 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming TAKEDOWN for the retrieval index — doc-id delete
+    * markers ([[graft.operators.InvertedIndex.admitDeleteBatch]], q161
+    * semantics) landed per micro-batch. Replay-idempotent like the
+    * signature sink (anti-joining an absent id removes nothing), so no
+    * hwm guard; `baseBatchId` separates successive takedown streams'
+    * fragment ids exactly as [[signatureTakedownIngest]] documents.
+    */
+  def indexTakedownIngest(
+      ids: DataFrame, idCol: String, root: String, checkpointDir: String,
+      baseBatchId: Long = 0L):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.InvertedIndex.admitDeleteBatch(batch.sparkSession,
+          batch, idCol, baseBatchId + batchId, root)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming TAKEDOWN for the coded vector store — vec-id delete
+    * markers ([[graft.operators.VectorStore.admitDeletes]], q161
+    * semantics). Same replay and id-space contract as
+    * [[indexTakedownIngest]].
+    */
+  def vectorTakedownIngest(
+      ids: DataFrame, idCol: String, root: String, checkpointDir: String,
+      baseBatchId: Long = 0L):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.VectorStore.admitDeletes(batch.sparkSession,
+          root, batch, idCol, baseBatchId + batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming RETRACTION for the quantile store — the group-inverse
     * side of [[quantileIngestCompacting]]: each micro-batch of rows to
     * retract lands its negated per-(key, bin) counts as one fragment

@@ -966,4 +966,58 @@ class StreamingSpec extends AnyFunSuite {
     QuantileStore.compactStore(spark, qroot, expectedGen = 1L, Seq("l_returnflag"))
     assert(quants(qroot) == qwant, "compaction changed streamed-retraction answers")
   }
+
+  test("streaming index/vector takedown sinks == their batch delete forms") {
+    import graft.operators.{InvertedIndex, Similarity, VectorStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-takedown-stream")
+    // ---- retrieval index ----
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    val sroot = s"$base/idx-stream"
+    val broot = s"$base/idx-batch"
+    for (r <- Seq(sroot, broot)) {
+      InvertedIndex.initStore(r)
+      InvertedIndex.admitBatch(spark, toks, "doc_id", "tk", 64L,
+        batchId = 0L, root = r)
+    }
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val feed = s"$base/feed"
+    dead.repartition(2).write.mode("overwrite").parquet(feed)
+    val stream = spark.readStream.schema(dead.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = EventStreams.indexTakedownIngest(stream, "doc_id", sroot, s"$base/_cp1")
+    try q.processAllAvailable() finally q.stop()
+    InvertedIndex.admitDeleteBatch(spark, dead, "doc_id", 0L, broot)
+    val terms = Seq("join", "vector", "stream", "window")
+    def bm25(r: String) = InvertedIndex.bm25SearchCurrent(spark, r, terms, 15)
+      .collect().toSeq.map(x => (x.getLong(0), x.getDouble(1)))
+    assert(bm25(sroot) == bm25(broot), "streamed index takedown != batch delete")
+    assert(bm25(sroot).nonEmpty)
+    // ---- coded vector store ----
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    val vs = s"$base/vec-stream"
+    val vbatch = s"$base/vec-batch"
+    for (r <- Seq(vs, vbatch)) {
+      VectorStore.init(spark, r, vc, vb)
+      VectorStore.admit(spark, r, emb, "vec_id", "embedding", 0L)
+    }
+    val deadV = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+    val vfeed = s"$base/vfeed"
+    deadV.repartition(2).write.mode("overwrite").parquet(vfeed)
+    val vstream = spark.readStream.schema(deadV.schema)
+      .option("maxFilesPerTrigger", 1).parquet(vfeed)
+    val vq = EventStreams.vectorTakedownIngest(vstream, "vec_id", vs, s"$base/_cp2")
+    try vq.processAllAvailable() finally vq.stop()
+    VectorStore.admitDeletes(spark, vbatch, deadV, "vec_id", 0L)
+    def vsearch(r: String) = VectorStore.search(spark, r,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+        nprobe = 16, shortlistFactor = 1000)
+      .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(vsearch(vs) == vsearch(vbatch), "streamed vector takedown != batch delete")
+    assert(vsearch(vs).nonEmpty)
+  }
 }
