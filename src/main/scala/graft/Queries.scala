@@ -7001,7 +7001,122 @@ object Queries {
               |)
               |SELECT doc_id, source, n_tokens,
               |  strt // 2048 AS bin, strt % 2048 AS bin_offset
-              |FROM w ORDER BY source, doc_id""".stripMargin))
+              |FROM w ORDER BY source, doc_id""".stripMargin)),
+
+    QDef("q171_takedown_impact",
+      // THE TAKEDOWN IMPACT REPORT — the ops/compliance question every
+      // purge raises: what did it do to serving? The same BM25 top-15
+      // is captured before the takedown and after the purge compaction,
+      // and ONE full-outer join classifies every doc that appears in
+      // either list: `left` (fell out — deleted, or displaced by the
+      // shrunken corpus stats), `entered` (rose into the freed slots),
+      // `moved` (rank changed — df/N/avgdl shifts re-weight even
+      // untouched docs), `held`. Both ranked lists have closed forms
+      // (the q139 full-corpus BM25 and q161's clean-corpus BM25), so
+      // the oracle recomputes the whole report including the rank
+      // arithmetic — the movement classification is engine-checkable,
+      // not narrative. At 100 TB the report costs two k-row ranked
+      // lists and one k-row join — nothing corpus-sized; the stores'
+      // generation isolation is what makes "before" still readable
+      // after the purge (here captured eagerly; q168 shows the
+      // manifest-pinned form).
+      (s, d) => {
+        val root = scratchDir("q171") + "/istore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        InvertedIndex.admitBatch(s, docs, "doc_id", "tk", IndexBucket,
+          batchId = 0L, root = root)
+        def top15() = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        val before = top15()
+          .select(col("doc_id"), col("rank").as("rank_before"),
+            col("bm25").as("bm25_before"))
+          .localCheckpoint()
+        InvertedIndex.admitDeleteBatch(s,
+          t(s, d, "documents").filter(col("doc_id") % 7 === 3).select("doc_id"),
+          "doc_id", 0L, root)
+        InvertedIndex.compactStore(s, root, expectedGen = 1L)
+        val after = top15()
+          .select(col("doc_id"), col("rank").as("rank_after"),
+            col("bm25").as("bm25_after"))
+          .localCheckpoint()
+        before.join(after, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("rank_before"), lit(0L)).as("rank_before"),
+            coalesce(col("rank_after"), lit(0L)).as("rank_after"),
+            coalesce(col("bm25_before"), lit(0.0)).as("bm25_before"),
+            coalesce(col("bm25_after"), lit(0.0)).as("bm25_after"),
+            when(col("rank_after").isNull, lit("left"))
+              .when(col("rank_before").isNull, lit("entered"))
+              .when(col("rank_before") === col("rank_after"), lit("held"))
+              .otherwise(lit("moved")).as("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |), rb AS (
+              |  SELECT doc_id,
+              |    round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25_before,
+              |    CAST(row_number() OVER (ORDER BY round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) DESC, doc_id) AS BIGINT) AS rank_before
+              |  FROM p QUALIFY rank_before <= 15
+              |), dlc AS (
+              |  SELECT doc_id, dl FROM dl WHERE doc_id % 7 <> 3
+              |), stc AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dlc
+              |), tfc AS (
+              |  SELECT doc_id, tok, tf FROM tf WHERE doc_id % 7 <> 3
+              |), dfcc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY tok
+              |), wc AS (
+              |  SELECT tfc.doc_id, tfc.tok,
+              |    ${bm25W("stc.n", "dfcc.df", "tfc.tf", "dlc.dl", "stc.avgdl")} AS w
+              |  FROM tfc JOIN dfcc USING (tok) JOIN dlc USING (doc_id) CROSS JOIN stc
+              |), pc AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM wc GROUP BY doc_id
+              |), ra AS (
+              |  SELECT doc_id,
+              |    round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25_after,
+              |    CAST(row_number() OVER (ORDER BY round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) DESC, doc_id) AS BIGINT) AS rank_after
+              |  FROM pc QUALIFY rank_after <= 15
+              |)
+              |SELECT doc_id,
+              |  coalesce(rank_before, 0) AS rank_before,
+              |  coalesce(rank_after, 0) AS rank_after,
+              |  coalesce(bm25_before, 0.0) AS bm25_before,
+              |  coalesce(bm25_after, 0.0) AS bm25_after,
+              |  CASE WHEN rank_after IS NULL THEN 'left'
+              |       WHEN rank_before IS NULL THEN 'entered'
+              |       WHEN rank_before = rank_after THEN 'held'
+              |       ELSE 'moved' END AS status
+              |FROM rb FULL JOIN ra USING (doc_id)
+              |ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =
