@@ -7116,7 +7116,102 @@ object Queries {
               |       WHEN rank_before = rank_after THEN 'held'
               |       ELSE 'moved' END AS status
               |FROM rb FULL JOIN ra USING (doc_id)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q172_curation_funnel",
+      // THE CURATION FUNNEL REPORT — the observability table every
+      // pipeline run ships: per source, how many docs (and tokens)
+      // survived each stage of q153's pipeline: crawled -> quality-kept
+      // (q27's exact score, threshold 0.5) -> dedup-admitted (batch 1 =
+      // even ids admitted wholesale; batch 2 = odd ids probed against
+      // the store, q105/q151 machinery, portable keys). Every cell is
+      // an exact integer the oracle recomputes from the same closed
+      // form, so the funnel is engine-checkable — the drop rates a
+      // data-quality dashboard would chart are facts, not estimates.
+      // At 100 TB this is ONE map-side-combined aggregation over
+      // decision columns the pipeline already computed — the report
+      // costs nothing beyond the run it describes.
+      (s, d) => {
+        val root = scratchDir("q172") + "/sigstore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val b1 = docs.filter(col("doc_id") % 2 === 0 && col("quality") >= 0.5)
+        val b2 = docs.filter(col("doc_id") % 2 === 1 && col("quality") >= 0.5)
+        KeySetStore.init(root)
+        Dedup.admitMinHashBatch(b1, "doc_id", "text", n = 3, numHashes = 32,
+          bands = 8, batchId = 0L, root = root, portableKeys = true)
+        val admitted2 = b2.join(
+          Dedup.admitAgainstMinHashStoreGen(b2, "doc_id", "text", n = 3,
+              numHashes = 32, bands = 8, root = root, portableKeys = true)
+            .filter(col("admit")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val retainedIds = b1.select("doc_id")
+          .unionByName(admitted2.select("doc_id"))
+        docs
+          .join(retainedIds.withColumn("retained", lit(true)),
+            Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).cast("long").as("n_crawled"),
+            sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
+              .cast("long").as("n_kept"),
+            sum(when(col("retained"), 1L).otherwise(0L))
+              .cast("long").as("n_admitted"),
+            sum(col("n_tokens")).cast("long").as("tokens_crawled"),
+            sum(when(col("retained"), col("n_tokens")).otherwise(0L))
+              .cast("long").as("tokens_retained"))
+          .orderBy(col("source"))
+      },
+      Some(s"""$tokCte, qual AS (
+              |  SELECT doc_id,
+              |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.4
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(len(list_filter(tk, x -> list_contains($stoplist, x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) * 5.0) * 0.3
+              |    + least(1.0, (CASE WHEN len(tk) > 0
+              |        THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+              |        ELSE 0.0 END) / 8.0) * 0.3 AS quality
+              |  FROM tok
+              |), keep AS (
+              |  SELECT doc_id FROM qual WHERE quality >= 0.5
+              |), tri AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              |  FROM tok WHERE len(tk) >= 3 AND doc_id IN (SELECT doc_id FROM keep)
+              |), sigs AS (
+              |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+              |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+              |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+              |  GROUP BY doc_id, i
+              |), bnd AS (
+              |  SELECT doc_id, i // 4 AS band,
+              |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+              |  FROM sigs GROUP BY doc_id, i // 4
+              |), store AS (
+              |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 2 = 0
+              |), hits AS (
+              |  SELECT b.doc_id, count(*) AS hit_bands
+              |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+              |  WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id
+              |), retained AS (
+              |  SELECT doc_id FROM keep WHERE doc_id % 2 = 0
+              |  UNION ALL
+              |  SELECT k.doc_id FROM keep k LEFT JOIN hits h USING (doc_id)
+              |  WHERE k.doc_id % 2 = 1 AND coalesce(h.hit_bands, 0) = 0
+              |)
+              |SELECT d.source,
+              |  CAST(count(*) AS BIGINT) AS n_crawled,
+              |  CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+              |  CAST(sum(len(t.tk)) AS BIGINT) AS tokens_crawled,
+              |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN len(t.tk) ELSE 0 END) AS BIGINT) AS tokens_retained
+              |FROM documents d
+              |JOIN tok t ON t.doc_id = d.doc_id
+              |JOIN qual q ON q.doc_id = d.doc_id
+              |LEFT JOIN retained r ON r.doc_id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 
   val defs: Seq[QDef] =
