@@ -7211,7 +7211,91 @@ object Queries {
               |JOIN tok t ON t.doc_id = d.doc_id
               |JOIN qual q ON q.doc_id = d.doc_id
               |LEFT JOIN retained r ON r.doc_id = d.doc_id
-              |GROUP BY d.source ORDER BY d.source""".stripMargin))
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    QDef("q173_decontamination_purge",
+      // DETECTION-TRIGGERED TAKEDOWN — the real-world flow behind q161:
+      // benchmark contamination is FOUND, then PURGED, end to end in
+      // one engine-checkable run. The eval set (doc_id % 17 = 0) builds
+      // a gram store (q104 machinery, portable keys); the training
+      // corpus (everything else) is indexed for BM25 serving; the
+      // detection pass is ONE semi-join of training gram postings
+      // against the benchmark store (spansAgainstStoreGen — never
+      // all-pairs); every training doc sharing an 8-gram run with the
+      // eval set becomes a delete batch; the purge compaction rewrites
+      // them out. Emitted rows are the post-purge BM25 top-15 PLUS the
+      // engine-checkable detection count — the oracle recomputes the
+      // contaminated set from the same gram closed form and the clean
+      // BM25 over train-minus-contaminated, so the corpus stats' shift
+      // (N, avgdl, df shrink by the purged docs) is verified to the
+      // 6th decimal, not assumed. At 100 TB: detection is one bounded
+      // semi-join per crawl batch against a KB-scale benchmark store,
+      // the purge is q161's one-fragment-write + scheduled compaction.
+      (s, d) => {
+        val base = scratchDir("q173")
+        val groot = base + "/benchgrams"
+        val iroot = base + "/istore"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+        val train = docs.filter(col("doc_id") % 17 =!= 0)
+        KeySetStore.init(groot)
+        Dedup.admitGramBatch(bench, "doc_id", "text", minTokens = 8,
+          batchId = 0L, root = groot, portableKeys = true)
+        InvertedIndex.initStore(iroot)
+        InvertedIndex.admitBatch(s,
+          train.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk")),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+        // detection: training docs sharing any 8-gram run with the bench
+        val contaminated = Dedup.spansAgainstStoreGen(train, "doc_id",
+            "text", minTokens = 8, root = groot, portableKeys = true)
+          .select(col("doc_id")).distinct().localCheckpoint()
+        val nContaminated = contaminated.count()
+        InvertedIndex.admitDeleteBatch(s, contaminated, "doc_id", 0L, iroot)
+        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
+        InvertedIndex.bm25SearchCurrent(s, iroot, bm25Terms, 15)
+          .withColumn("n_contaminated", lit(nContaminated))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""$tokCte, g AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+              |    i -> substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 16))) AS gram
+              |  FROM tok WHERE len(tk) >= 8
+              |), benchg AS (
+              |  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+              |), contaminated AS (
+              |  SELECT DISTINCT doc_id FROM g
+              |  WHERE doc_id % 17 <> 0 AND gram IN (SELECT gram FROM benchg)
+              |), clean AS (
+              |  SELECT doc_id, tk FROM tok
+              |  WHERE doc_id % 17 <> 0
+              |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM clean
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM clean)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM contaminated) AS n_contaminated
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =
