@@ -92,6 +92,8 @@ object ExplainDump {
     "q167_hard_negatives" -> "hard-negative mining (kNN minus SemDeDup components): the candidate stage is the audited q30 brute-force shape (broadcast 10-query frame, codegen'd cosine kernel, TopKAgg partial/final bounding the shuffle at 6 rows per query); the component labels join ON ID — two hash joins of label-sized (id, comp) rows against the k-bounded candidate list, never against vectors; the same-component exclusion is a post-join Filter and the re-rank is ONE window partitioned BY query_id over <= 6 rows; check nothing corpus-sized moves after the kNN stage and the label computation's plan underneath is the audited q124 shape",
     "q168_takedown_cutover" -> "the post-cutover serving read (v2 of the takedown capstone): the BM25 search resolves through the manifest pin to gen=3 — the generation the second compaction purged — so the plan must be the audited q143/q161 post-purge shape: postings scan of the single gen=3 fragment with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join anywhere (the pending set died with gen 2's compaction) and NO manifest machinery (pin resolution is a driver-side file read; readers see a plain generation-scoped scan, which is the entire point of publishing takedowns as generation rolls)",
     "q170_curation_takedown" -> "the full-circle capstone's final read: the retained corpus scans as a batch_id-partitioned parquet source and the taken-down originals leave via ONE broadcast LEFT-ANTI hash join against the checkpointed takedown id set (the LSM read-side purge — id-sized, never corpus-shaped) before the q66 packing window (running sum partitioned BY source); check exactly one anti-join, no global sort before the window, and no corpus-sized exchange except the shard partitioning; the in-stream machinery (admission probes against the delete-subtracted key set, mid-stream compactions) ran inside foreachBatch and is audited as the q151/q153 and q165-pending shapes",
+    "q172_curation_funnel" -> "the curation funnel report: quality score and token count are narrow codegen'd projections off the documents scan; the dedup-admission decision enters as the audited q151 LEFT-SEMI probe shape (band keys vs the signature store on (band, bucket), per-doc hit count one HashAggregate pair); the retained flag joins back BY ID and the report itself is ONE map-side-combined aggregation on source with conditional sums (no separate pass per metric); the dump shows documents scanned once per pipeline BRANCH (quality gate, probe keys, semi join, report) because this in-query form re-derives the decision frame — the production form is q164's, where decisions LAND in the retained store and the funnel reads one decision table; either way nothing corpus-sized moves except the per-source groupBy exchange",
+    "q173_decontamination_purge" -> "the post-purge BM25 serving read of the decontamination capstone: detection (gram semi-join against the benchmark store) and the purge compaction ran eagerly, so the plan must be the audited q143/q161 post-purge shape — postings scan of the purged gen=2 fragment, term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join (the contaminated docs are physically gone) and no gram-store scan (detection is not a read-path cost); the raw corpus appears nowhere",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)")
 
   /** Queries whose audit target only exists in the EXECUTED final
