@@ -807,6 +807,63 @@ object BenchTune {
       f"purge_compact=$qPurgeT%.1f s post_read=$qPostT%.2f s")
   }
 
+  /** `--curation [docs] [batches]`: throughput of the streaming
+    * curation capstone (q164's `curationIngestCompacting`) on synthetic
+    * hash-token docs — `docs` total across `batches` crawl files, ~10%
+    * of each batch an exact re-clone of the previous batch's docs so
+    * the dedup probe genuinely rejects. Reports per-batch wall times
+    * (the scale claim is that the LAST batch costs about the same as
+    * the first: the probe semi-joins a compacted key set, not linear
+    * history), overall docs/s, the retained count, and the generation
+    * the continuous compaction reached. Quality threshold is 0 here —
+    * hash tokens score below any real threshold, and this probe
+    * measures the store machinery, not the (narrow, codegen'd) gate.
+    */
+  private def curationDemo(spark: SparkSession, docs: Long, batches: Int): Unit = {
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-curation-probe").toString
+    val feed = s"$base/feed"
+    new java.io.File(feed).mkdirs()
+    val per = docs / batches
+    def batchDf(b: Int): DataFrame = {
+      // ~10% of every later batch re-crawls a BATCH-0 doc's text
+      // exactly (cloning the immediately previous batch would chain:
+      // that doc's text was itself re-derived, so the texts never
+      // match — the first probe draft had exactly that bug)
+      val cloneSrc = when(pmod(col("id"), lit(10)) === 0 && col("id") >= per,
+        pmod(col("id"), lit(per))).otherwise(col("id"))
+      spark.range(b * per, (b + 1) * per).select(
+        col("id").as("doc_id"),
+        pmod(col("id"), lit(7)).cast("string").as("source"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+          concat(lit("w"), pmod(xxhash64(cloneSrc, j), lit(5000L))
+            .cast("string")))).as("text"))
+    }
+    val root = s"$base/sigstore"
+    val retained = s"$base/retained"
+    val stream = spark.readStream.schema(batchDf(0).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = EventStreams.curationIngestCompacting(stream, "doc_id", "text",
+      root, retained, s"$base/_cp", maxFragments = 8,
+      qualityThreshold = 0.0, n = 3, numHashes = 32, bands = 8)
+    val times = try {
+      (0 until batches).map { b =>
+        batchDf(b).coalesce(1).write.mode("append").parquet(feed)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally q.stop()
+    val retainedN = spark.read.parquet(retained).count()
+    val gen = graft.operators.GenStore.currentGen(root)
+    println(f"[curation] docs=$docs%d batches=$batches%d " +
+      f"total=${times.sum}%.1f s throughput=${docs / times.sum}%.0f docs/s " +
+      f"first_batch=${times.head}%.2f s last_batch=${times.last}%.2f s " +
+      f"median_batch=${times.sorted.apply(times.size / 2)}%.2f s " +
+      f"retained=$retainedN%d rejected=${docs - retainedN}%d gen=$gen%d")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -883,6 +940,14 @@ object BenchTune {
       compactionDemo(spark, nums.headOption.getOrElse(32L).toInt,
         nums.drop(1).headOption.getOrElse(20000L),
         nums.drop(2).headOption.getOrElse(10000L))
+      spark.stop()
+      return
+    }
+    if (args.contains("--curation")) {
+      val nums = args.dropWhile(_ != "--curation").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      curationDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(16L).toInt)
       spark.stop()
       return
     }
