@@ -805,6 +805,36 @@ object BenchTune {
       f"clean_read=$qCleanT%.2f s retract_admit=$retractT%.2f s " +
       f"pending_read=$qPendT%.2f s (${qPendT / qCleanT}%.2fx clean) " +
       f"purge_compact=$qPurgeT%.1f s post_read=$qPostT%.2f s")
+    // ---- coded vector store: delete-marker takedown (q161's other half) ----
+    import graft.operators.{Similarity, VectorStore}
+    val vroot = s"$base/vstore"
+    val nVecs = docs / 5
+    val dim = 64
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+          .cast("double")): _*).as("embedding"))
+    val (cents, books) = Similarity.fitIvfPq(vecs, "vec_id", "embedding",
+      nlist = 64, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    VectorStore.init(spark, vroot, cents, books)
+    VectorStore.admit(spark, vroot, vecs, "vec_id", "embedding", 0L)
+    VectorStore.compactGen(spark, vroot, expectedGen = 1L)
+    val queries = vecs.filter(col("vec_id") < 100)
+    def knn() = VectorStore.search(spark, vroot, queries,
+      "vec_id", "embedding", 10, nprobe = 12, shortlistFactor = 32).collect()
+    val vCleanT = timeIt(knn())
+    val deadV = spark.range(nVecs)
+      .filter(pmod(col("id"), lit(1000)) < deadPermille)
+      .select(col("id").as("vec_id"))
+    val vDelT = wall(VectorStore.admitDeletes(spark, vroot, deadV, "vec_id", 0L))
+    val vPendT = timeIt(knn())
+    val vPurgeT = wall(VectorStore.compactGen(spark, vroot,
+      VectorStore.currentGen(vroot)))
+    val vPostT = timeIt(knn())
+    println(f"[takedown] vector vecs=$nVecs%d dead=${deadV.count()}%d " +
+      f"clean_read=$vCleanT%.2f s delete_admit=$vDelT%.2f s " +
+      f"pending_read=$vPendT%.2f s (${vPendT / vCleanT}%.2fx clean) " +
+      f"purge_compact=$vPurgeT%.1f s post_read=$vPostT%.2f s")
   }
 
   /** `--curation [docs] [batches]`: throughput of the streaming
