@@ -144,7 +144,16 @@ object KeySetStore {
     * delete admitted after the listing rides through pending).
     */
   def compactStore(spark: SparkSession, root: String,
-      expectedGen: Long): Long = {
+      expectedGen: Long): Long =
+    compactStoreHooked(spark, root, expectedGen, () => ())
+
+  /** [[compactStore]] with a hook run between the fragment/delete
+    * listing and the merge — the family's race-test seam: work
+    * admitted inside the window must ride through the sweep (data
+    * fragments unmerged, delete fragments still pending), never vanish.
+    */
+  private[graft] def compactStoreHooked(spark: SparkSession, root: String,
+      expectedGen: Long, midHook: () => Unit): Long = {
     val cur = GenStore.currentGen(root)
     if (cur != expectedGen) return cur
     val ng = cur + 1
@@ -154,6 +163,7 @@ object KeySetStore {
     require(ids.nonEmpty, s"nothing to compact under $src")
     val hwm = ids.max
     val delIds = GenStore.listBatchIds(spark, s"$src/deletes")
+    midHook()
     // merge the LISTED fragments explicitly (parquet listing is lazy):
     // a directory-wide read could fold a straggler admitted after the
     // listing into the merge and the sweep both — harmless HERE (the

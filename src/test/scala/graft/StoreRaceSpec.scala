@@ -122,4 +122,39 @@ class StoreRaceSpec extends AnyFunSuite {
     HeavyHitters.initStore(root)
     assert(GenStore.currentGen(root) === 2L)
   }
+
+  test("KeySetStore: a DELETE inside the compaction window stays pending in the published generation") {
+    import graft.operators.{Dedup, KeySetStore}
+    val root = fresh("race-del")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    KeySetStore.init(root)
+    Dedup.admitMinHashBatch(docs.filter($"doc_id" === 1L), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, batchId = 0L, root = root)
+    Dedup.admitMinHashBatch(docs.filter($"doc_id" === 2L), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, batchId = 1L, root = root)
+    // the race: doc 1's takedown lands AFTER the compactor listed the
+    // delete fragments — its pointer re-check passes (still gen 1), it
+    // reports success; the sweep must carry it into gen 2 as PENDING,
+    // never silently drop it
+    KeySetStore.compactStoreHooked(spark, root, expectedGen = 1L, () =>
+      Dedup.deleteMinHashBatch(docs.filter($"doc_id" === 1L), "doc_id",
+        "text", n = 3, numHashes = 32, bands = 8, batchId = 0L, root = root))
+    assert(GenStore.currentGen(root) === 2L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "gen=2", "deletes")),
+      "the straggler delete fragment was not swept into the new generation")
+    def probe() = Dedup.admitAgainstMinHashStoreGen(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, root = root)
+      .as[(Long, Long, Boolean)].collect().map(p => p._1 -> p._3).toMap
+    // the swept delete is LIVE: doc 1's re-crawl admits, doc 2 rejects
+    assert(probe() == Map(1L -> true, 2L -> false))
+    // the NEXT compaction applies it physically
+    assert(KeySetStore.compactStore(spark, root, expectedGen = 2L) === 3L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "gen=3", "deletes")))
+    assert(probe() == Map(1L -> true, 2L -> false),
+      "the purging compaction changed takedown decisions")
+  }
 }
