@@ -811,7 +811,13 @@ object Dedup {
     admitAgainstKeys(docs, idCol, textCol, n, numHashes, bands,
       KeySetStore.keysAt(docs.sparkSession, root, gen), portableKeys)
 
-  private def admitAgainstKeys(
+  /** The admission decision against an EXPLICIT key frame — the seam
+    * the generational probes above share, and what the streaming
+    * curation sink probes with its own fragment excluded
+    * ([[KeySetStore.keysCurrentExcluding]]): a checkpoint replay must
+    * never decide against keys its crashed first attempt landed.
+    */
+  private[graft] def admitAgainstKeys(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int,
       store: DataFrame, portableKeys: Boolean): DataFrame = {

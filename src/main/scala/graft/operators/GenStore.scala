@@ -127,4 +127,37 @@ object GenStore {
       java.nio.file.Paths.get(genDir(root, g))))
     drop
   }
+
+  /** Total row count under `dirs`, read from parquet FOOTERS only —
+    * no Spark job, no data pages, just one footer read per file. This
+    * is the cost model the `needsCompaction` policy predicates are
+    * held to: deciding WHETHER to compact must stay a metadata read a
+    * maintenance loop can afford every batch, or nobody runs it and
+    * pending-delete windows grow unbounded. Missing directories count
+    * zero (the common no-deletes case costs one existence check).
+    */
+  def footerRowCount(spark: SparkSession, dirs: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        def files(path: org.apache.hadoop.fs.Path):
+            Seq[org.apache.hadoop.fs.FileStatus] = {
+          val ls = fs.listStatus(path).toSeq
+          ls.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+            ls.filter(_.isDirectory).flatMap(s => files(s.getPath))
+        }
+        files(p).map { s =>
+          scala.util.Using.resource(
+              org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(s, conf))) { r =>
+            r.getRecordCount
+          }
+        }.sum
+      }
+    }.sum
+  }
 }

@@ -557,13 +557,41 @@ object InvertedIndex {
     // straggler sweep: batches admitted to gen=cur since the first
     // listing ride through unmerged (idempotent per-path copies) —
     // including DELETE batches, which stay pending in the new
-    // generation (the merge only applied the sets it listed)
+    // generation (the merge only applied the sets it listed). A LISTED
+    // delete, though, is purged by this compaction and NOT carried
+    // pending — so it must be re-applied to swept DATA stragglers here
+    // (a delete can land before a data batch admits inside the window;
+    // reads applied the pending set to every fragment, and the
+    // published generation must serve the same answers): postings
+    // entries anti-joined, doclens rows dropped, that fragment's stats
+    // recomputed from its surviving doclens.
     def sweep(): Unit = {
       (GenStore.listBatchIds(spark, s"$src/postings").toSet -- ids).toSeq.sorted
         .foreach { i =>
-          Seq("postings", "doclens", "stats").foreach { t =>
-            frag(t, Seq(i))
-              .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$i")
+          del match {
+            case None =>
+              Seq("postings", "doclens", "stats").foreach { t =>
+                frag(t, Seq(i))
+                  .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$i")
+              }
+            case Some(d) =>
+              frag("postings", Seq(i))
+                .select(col("tok"), col("bucket"), explode(col("postings")).as("p"))
+                .withColumn("doc_id", col("p.doc_id"))
+                .join(d, Seq("doc_id"), "left_anti")
+                .groupBy(col("tok"), col("bucket"))
+                .agg(sort_array(collect_list(col("p"))).as("postings"))
+                .select(col("tok"), col("bucket"),
+                  size(col("postings")).cast("long").as("n_docs"), col("postings"))
+                .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$i")
+              frag("doclens", Seq(i))
+                .select(col("doc_id"), col("dl"))
+                .join(d, Seq("doc_id"), "left_anti")
+                .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$i")
+              spark.read.parquet(s"$dst/doclens/batch_id=$i")
+                .agg(count(lit(1)).cast("long").as("n_docs"),
+                  coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
+                .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$i")
           }
         }
       (GenStore.listBatchIds(spark, s"$src/deletes").toSet -- delIds).toSeq.sorted
@@ -594,6 +622,41 @@ object InvertedIndex {
     if (fragmentCount(spark, root) < maxFragments) None
     else Some(compactStore(spark, root, currentGen(root)))
   }
+
+  /** The COMPACTION-POLICY predicate ([[KeySetStore.needsCompaction]]'s
+    * shape for this store): true when the fragment count reached
+    * `maxFragments` OR pending-delete ids grew past `maxPendingFraction`
+    * of the indexed documents — the r12-measured 1.61× pending-read tax
+    * persists until a compaction folds the delete set away, and this
+    * predicate is what bounds that window by contract. Footer-metadata
+    * reads only: doclens holds exactly one row per indexed doc, so both
+    * cardinalities come from parquet footers, never a Spark job.
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    require(maxPendingFraction > 0, "maxPendingFraction must be positive")
+    val dir = genDir(root, currentGen(root))
+    val ids = GenStore.listBatchIds(spark, s"$dir/postings")
+    if (ids.isEmpty) false
+    else if (ids.size >= maxFragments) true
+    else {
+      val pending = GenStore.footerRowCount(spark, Seq(s"$dir/deletes"))
+      pending > 0 && {
+        val docs = GenStore.footerRowCount(spark,
+          GenStore.listBatchIds(spark, s"$dir/doclens")
+            .map(i => s"$dir/doclens/batch_id=$i"))
+        pending.toDouble >= maxPendingFraction * docs
+      }
+    }
+  }
+
+  /** Run [[compactStore]] when [[needsCompaction]] says so. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05):
+      Option[Long] =
+    if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
+    else Some(compactStore(spark, root, currentGen(root)))
 
   /** [[storeLookup]] through the pointer. */
   def lookupCurrent(spark: SparkSession, root: String,

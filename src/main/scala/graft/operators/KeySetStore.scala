@@ -127,11 +127,35 @@ object KeySetStore {
     val dir = GenStore.genDir(root, gen)
     val ids = GenStore.listBatchIds(spark, dir)
     require(ids.nonEmpty, s"no fragments under $dir")
+    keysOf(spark, dir, ids)
+  }
+
+  private def keysOf(spark: SparkSession, dir: String,
+      ids: Seq[Long]): DataFrame = {
     val df = spark.read.parquet(ids.map(i => s"$dir/batch_id=$i"): _*)
     pendingDeletes(spark, dir) match {
       case None => df
       case Some(del) => df.join(del, df.columns.toSeq, "left_anti")
     }
+  }
+
+  /** [[keysCurrent]] MINUS one fragment — the checkpoint-replay probe
+    * (streaming curation, [[graft.streaming.EventStreams
+    * .curationIngestCompacting]]): a replayed micro-batch must decide
+    * admission against everything admitted BEFORE it, never against the
+    * keys its own crashed first attempt already landed under
+    * `batch_id=excludeBatchId` (probing those would reject every doc as
+    * its own clone and overwrite the fragment with an empty set). None
+    * when no OTHER fragments exist — the caller admits everything, the
+    * same answer an empty store gives. Fragments the replayed id was
+    * compacted into are unreachable here by construction: the sealed
+    * high-water mark refuses such replays before any probe runs.
+    */
+  def keysCurrentExcluding(spark: SparkSession, root: String,
+      excludeBatchId: Long): Option[DataFrame] = {
+    val dir = GenStore.genDir(root, GenStore.currentGen(root))
+    val ids = GenStore.listBatchIds(spark, dir).filterNot(_ == excludeBatchId)
+    if (ids.isEmpty) None else Some(keysOf(spark, dir, ids))
   }
 
   /** COMPACT the current generation: union every fragment, distinct
@@ -177,9 +201,26 @@ object KeySetStore {
           .distinct(),
         merged.columns.toSeq, "left_anti")
     survivors.write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
+    // the LISTED delete set, re-applied to swept data stragglers below:
+    // a delete fragment captured in delIds can target keys of a data
+    // batch admitted AFTER the fragment listing (delete lands, listing
+    // runs, data batch admits inside the window) — the merge applied it
+    // only to the listed fragments, and it is NOT carried pending (the
+    // new generation must not re-subtract it from genuinely-later
+    // re-admissions), so the swept copy must subtract it here or the
+    // takedown silently vanishes. This matches read semantics exactly:
+    // pre-compaction, [[keysAt]] applied the pending set to EVERY
+    // fragment of the generation, stragglers included.
+    lazy val listedDel: Option[DataFrame] =
+      if (delIds.isEmpty) None
+      else Some(spark.read
+        .parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*).distinct())
     def sweep(): Unit = {
       (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
-        spark.read.parquet(s"$src/batch_id=$i")
+        val raw = spark.read.parquet(s"$src/batch_id=$i")
+        listedDel.map(d =>
+            raw.join(broadcast(d), raw.columns.toSeq, "left_anti"))
+          .getOrElse(raw)
           .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
       }
       (GenStore.listBatchIds(spark, s"$src/deletes").toSet -- delIds).toSeq.sorted
@@ -209,4 +250,47 @@ object KeySetStore {
   /** Retention for superseded generations ([[GenStore.vacuum]]). */
   def vacuum(root: String, keepLast: Int): Seq[Long] =
     GenStore.vacuum(root, keepLast)
+
+  /** The COMPACTION-POLICY predicate — [[VectorStore.needsRefit]]'s
+    * twin for layout, closing the loop [[compactIfFragmented]] only
+    * half-closed: true when the fragment count reached `maxFragments`
+    * (read amplification) OR the pending-delete rows grew past
+    * `maxPendingFraction` of the data rows (every read pays that
+    * anti-join until a compaction folds it away — the takedown serving
+    * window, bounded by CONTRACT once this predicate drives the
+    * maintenance loop instead of operator diligence). Footer-metadata
+    * reads only ([[GenStore.footerRowCount]]): no Spark job, so a
+    * maintenance tick can evaluate it every batch. A store with
+    * pending deletes but no data rows compacts (the fraction is
+    * +infinity there).
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    require(maxPendingFraction > 0, "maxPendingFraction must be positive")
+    val gen = GenStore.currentGen(root)
+    val dir = GenStore.genDir(root, gen)
+    val ids = GenStore.listBatchIds(spark, dir)
+    if (ids.isEmpty) false // nothing to compact (deletes alone can wait)
+    else if (ids.size >= maxFragments) true
+    else {
+      val pending = GenStore.footerRowCount(spark, Seq(s"$dir/deletes"))
+      pending > 0 && {
+        val data = GenStore.footerRowCount(spark,
+          ids.map(i => s"$dir/batch_id=$i"))
+        pending.toDouble >= maxPendingFraction * data
+      }
+    }
+  }
+
+  /** Run [[compactStore]] when [[needsCompaction]] says so — the
+    * maintenance-loop form that subsumes [[compactIfFragmented]] (same
+    * fragment-count leg) and additionally bounds the pending-delete
+    * window. Returns the new generation when it fired.
+    */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05):
+      Option[Long] =
+    if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
+    else Some(compactStore(spark, root, GenStore.currentGen(root)))
 }

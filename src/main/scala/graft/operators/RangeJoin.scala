@@ -74,14 +74,22 @@ object RangeJoin {
   /** Split an interval frame on the replication fence: (narrow, wide,
     * wide count). Empty intervals (start > end) fail LOUDLY here — on
     * the driver, eagerly, since the split must count the wide side
-    * anyway. The count is one narrow aggregation over the interval
-    * side (the small side by construction); the returned frames are
-    * localCheckpoint-free plain filters, so the bucketed path's lazy
-    * plan shape is untouched.
+    * anyway. The interval side (the small side by construction) is
+    * PINNED with a localCheckpoint before anything reads it: the fence
+    * count, the narrow/wide filters, and the downstream joins must all
+    * see the SAME rows — with a nondeterministic or recomputed source,
+    * an unpinned count could validate a different wide set than the
+    * rows the broadcast term later joins (r12 ADVICE), turning the
+    * fence into a fiction. The pin also collapses the split's driver
+    * work to one materialization plus one aggregation over cached
+    * blocks. The pinned blocks live until the session ends (the
+    * returned lazy frames reference them, so they cannot be released
+    * here) — interval-side-sized, small by the routing premise.
     */
-  private def splitOnSpan(df: DataFrame, s: String, e: String,
+  private def splitOnSpan(df0: DataFrame, s: String, e: String,
       bucketWidth: Long, maxIntervalBuckets: Long,
       maxWideIntervals: Long): (DataFrame, DataFrame, Long) = {
+    val df = df0.localCheckpoint()
     val span = bucketOf(col(e), bucketWidth) - bucketOf(col(s), bucketWidth)
     val counts = df.agg(
       count(when(col(s) > col(e), lit(1))).as("empty"),

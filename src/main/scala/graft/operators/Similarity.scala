@@ -693,11 +693,55 @@ object Similarity {
   def autoCellSalt(coded: DataFrame,
       targetCellRowsPerTask: Long = 1L << 20): Int = {
     require(targetCellRowsPerTask > 0, "targetCellRowsPerTask must be positive")
-    val r = coded.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx")).head()
-    if (r.isNullAt(0)) 1
-    else math.min(64L,
-      (r.getLong(0) + targetCellRowsPerTask - 1) / targetCellRowsPerTask).toInt
+    // MEMOIZED on the frame's underlying scan paths: the histogram job
+    // is a plan-construction-time driver job, and every search call
+    // against the same corpus/store generation scans the same files —
+    // without the cache, repeated searches re-aggregate the whole
+    // corpus per call (r12 ADVICE). Staleness is harmless by the
+    // salting invariant (ANY S returns identical results, spec-gated;
+    // S only tunes task sizing), and store paths change per generation,
+    // so a compaction/refit naturally re-keys. Frames with no file scan
+    // underneath (inline test corpora) key on the analyzed plan's
+    // semantic hash instead — identity-ish, so they may recompute, but
+    // they are the frames for which the histogram is cheapest. Bounded:
+    // cleared wholesale past 1024 entries rather than LRU-tracked.
+    val key = (coded.sparkSession.hashCode(), saltKeyOf(coded),
+      targetCellRowsPerTask)
+    saltCache.get(key) match {
+      case Some(s) => s
+      case None =>
+        val r = coded.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx")).head()
+        val s = if (r.isNullAt(0)) 1
+          else math.min(64L,
+            (r.getLong(0) + targetCellRowsPerTask - 1)
+              / targetCellRowsPerTask).toInt
+        if (saltCache.size > 1024) saltCache.clear()
+        saltCache.put(key, s)
+        s
+    }
+  }
+
+  private[graft] val saltCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Int]
+
+  /** A stable memoization key for [[autoCellSalt]]: the sorted root
+    * paths of every file scan under the frame (two reads of the same
+    * store fragments build distinct `FileIndex` objects, so plan
+    * identity/semantic hashes never repeat across calls — paths do).
+    */
+  private def saltKeyOf(coded: DataFrame): String = {
+    val paths = coded.queryExecution.analyzed.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    if (paths.nonEmpty) paths.sorted.mkString(";")
+    else "h" + coded.queryExecution.analyzed.semanticHash()
   }
 
   private def probedCellTopK(

@@ -186,12 +186,20 @@ object VectorStore {
   /** Excludes a generation's pending deletes from a coded frame — the
     * one anti-join every delete-aware read shares. Applied BEFORE the
     * top-k cut (a post-filter would let deleted rows crowd real ones
-    * out of the shortlist).
+    * out of the shortlist). The delete side is BROADCAST explicitly:
+    * it is O(dead set) by construction (delete fragments hold bare
+    * cids, compaction folds them away), so a planner that estimated it
+    * corpus-sized would otherwise shuffle the entire coded scan into a
+    * sort-merge anti-join — the 2.85× pending-window serving tax the
+    * r12 takedown-economics probe measured. Broadcast keeps the coded
+    * side's partitioning and its In(cell) pushed pruning intact: the
+    * anti-join is a streamed hash-probe above the pruned scan.
     */
   private def minusDeleted(spark: SparkSession, root: String, gen: Long,
       coded: DataFrame): DataFrame =
     pendingDeletes(spark, root, gen)
-      .map(d => coded.join(d, Seq("cid"), "left_anti")).getOrElse(coded)
+      .map(d => coded.join(broadcast(d), Seq("cid"), "left_anti"))
+      .getOrElse(coded)
 
   /** The current generation's per-batch drift dashboard
     * ([[Similarity.codedStoreDriftStats]]): (batch_id, n_vectors,
@@ -383,7 +391,17 @@ object VectorStore {
     * years-running admission store's file count O(1) instead of
     * O(batches).
     */
-  def compactGen(spark: SparkSession, root: String, expectedGen: Long): Long = {
+  def compactGen(spark: SparkSession, root: String, expectedGen: Long): Long =
+    compactGenHooked(spark, root, expectedGen, () => ())
+
+  /** [[compactGen]] with a hook run after the fragment and delete
+    * listings — the family's race-test seam ([[KeySetStore
+    * .compactStoreHooked]]): work admitted inside the window must ride
+    * through the sweep with the LISTED deletes applied, never vanish
+    * and never serve rows a listed takedown covered.
+    */
+  private[graft] def compactGenHooked(spark: SparkSession, root: String,
+      expectedGen: Long, midHook: () => Unit): Long = {
     val cur = currentGen(root)
     if (cur != expectedGen) return cur
     val ng = cur + 1
@@ -396,16 +414,20 @@ object VectorStore {
     val (cents, books) = loadGenIndex(spark, root, cur)
     Similarity.saveIvfPqIndex(spark, cents, books, indexDir(root, ng))
     // pending takedowns listed alongside the data fragments are applied
-    // PHYSICALLY to the merged fragment (deleted rows dropped for
-    // good); delete fragments admitted after this listing stay pending
-    // (swept through below). Straggler DATA batches copied unmerged
-    // keep all their rows — a delete targets docs admitted before it,
-    // so the two never overlap.
+    // PHYSICALLY everywhere this compaction writes data rows: the
+    // merged fragment AND swept straggler copies (a listed delete can
+    // target rows of a data batch admitted after the listing — delete
+    // lands, listing runs, admit slips inside the window; reads applied
+    // the pending set to every fragment of the generation, and a listed
+    // delete is purged here, not carried, so skipping the straggler
+    // would lose the takedown). Delete fragments admitted after this
+    // listing stay pending (swept through below).
     val delIds = listBatchIds(spark, deletesDir(root, cur))
     val del = if (delIds.isEmpty) None
       else Some(spark.read.parquet(
           delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
         .select(col("cid")).distinct())
+    midHook()
     // compaction is layout-only, so it carries whatever code tiers the
     // store was admitted with — a pre-SQ8 store (no sq column) compacts
     // fine and stays pq-only; adding the tier is refit's job, not this
@@ -438,10 +460,11 @@ object VectorStore {
         .write.mode("overwrite").parquet(s"$statsDst/batch_id=$hwm")
     // straggler sweep: batches admitted to gen=cur since the first
     // listing ride through unmerged (idempotent copies, ids above hwm)
-    // — delete batches stay PENDING in the new generation
+    // with the LISTED deletes applied (see above) — delete batches
+    // admitted after the listing stay PENDING in the new generation
     def sweep(): Unit = {
       (listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
-        mergeInto(i, Seq(i), applyDeletes = false)
+        mergeInto(i, Seq(i), applyDeletes = true)
         spark.read.parquet(s"${src}_stats/batch_id=$i")
           .write.mode("overwrite").parquet(s"$statsDst/batch_id=$i")
       }
@@ -472,6 +495,45 @@ object VectorStore {
     if (listBatchIds(spark, codedDir(root, gen)).size < maxFragments) None
     else Some(compactGen(spark, root, gen))
   }
+
+  /** The COMPACTION-POLICY predicate — the layout twin of
+    * [[needsRefit]], and the contract that bounds the pending-takedown
+    * serving window (the r12-measured read tax every kNN query pays
+    * between a delete admit and the next compaction): true when the
+    * fragment count reached `maxFragments` OR pending-delete ids grew
+    * past `maxPendingFraction` of the admitted vectors. Cost model:
+    * the pending side is parquet-footer counts only
+    * ([[GenStore.footerRowCount]]); the vector count is one Spark read
+    * of the stats fragments (KBs — one row per batch, the same read
+    * [[needsRefit]] already budgets). Delete markers for never-admitted
+    * ids inflate the numerator — acceptable for a trigger: it fires
+    * early, never late.
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    require(maxPendingFraction > 0, "maxPendingFraction must be positive")
+    val gen = currentGen(root)
+    val ids = listBatchIds(spark, codedDir(root, gen))
+    if (ids.isEmpty) false
+    else if (ids.size >= maxFragments) true
+    else {
+      val pending = GenStore.footerRowCount(spark, Seq(deletesDir(root, gen)))
+      pending > 0 && {
+        val vectors = spark.read.parquet(s"${codedDir(root, gen)}_stats")
+          .agg(coalesce(sum(col("n_vectors")), lit(0L)))
+          .head().getLong(0)
+        pending.toDouble >= maxPendingFraction * vectors
+      }
+    }
+  }
+
+  /** Run [[compactGen]] when [[needsCompaction]] says so. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05):
+      Option[Long] =
+    if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
+    else Some(compactGen(spark, root, currentGen(root)))
 
   /** The admitted corpus reconstructed from the CURRENT generation's
     * own rows — one row per vector (the primary-replica filter
@@ -551,7 +613,7 @@ object VectorStore {
         val (cents, books) = loadGenIndex(spark, root, gen)
         val coded0 = spark.read.parquet(
           ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
-        val coded = del.map(d => coded0.join(d, Seq("cid"), "left_anti"))
+        val coded = del.map(d => coded0.join(broadcast(d), Seq("cid"), "left_anti"))
           .getOrElse(coded0)
         Some(Similarity.searchCodedFrame(coded, queries, idCol, vecCol, k,
           cents, books, nprobe, shortlistFactor, broadcastQueries, tier))

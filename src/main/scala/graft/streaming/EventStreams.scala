@@ -486,18 +486,29 @@ object EventStreams {
     * input columns unchanged).
     *
     * Ordering fence: the admission DECISION is pinned with a
-    * localCheckpoint BEFORE this batch's keys enter the store —
-    * otherwise the lazy retained-row write would re-probe a store that
-    * already contains the batch's own keys and reject every doc as its
-    * own clone. Intra-batch duplicates are both retained (the q153
-    * stance: the store dedups ACROSS crawl batches; within a batch the
-    * docs arrived together).
+    * localCheckpoint BEFORE anything of this batch lands. Intra-batch
+    * duplicates are both retained (the q153 stance: the store dedups
+    * ACROSS crawl batches; within a batch the docs arrived together).
     *
-    * Replay semantics are the family's: a batch at or below the
-    * compacted high-water mark is a sealed no-op; an uncompacted replay
-    * overwrites its own fragment and retained output idempotently. At
-    * 100 TB each micro-batch costs narrow quality/shingle maps plus one
-    * key-set semi-join — no stage touches prior batches' raw docs.
+    * Replay (at-least-once checkpoint recovery) semantics, each window
+    * of the step covered: (1) the probe EXCLUDES this batch's own
+    * fragment ([[graft.operators.KeySetStore.keysCurrentExcluding]]) —
+    * a replay after the first attempt admitted its keys but crashed
+    * before committing would otherwise reject every previously
+    * admitted doc as its own clone and overwrite both the fragment and
+    * the retained output with EMPTY sets; deciding against strictly
+    * earlier fragments re-derives the SAME decision the first attempt
+    * made (same offsets → same batch rows, deterministic quality and
+    * key maps). (2) the retained corpus is written BEFORE the keys are
+    * admitted and before any compaction can seal this id — once
+    * [[graft.operators.KeySetStore.compactIfFragmented]] folds the
+    * fragment away, a replay is a sealed no-op, so the curated rows
+    * must already be on disk by then (retained-last lost the batch's
+    * docs forever on a crash inside that window). (3) a batch at or
+    * below the compacted high-water mark is a sealed no-op.
+    *
+    * At 100 TB each micro-batch costs narrow quality/shingle maps plus
+    * one key-set semi-join — no stage touches prior batches' raw docs.
     */
   def curationIngestCompacting(
       docs: DataFrame, idCol: String, textCol: String,
@@ -510,29 +521,51 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Dedup, GenStore, KeySetStore}
-        val spark = batch.sparkSession
-        if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
-          val keep = batch.filter(
-            graft.functions.TextFunctions.qualityScore(col(textCol))
-              >= qualityThreshold)
-          val admitted =
-            if (KeySetStore.fragmentCount(spark, root) == 0L) keep
-            else keep.join(
-              Dedup.admitAgainstMinHashStoreGen(keep, idCol, textCol,
-                  n, numHashes, bands, root, portableKeys)
-                .filter(col("admit")).select(col("id").as(idCol)),
-              Seq(idCol), "left_semi")
-          val landed = admitted.localCheckpoint()
-          Dedup.admitMinHashBatch(landed, idCol, textCol, n, numHashes,
-            bands, batchId, root, portableKeys)
-          KeySetStore.compactIfFragmented(spark, root, maxFragments)
-          landed.write.mode("overwrite")
-            .parquet(s"$retainedDir/batch_id=$batchId")
-          ()
-        } // else: sealed replay — keys and retained rows already landed
+        curationStep(batch, batchId, idCol, textCol, root, retainedDir,
+          maxFragments, qualityThreshold, n, numHashes, bands, portableKeys)
       }
       .start()
+  }
+
+  /** One micro-batch of [[curationIngestCompacting]] — factored out so
+    * the replay contract above is directly testable: calling the step
+    * twice with the same `batchId` (the crash-recovery interleaving)
+    * must land the same fragment and the same retained rows as calling
+    * it once.
+    */
+  private[graft] def curationStep(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      root: String, retainedDir: String, maxFragments: Int,
+      qualityThreshold: Double, n: Int, numHashes: Int, bands: Int,
+      portableKeys: Boolean): Unit = {
+    import graft.operators.{Dedup, GenStore, KeySetStore}
+    val spark = batch.sparkSession
+    if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
+      val keep = batch.filter(
+        graft.functions.TextFunctions.qualityScore(col(textCol))
+          >= qualityThreshold)
+      // probe ONLY fragments other than our own (replay window 1 above)
+      val admitted = KeySetStore.keysCurrentExcluding(spark, root, batchId)
+        match {
+          case None => keep // empty store (or only our own crashed fragment)
+          case Some(keys) => keep.join(
+            Dedup.admitAgainstKeys(keep, idCol, textCol,
+                n, numHashes, bands, keys, portableKeys)
+              .filter(col("admit")).select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+        }
+      val landed = admitted.localCheckpoint()
+      // retained corpus FIRST (replay window 2 above): after the keys
+      // admit, a compaction may seal this id and turn replays into
+      // no-ops — the curated rows must already be on disk by then
+      landed.write.mode("overwrite")
+        .parquet(s"$retainedDir/batch_id=$batchId")
+      Dedup.admitMinHashBatch(landed, idCol, textCol, n, numHashes,
+        bands, batchId, root, portableKeys)
+      KeySetStore.compactIfFragmented(spark, root, maxFragments)
+      org.apache.spark.sql.GraftBridge.releaseCheckpoint(landed)
+      ()
+    } // else: sealed replay — keys and retained rows already landed
   }
 
   /** Streaming TAKEDOWN for the signature store — the delete-marker
@@ -551,12 +584,25 @@ object EventStreams {
     * give each takedown stream a `baseBatchId` above every id the
     * previous one used (store id = base + micro-batch id; the mapping
     * is fixed, so checkpoint replays stay idempotent).
+    *
+    * `compactAtPendingFraction` > 0 turns on the maintenance leg: after
+    * each delete admit, [[graft.operators.KeySetStore.compactIfNeeded]]
+    * folds the pending set away once it crosses that fraction of the
+    * data rows — the pending-read window is then bounded by CONTRACT,
+    * not by someone remembering to schedule a compaction. Use it only
+    * under the store family's single-writer discipline: a compaction
+    * fired here races a concurrent ADMISSION stream's writes, which the
+    * family fences loudly (the admit's pointer re-check throws and the
+    * micro-batch retries under the new generation) — safe, but a
+    * deployment that wants zero admission retries should run the
+    * maintenance tick in the admission stream instead.
     */
   def signatureTakedownIngest(
       docs: DataFrame, idCol: String, textCol: String,
       root: String, checkpointDir: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      portableKeys: Boolean = false, baseBatchId: Long = 0L):
+      portableKeys: Boolean = false, baseBatchId: Long = 0L,
+      compactAtPendingFraction: Double = 0.0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     graft.operators.GenStore.initIfAbsent(root)
     docs.writeStream
@@ -564,6 +610,10 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup.deleteMinHashBatch(batch, idCol, textCol,
           n, numHashes, bands, baseBatchId + batchId, root, portableKeys)
+        if (compactAtPendingFraction > 0)
+          graft.operators.KeySetStore.compactIfNeeded(batch.sparkSession,
+            root, maxFragments = Int.MaxValue,
+            maxPendingFraction = compactAtPendingFraction)
         ()
       }
       .start()
@@ -574,11 +624,13 @@ object EventStreams {
     * semantics) landed per micro-batch. Replay-idempotent like the
     * signature sink (anti-joining an absent id removes nothing), so no
     * hwm guard; `baseBatchId` separates successive takedown streams'
-    * fragment ids exactly as [[signatureTakedownIngest]] documents.
+    * fragment ids exactly as [[signatureTakedownIngest]] documents —
+    * as does `compactAtPendingFraction`, the contract-bound window
+    * through [[graft.operators.InvertedIndex.compactIfNeeded]].
     */
   def indexTakedownIngest(
       ids: DataFrame, idCol: String, root: String, checkpointDir: String,
-      baseBatchId: Long = 0L):
+      baseBatchId: Long = 0L, compactAtPendingFraction: Double = 0.0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     graft.operators.GenStore.initIfAbsent(root)
     ids.writeStream
@@ -586,6 +638,10 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.InvertedIndex.admitDeleteBatch(batch.sparkSession,
           batch, idCol, baseBatchId + batchId, root)
+        if (compactAtPendingFraction > 0)
+          graft.operators.InvertedIndex.compactIfNeeded(batch.sparkSession,
+            root, maxFragments = Int.MaxValue,
+            maxPendingFraction = compactAtPendingFraction)
         ()
       }
       .start()
@@ -593,18 +649,24 @@ object EventStreams {
 
   /** Streaming TAKEDOWN for the coded vector store — vec-id delete
     * markers ([[graft.operators.VectorStore.admitDeletes]], q161
-    * semantics). Same replay and id-space contract as
-    * [[indexTakedownIngest]].
+    * semantics). Same replay, id-space and maintenance contract as
+    * [[indexTakedownIngest]] — `compactAtPendingFraction` bounds the
+    * kNN pending-read window through
+    * [[graft.operators.VectorStore.compactIfNeeded]].
     */
   def vectorTakedownIngest(
       ids: DataFrame, idCol: String, root: String, checkpointDir: String,
-      baseBatchId: Long = 0L):
+      baseBatchId: Long = 0L, compactAtPendingFraction: Double = 0.0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.VectorStore.admitDeletes(batch.sparkSession,
           root, batch, idCol, baseBatchId + batchId)
+        if (compactAtPendingFraction > 0)
+          graft.operators.VectorStore.compactIfNeeded(batch.sparkSession,
+            root, maxFragments = Int.MaxValue,
+            maxPendingFraction = compactAtPendingFraction)
         ()
       }
       .start()

@@ -120,4 +120,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSet == expect)
     assert(got.size == expect.size, "a pair sharing k buckets emitted once, not k times")
   }
+
+  test("a nondeterministic interval side is pinned: the fence and the join see the same rows, re-evaluations agree") {
+    // rand() makes every re-computation of the interval frame a
+    // different set — without the split-time pin, the wide-count fence
+    // would validate different rows than the bucketed/broadcast terms
+    // later join, and two evaluations of the SAME result frame would
+    // disagree
+    val points = spark.range(0, 2000).select(col("id").as("p"))
+    val intervals = spark.range(0, 300)
+      .select(col("id").as("iid"),
+        (col("id") * 7).as("s"),
+        (col("id") * 7 + (rand() * 4000).cast("long")).as("e"))
+      .filter(rand() < 0.5)
+    val res = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+      bucketWidth = 100L, maxIntervalBuckets = 10L)
+    val once = res.select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val twice = res.select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(once === twice, "re-evaluating the join re-randomized the intervals")
+    // and every matched pair satisfies containment against the PINNED
+    // bounds it was joined on
+    assert(res.filter(col("p") < col("s") || col("p") > col("e")).count() === 0L)
+  }
 }

@@ -498,6 +498,27 @@ class SimilaritySpec extends AnyFunSuite {
       cells(Seq.empty[(Int, Long)]), targetCellRowsPerTask = 10L) === 1)
   }
 
+  test("autoCellSalt memoizes per store path: repeated searches never re-aggregate the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-saltcache-")
+      .toString + "/coded"
+    Seq.tabulate(500)(i => (i.toLong, i % 4)).toDF("cid", "cell")
+      .write.parquet(dir)
+    Similarity.saltCache.clear()
+    // two INDEPENDENT reads of the same store path (what repeated
+    // search calls build) must share one cache entry — the histogram
+    // driver job runs once, not per call
+    val s1 = Similarity.autoCellSalt(spark.read.parquet(dir), 1000L)
+    assert(Similarity.saltCache.size === 1)
+    val s2 = Similarity.autoCellSalt(spark.read.parquet(dir), 1000L)
+    assert(s1 === s2)
+    assert(Similarity.saltCache.size === 1,
+      "a second read of the same path missed the salt cache")
+    // a different target (or a different path) is a different entry
+    Similarity.autoCellSalt(spark.read.parquet(dir), 10L)
+    assert(Similarity.saltCache.size === 2)
+  }
+
   test("composite IVF-PQ index: one artifact round-trips; loaded search == fresh row for row") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
