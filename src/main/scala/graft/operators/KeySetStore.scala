@@ -105,7 +105,12 @@ object KeySetStore {
     val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$dir/deletes").drop("batch_id").distinct())
+    // BROADCAST by construction — O(dead docs' keys); the distinct
+    // defeats size estimation and an unhinted anti-join would reshuffle
+    // the whole key-set scan (see InvertedIndex.pendingDeletes). The
+    // needsCompaction policy keeps the set fraction-bounded.
+    else Some(broadcast(
+      spark.read.parquet(s"$dir/deletes").drop("batch_id").distinct()))
   }
 
   /** The key set through the pointer — every key column of every
@@ -197,8 +202,9 @@ object KeySetStore {
     val survivors =
       if (delIds.isEmpty) merged
       else merged.join(
-        spark.read.parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
-          .distinct(),
+        broadcast( // O(dead docs' keys) — see pendingDeletes
+          spark.read.parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
+            .distinct()),
         merged.columns.toSeq, "left_anti")
     survivors.write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
     // the LISTED delete set, re-applied to swept data stragglers below:

@@ -424,9 +424,10 @@ object VectorStore {
     // listing stay pending (swept through below).
     val delIds = listBatchIds(spark, deletesDir(root, cur))
     val del = if (delIds.isEmpty) None
-      else Some(spark.read.parquet(
-          delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
-        .select(col("cid")).distinct())
+      else Some(broadcast( // O(dead ids) — see minusDeleted
+        spark.read.parquet(
+            delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
+          .select(col("cid")).distinct()))
     midHook()
     // compaction is layout-only, so it carries whatever code tiers the
     // store was admitted with — a pre-SQ8 store (no sq column) compacts
