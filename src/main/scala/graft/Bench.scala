@@ -147,7 +147,19 @@ object Bench {
       "\"" + k + "\":" + v / (refSecPerM(k) * scale) }.mkString("{", ",", "}")
     val baseTotal = results.map { case (k, _) => refSecPerM(k) * scale }.sum
     val ratio = total / baseTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes,"baseline_scaled":$baseQs,"baseline_scaled_total":$baseTotal,"ratio_vs_baseline":$ratioQs,"ratio_total":$ratio}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes,"baseline_scaled":$baseQs,"baseline_scaled_total":$baseTotal,"ratio_vs_baseline":$ratioQs,"ratio_total":$ratio}"""
+    println(line)
+    // The driver scrapes stdout, where sbt's logger prefixes every line
+    // with "[info] " — its JSON extraction has recorded parsed:null for
+    // three rounds because of that prefix. Belt-and-braces: also land
+    // the raw line as a file (override the path with
+    // SPARK_GRAFT_BENCH_JSON), so the metrics are machine-readable
+    // without scraping log tails. ARTIFACTS.md documents the recovery
+    // recipe for the historical BENCH_r{N}.json files.
+    val jsonOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(jsonOut), line + "\n")
+    catch { case _: Exception => () } // read-only cwd: stdout already has it
     // CSV export parity with the reference bench (benches/benchmark.cpp:233-276)
     sys.env.get("SPARK_GRAFT_BENCH_CSV").foreach { path =>
       val csv = "benchmark,seconds,rows,rows_per_sec\n" + results.map { case (k, v) =>

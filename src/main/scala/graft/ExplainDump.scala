@@ -94,7 +94,8 @@ object ExplainDump {
     "q170_curation_takedown" -> "the full-circle capstone's final read: the retained corpus scans as a batch_id-partitioned parquet source and the taken-down originals leave via ONE broadcast LEFT-ANTI hash join against the checkpointed takedown id set (the LSM read-side purge — id-sized, never corpus-shaped) before the q66 packing window (running sum partitioned BY source); check exactly one anti-join, no global sort before the window, and no corpus-sized exchange except the shard partitioning; the in-stream machinery (admission probes against the delete-subtracted key set, mid-stream compactions) ran inside foreachBatch and is audited as the q151/q153 and q165-pending shapes",
     "q172_curation_funnel" -> "the curation funnel report: quality score and token count are narrow codegen'd projections off the documents scan; the dedup-admission decision enters as the audited q151 LEFT-SEMI probe shape (band keys vs the signature store on (band, bucket), per-doc hit count one HashAggregate pair); the retained flag joins back BY ID and the report itself is ONE map-side-combined aggregation on source with conditional sums (no separate pass per metric); the dump shows documents scanned once per pipeline BRANCH (quality gate, probe keys, semi join, report) because this in-query form re-derives the decision frame — the production form is q164's, where decisions LAND in the retained store and the funnel reads one decision table; either way nothing corpus-sized moves except the per-source groupBy exchange",
     "q173_decontamination_purge" -> "the post-purge BM25 serving read of the decontamination capstone: detection (gram semi-join against the benchmark store) and the purge compaction ran eagerly, so the plan must be the audited q143/q161 post-purge shape — postings scan of the purged gen=2 fragment, term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join (the contaminated docs are physically gone) and no gram-store scan (detection is not a read-path cost); the raw corpus appears nowhere",
-    "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)")
+    "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)",
+    "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below")
 
   /** Queries whose audit target only exists in the EXECUTED final
     * adaptive plan: AQE performs exchange/stage reuse at stage
@@ -212,7 +213,48 @@ object ExplainDump {
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 3, numHashes = 32, bands = 8,
         root = kroot, portableKeys = true))
-    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan)
+    // vector store PENDING-delete search — the r12-weak window, now
+    // broadcast: the q161 catalog row returns post-compaction frames,
+    // so the pending window needs its own dump (like iplan/kplan)
+    val proot = Files.createTempDirectory("explain-vpend-").toString + "/vstore"
+    VectorStore.init(spark, proot, vc, vb)
+    VectorStore.admit(spark, proot, emb, "vec_id", "embedding", 0L)
+    VectorStore.admitDeletes(spark, proot,
+      emb.filter(col("vec_id") % 10 === 2).select("vec_id"), "vec_id", 0L)
+    val pplan = ("q161_store_takedown (the PENDING-delete kNN read, vector store)",
+      "vector takedown still pending (delete admitted, compaction not yet run) — the window SCALE.md prices at 1.13x clean after round 13's broadcast fix (was 2.85x): check the delete side enters as a BroadcastExchange feeding a BroadcastHashJoin LeftAnti sitting between the coded scan and the LUT scoring — the pending set is O(dead ids) by construction (minusDeleted broadcasts it explicitly), so the coded side's partitioning never reshuffles for the subtraction; check the probed-cell In(cell) filter STILL reaches the coded scan's PushedFilters below the anti-join (cell pruning survives the delete machinery — the scan reads ~nprobe/nlist of the store, deletes pending or not); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank); the compaction the needsCompaction policy triggers folds the anti-join away entirely (the main q150/q161 post-compaction sections)",
+      VectorStore.search(spark, proot, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    // q169: the POST-TAKEDOWN span-dedup read (the q169 catalog row is
+    // a driver-built verdict table of span counts)
+    val groot = Files.createTempDirectory("explain-q169-").toString + "/gstore"
+    KeySetStore.init(groot)
+    Dedup.admitGramBatch(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", minTokens = 8, batchId = 0L, root = groot,
+      portableKeys = true)
+    Dedup.deleteGramBatch(
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+      "doc_id", "text", minTokens = 8, batchId = 0L, root = groot,
+      portableKeys = true)
+    val gplan = ("q169_gram_takedown (the PENDING-delete span read)",
+      "gram-store takedown still pending: the store side is the gram-key fragment scan with ONE LEFT-ANTI hash join against the delete fragments' distinct gram rows — both sides key-hash rows, index-sized (the delete set is O(dead docs' grams) and broadcasts) — feeding the audited q96/q104 span machinery: probe grams build narrow off the documents scan (tokenize -> rolling 8-gram hash -> posexplode), meet the subtracted store in a LEFT-SEMI join on g, and the island/coverage aggregation is partitioned BY doc_id (bounded per-doc state); check the anti-join sits between the fragment scan and the semi-join, nothing corpus-sized enters either join, and the raw corpus appears nowhere on the store side; after the compaction the anti-join disappears (same zero-cost-after-purge claim as q161/q165)",
+      Dedup.spansAgainstStoreGen(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
+        "doc_id", "text", minTokens = 8, root = groot, portableKeys = true))
+    // q171: the RANKED-LIST read the impact report pins (the catalog
+    // row's localCheckpoints erase this plan from its returned frame)
+    val rroot = Files.createTempDirectory("explain-q171-").toString + "/istore"
+    InvertedIndex.initStore(rroot)
+    InvertedIndex.admitBatch(spark, toks, "doc_id", "tk", 64L,
+      batchId = 0L, root = rroot)
+    val rplan = ("q171_takedown_impact (the ranked-list read under the pins)",
+      "one side of the impact report before its localCheckpoint pin: the BM25 store read is the audited q139/q143 candidates-only shape (postings scan with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct) capped to 15 rows by TakeOrderedAndProject, and the rank is a row_number window OVER THAT 15-ROW FRAME — the no-partition Window the warning flags is over k rows by construction, never the corpus (the report's rank arithmetic costs nothing at any corpus size); check the window sits ABOVE the top-k cut, not below it",
+      InvertedIndex.bm25SearchCurrent(spark, rroot,
+          Seq("join", "vector", "stream", "window"), 15)
+        .withColumn("rank", org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long")))
+    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan, pplan, gplan, rplan)
   }
 
   def main(args: Array[String]): Unit = {

@@ -7295,7 +7295,410 @@ object Queries {
               |SELECT doc_id,
               |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
               |  (SELECT CAST(count(*) AS BIGINT) FROM contaminated) AS n_contaminated
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q174_compaction_policy",
+      // THE MAINTENANCE TRIGGER — needsCompaction, the compaction twin
+      // of q157's refit policy: fragment count OR pending-delete
+      // fraction crossing a threshold fires the fold, so the takedown
+      // serving window (q161/q165's pending anti-join) is bounded by
+      // CONTRACT, not by an operator remembering to schedule
+      // maintenance. Lifecycle under gates: a fresh single-fragment
+      // store is quiet; a 1/7 takedown stays under a 99% threshold and
+      // crosses a 5% one; compactIfNeeded fires exactly then, purges
+      // the pending set physically (no deletes dir in the new
+      // generation), and the predicate goes quiet; admission decisions
+      // are BIT-IDENTICAL across the policy-fired fold (the q151/q161
+      // serving-no-op gate); a later admit re-arms the fragment-count
+      // leg. The predicate's cost model is parquet FOOTER row counts
+      // (GenStore.footerRowCount) — no Spark job, evaluable every
+      // batch at 100 TB.
+      (s, d) => {
+        import graft.operators.GenStore
+        val root = scratchDir("q174") + "/sigstore"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        KeySetStore.init(root)
+        Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = root)
+        val freshQuiet = !KeySetStore.needsCompaction(s, root)
+        val dead = docs.filter(col("doc_id") % 7 === 3)
+        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = root)
+        def decisions() = Dedup.admitAgainstMinHashStoreGen(docs, "doc_id",
+            "text", n = 3, numHashes = 32, bands = 8, root = root)
+          .collect().toSeq.map(r => (r.getLong(0), r.getBoolean(2)))
+        val pre = decisions()
+        val looseQuiet = !KeySetStore.needsCompaction(s, root,
+          maxPendingFraction = 0.99)
+        val tightFires = KeySetStore.needsCompaction(s, root,
+          maxPendingFraction = 0.05)
+        val fired = KeySetStore.compactIfNeeded(s, root,
+          maxPendingFraction = 0.05) == Some(2L)
+        val quietAfter = !KeySetStore.needsCompaction(s, root,
+          maxPendingFraction = 0.05)
+        val purged = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "gen=2", "deletes"))
+        val decisionsStable = decisions() == pre
+        Dedup.admitMinHashBatch(docs.filter(col("doc_id") < 5), "doc_id",
+          "text", n = 3, numHashes = 32, bands = 8, batchId = 10L, root = root)
+        val fragLegRearms = KeySetStore.needsCompaction(s, root,
+          maxFragments = 2) && !KeySetStore.needsCompaction(s, root,
+          maxFragments = 3)
+        docs.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          count(when(col("doc_id") % 7 === 3, lit(1))).cast("long")
+            .as("n_dead"))
+          .select(col("n_docs"), col("n_dead"),
+            lit(freshQuiet).as("fresh_quiet"),
+            lit(looseQuiet).as("loose_threshold_quiet"),
+            lit(tightFires).as("tight_threshold_fires"),
+            lit(fired).as("policy_fired_gen2"),
+            lit(quietAfter).as("quiet_after_fold"),
+            lit(purged).as("pending_set_purged"),
+            lit(decisionsStable).as("decisions_stable_across_fold"),
+            lit(fragLegRearms).as("fragment_leg_rearms"),
+            lit(GenStore.currentGen(root)).as("current_gen"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(CASE WHEN doc_id % 7 = 3 THEN 1 END) AS BIGINT) AS n_dead,
+             |  TRUE AS fresh_quiet, TRUE AS loose_threshold_quiet,
+             |  TRUE AS tight_threshold_fires, TRUE AS policy_fired_gen2,
+             |  TRUE AS quiet_after_fold, TRUE AS pending_set_purged,
+             |  TRUE AS decisions_stable_across_fold,
+             |  TRUE AS fragment_leg_rearms,
+             |  CAST(2 AS BIGINT) AS current_gen
+             |FROM documents""".stripMargin)),
+
+    QDef("q175_video_motion",
+      // PER-FRAME MOTION over the real AVI decode (the operator that
+      // closes the codec-payload note for everything the JDK honestly
+      // decodes): consecutive frames are ImageIO-decoded to PIXELS and
+      // each adjacent pair contributes a diff energy — mean squared
+      // 8-bit RGB difference (Multimodal.extractMotionFeatures). The
+      // planted frames are solid GRAYSCALE (r=g=b), so each pair's
+      // energy is the exact integer δ² (the /3 cancels), making mean,
+      // max and the still fraction closed-form in BOTH engines with no
+      // rounding anywhere: every third frame repeats its predecessor's
+      // level (a duplicated frame — the thing a video curation pipeline
+      // drops first), so still pairs land at known positions. Inter-
+      // frame codecs the JDK cannot decode remain the one disclosed
+      // exclusion; this is exact for intra-coded (M-JPEG/BMP-chunk)
+      // streams, which is what AVI frame chunks expose.
+      (s, _) => {
+        import s.implicits._
+        val vids = (0 until 40).map { i =>
+          val (w, h) = (8 + (i % 4) * 4, 6 + (i % 3) * 4)
+          val nf = 4 + i % 5
+          val frames = (0 until nf).map { f =>
+            val g = if (f % 3 == 2) f - 1 else f
+            val c = (i * 7 + g * 13) % 256
+            Multimodal.syntheticBmp(w, h)((_, _) => (c, c, c))
+          }
+          (i.toLong, AviContainer.syntheticAvi(w, h, 33333 + i, frames))
+        }.toDF("doc_id", "payload")
+        Multimodal.extractMotionFeatures(vids, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("n_frames"), col("n_pairs"),
+            col("mean_diff_energy"), col("max_diff_energy"),
+            col("still_fraction"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT i, 4 + i % 5 AS nf FROM range(0, 40) t(i)),
+             |f AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+             |c AS (SELECT i, nf, f,
+             |        (i * 7 + (CASE WHEN f % 3 = 2 THEN f - 1 ELSE f END) * 13) % 256 AS lvl
+             |      FROM f),
+             |p AS (SELECT a.i, a.nf,
+             |        CAST((b.lvl - a.lvl) * (b.lvl - a.lvl) AS DOUBLE) AS e
+             |      FROM c a JOIN c b ON a.i = b.i AND b.f = a.f + 1)
+             |SELECT CAST(i AS BIGINT) AS doc_id,
+             |  CAST(any_value(nf) AS BIGINT) AS n_frames,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  sum(e) / count(*) AS mean_diff_energy,
+             |  max(e) AS max_diff_energy,
+             |  CAST(count(CASE WHEN e = 0 THEN 1 END) AS DOUBLE) / count(*)
+             |    AS still_fraction
+             |FROM p GROUP BY i ORDER BY doc_id""".stripMargin)),
+
+    QDef("q176_sketch_takedown_rebuild",
+      // THE SKETCH TAKEDOWN CONTRACT (SketchStore.rebuildKeys). HLL
+      // deletion is information-theoretically impossible — register max
+      // is not invertible — so a takedown leaves estimates counting the
+      // dead values: the STALENESS the first gate pins (stale est >=
+      // rebuilt est, register-monotone). The remedy is the SCOPED
+      // rebuild: recompute ONLY the affected keys from the surviving
+      // corpus slice and publish as a new generation, keys a takedown
+      // never touched carrying their registers bit-for-bit. Gates: the
+      // rebuilt store equals a FROM-SCRATCH store over the surviving
+      // rows key for key (HLL is order- and split-insensitive, so
+      // "recomputed from survivors" has exactly one answer); unaffected
+      // keys' estimates are unchanged from the pre-takedown store; and
+      // the rebuilt estimates stand within the q148 accuracy bands of
+      // the exact surviving distinct counts the oracle recomputes. At
+      // 100 TB the rebuild scans the affected keys' surviving rows
+      // once — never the corpus — plus KB sketch rows.
+      (s, d) => {
+        val root = scratchDir("q176") + "/sstore"
+        val ev = t(s, d, "events")
+        val affectedTypes = Seq("click", "view")
+        val deadPred = col("event_type").isInCollection(affectedTypes) &&
+          col("user_id") % 10 === 3
+        SketchStore.initStore(root)
+        (0L to 1L).foreach { b =>
+          SketchStore.admitBatch(s, ev.filter(pmod(col("event_id"), lit(2)) === b),
+            Seq("event_type"), "user_id", b, root)
+        }
+        def ests() = SketchStore.estimatesCurrent(s, root, Seq("event_type"))
+          .select(col("event_type"), col("est"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sorted
+        val stale = ests() // post-takedown, pre-rebuild: counts dead users
+        val survivors = ev.filter(!deadPred)
+        import s.implicits._
+        val gen2 = SketchStore.rebuildKeys(s, root, expectedGen = 1L,
+          Seq("event_type"), "user_id",
+          affectedKeys = affectedTypes.toDF("event_type"),
+          survivors = survivors)
+        val rebuilt = ests()
+        val staleMap = stale.toMap
+        val rebuiltMap = rebuilt.toMap
+        // from-scratch twin over the surviving rows only
+        val fresh = scratchDir("q176f") + "/sstore"
+        SketchStore.initStore(fresh)
+        SketchStore.admitBatch(s, survivors, Seq("event_type"), "user_id",
+          0L, fresh)
+        val freshMap = SketchStore.estimatesCurrent(s, fresh, Seq("event_type"))
+          .select(col("event_type"), col("est"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).toMap
+        val eqFresh = rebuilt.forall { case (k, e) => freshMap(k) == e }
+        val staleUpper = affectedTypes.forall(k => staleMap(k) >= rebuiltMap(k))
+        val unaffectedIdentical = rebuiltMap.keySet.filterNot(
+          affectedTypes.contains).forall(k => rebuiltMap(k) == staleMap(k))
+        survivors.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).cast("long").as("n_exact_surviving"))
+          .join(rebuiltMap.toSeq.toDF("event_type", "est_rebuilt"), "event_type")
+          .select(col("event_type"),
+            col("n_exact_surviving"),
+            col("event_type").isInCollection(affectedTypes).as("affected"),
+            lit(gen2 == 2L).as("rebuild_published_gen2"),
+            lit(eqFresh).as("rebuilt_eq_from_scratch"),
+            lit(staleUpper).as("stale_is_upper_bound"),
+            lit(unaffectedIdentical).as("unaffected_keys_identical"),
+            (abs(col("est_rebuilt") - col("n_exact_surviving")).cast("double")
+              <= col("n_exact_surviving") * 0.05).as("within_5pct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_surviving,
+             |  event_type IN ('click', 'view') AS affected,
+             |  TRUE AS rebuild_published_gen2,
+             |  TRUE AS rebuilt_eq_from_scratch,
+             |  TRUE AS stale_is_upper_bound,
+             |  TRUE AS unaffected_keys_identical,
+             |  TRUE AS within_5pct
+             |FROM events
+             |WHERE NOT (event_type IN ('click', 'view') AND user_id % 10 = 3)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef("q177_frequency_takedown_rebuild",
+      // THE FREQUENCY-STORE TAKEDOWN CONTRACT (HeavyHitters
+      // .rebuildBatches). MG deletion is impossible — the prune discards
+      // evicted counts irrecoverably, and negative corrections would
+      // break est <= exact — so the contract is per-FRAGMENT scoped
+      // rebuild: recompute only the fragments whose source batches held
+      // dead rows, from the surviving slice of those batches, carry
+      // every other fragment bit-for-bit, publish as a new generation.
+      // m exceeds the key cardinality here, so MG never prunes and
+      // every estimate is EXACT — the emitted per-key counts are the
+      // oracle's surviving-row counts directly (stale counts beforehand
+      // equal the full table, the staleness gate), making the rebuild
+      // verifiable to the row rather than within-bound. The sealed
+      // high-water mark afterwards covers the rebuilt id: an admission
+      // replay of the pre-takedown batch 0 must be REFUSED, or it would
+      // resurrect the dead rows' counts.
+      (s, d) => {
+        val root = scratchDir("q177") + "/hhstore"
+        val ev = t(s, d, "events")
+        val m = 64
+        val deadPred = pmod(col("event_id"), lit(2)) === 0 &&
+          col("user_id") % 10 === 3
+        HeavyHitters.initStore(root)
+        (0L to 1L).foreach { b =>
+          HeavyHitters.admitBatch(s,
+            ev.filter(pmod(col("event_id"), lit(2)) === b), "event_type",
+            m, b, root)
+        }
+        def hitters() = HeavyHitters.hittersCurrent(s, root, m)
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sorted
+        val stale = hitters().toMap
+        val survivors0 = ev.filter(pmod(col("event_id"), lit(2)) === 0 &&
+          !(col("user_id") % 10 === 3))
+        val gen2 = HeavyHitters.rebuildBatches(s, root, expectedGen = 1L,
+          "event_type", m, Seq(0L -> survivors0))
+        val rebuilt = hitters()
+        val staleIsFull = ev.groupBy(col("event_type")).count()
+          .collect().forall(r => stale(r.getString(0)) == r.getLong(1))
+        val sealedRefused =
+          try {
+            HeavyHitters.admitBatch(s,
+              ev.filter(pmod(col("event_id"), lit(2)) === 0), "event_type",
+              m, 0L, root); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("compact") || e.getMessage.contains("seal") }
+        import s.implicits._
+        rebuilt.toDF("event_type", "est_rebuilt")
+          .select(col("event_type"), col("est_rebuilt"),
+            lit(gen2 == 2L).as("rebuild_published_gen2"),
+            lit(staleIsFull).as("stale_counted_dead_rows"),
+            lit(sealedRefused).as("pre_takedown_replay_refused"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS est_rebuilt,
+             |  TRUE AS rebuild_published_gen2,
+             |  TRUE AS stale_counted_dead_rows,
+             |  TRUE AS pre_takedown_replay_refused
+             |FROM events
+             |WHERE NOT (event_id % 2 = 0 AND user_id % 10 = 3)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QDef("q178_takedown_sink_policy",
+      // CONTINUOUS TAKEDOWN, WINDOW BOUNDED IN-STREAM — the q165
+      // signature-takedown sink with its maintenance leg armed
+      // (compactAtPendingFraction): every takedown micro-batch lands
+      // its delete fragment AND evaluates needsCompaction (q174's
+      // footer-count predicate), so the pending window closes inside
+      // the stream the moment it crosses the threshold — no external
+      // maintenance scheduler in the loop. Gates: the generation rolled
+      // while the stream ran; the predicate is quiet at the sink's own
+      // threshold when the stream drains (the bounded-by-contract
+      // claim); post-stream admission decisions equal the batch closed
+      // form (delete + compact via the batch APIs) — the q164
+      // stream==batch discipline applied to deletion; and a taken-down
+      // doc re-admits (the purge is live, not pending). At 100 TB the
+      // per-micro-batch cost is one tiny fragment write plus two footer
+      // reads; compactions amortize at the operator's chosen fraction.
+      (s, d) => {
+        import graft.streaming.EventStreams
+        import graft.operators.GenStore
+        val base = scratchDir("q178")
+        val root = s"$base/sig"
+        val twin = s"$base/twin"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val dead = docs.filter(col("doc_id") % 5 === 1)
+        for (r <- Seq(root, twin)) {
+          KeySetStore.init(r)
+          Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3,
+            numHashes = 32, bands = 8, batchId = 0L, root = r,
+            portableKeys = true)
+        }
+        val feed = s"$base/feed"
+        dead.repartition(2).write.parquet(feed)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = EventStreams.signatureTakedownIngest(stream, "doc_id",
+          "text", root, s"$base/_cp", n = 3, numHashes = 32, bands = 8,
+          portableKeys = true, compactAtPendingFraction = 0.01)
+        try q.processAllAvailable() finally q.stop()
+        val genRolled = GenStore.currentGen(root) > 1L
+        val quietAtDrain = !KeySetStore.needsCompaction(s, root,
+          maxPendingFraction = 0.01)
+        // batch closed form: one delete batch + one compaction
+        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = twin,
+          portableKeys = true)
+        KeySetStore.compactStore(s, twin, GenStore.currentGen(twin))
+        def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(docs,
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8, root = r,
+            portableKeys = true)
+          .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
+        val streamed = dec(root)
+        val eqBatch = streamed == dec(twin)
+        val deadReadmit = streamed.filter(_._1 % 5 == 1L).forall(_._2)
+        docs.agg(count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("doc_id") % 5 === 1, lit(1))).cast("long")
+              .as("n_taken_down"))
+          .select(col("n_docs"), col("n_taken_down"),
+            lit(genRolled).as("compaction_fired_in_stream"),
+            lit(quietAtDrain).as("window_closed_at_drain"),
+            lit(eqBatch).as("stream_eq_batch_closed_form"),
+            lit(deadReadmit).as("taken_down_docs_readmittable"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(CASE WHEN doc_id % 5 = 1 THEN 1 END) AS BIGINT)
+             |    AS n_taken_down,
+             |  TRUE AS compaction_fired_in_stream,
+             |  TRUE AS window_closed_at_drain,
+             |  TRUE AS stream_eq_batch_closed_form,
+             |  TRUE AS taken_down_docs_readmittable
+             |FROM documents""".stripMargin)),
+
+    QDef("q179_vector_compaction_policy",
+      // THE VECTOR STORE UNDER THE MAINTENANCE TRIGGER — q174's
+      // predicate on the store whose pending window is the most
+      // expensive (the kNN anti-join between the coded scan and
+      // shortlist scoring): a 10% takedown arms needsCompaction at the
+      // 5% threshold (footer-counted delete markers vs stats-counted
+      // admitted vectors — KBs, no corpus read), compactIfNeeded folds
+      // the pending set away physically, the predicate goes quiet, and
+      // post-fold search equals a FROM-SCRATCH store over the survivors
+      // under the same index artifact — the full bounded-window story
+      // for vector serving in one lifecycle. Search params are the q150
+      // store-equality settings; both stores share centroids/books, so
+      // equality is exact, not approximate.
+      (s, d) => {
+        val base = scratchDir("q179")
+        val root = s"$base/vstore"
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val fit = emb.filter(col("vec_id") % 3 === 0)
+        val (c1, b1) = Similarity.fitIvfPq(fit, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        VectorStore.init(s, root, c1, b1)
+        VectorStore.admit(s, root, emb, "vec_id", "embedding", 0L)
+        val freshQuiet = !VectorStore.needsCompaction(s, root)
+        VectorStore.admitDeletes(s, root,
+          emb.filter(col("vec_id") % 10 === 2).select("vec_id"), "vec_id", 0L)
+        val looseQuiet = !VectorStore.needsCompaction(s, root,
+          maxPendingFraction = 0.5)
+        val tightFires = VectorStore.needsCompaction(s, root,
+          maxPendingFraction = 0.05)
+        def served() = VectorStore.search(s, root, q, "vec_id", "embedding",
+            5, nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val pending = served()
+        val fired = VectorStore.compactIfNeeded(s, root,
+          maxPendingFraction = 0.05) == Some(2L)
+        val quietAfter = !VectorStore.needsCompaction(s, root,
+          maxPendingFraction = 0.05)
+        val purged = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "gen=2", "deletes")) &&
+          s.read.parquet(VectorStore.codedDir(root, 2L))
+            .filter(col("cid") % 10 === 2).count() == 0L
+        val stableAcrossFold = served() == pending
+        // from-scratch twin over the survivors, same index artifact
+        val clean = s"$base/clean"
+        VectorStore.init(s, clean, c1, b1)
+        VectorStore.admit(s, clean, emb.filter(col("vec_id") % 10 =!= 2),
+          "vec_id", "embedding", 0L)
+        val eqClean = served() == VectorStore.search(s, clean, q, "vec_id",
+            "embedding", 5, nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        import s.implicits._
+        pending.map(_._1).distinct.sorted.map { qid =>
+          (qid, pending.count(_._1 == qid).toLong, freshQuiet, looseQuiet,
+            tightFires, fired, quietAfter, purged, stableAcrossFold, eqClean)
+        }.toDF("query_id", "n_results", "fresh_quiet",
+          "loose_threshold_quiet", "tight_threshold_fires",
+          "policy_fired_gen2", "quiet_after_fold", "pending_set_purged",
+          "serving_stable_across_fold", "eq_survivor_store")
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS fresh_quiet, TRUE AS loose_threshold_quiet,
+             |  TRUE AS tight_threshold_fires, TRUE AS policy_fired_gen2,
+             |  TRUE AS quiet_after_fold, TRUE AS pending_set_purged,
+             |  TRUE AS serving_stable_across_fold, TRUE AS eq_survivor_store
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

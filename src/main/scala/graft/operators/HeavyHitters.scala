@@ -238,6 +238,78 @@ object HeavyHitters {
     mergeSummaries(
       spark.read.parquet(GenStore.genDir(root, GenStore.currentGen(root))), m)
 
+  // -------------------------------------------------------------------------
+  // TAKEDOWN contract. MG deletion is impossible: the prune step
+  // discards evicted keys' counts irrecoverably, so subtracting a dead
+  // document's contribution from a summary that may have pruned it has
+  // no well-defined answer (the q161/q166 delete machinery deliberately
+  // does NOT exist here — negative counts would break est <= exact, the
+  // structure's only hard guarantee). STALENESS SEMANTICS a takedown
+  // induces: estimates keep counting the dead documents' keys until a
+  // rebuild — upper bounds on the surviving stream, drifting upward and
+  // silently. Deployments that must serve post-takedown-accurate
+  // frequencies use [[rebuildBatches]]: recompute ONLY the fragments
+  // whose source batches contained dead documents, from the caller's
+  // surviving slice of those batches, and publish as a new generation.
+  // The scope is per-FRAGMENT, not per-key, because an MG summary is
+  // one pruned structure — unlike the sketch store's per-key rows
+  // ([[SketchStore.rebuildKeys]]) there is no finer unit to swap.
+  // -------------------------------------------------------------------------
+
+  /** Scoped REBUILD: roll a new generation in which each fragment named
+    * in `survivorsByBatch` is replaced by a summary recomputed from
+    * that batch's surviving raw rows (the caller's retained-corpus
+    * slice, post-takedown), while every other fragment is carried
+    * bit-for-bit. CAS on `expectedGen`; sealed and published behind the
+    * atomic pointer, readers generation-isolated throughout. Cost: one
+    * summarize pass over the AFFECTED batches' surviving rows only —
+    * fragments a takedown never touched are copies of <= m-row files.
+    * The mergeable-summaries guarantees then hold over the surviving
+    * stream exactly as a from-scratch store would state them
+    * (spec-gated: rebuilt == from-scratch on the surviving rows,
+    * fragment for fragment).
+    */
+  def rebuildBatches(spark: SparkSession, root: String, expectedGen: Long,
+      keyCol: String, m: Int,
+      survivorsByBatch: Seq[(Long, DataFrame)]): Long = {
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = GenStore.genDir(root, cur)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to rebuild under $src")
+    val affected = survivorsByBatch.map(_._1)
+    val unknown = affected.filterNot(ids.contains)
+    require(unknown.isEmpty,
+      s"rebuildBatches names fragments the store does not hold: " +
+        unknown.sorted.mkString(", "))
+    val dst = GenStore.genDir(root, cur + 1)
+    // rebuilt fragments from the surviving slices, under their own ids
+    survivorsByBatch.foreach { case (i, survivors) =>
+      appendBatch(survivors, keyCol, m, i, dst)
+    }
+    // carry every unaffected listed fragment bit-for-bit
+    (ids.toSet -- affected.toSet).toSeq.sorted.foreach { i =>
+      spark.read.parquet(s"$src/batch_id=$i")
+        .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+    }
+    // family straggler sweep: an admit racing the rebuild rides through
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
+    // seal covers the REBUILT ids (and whatever the source generation
+    // already sealed): an admission replay of a rebuilt batch id would
+    // overwrite the post-takedown summary with the pre-takedown one —
+    // the exact overwrite the seal exists to refuse
+    GenStore.seal(root, cur + 1,
+      (GenStore.compactedHwm(root, cur) +: affected).max)
+    GenStore.writePointer(root, cur + 1)
+    sweep()
+    cur + 1
+  }
+
   /** Folds pre-counted `(key, est)` rows through the MG merge algebra —
     * the reduce side treats each row as a one-key summary, so reduce and
     * merge are the SAME pruning operation and any merge tree is valid.

@@ -170,9 +170,14 @@ object RangeJoin {
       .drop("__rj_bucket", "__rj_b2")
     // wide terms partition the pair space disjointly (no distinct
     // needed): narrow×narrow is the bucketed join, wide-a meets ALL of
-    // b in one broadcast term, and narrow-a meets wide-b in the other
+    // b in one broadcast term, and narrow-a meets wide-b in the other.
+    // "ALL of b" is rebuilt from the PINNED split (nb ∪ wb), never the
+    // raw frame: with a nondeterministic source, a recomputed b could
+    // disagree with the rows the fence counted and the bucketed term
+    // joined, double-counting or dropping pairs.
     val terms = Seq(
-      if (nWideA > 0L) Some(broadcast(wa).join(b, overlap)) else None,
+      if (nWideA > 0L) Some(broadcast(wa).join(nb.unionByName(wb), overlap))
+      else None,
       if (nWideB > 0L) Some(na.join(broadcast(wb), overlap)) else None).flatten
     terms.foldLeft(bucketed)((acc, t) => acc.unionByName(t))
   }

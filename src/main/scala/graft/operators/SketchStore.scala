@@ -177,4 +177,83 @@ object SketchStore {
       keyCols: Seq[String]): DataFrame =
     mergedEstimates(spark,
       GenStore.genDir(root, GenStore.currentGen(root)), keyCols)
+
+  // -------------------------------------------------------------------------
+  // TAKEDOWN contract. HLL deletion is information-theoretically
+  // impossible: the state is a register MAX, and max is not invertible
+  // — once a value raised a register there is no record of what it
+  // displaced, so no delete fragment, anti-join, or compaction can
+  // unsee it (the q161/q165/q166 machinery deliberately does NOT exist
+  // here). STALENESS SEMANTICS a takedown therefore induces: estimates
+  // keep counting the dead documents' values until a rebuild — they
+  // are upper bounds on the surviving corpus' distinct counts, drifting
+  // upward as takedowns accumulate, and the drift is silent (a sketch
+  // cannot report how much of it is dead). Deployments that must serve
+  // post-takedown-accurate counts use [[rebuildKeys]]: recompute ONLY
+  // the affected keys from the caller's surviving corpus slice and
+  // swap the result in as a new generation — the refit-actuator
+  // pattern ([[VectorStore.refit]]) applied to sketches. Keys never
+  // touched by a takedown carry their existing registers bit-for-bit.
+  // -------------------------------------------------------------------------
+
+  /** Scoped REBUILD: roll a new generation in which every key in
+    * `affectedKeys` has its sketch recomputed from `survivors` (the
+    * surviving raw rows for those keys — the caller's retained-corpus
+    * slice, post-takedown) and every other key carries its merged
+    * registers unchanged. One sealed fragment, published behind the
+    * atomic pointer with the family's CAS; the superseded generation
+    * keeps serving readers mid-rebuild. At 100 TB the cost is ONE scan
+    * of the affected keys' surviving rows plus the KB-sized sketch
+    * union — never a whole-corpus recount (that is [[appendBatch]] on
+    * an empty store, the unscoped fallback).
+    *
+    * Rebuilt estimates equal a from-scratch store over the surviving
+    * rows for the affected keys (spec-gated): HLL is insertion-order-
+    * and split-insensitive, so "recomputed from survivors" has exactly
+    * one answer.
+    */
+  def rebuildKeys(spark: SparkSession, root: String, expectedGen: Long,
+      keyCols: Seq[String], valueCol: String,
+      affectedKeys: DataFrame, survivors: DataFrame,
+      lgK: Int = DefaultLgK): Long = {
+    require(keyCols.nonEmpty, "rebuildKeys needs at least one key column")
+    val cur = GenStore.currentGen(root)
+    if (cur != expectedGen) return cur
+    val src = GenStore.genDir(root, cur)
+    val ids = GenStore.listBatchIds(spark, src)
+    require(ids.nonEmpty, s"nothing to rebuild under $src")
+    val hwm = ids.max
+    val dst = GenStore.genDir(root, cur + 1)
+    val affected = broadcast(affectedKeys.select(keyCols.map(col): _*)
+      .distinct())
+    // unaffected keys: the ordinary compaction union, minus affected
+    val carried = spark.read.parquet(ids.map(i => s"$src/batch_id=$i"): _*)
+      .join(affected, keyCols, "left_anti")
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        max(col("lgk")).as("lgk"))
+    // affected keys: recomputed from the surviving slice only (a key
+    // whose survivors are empty simply disappears — a from-scratch
+    // store would not hold it either)
+    val rebuilt = survivors
+      .join(affected, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("lgk", lit(lgK))
+    carried.unionByName(rebuilt)
+      .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
+    // family straggler sweep: an admit racing the rebuild rides through
+    // unmerged (its registers are NEW post-takedown data — carrying
+    // them raw is correct; the read union folds them in)
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
+    sweep()
+    cur + 1
+  }
 }

@@ -138,4 +138,51 @@ class HeavyHittersSpec extends AnyFunSuite {
     // asserted here structurally: current gen is still 2)
     assert(graft.operators.GenStore.currentGen(root) === 2L)
   }
+
+  test("rebuildBatches: affected fragment recomputed from survivors, others carried, replay of the rebuilt id refused") {
+    import graft.operators.GenStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hh-rebuild-").toString + "/h"
+    val m = 8
+    // dead_hot is heavy ONLY through taken-down docs (batch 0); live_hot
+    // is heavy through surviving rows in both batches
+    val b0 = ((1 to 500).map(_ => "dead_hot") ++ (1 to 400).map(_ => "live_hot")
+      ++ (1 to 200).map(i => s"a_$i")).toDF("k")
+    val b1 = ((1 to 450).map(_ => "live_hot") ++ (1 to 200).map(i => s"b_$i"))
+      .toDF("k")
+    HeavyHitters.initStore(root)
+    HeavyHitters.admitBatch(spark, b0, "k", m, 0L, root)
+    HeavyHitters.admitBatch(spark, b1, "k", m, 1L, root)
+    val stale = HeavyHitters.hittersCurrent(spark, root, m)
+      .as[(String, Long)].collect().toMap
+    assert(stale.contains("dead_hot"), "fixture degenerate: dead_hot not heavy")
+    // the takedown removes every dead_hot row; batch 0's survivors
+    val survivors0 = b0.filter(col("k") =!= "dead_hot")
+    assert(HeavyHitters.rebuildBatches(spark, root, expectedGen = 1L,
+      "k", m, Seq(0L -> survivors0)) === 2L)
+    // CAS: stale retry no-ops
+    assert(HeavyHitters.rebuildBatches(spark, root, expectedGen = 1L,
+      "k", m, Seq(0L -> survivors0)) === 2L)
+    val rebuilt = HeavyHitters.hittersCurrent(spark, root, m)
+      .as[(String, Long)].collect().toMap
+    assert(!rebuilt.contains("dead_hot"),
+      "a key heavy only through taken-down docs survived the rebuild")
+    // live_hot keeps the mergeable-summaries contract over the
+    // SURVIVING stream: est <= exact, exact - est <= sum(N_i/(m+1))
+    val exact = 850L
+    val n0 = 600L; val n1 = 650L
+    val est = rebuilt.getOrElse("live_hot", fail("surviving heavy key lost"))
+    assert(est <= exact, "MG overcounted after rebuild")
+    assert(exact - est <= n0 / (m + 1) + n1 / (m + 1) + 2,
+      s"live_hot est $est out of the additive bound on the surviving stream")
+    // the rebuilt id is sealed: an admission replay of pre-takedown
+    // batch 0 must be refused, or the dead rows' counts resurrect
+    val err = intercept[IllegalArgumentException] {
+      HeavyHitters.admitBatch(spark, b0, "k", m, 0L, root)
+    }
+    assert(err.getMessage.contains("compact"))
+    // ids above the seal still admit
+    HeavyHitters.admitBatch(spark, b1, "k", m, 2L, root)
+    assert(GenStore.currentGen(root) === 2L)
+  }
 }

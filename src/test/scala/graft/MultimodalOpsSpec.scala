@@ -236,4 +236,46 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val b = spark.read.parquet(outDir).agg(count(lit(1)), sum("l_quantity")).head()
     assert(a == b)
   }
+
+  test("REAL motion features: grayscale planted frames give exact closed-form diff energies") {
+    // levels 10 -> 10 -> 40 -> 40 -> 15: energies (0, 900, 0, 625);
+    // grayscale makes each pair's energy the exact integer delta^2
+    val levels = Seq(10, 10, 40, 40, 15)
+    val frames = levels.map(c => Multimodal.syntheticBmp(6, 4)((_, _) => (c, c, c)))
+    val avi = graft.operators.AviContainer.syntheticAvi(6, 4, 33333, frames)
+    val rows = Seq((1L, avi), (2L, "not a video".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.extractMotionFeatures(rows, "doc_id", "payload").collect()
+    // non-AVI payloads are dropped, never task failures
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("n_frames") == 5L && r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Double]("mean_diff_energy") == (0.0 + 900.0 + 0.0 + 625.0) / 4)
+    assert(r.getAs[Double]("max_diff_energy") == 900.0)
+    assert(r.getAs[Double]("still_fraction") == 0.5)
+  }
+
+  test("motion features: color frames average the three channels; stride subsamples pairs") {
+    // (r,g,b) (0,0,0) -> (3,6,9): energy (9+36+81)/3 = 42 exactly
+    val frames = Seq((0, 0, 0), (3, 6, 9), (3, 6, 9)).map { case (r, g, b) =>
+      Multimodal.syntheticBmp(4, 4)((_, _) => (r, g, b))
+    }
+    val avi = graft.operators.AviContainer.syntheticAvi(4, 4, 33333, frames)
+    val full = Multimodal.extractMotionFeatures(
+      Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    assert(full.getAs[Long]("n_pairs") == 2L)
+    assert(full.getAs[Double]("max_diff_energy") == 42.0)
+    assert(full.getAs[Double]("mean_diff_energy") == 21.0)
+    // stride=2 samples frames 0 and 2: one pair, same 42 energy
+    val strided = Multimodal.extractMotionFeatures(
+      Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id", "payload",
+      stride = 2).head()
+    assert(strided.getAs[Long]("n_pairs") == 1L)
+    assert(strided.getAs[Double]("mean_diff_energy") == 42.0)
+    // fewer than two decodable frames -> dropped
+    val single = graft.operators.AviContainer.syntheticAvi(4, 4, 33333,
+      frames.take(1))
+    assert(Multimodal.extractMotionFeatures(
+      Seq((1L, single)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .count() == 0L)
+  }
 }

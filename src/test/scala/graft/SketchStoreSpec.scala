@@ -88,4 +88,48 @@ class SketchStoreSpec extends AnyFunSuite {
         Seq.empty, "user_id", 0L, "/tmp/never-written")
     }
   }
+
+  test("rebuildKeys: affected keys equal a from-scratch store on survivors; others carry bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.GenStore
+    val root = Files.createTempDirectory("graft-sk-rebuild-").toString + "/s"
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val affected = Seq("click", "view")
+    val deadPred = col("event_type").isInCollection(affected) &&
+      col("user_id") % 10 === 3
+    SketchStore.initStore(root)
+    (0L to 1L).foreach { b =>
+      SketchStore.admitBatch(spark, ev.filter(pmod(col("event_id"), lit(2)) === b),
+        Seq("event_type"), "user_id", b, root)
+    }
+    def ests(r: String) = SketchStore.estimatesCurrent(spark, r, Seq("event_type"))
+      .select("event_type", "est").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    val stale = ests(root)
+    val survivors = ev.filter(!deadPred)
+    assert(SketchStore.rebuildKeys(spark, root, expectedGen = 1L,
+      Seq("event_type"), "user_id", affected.toDF("event_type"),
+      survivors) === 2L)
+    // CAS: a stale retry no-ops
+    assert(SketchStore.rebuildKeys(spark, root, expectedGen = 1L,
+      Seq("event_type"), "user_id", affected.toDF("event_type"),
+      survivors) === 2L)
+    val rebuilt = ests(root)
+    // from-scratch twin over the surviving rows only
+    val fresh = Files.createTempDirectory("graft-sk-fresh-").toString + "/s"
+    SketchStore.initStore(fresh)
+    SketchStore.admitBatch(spark, survivors, Seq("event_type"), "user_id",
+      0L, fresh)
+    assert(rebuilt === ests(fresh),
+      "scoped rebuild diverges from a from-scratch store on the survivors")
+    // staleness direction: the pre-rebuild store counted dead users
+    affected.foreach(k => assert(stale(k) >= rebuilt(k)))
+    // unaffected keys: estimates unchanged
+    rebuilt.keySet.filterNot(affected.contains)
+      .foreach(k => assert(rebuilt(k) === stale(k)))
+    // the rebuilt generation serves through the pointer and admits on top
+    SketchStore.admitBatch(spark, ev.limit(50), Seq("event_type"),
+      "user_id", 5L, root)
+    assert(GenStore.currentGen(root) === 2L)
+  }
 }
