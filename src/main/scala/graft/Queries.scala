@@ -7428,9 +7428,12 @@ object Queries {
       // rebuild: recompute ONLY the affected keys from the surviving
       // corpus slice and publish as a new generation, keys a takedown
       // never touched carrying their registers bit-for-bit. Gates: the
-      // rebuilt store equals a FROM-SCRATCH store over the surviving
-      // rows key for key (HLL is order- and split-insensitive, so
-      // "recomputed from survivors" has exactly one answer); unaffected
+      // AFFECTED keys equal a FROM-SCRATCH store over the surviving
+      // rows (both sides are one hll_sketch_agg over the same multiset
+      // — order- and split-insensitive, exactly one answer; carried
+      // keys are NOT held to that: a union of fragment sketches is not
+      // estimate-identical to a one-pass sketch at high cardinality,
+      // the sf0.1 gate run that pinned this distinction); unaffected
       // keys' estimates are unchanged from the pre-takedown store; and
       // the rebuilt estimates stand within the q148 accuracy bands of
       // the exact surviving distinct counts the oracle recomputes. At
@@ -7468,7 +7471,7 @@ object Queries {
         val freshMap = SketchStore.estimatesCurrent(s, fresh, Seq("event_type"))
           .select(col("event_type"), col("est"))
           .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).toMap
-        val eqFresh = rebuilt.forall { case (k, e) => freshMap(k) == e }
+        val eqFresh = affectedTypes.forall(k => freshMap(k) == rebuiltMap(k))
         val staleUpper = affectedTypes.forall(k => staleMap(k) >= rebuiltMap(k))
         val unaffectedIdentical = rebuiltMap.keySet.filterNot(
           affectedTypes.contains).forall(k => rebuiltMap(k) == staleMap(k))
@@ -7479,7 +7482,7 @@ object Queries {
             col("n_exact_surviving"),
             col("event_type").isInCollection(affectedTypes).as("affected"),
             lit(gen2 == 2L).as("rebuild_published_gen2"),
-            lit(eqFresh).as("rebuilt_eq_from_scratch"),
+            lit(eqFresh).as("affected_eq_from_scratch"),
             lit(staleUpper).as("stale_is_upper_bound"),
             lit(unaffectedIdentical).as("unaffected_keys_identical"),
             (abs(col("est_rebuilt") - col("n_exact_surviving")).cast("double")
@@ -7490,7 +7493,7 @@ object Queries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_surviving,
              |  event_type IN ('click', 'view') AS affected,
              |  TRUE AS rebuild_published_gen2,
-             |  TRUE AS rebuilt_eq_from_scratch,
+             |  TRUE AS affected_eq_from_scratch,
              |  TRUE AS stale_is_upper_bound,
              |  TRUE AS unaffected_keys_identical,
              |  TRUE AS within_5pct
@@ -7698,7 +7701,138 @@ object Queries {
              |  TRUE AS tight_threshold_fires, TRUE AS policy_fired_gen2,
              |  TRUE AS quiet_after_fold, TRUE AS pending_set_purged,
              |  TRUE AS serving_stable_across_fold, TRUE AS eq_survivor_store
-             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q180_maintenance_sweep",
+      // THE MAINTENANCE TICK — q168's takedown cutover with the purge
+      // compactions driven by POLICY instead of operator calls: one
+      // generic sweep evaluates needsCompaction on every store behind
+      // the manifest (the r13 predicate family, footer/KB-stat reads
+      // only) and compacts exactly the stores whose pending-delete
+      // fraction crossed the threshold — what a production scheduler
+      // runs every tick without knowing which stores took deletions
+      // this interval. The q168 discipline is inherited wholesale: pin
+      // v1, ROLL each store a generation (deletes never touch a pinned
+      // one), delete into the rolled generation, SWEEP, publish v2.
+      // Gates: the sweep is quiet on the rolled-but-clean stores and
+      // fires on all three once the deletes land (the decision comes
+      // from the predicate, not the caller's knowledge); pending sets
+      // are purged everywhere after one tick; v1 still serves the
+      // pre-takedown index read bit for bit; nothing dead survives in
+      // the v2 coded fragments. Emitted rows are v2's BM25 top-15 over
+      // the clean-corpus closed form.
+      (s, d) => {
+        import graft.operators.GenStore
+        val base = scratchDir("q180")
+        val iroot = base + "/istore"
+        val vroot = base + "/vstore"
+        val kroot = base + "/sigstore"
+        val mroot = base + "/manifest"
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(iroot)
+        InvertedIndex.admitBatch(s, toks, "doc_id", "tk", IndexBucket,
+          batchId = 0L, root = iroot)
+        val emb = t(s, d, "embeddings")
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        VectorStore.init(s, vroot, vc, vb)
+        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+        KeySetStore.init(kroot)
+        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 0L, root = kroot, portableKeys = true)
+        Manifest.init(mroot,
+          Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
+        def bmAt(v: Long) = InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(iroot, Manifest.resolve(mroot, v, "index")),
+            bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val preBm = bmAt(1L)
+        // ROLL off the pinned generations (pure compactions)
+        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
+        VectorStore.compactGen(s, vroot, expectedGen = 1L)
+        KeySetStore.compactStore(s, kroot, expectedGen = 1L)
+        // the sweep, as a production scheduler would run it: one
+        // generic needsCompaction/compactIfNeeded pass per store
+        val frac = 0.02
+        def sweep(): Map[String, Option[Long]] = Map(
+          "index" -> InvertedIndex.compactIfNeeded(s, iroot,
+            maxFragments = 1000, maxPendingFraction = frac),
+          "vectors" -> VectorStore.compactIfNeeded(s, vroot,
+            maxFragments = 1000, maxPendingFraction = frac),
+          "signatures" -> KeySetStore.compactIfNeeded(s, kroot,
+            maxFragments = 1000, maxPendingFraction = frac))
+        // clean stores: the tick is a no-op — the predicate, not the
+        // caller, knows nothing is pending
+        val quietOnClean = sweep().values.forall(_.isEmpty)
+        // the takedown lands in the rolled generations
+        val deadDocs = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+          "doc_id", 0L, iroot)
+        VectorStore.admitDeletes(s, vroot,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
+        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
+          portableKeys = true)
+        // next tick: all three fire, to generation 3
+        val fired = sweep()
+        val firedAll = fired.values.forall(_ == Some(3L))
+        // and the tick after that is quiet again — windows closed
+        val quietAfter = sweep().values.forall(_.isEmpty)
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))
+        val v1Stable = v2 == 2L && bmAt(1L) == preBm
+        val vectorPurged = s.read.parquet(VectorStore.codedDir(vroot, 3L))
+          .filter(col("cid") % 7 === 3).isEmpty &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(vroot, "gen=3", "deletes"))
+        InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(iroot, Manifest.resolve(mroot, 2L, "index")),
+            bm25Terms, 15)
+          .withColumn("tick_quiet_on_clean_stores", lit(quietOnClean))
+          .withColumn("tick_fired_all_after_deletes", lit(firedAll))
+          .withColumn("tick_quiet_after_purge", lit(quietAfter))
+          .withColumn("v1_pre_takedown_stable", lit(v1Stable))
+          .withColumn("vector_purged_at_v2", lit(vectorPurged))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 7 <> 3
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS tick_quiet_on_clean_stores,
+              |  TRUE AS tick_fired_all_after_deletes,
+              |  TRUE AS tick_quiet_after_purge,
+              |  TRUE AS v1_pre_takedown_stable,
+              |  TRUE AS vector_purged_at_v2
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -208,9 +208,12 @@ object SketchStore {
     * an empty store, the unscoped fallback).
     *
     * Rebuilt estimates equal a from-scratch store over the surviving
-    * rows for the affected keys (spec-gated): HLL is insertion-order-
-    * and split-insensitive, so "recomputed from survivors" has exactly
-    * one answer.
+    * rows for the AFFECTED keys (spec-gated): both sides are one
+    * hll_sketch_agg over the same multiset — insertion-order- and
+    * split-insensitive, exactly one answer. Carried keys keep their
+    * merged REGISTERS unchanged instead; a register union is not
+    * estimate-identical to a hypothetical one-pass sketch at high
+    * cardinality, and no gate should (or does) claim it is.
     */
   def rebuildKeys(spark: SparkSession, root: String, expectedGen: Long,
       keyCols: Seq[String], valueCol: String,

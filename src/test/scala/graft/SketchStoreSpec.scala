@@ -115,13 +115,18 @@ class SketchStoreSpec extends AnyFunSuite {
       Seq("event_type"), "user_id", affected.toDF("event_type"),
       survivors) === 2L)
     val rebuilt = ests(root)
-    // from-scratch twin over the surviving rows only
+    // from-scratch twin over the surviving rows only: the AFFECTED keys
+    // must match exactly (both sides one hll_sketch_agg over the same
+    // multiset); carried keys keep their REGISTERS instead — a union of
+    // fragment sketches is not estimate-identical to a one-pass sketch
+    // at high cardinality (caught by the q176 sf0.1 gate run)
     val fresh = Files.createTempDirectory("graft-sk-fresh-").toString + "/s"
     SketchStore.initStore(fresh)
     SketchStore.admitBatch(spark, survivors, Seq("event_type"), "user_id",
       0L, fresh)
-    assert(rebuilt === ests(fresh),
-      "scoped rebuild diverges from a from-scratch store on the survivors")
+    val freshEsts = ests(fresh)
+    affected.foreach(k => assert(rebuilt(k) === freshEsts(k),
+      s"scoped rebuild of $k diverges from a from-scratch store on the survivors"))
     // staleness direction: the pre-rebuild store counted dead users
     affected.foreach(k => assert(stale(k) >= rebuilt(k)))
     // unaffected keys: estimates unchanged
