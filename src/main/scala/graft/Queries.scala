@@ -7832,7 +7832,101 @@ object Queries {
               |  TRUE AS tick_quiet_after_purge,
               |  TRUE AS v1_pre_takedown_stable,
               |  TRUE AS vector_purged_at_v2
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q181_store_health",
+      // THE MAINTENANCE DASHBOARD — maintenanceStatus across the
+      // delete-capable store family: one row per store of (generation,
+      // fragments, data_rows, pending_rows, pending_fraction,
+      // needs_compaction), the exact inputs the q174/q179 policy
+      // predicates evaluate, exposed so a scheduler or an operator can
+      // see WHY a maintenance tick will or won't fire. Every number is
+      // engine-checkable: the index's data cardinality is its doclens
+      // row count (one per doc), the vector store's is its admitted
+      // n_vectors, and the signature store's is the distinct portable
+      // band-key count the oracle recomputes from the q105 md5 closed
+      // form — pending sides likewise (the dead docs' ids / distinct
+      // band keys). Footer-count cost model: the dashboard frame runs
+      // no Spark job over any store's data.
+      (s, d) => {
+        val base = scratchDir("q181")
+        val iroot = base + "/istore"
+        val vroot = base + "/vstore"
+        val kroot = base + "/sigstore"
+        val docs = t(s, d, "documents")
+        InvertedIndex.initStore(iroot)
+        InvertedIndex.admitBatch(s,
+          docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk")),
+          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+        val emb = t(s, d, "embeddings")
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        VectorStore.init(s, vroot, vc, vb)
+        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+        KeySetStore.init(kroot)
+        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = 0L, root = kroot, portableKeys = true)
+        val deadDocs = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+          "doc_id", 0L, iroot)
+        VectorStore.admitDeletes(s, vroot,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
+        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
+          portableKeys = true)
+        InvertedIndex.maintenanceStatus(s, iroot)
+          .withColumn("store", lit("index"))
+          .unionByName(KeySetStore.maintenanceStatus(s, kroot)
+            .withColumn("store", lit("signatures")))
+          .unionByName(VectorStore.maintenanceStatus(s, vroot)
+            .withColumn("store", lit("vectors")))
+          .select(col("store"), col("generation"), col("fragments"),
+            col("data_rows"), col("pending_rows"), col("pending_fraction"),
+            col("needs_compaction"))
+          .orderBy(col("store"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), sigstore AS (
+             |  SELECT CAST(count(DISTINCT band || '|' || bucket) AS BIGINT) AS data_rows
+             |  FROM bnd
+             |), sigdead AS (
+             |  SELECT CAST(count(DISTINCT band || '|' || bucket) AS BIGINT) AS pending_rows
+             |  FROM bnd WHERE doc_id % 7 = 3
+             |), rows_ AS (
+             |  SELECT 'index' AS store, CAST(1 AS BIGINT) AS generation,
+             |    CAST(1 AS BIGINT) AS fragments,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS data_rows,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 7 = 3) AS pending_rows
+             |  UNION ALL
+             |  SELECT 'signatures', 1, 1,
+             |    (SELECT data_rows FROM sigstore),
+             |    (SELECT pending_rows FROM sigdead)
+             |  UNION ALL
+             |  SELECT 'vectors', 1, 1,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 7 = 3)
+             |)
+             |SELECT store, generation, fragments, data_rows, pending_rows,
+             |  CAST(pending_rows AS DOUBLE) / data_rows AS pending_fraction,
+             |  TRUE AS needs_compaction
+             |FROM rows_ ORDER BY store""".stripMargin))
   )
 
   val defs: Seq[QDef] =

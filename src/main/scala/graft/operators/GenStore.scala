@@ -128,6 +128,22 @@ object GenStore {
     drop
   }
 
+  /** Assemble one maintenance-status row — the shared shape of the
+    * family's `maintenanceStatus` dashboards (store-specific only in
+    * how data/pending cardinalities are counted).
+    */
+  private[graft] def statusRow(spark: SparkSession, gen: Long,
+      fragments: Long, dataRows: Long, pendingRows: Long,
+      needs: Boolean): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq((gen, fragments, dataRows, pendingRows,
+      if (dataRows == 0) (if (pendingRows > 0) 1.0 else 0.0)
+      else pendingRows.toDouble / dataRows,
+      needs))
+      .toDF("generation", "fragments", "data_rows", "pending_rows",
+        "pending_fraction", "needs_compaction")
+  }
+
   /** Total row count under `dirs`, read from parquet FOOTERS only —
     * no Spark job, no data pages, just one footer read per file. This
     * is the cost model the `needsCompaction` policy predicates are

@@ -666,6 +666,24 @@ object InvertedIndex {
     if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
     else Some(compactStore(spark, root, currentGen(root)))
 
+  /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
+    * shape): data cardinality is the doclens row count (one row per
+    * indexed doc), pending is the delete-marker row count — footer
+    * reads only.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): DataFrame = {
+    val gen = currentGen(root)
+    val dir = genDir(root, gen)
+    val frags = GenStore.listBatchIds(spark, s"$dir/postings").size.toLong
+    val docs = GenStore.footerRowCount(spark,
+      GenStore.listBatchIds(spark, s"$dir/doclens")
+        .map(i => s"$dir/doclens/batch_id=$i"))
+    val pending = GenStore.footerRowCount(spark, Seq(s"$dir/deletes"))
+    GenStore.statusRow(spark, gen, frags, docs, pending,
+      needsCompaction(spark, root, maxFragments, maxPendingFraction))
+  }
+
   /** [[storeLookup]] through the pointer. */
   def lookupCurrent(spark: SparkSession, root: String,
       terms: Seq[String]): DataFrame =

@@ -299,4 +299,22 @@ object KeySetStore {
       Option[Long] =
     if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
     else Some(compactStore(spark, root, GenStore.currentGen(root)))
+
+  /** The operational dashboard row the maintenance loop reads: one row
+    * of (generation, fragments, data_rows, pending_rows,
+    * pending_fraction, needs_compaction) for the current generation —
+    * the exact inputs [[needsCompaction]] evaluates, exposed so a
+    * scheduler (or a human) can see WHY a tick will or won't fire.
+    * Same footer-count cost model; no Spark job behind the frame.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): DataFrame = {
+    val gen = GenStore.currentGen(root)
+    val dir = GenStore.genDir(root, gen)
+    val ids = GenStore.listBatchIds(spark, dir)
+    val data = GenStore.footerRowCount(spark, ids.map(i => s"$dir/batch_id=$i"))
+    val pending = GenStore.footerRowCount(spark, Seq(s"$dir/deletes"))
+    GenStore.statusRow(spark, gen, ids.size.toLong, data, pending,
+      needsCompaction(spark, root, maxFragments, maxPendingFraction))
+  }
 }

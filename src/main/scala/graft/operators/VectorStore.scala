@@ -536,6 +536,22 @@ object VectorStore {
     if (!needsCompaction(spark, root, maxFragments, maxPendingFraction)) None
     else Some(compactGen(spark, root, currentGen(root)))
 
+  /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
+    * shape): data cardinality is the admitted-vector count from the KB
+    * stats fragments (the [[needsRefit]] read), pending is the
+    * delete-marker footer count.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05): DataFrame = {
+    val gen = currentGen(root)
+    val frags = listBatchIds(spark, codedDir(root, gen)).size.toLong
+    val vectors = spark.read.parquet(s"${codedDir(root, gen)}_stats")
+      .agg(coalesce(sum(col("n_vectors")), lit(0L))).head().getLong(0)
+    val pending = GenStore.footerRowCount(spark, Seq(deletesDir(root, gen)))
+    GenStore.statusRow(spark, gen, frags, vectors, pending,
+      needsCompaction(spark, root, maxFragments, maxPendingFraction))
+  }
+
   /** The admitted corpus reconstructed from the CURRENT generation's
     * own rows — one row per vector (the primary-replica filter
     * [[refitStart]]'s fit uses): (idCol, vecCol) with the original

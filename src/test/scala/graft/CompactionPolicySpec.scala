@@ -119,6 +119,43 @@ class CompactionPolicySpec extends AnyFunSuite {
       .filter(col("cid") % 10 === 2).count() === 0L)
   }
 
+  test("maintenanceStatus reports the predicate's inputs; a fold zeroes the pending side") {
+    val root = fresh("mstat")
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    KeySetStore.init(root)
+    Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3, numHashes = 32,
+      bands = 8, batchId = 0L, root = root)
+    Dedup.deleteMinHashBatch(docs.filter(col("doc_id") % 7 === 3), "doc_id",
+      "text", n = 3, numHashes = 32, bands = 8, batchId = 0L, root = root)
+    def status() = KeySetStore.maintenanceStatus(spark, root,
+      maxPendingFraction = 0.05).head()
+    val pendingRow = status()
+    assert(pendingRow.getAs[Long]("generation") === 1L)
+    assert(pendingRow.getAs[Long]("fragments") === 1L)
+    assert(pendingRow.getAs[Long]("pending_rows") > 0L)
+    assert(pendingRow.getAs[Double]("pending_fraction") ===
+      pendingRow.getAs[Long]("pending_rows").toDouble /
+        pendingRow.getAs[Long]("data_rows"))
+    assert(pendingRow.getAs[Boolean]("needs_compaction"),
+      "dashboard disagrees with the predicate it mirrors")
+    KeySetStore.compactIfNeeded(spark, root, maxPendingFraction = 0.05)
+    val folded = status()
+    assert(folded.getAs[Long]("generation") === 2L)
+    assert(folded.getAs[Long]("pending_rows") === 0L)
+    assert(folded.getAs[Double]("pending_fraction") === 0.0)
+    assert(!folded.getAs[Boolean]("needs_compaction"))
+    // the index and vector dashboards share the row shape
+    val cols = Seq("generation", "fragments", "data_rows", "pending_rows",
+      "pending_fraction", "needs_compaction")
+    val iroot = fresh("mstat-idx")
+    InvertedIndex.initStore(iroot)
+    InvertedIndex.admitBatch(spark, docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk")),
+      "doc_id", "tk", 7L, 0L, iroot)
+    assert(InvertedIndex.maintenanceStatus(spark, iroot).columns.toSeq === cols)
+  }
+
   test("the continuous takedown sink with compactAtPendingFraction bounds the window in-stream") {
     import graft.streaming.EventStreams
     val base = Files.createTempDirectory("graft-ncsink-").toString
