@@ -7926,7 +7926,66 @@ object Queries {
              |SELECT store, generation, fragments, data_rows, pending_rows,
              |  CAST(pending_rows AS DOUBLE) / data_rows AS pending_fraction,
              |  TRUE AS needs_compaction
-             |FROM rows_ ORDER BY store""".stripMargin))
+             |FROM rows_ ORDER BY store""".stripMargin)),
+
+    QDef("q182_video_curation",
+      // MOTION-BASED VIDEO CURATION — q175's operator doing the job it
+      // exists for: a mixed binary corpus (planted AVIs of three
+      // temporal profiles plus non-video noise bytes) is filtered on
+      // its MEASURED motion — drop static clips (every frame identical:
+      // still_fraction 1, zero energy — the slideshow/test-pattern
+      // content a video training set sheds first), drop
+      // mostly-duplicated clips (still_fraction > 0.5 — note the
+      // boundary profile lands EXACTLY at 0.5 for some frame counts and
+      // must be kept, which both engines decide from the same integer
+      // division), keep genuinely moving content. Noise bytes never
+      // reach the filter (the parser drops them — web-corpus normality,
+      // not failure). All emitted features are the exact grayscale
+      // closed form (q175): integer δ² energies, one double division
+      // per mean. One flatMap + one filter at any corpus size — the
+      // decode cost IS the scan cost, no shuffle anywhere.
+      (s, _) => {
+        import s.implicits._
+        val vids = (0 until 60).map { i =>
+          val (w, h) = (8 + (i % 3) * 4, 8)
+          val nf = 5 + (i / 4) % 4 // decoupled from the profile (i % 4)
+          val frames = (0 until nf).map { f =>
+            val g = if (i % 4 == 0) 0 else if (i % 4 == 1) f - f % 2 else f
+            val c = (i * 5 + g * 9) % 256
+            Multimodal.syntheticBmp(w, h)((_, _) => (c, c, c))
+          }
+          (i.toLong, AviContainer.syntheticAvi(w, h, 33333 + i, frames))
+        } ++ (100 until 110).map(i =>
+          (i.toLong, s"not a video payload $i".getBytes("UTF-8")))
+        val corpus = vids.toDF("doc_id", "payload")
+        Multimodal.extractMotionFeatures(corpus, "doc_id", "payload")
+          .filter(col("still_fraction") <= 0.5 &&
+            col("mean_diff_energy") >= 1.0)
+          .select(col("id").as("doc_id"), col("n_frames"), col("n_pairs"),
+            col("mean_diff_energy"), col("still_fraction"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT i, 5 + (i // 4) % 4 AS nf FROM range(0, 60) t(i)),
+             |f AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+             |c AS (SELECT i, nf, f,
+             |        (i * 5 + (CASE WHEN i % 4 = 0 THEN 0
+             |                       WHEN i % 4 = 1 THEN f - f % 2
+             |                       ELSE f END) * 9) % 256 AS lvl
+             |      FROM f),
+             |p AS (SELECT a.i, a.nf,
+             |        CAST((b.lvl - a.lvl) * (b.lvl - a.lvl) AS DOUBLE) AS e
+             |      FROM c a JOIN c b ON a.i = b.i AND b.f = a.f + 1),
+             |m AS (SELECT i, CAST(any_value(nf) AS BIGINT) AS n_frames,
+             |        CAST(count(*) AS BIGINT) AS n_pairs,
+             |        sum(e) / count(*) AS mean_diff_energy,
+             |        CAST(count(CASE WHEN e = 0 THEN 1 END) AS DOUBLE) / count(*)
+             |          AS still_fraction
+             |      FROM p GROUP BY i)
+             |SELECT CAST(i AS BIGINT) AS doc_id, n_frames, n_pairs,
+             |  mean_diff_energy, still_fraction
+             |FROM m
+             |WHERE still_fraction <= 0.5 AND mean_diff_energy >= 1.0
+             |ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =
