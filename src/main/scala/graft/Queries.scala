@@ -7985,6 +7985,61 @@ object Queries {
              |  mean_diff_energy, still_fraction
              |FROM m
              |WHERE still_fraction <= 0.5 AND mean_diff_energy >= 1.0
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q183_audio_curation",
+      // AUDIO CURATION — the third modality of the measured-feature
+      // curation family (text q153, video q182): a mixed binary corpus
+      // of planted WAVs is filtered on DECODED signal statistics — rms
+      // below the floor drops silence (zero samples: the dead-air
+      // recordings an audio training set sheds first), zero
+      // zero-crossing rate drops DC hum (constant-offset samples: a
+      // live level but no signal dynamics), and genuine waveforms
+      // survive; non-audio noise bytes never reach the filter (the JDK
+      // parser drops them). Every emitted feature is the q82 closed
+      // form — a square wave of integer amplitude A has rms EXACTLY
+      // A/32768 and floor((n-1)/half) sign transitions — so the
+      // curation decision itself is recomputed by the oracle from the
+      // same arithmetic, thresholds and all. One narrow flatMap + one
+      // filter at any corpus size.
+      (s, _) => {
+        import s.implicits._
+        val clips = (0 until 64).map { i =>
+          val n = 600 + i
+          val half = 1 + i % 8
+          val amp = 512 * (1 + i % 30)
+          val gen: Int => Short = i % 4 match {
+            case 0 => _ => 0.toShort                     // silence
+            case 1 => _ => amp.toShort                   // DC hum
+            case _ => idx =>
+              (if ((idx / half) % 2 == 0) amp else -amp).toShort
+          }
+          (i.toLong, Multimodal.syntheticWav(8000 + 100 * i, n)(gen))
+        } ++ (100 until 110).map(i =>
+          (i.toLong, s"not an audio payload $i".getBytes("UTF-8")))
+        val corpus = clips.toDF("doc_id", "payload")
+        Multimodal.extractAudioFeatures(corpus, "doc_id", "payload")
+          .filter(col("rms") >= 0.01 && col("zcr") > 0.0)
+          .select(col("id").as("doc_id"), col("n_samples"), col("rms"),
+            col("zcr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH clips AS (
+             |  SELECT i, 600 + i AS n, 1 + i % 8 AS half,
+             |    CASE WHEN i % 4 = 0 THEN 0
+             |         ELSE 512 * (1 + i % 30) END AS amp,
+             |    i % 4 AS profile
+             |  FROM range(0, 64) t(i)
+             |), feats AS (
+             |  SELECT i, CAST(n AS BIGINT) AS n_samples,
+             |    CAST(amp AS DOUBLE) / 32768.0 AS rms,
+             |    CASE WHEN profile <= 1 THEN 0.0
+             |         ELSE CAST((n - 1) // half AS DOUBLE) / (n - 1) END AS zcr
+             |  FROM clips
+             |)
+             |SELECT CAST(i AS BIGINT) AS doc_id, n_samples, rms, zcr
+             |FROM feats
+             |WHERE rms >= 0.01 AND zcr > 0.0
              |ORDER BY doc_id""".stripMargin))
   )
 
