@@ -8040,6 +8040,115 @@ object Queries {
              |SELECT CAST(i AS BIGINT) AS doc_id, n_samples, rms, zcr
              |FROM feats
              |WHERE rms >= 0.01 AND zcr > 0.0
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q184_multimodal_curation",
+      // THE MULTIMODAL CURATION CAPSTONE — one mixed binary corpus
+      // (images, audio, video, opaque noise, exactly how a web crawl's
+      // media column arrives) routed by container magic (q108) and
+      // curated per modality on MEASURED decoded features: images drop
+      // when tiny (area < 48) or too dark (red mean < 16 — planted
+      // grayscale levels are odd integers, so the threshold can never
+      // tie); audio drops silence and DC hum (q183 rules); video drops
+      // static and mostly-duplicated clips (q182 motion rules, exact
+      // grayscale δ² closed form); noise bytes are dropped by the
+      // decoders themselves. The emitted retained manifest (doc_id,
+      // kind) is recomputed end to end by the oracle from the planted
+      // closed forms — routing, decode arithmetic, thresholds, and all.
+      // At 100 TB: two narrow flatMaps over the binary scan (feature
+      // route + motion pass), three filters, a union — no shuffle
+      // before the final order.
+      (s, _) => {
+        import s.implicits._
+        val images = (0 until 24).map { i =>
+          val (w, h) = (4 + (i % 5) * 2, 4 + (i % 4) * 2)
+          val c = (i * 12 + 1) % 256
+          (i.toLong, Multimodal.syntheticBmp(w, h)((_, _) => (c, c, c)))
+        }
+        val audio = (0 until 24).map { i =>
+          val n = 400 + i
+          val half = 1 + i % 6
+          val amp = 512 * (1 + i % 20)
+          val gen: Int => Short = i % 4 match {
+            case 0 => _ => 0.toShort
+            case 1 => _ => amp.toShort
+            case _ => idx =>
+              (if ((idx / half) % 2 == 0) amp else -amp).toShort
+          }
+          (100L + i, Multimodal.syntheticWav(8000 + 50 * i, n)(gen))
+        }
+        val video = (0 until 20).map { i =>
+          val nf = 4 + (i / 4) % 3
+          val frames = (0 until nf).map { f =>
+            val g = if (i % 4 == 0) 0 else if (i % 4 == 1) f - f % 2 else f
+            val c = (i * 5 + g * 9) % 256
+            Multimodal.syntheticBmp(6, 6)((_, _) => (c, c, c))
+          }
+          (200L + i, AviContainer.syntheticAvi(6, 6, 40000 + i, frames))
+        }
+        val noise = (300 until 310).map(i =>
+          (i.toLong, s"no container magic here $i".getBytes("UTF-8")))
+        val corpus = (images ++ audio ++ video ++ noise)
+          .toDF("doc_id", "payload")
+        val feats = Multimodal.extractFeatures(corpus, "doc_id", "payload")
+        val keptImages = feats.filter(col("kind") === "image" &&
+            col("width").cast("long") * col("height") >= 48L &&
+            element_at(col("feature"), 1) >= 16.0)
+          .select(col("id").as("doc_id"), col("kind"))
+        val keptAudio = feats.filter(col("kind") === "audio" &&
+            element_at(col("feature"), 1) >= 0.01 &&
+            element_at(col("feature"), 2) > 0.0)
+          .select(col("id").as("doc_id"), col("kind"))
+        val keptVideo = Multimodal
+          .extractMotionFeatures(corpus, "doc_id", "payload")
+          .filter(col("still_fraction") <= 0.5 &&
+            col("mean_diff_energy") >= 1.0)
+          .select(col("id").as("doc_id"), lit("video").as("kind"))
+        keptImages.unionByName(keptAudio).unionByName(keptVideo)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH img AS (
+             |  SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
+             |    (4 + (i % 5) * 2) * (4 + (i % 4) * 2) AS area,
+             |    (i * 12 + 1) % 256 AS c
+             |  FROM range(0, 24) t(i)
+             |), imgk AS (
+             |  SELECT doc_id, kind FROM img WHERE area >= 48 AND c >= 16
+             |), aud AS (
+             |  SELECT CAST(100 + i AS BIGINT) AS doc_id, 'audio' AS kind,
+             |    400 + i AS n, 1 + i % 6 AS half, i % 4 AS profile,
+             |    CASE WHEN i % 4 = 0 THEN 0 ELSE 512 * (1 + i % 20) END AS amp
+             |  FROM range(0, 24) t(i)
+             |), audk AS (
+             |  SELECT doc_id, kind FROM aud
+             |  WHERE CAST(amp AS DOUBLE) / 32768.0 >= 0.01
+             |    AND (CASE WHEN profile <= 1 THEN 0.0
+             |         ELSE CAST((n - 1) // half AS DOUBLE) / (n - 1) END) > 0.0
+             |), vv AS (
+             |  SELECT i, 4 + (i // 4) % 3 AS nf FROM range(0, 20) t(i)
+             |), vf AS (
+             |  SELECT i, nf, unnest(range(0, nf)) AS f FROM vv
+             |), vc AS (
+             |  SELECT i, f,
+             |    (i * 5 + (CASE WHEN i % 4 = 0 THEN 0
+             |                   WHEN i % 4 = 1 THEN f - f % 2
+             |                   ELSE f END) * 9) % 256 AS lvl
+             |  FROM vf
+             |), vp AS (
+             |  SELECT a.i, CAST((b.lvl - a.lvl) * (b.lvl - a.lvl) AS DOUBLE) AS e
+             |  FROM vc a JOIN vc b ON a.i = b.i AND b.f = a.f + 1
+             |), vm AS (
+             |  SELECT i, sum(e) / count(*) AS mean_e,
+             |    CAST(count(CASE WHEN e = 0 THEN 1 END) AS DOUBLE) / count(*)
+             |      AS still
+             |  FROM vp GROUP BY i
+             |), vidk AS (
+             |  SELECT CAST(200 + i AS BIGINT) AS doc_id, 'video' AS kind
+             |  FROM vm WHERE still <= 0.5 AND mean_e >= 1.0
+             |)
+             |SELECT doc_id, kind FROM imgk
+             |UNION ALL SELECT doc_id, kind FROM audk
+             |UNION ALL SELECT doc_id, kind FROM vidk
              |ORDER BY doc_id""".stripMargin))
   )
 

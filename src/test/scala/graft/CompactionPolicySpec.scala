@@ -23,6 +23,26 @@ class CompactionPolicySpec extends AnyFunSuite {
   private def fresh(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString + "/store"
 
+  test("footerRowCount == a full count for arbitrary shapes (partitions, row groups, empty frames)") {
+    val dir = Files.createTempDirectory("graft-frc-prop-").toString
+    val shapes = Seq(
+      ("one_row", spark.range(1).toDF("id")),
+      ("empty", spark.range(0).toDF("id")),
+      ("many_parts", spark.range(0, 4321).repartition(13).toDF("id")),
+      ("tiny_groups", spark.range(0, 999).toDF("id")),
+      ("wide", spark.range(0, 777).selectExpr("id", "cast(id as string) s",
+        "id * 1.5 d")))
+    shapes.foreach { case (tag, df) =>
+      val p = s"$dir/$tag"
+      if (tag == "tiny_groups")
+        df.coalesce(1).write.option("parquet.block.size", 4096).parquet(p)
+      else df.write.parquet(p)
+      val want = spark.read.parquet(p).count()
+      assert(GenStore.footerRowCount(spark, Seq(p)) === want,
+        s"footer count diverges from the scan count for shape $tag")
+    }
+  }
+
   test("GenStore.footerRowCount: exact counts from footers, zero for missing dirs") {
     val dir = Files.createTempDirectory("graft-frc-").toString
     spark.range(0, 123).toDF("id").write.parquet(s"$dir/a")
