@@ -725,6 +725,57 @@ object BenchTune {
       f"files=$vecFilesBefore%d->$vecFilesAfter%d")
   }
 
+  /** `--policy [docs]`: the needsCompaction COST MODEL, as numbers —
+    * the r13 policy family claims the predicate is "a metadata read a
+    * maintenance loop can afford every batch" (parquet footer counts,
+    * no Spark job). Builds the 1M-doc retrieval index, admits a 1%
+    * takedown, then times: (a) the footer-count predicate
+    * (needsCompaction + the maintenanceStatus dashboard), (b) the
+    * naive alternative a scheduler would otherwise run (full
+    * spark.read count of doclens + deletes). The gap is what makes
+    * evaluating the policy every tick free in practice.
+    */
+  private def policyDemo(spark: SparkSession, docs: Long): Unit = {
+    import graft.operators.InvertedIndex
+    def timeIt(body: => Unit): Double = {
+      body // warm
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-policy-probe").toString
+    val iroot = s"$base/istore"
+    InvertedIndex.initStore(iroot)
+    val vocab = 2000L
+    val corpus = spark.range(docs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocab))
+          .cast("string"))).as("tk"))
+    InvertedIndex.admitBatch(spark, corpus, "doc_id", "tk",
+      bucketSize = 4096L, batchId = 0L, root = iroot)
+    InvertedIndex.compactStore(spark, iroot, expectedGen = 1L)
+    InvertedIndex.admitDeleteBatch(spark,
+      spark.range(docs).filter(pmod(col("id"), lit(100)) === 0)
+        .select(col("id").as("doc_id")), "doc_id", 0L, iroot)
+    val predT = timeIt {
+      assert(InvertedIndex.needsCompaction(spark, iroot,
+        maxPendingFraction = 0.005))
+    }
+    val dashT = timeIt {
+      InvertedIndex.maintenanceStatus(spark, iroot).collect()
+    }
+    val dir = InvertedIndex.genDir(iroot, InvertedIndex.currentGen(iroot))
+    val naiveT = timeIt {
+      val d = spark.read.parquet(s"$dir/doclens").count()
+      val p = spark.read.parquet(s"$dir/deletes").count()
+      assert(p.toDouble >= 0.005 * d)
+    }
+    println(f"[policy] docs=$docs%d needsCompaction=${predT * 1000}%.0f ms " +
+      f"maintenanceStatus=${dashT * 1000}%.0f ms " +
+      f"naive_spark_counts=${naiveT * 1000}%.0f ms " +
+      f"(${naiveT / predT}%.1fx the footer path)")
+  }
+
   /** `--takedown [docs] [deadPermille]`: the takedown economics
     * q161/q165/q166 claim ("a takedown is one tiny fragment write;
     * pending reads pay one bounded anti-join; compaction folds the
@@ -978,6 +1029,13 @@ object BenchTune {
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       curationDemo(spark, nums.headOption.getOrElse(1000000L),
         nums.drop(1).headOption.getOrElse(16L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--policy")) {
+      val nums = args.dropWhile(_ != "--policy").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      policyDemo(spark, nums.headOption.getOrElse(1000000L))
       spark.stop()
       return
     }

@@ -153,11 +153,15 @@ object GenStore {
     * zero (the common no-deletes case costs one existence check).
     */
   def footerRowCount(spark: SparkSession, dirs: Seq[String]): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     val conf = spark.sessionState.newHadoopConf()
-    dirs.map { d =>
+    val all = dirs.flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) 0L
+      if (!fs.exists(p)) Nil
       else {
         def files(path: org.apache.hadoop.fs.Path):
             Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -165,15 +169,21 @@ object GenStore {
           ls.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
             ls.filter(_.isDirectory).flatMap(s => files(s.getPath))
         }
-        files(p).map { s =>
-          scala.util.Using.resource(
-              org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromStatus(s, conf))) { r =>
-            r.getRecordCount
-          }
-        }.sum
+        files(p)
       }
-    }.sum
+    }
+    // footer reads are independent metadata fetches — run them on the
+    // driver's thread pool (no Spark job, no executor involvement, no
+    // scheduler latency): a store's file count is bounded by the
+    // compaction policy itself, so this is dozens of footers, not
+    // thousands
+    Await.result(Future.sequence(all.map(s => Future {
+      scala.util.Using.resource(
+          org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf))) { r =>
+        r.getRecordCount
+      }
+    })), Duration.Inf).sum
   }
 }
