@@ -230,6 +230,29 @@ object HeavyHitters {
     else Some(compactStore(spark, root, GenStore.currentGen(root), m))
   }
 
+  /** The family's compaction-policy predicate, fragment leg only (MG
+    * summaries have no delete surface — the TAKEDOWN contract below).
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    fragmentCount(spark, root) >= maxFragments
+  }
+
+  /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
+    * shape): data cardinality is the summary row count (<= m per
+    * fragment, footer-read); the pending side is structurally zero.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16): DataFrame = {
+    val gen = GenStore.currentGen(root)
+    val dir = GenStore.genDir(root, gen)
+    val ids = GenStore.listBatchIds(spark, dir)
+    val rows = GenStore.footerRowCount(spark, ids.map(i => s"$dir/batch_id=$i"))
+    GenStore.statusRow(spark, gen, ids.size.toLong, rows, 0L,
+      needsCompaction(spark, root, maxFragments))
+  }
+
   /** [[mergeSummaries]] through the pointer: the heavy hitters of the
     * union of everything admitted, from (compacted fragment + appended
     * batches) — never the raw stream.

@@ -373,6 +373,33 @@ object QuantileStore {
     else Some(compactStore(spark, root, GenStore.currentGen(root), keyCols))
   }
 
+  /** The family's compaction-policy predicate, fragment leg only:
+    * retractions here ARE ordinary fragments (negated counts in the
+    * group algebra — q166), so "pending retraction weight" and read
+    * amplification are both governed by the same fragment count; there
+    * is no separate delete surface to fraction-bound.
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    fragmentCount(spark, root) >= maxFragments
+  }
+
+  /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
+    * shape): data cardinality is the (key, bin) row count (footer-read,
+    * <= keys × nbins per fragment); pending is structurally zero —
+    * retraction fragments are data fragments, visible in `fragments`.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16): DataFrame = {
+    val gen = GenStore.currentGen(root)
+    val dir = GenStore.genDir(root, gen)
+    val ids = GenStore.listBatchIds(spark, dir)
+    val rows = GenStore.footerRowCount(spark, ids.map(i => s"$dir/batch_id=$i"))
+    GenStore.statusRow(spark, gen, ids.size.toLong, rows, 0L,
+      needsCompaction(spark, root, maxFragments))
+  }
+
   /** [[quantilesOf]] over the current generation's merged histogram. */
   def quantilesCurrent(spark: SparkSession, root: String, keyCols: Seq[String],
       qs: Seq[(String, Int, Int)], lo: Double, width: Double): DataFrame =

@@ -168,6 +168,33 @@ object SketchStore {
     else Some(compactStore(spark, root, GenStore.currentGen(root), keyCols))
   }
 
+  /** The family's compaction-policy predicate, fragment leg only: a
+    * sketch store has no delete surface (HLL deletion is impossible —
+    * the TAKEDOWN contract below), so read amplification is governed
+    * purely by fragment count.
+    */
+  def needsCompaction(spark: SparkSession, root: String,
+      maxFragments: Int = 16): Boolean = {
+    require(maxFragments >= 2, "maxFragments < 2 would compact every batch")
+    fragmentCount(spark, root) >= maxFragments
+  }
+
+  /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
+    * shape): data cardinality is the per-key sketch row count
+    * (footer-read); the pending side is structurally zero — nothing
+    * here can hold a delete, which the dashboard states rather than
+    * hides.
+    */
+  def maintenanceStatus(spark: SparkSession, root: String,
+      maxFragments: Int = 16): DataFrame = {
+    val gen = GenStore.currentGen(root)
+    val dir = GenStore.genDir(root, gen)
+    val ids = GenStore.listBatchIds(spark, dir)
+    val rows = GenStore.footerRowCount(spark, ids.map(i => s"$dir/batch_id=$i"))
+    GenStore.statusRow(spark, gen, ids.size.toLong, rows, 0L,
+      needsCompaction(spark, root, maxFragments))
+  }
+
   /** [[mergedEstimates]] through the pointer. `n_batches` counts the
     * FRAGMENTS contributing per key (post-compaction: the compacted
     * fragment plus appended batches), which is exactly the read

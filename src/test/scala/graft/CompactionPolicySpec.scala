@@ -176,6 +176,53 @@ class CompactionPolicySpec extends AnyFunSuite {
     assert(InvertedIndex.maintenanceStatus(spark, iroot).columns.toSeq === cols)
   }
 
+  test("the mergeable stores carry the policy surface too: fragment leg + dashboard, no phantom delete side") {
+    import graft.operators.{HeavyHitters, QuantileStore, SketchStore}
+    import spark.implicits._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    // sketch store
+    val sroot = fresh("ncsk")
+    SketchStore.initStore(sroot)
+    (0L to 1L).foreach(b => SketchStore.admitBatch(spark,
+      ev.filter(pmod(col("event_id"), lit(2)) === b),
+      Seq("event_type"), "user_id", b, sroot))
+    assert(!SketchStore.needsCompaction(spark, sroot, maxFragments = 3))
+    assert(SketchStore.needsCompaction(spark, sroot, maxFragments = 2))
+    val srow = SketchStore.maintenanceStatus(spark, sroot, maxFragments = 2)
+      .head()
+    assert(srow.getAs[Long]("fragments") === 2L)
+    assert(srow.getAs[Long]("pending_rows") === 0L)
+    assert(srow.getAs[Boolean]("needs_compaction"))
+    // frequency store
+    val hroot = fresh("nchh")
+    HeavyHitters.initStore(hroot)
+    (0L to 1L).foreach(b => HeavyHitters.admitBatch(spark,
+      ev.filter(pmod(col("event_id"), lit(2)) === b)
+        .select(col("event_type").as("k")), "k", 8, b, hroot))
+    assert(HeavyHitters.needsCompaction(spark, hroot, maxFragments = 2))
+    assert(HeavyHitters.maintenanceStatus(spark, hroot)
+      .head().getAs[Long]("pending_rows") === 0L)
+    // quantile store: a retraction is a DATA fragment, so it shows in
+    // the fragment count, never in a phantom pending side
+    val qroot = fresh("ncqs")
+    QuantileStore.initStore(qroot)
+    val rows = spark.range(100).select(col("id"), lit("k").as("k"),
+      (pmod(col("id"), lit(10L)) + 1).cast("double").as("v"))
+    QuantileStore.admitBatch(spark, rows, Seq("k"), "v", 1.0, 1.0, 10,
+      0L, qroot)
+    QuantileStore.retractBatch(spark, rows.limit(10), Seq("k"), "v",
+      1.0, 1.0, 10, 1L, qroot)
+    val qrow = QuantileStore.maintenanceStatus(spark, qroot,
+      maxFragments = 2).head()
+    assert(qrow.getAs[Long]("fragments") === 2L,
+      "a retraction fragment must count as a data fragment")
+    assert(qrow.getAs[Long]("pending_rows") === 0L)
+    assert(QuantileStore.needsCompaction(spark, qroot, maxFragments = 2))
+    assert(QuantileStore.compactIfFragmented(spark, qroot, Seq("k"), 2)
+      .contains(2L))
+    assert(!QuantileStore.needsCompaction(spark, qroot, maxFragments = 2))
+  }
+
   test("the continuous takedown sink with compactAtPendingFraction bounds the window in-stream") {
     import graft.streaming.EventStreams
     val base = Files.createTempDirectory("graft-ncsink-").toString
