@@ -8149,7 +8149,78 @@ object Queries {
              |SELECT doc_id, kind FROM imgk
              |UNION ALL SELECT doc_id, kind FROM audk
              |UNION ALL SELECT doc_id, kind FROM vidk
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q185_mergeable_health",
+      // q181's maintenance dashboard extended across the MERGEABLE
+      // stores (sketches / frequencies / quantiles): none has a delete
+      // surface (HLL registers and MG counters are irreversible —
+      // their takedown contract is the q176/q177 scoped rebuild; a
+      // quantile retraction is an ordinary DATA fragment, q166), so
+      // the dashboard states a structurally-zero pending side and the
+      // fragment-leg predicate. Every data cardinality is structural
+      // and engine-checkable: a sketch fragment holds one row per key
+      // present in its batch, an MG fragment one row per surviving
+      // counter (m exceeds the key cardinality here, so every key),
+      // and a quantile fragment one row per (key, bin) populated —
+      // the oracle recomputes all three from COUNT(DISTINCT ...) over
+      // the same batch split. Scale-invariant by construction: the
+      // row counts depend on key/bin structure, not event volume.
+      (s, d) => {
+        import graft.operators.GenStore
+        val base = scratchDir("q185")
+        val ev = t(s, d, "events")
+        val sroot = s"$base/sketch"
+        val hroot = s"$base/freq"
+        val qroot = s"$base/quant"
+        SketchStore.initStore(sroot)
+        HeavyHitters.initStore(hroot)
+        QuantileStore.initStore(qroot)
+        (0L to 1L).foreach { b =>
+          val half = ev.filter(pmod(col("event_id"), lit(2)) === b)
+          SketchStore.admitBatch(s, half, Seq("event_type"), "user_id",
+            b, sroot)
+          HeavyHitters.admitBatch(s,
+            half.select(col("event_type").as("k")), "k", 64, b, hroot)
+          QuantileStore.admitBatch(s,
+            half.select(col("event_type"),
+              (col("user_id") % 10 + 1).cast("double").as("v")),
+            Seq("event_type"), "v", lo = 1.0, width = 1.0, nbins = 10,
+            batchId = b, root = qroot)
+        }
+        SketchStore.maintenanceStatus(s, sroot, maxFragments = 2)
+          .withColumn("store", lit("sketch"))
+          .unionByName(HeavyHitters.maintenanceStatus(s, hroot,
+              maxFragments = 2)
+            .withColumn("store", lit("frequency")))
+          .unionByName(QuantileStore.maintenanceStatus(s, qroot,
+              maxFragments = 2)
+            .withColumn("store", lit("quantile")))
+          .select(col("store"), col("generation"), col("fragments"),
+            col("data_rows"), col("pending_rows"), col("needs_compaction"))
+          .orderBy(col("store"))
+      },
+      Some("""WITH halves AS (
+             |  SELECT DISTINCT event_type, event_id % 2 AS h FROM events
+             |), bins AS (
+             |  SELECT DISTINCT event_type, user_id % 10 AS bin,
+             |    event_id % 2 AS h
+             |  FROM events
+             |), rows_ AS (
+             |  SELECT 'frequency' AS store,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM halves) AS data_rows
+             |  UNION ALL
+             |  SELECT 'quantile',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM bins)
+             |  UNION ALL
+             |  SELECT 'sketch',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM halves)
+             |)
+             |SELECT store, CAST(1 AS BIGINT) AS generation,
+             |  CAST(2 AS BIGINT) AS fragments, data_rows,
+             |  CAST(0 AS BIGINT) AS pending_rows,
+             |  TRUE AS needs_compaction
+             |FROM rows_ ORDER BY store""".stripMargin))
   )
 
   val defs: Seq[QDef] =
