@@ -94,6 +94,13 @@ object ExplainDump {
     "q170_curation_takedown" -> "the full-circle capstone's final read: the retained corpus scans as a batch_id-partitioned parquet source and the taken-down originals leave via ONE broadcast LEFT-ANTI hash join against the checkpointed takedown id set (the LSM read-side purge — id-sized, never corpus-shaped) before the q66 packing window (running sum partitioned BY source); check exactly one anti-join, no global sort before the window, and no corpus-sized exchange except the shard partitioning; the in-stream machinery (admission probes against the delete-subtracted key set, mid-stream compactions) ran inside foreachBatch and is audited as the q151/q153 and q165-pending shapes",
     "q172_curation_funnel" -> "the curation funnel report: quality score and token count are narrow codegen'd projections off the documents scan; the dedup-admission decision enters as the audited q151 LEFT-SEMI probe shape (band keys vs the signature store on (band, bucket), per-doc hit count one HashAggregate pair); the retained flag joins back BY ID and the report itself is ONE map-side-combined aggregation on source with conditional sums (no separate pass per metric); the dump shows documents scanned once per pipeline BRANCH (quality gate, probe keys, semi join, report) because this in-query form re-derives the decision frame — the production form is q164's, where decisions LAND in the retained store and the funnel reads one decision table; either way nothing corpus-sized moves except the per-source groupBy exchange",
     "q173_decontamination_purge" -> "the post-purge BM25 serving read of the decontamination capstone: detection (gram semi-join against the benchmark store) and the purge compaction ran eagerly, so the plan must be the audited q143/q161 post-purge shape — postings scan of the purged gen=2 fragment, term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join (the contaminated docs are physically gone) and no gram-store scan (detection is not a read-path cost); the raw corpus appears nowhere",
+    "q175_video_motion" -> "real-decode motion features: the fixture corpus enters as a driver-local relation (a parquet binary scan in production — the operator is source-agnostic), and the ENTIRE extraction is ONE object pipeline — DeserializeToObject -> MapPartitions (AVI container parse + ImageIO pixel decode + pairwise delta-squared fold, all inside the one flatMap) -> SerializeFromObject — check NO exchange appears anywhere except the final display Sort: per-row cost is the decode itself and the operator adds zero shuffles at any corpus size; non-AVI rows die INSIDE the flatMap (parser returns None), so no separate filter stage precedes the decode",
+    "q182_video_curation" -> "motion-gated video curation: the plan is the q175 object pipeline (one MapPartitions decode) with the curation Filter (still_fraction/mean_diff_energy thresholds) sitting directly ABOVE the serialized motion features — a decoded-feature predicate structurally cannot push below the decode, and nothing else may separate them; check exactly ONE MapPartitions, ONE Filter, and no exchange before the display sort: curating a 100 TB video corpus costs exactly one decode pass, the decision itself is free",
+    "q183_audio_curation" -> "audio curation (the third measured-feature modality): one MapPartitions (WAV header parse + rms/zero-crossing fold over the 16-bit samples) with the rms >= floor AND zcr > 0 Filter above it — check no exchange anywhere before the display sort and no second pass over the payload bytes; non-audio noise rows are dropped inside the flatMap (the JDK parser returns None), never in a separate corpus-sized stage",
+    "q184_multimodal_curation" -> "the multimodal curation capstone: exactly TWO MapPartitions passes over the same binary corpus relation — the typed feature route (container-magic dispatch + image/audio decode) and the motion pass (video needs the per-frame-pair fold the feature route does not compute) — then three narrow Filters (one per modality's measured-feature rules) and a Union; check NO join and NO exchange before the final display Sort: curating a mixed 100 TB media column costs the two decode passes and nothing else, and each branch reads only the features its modality needs",
+    "q181_store_health" -> "the maintenance dashboard's NEGATIVE audit: all three delete-capable stores hold data AND pending deletes when this frame is built, yet the plan must contain NO file scan of any store directory — every status row is driver-built from parquet FOOTER counts (GenStore.footerRowCount reads one footer per fragment file, no data pages, no Spark job), so the dashboard is a Union of LocalTableScans plus a projection and the display sort; check no FileScan node exists anywhere: a scheduler evaluates the whole fleet's maintenance posture without launching a job over store data — the cost model that makes per-batch policy evaluation affordable at 100 TB",
+    "q185_mergeable_health" -> "the mergeable-store dashboard (sketch/frequency/quantile), same NEGATIVE audit as q181: three stores each holding two admitted fragments, yet the plan is a Union of driver-built LocalTableScan rows — check NO FileScan of any store directory appears (data cardinalities come from footer counts; the structurally-zero pending side is a driver constant because these stores have no delete surface — their takedown contract is the q176/q177 scoped rebuild)",
+    "q180_maintenance_sweep" -> "the post-sweep serving read (v2 through the manifest): bm25SearchStore resolves the pin to the generation the POLICY-driven sweep purged, so the plan must be the audited q143/q161/q168 post-purge shape — single-fragment postings scan with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join anywhere (the sweep's compactions folded every pending set away) and NO policy or manifest machinery (needsCompaction evaluated parquet footers at tick time, pin resolution is a driver-side file read); the verdict booleans are literal columns — check the takedown+maintenance lifecycle leaves the read path indistinguishable from a store that never saw a delete",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)",
     "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below")
 

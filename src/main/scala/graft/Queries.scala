@@ -1642,7 +1642,48 @@ object Queries {
              |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
              |FROM g WHERE prev_type IS NOT NULL
              |GROUP BY prev_type, event_type
-             |ORDER BY prev_type, event_type""".stripMargin))
+             |ORDER BY prev_type, event_type""".stripMargin)),
+
+    QDef("q186_token_budget_mix",
+      // THE TRAINING-MIXTURE ASSEMBLY STEP (Splits.tokenBudgetMix): an
+      // LLM data mix is specified as TOKENS PER SOURCE, not doc counts
+      // or keep fractions, so the sampler cuts each stratum when its
+      // running token sum reaches the quota — docs consumed in
+      // portable-hash order (the q53/q54 md5 draw: stable under
+      // partitioning/retries, recomputable by the oracle), kept while
+      // the tokens BEFORE them are under budget, so the quota is met
+      // with an overshoot of at most one document. Three regimes in one
+      // run: src0's 500-token budget cuts mid-stratum (the normal case),
+      // src1's 1M budget keeps the stratum whole (never delete data to
+      // fit a mix), every other source keeps nothing (absent from the
+      // mix). EXACT ROW MEMBERSHIP matches the oracle — the md5 order,
+      // the long running sum, and the cut all recompute cross-engine.
+      // At 100 TB: one exchange on source + a per-source window sort,
+      // parallel across sources; a mega-source pre-thins with
+      // stratifiedSample before the cut.
+      (s, d) => Splits.tokenBudgetMix(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("ntok")),
+        "doc_id", "source", "ntok",
+        Map("src0" -> 500L, "src1" -> 1000000L))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      / 4294967296.0 AS u
+             |  FROM documents
+             |), cum AS (
+             |  SELECT doc_id, source, ntok,
+             |    COALESCE(sum(ntok) OVER (PARTITION BY source ORDER BY u, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM tok
+             |)
+             |SELECT doc_id, source, ntok FROM cum
+             |WHERE before < CASE source WHEN 'src0' THEN 500
+             |                           WHEN 'src1' THEN 1000000
+             |                           ELSE 0 END
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------------------
@@ -8220,7 +8261,190 @@ object Queries {
              |  CAST(2 AS BIGINT) AS fragments, data_rows,
              |  CAST(0 AS BIGINT) AS pending_rows,
              |  TRUE AS needs_compaction
-             |FROM rows_ ORDER BY store""".stripMargin))
+             |FROM rows_ ORDER BY store""".stripMargin)),
+
+    QDef("q187_index_retention",
+      // AGE-OUT RETENTION on the retrieval index — the TIME-based
+      // sibling of the takedown surface (InvertedIndex.expireBatches):
+      // a three-batch index drops its oldest batch whole at the
+      // retention watermark, and post-expiry BM25 serving is
+      // bit-identical to an index that never saw the aged-out docs —
+      // the ORACLE recomputes the scores from the surviving corpus
+      // (doc_id % 3 <> 0) end to end, so N/avgdl/df shrinking exactly
+      // is what the hash compare proves. Lifecycle gates: the stats
+      // row counts exactly the survivors; replaying the EXPIRED batch
+      // id is refused (the seal covers dropped ids — resurrecting
+      // aged-out docs via replay is the failure mode); and the
+      // aged-out CONTENT re-enters as a new admission under a fresh
+      // batch id — retention forgets the data, not the ability to
+      // re-ingest it. Granularity is the fragment (the partition-drop
+      // stance of every LSM store): expiry is itself a compaction, so
+      // the dropped fragments are never read and the survivors fold in
+      // the same pass.
+      (s, d) => {
+        val root = scratchDir("q187") + "/istore"
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        (0L to 2L).foreach { b =>
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "tk", IndexBucket, batchId = b, root = root)
+        }
+        val gen2 = InvertedIndex.expireBatches(s, root, expectedGen = 1L,
+          minRetainedBatch = 1L)
+        // post-expiry serving, pinned before the re-admission probe
+        val served = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val nSurv = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).count()
+        val statsShrunk = s.read.parquet(
+            InvertedIndex.genDir(root, gen2) + "/stats")
+          .agg(sum(col("n_docs"))).head.getLong(0) == nSurv
+        val replayRefused =
+          try {
+            InvertedIndex.admitBatch(s,
+              toks.filter(pmod(col("doc_id"), lit(3)) === 0),
+              "doc_id", "tk", IndexBucket, batchId = 0L, root = root); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("seal") }
+        InvertedIndex.admitBatch(s,
+          toks.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "tk", IndexBucket, batchId = 10L, root = root)
+        val readmitted = s.read.parquet(
+            InvertedIndex.genDir(root, gen2) + "/doclens")
+          .filter(pmod(col("doc_id"), lit(3)) === 0).count() > 0
+        import s.implicits._
+        served.toDF("doc_id", "bm25")
+          .withColumn("gen_rolled", lit(gen2 == 2L))
+          .withColumn("stats_shrunk_to_survivors", lit(statsShrunk))
+          .withColumn("expired_replay_refused", lit(replayRefused))
+          .withColumn("expired_content_readmitted", lit(readmitted))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 3 <> 0
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS gen_rolled,
+              |  TRUE AS stats_shrunk_to_survivors,
+              |  TRUE AS expired_replay_refused,
+              |  TRUE AS expired_content_readmitted
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q188_signature_retention",
+      // AGE-OUT RETENTION on the dedup memory (KeySetStore
+      // .expireBatches) — the re-crawl policy: signatures older than
+      // the watermark are forgotten so stale content can RE-ENTER the
+      // corpus (a page deduped against a years-old snapshot of itself
+      // must be admittable when it returns). An old crawl (batch 0,
+      // doc_id % 3 = 0) and a newer one (batch 1, % 3 = 1) are
+      // admitted; pre-expiry, probing the old crawl rejects every doc
+      // as its own clone (the staleness the policy exists to end);
+      // expiry drops batch 0's keys whole, and the post-expiry probe —
+      // the emitted frame — admits old-crawl docs unless they collide
+      // with the SURVIVING crawl's band keys, which the oracle
+      // recomputes key for key from the q105 portable-md5 closed form
+      // (store = batch-1 docs' distinct band keys only). The expired
+      // batch id is sealed against replay; the re-crawl lands under a
+      // fresh id.
+      (s, d) => {
+        val root = scratchDir("q188") + "/sigstore"
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val old = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val newer = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        KeySetStore.init(root)
+        Dedup.admitMinHashBatch(old, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = root,
+          portableKeys = true)
+        Dedup.admitMinHashBatch(newer, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 1L, root = root,
+          portableKeys = true)
+        def probeOld() = Dedup.admitAgainstMinHashStoreGen(old, "doc_id",
+            "text", n = 3, numHashes = 32, bands = 8, root = root,
+            portableKeys = true)
+          .collect().toSeq.map(r => (r.getLong(0), r.getBoolean(2)))
+        // docs with shingles reject as their own clones pre-expiry
+        // (shingle-less docs have no keys to hit and always admit)
+        val withKeys = old.filter(
+          size(TextFunctions.tokens(col("text"))) >= 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val preRejects = probeOld()
+          .forall(r => r._2 == !withKeys.contains(r._1))
+        val gen2 = KeySetStore.expireBatches(s, root, expectedGen = 1L,
+          minRetainedBatch = 1L)
+        val replayRefused =
+          try {
+            Dedup.admitMinHashBatch(old, "doc_id", "text", n = 3,
+              numHashes = 32, bands = 8, batchId = 0L, root = root,
+              portableKeys = true); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("seal") }
+        Dedup.admitAgainstMinHashStoreGen(old, "doc_id", "text", n = 3,
+            numHashes = 32, bands = 8, root = root, portableKeys = true)
+          .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
+          .withColumn("gen_rolled", lit(gen2 == 2L))
+          .withColumn("pre_expiry_self_rejected", lit(preRejects))
+          .withColumn("expired_replay_refused", lit(replayRefused))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), store AS (
+             |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 3 = 1
+             |), hits AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+             |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             |  WHERE b.doc_id % 3 = 0
+             |  GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+             |  coalesce(h.hit_bands, 0) = 0 AS admit,
+             |  TRUE AS gen_rolled,
+             |  TRUE AS pre_expiry_self_rejected,
+             |  TRUE AS expired_replay_refused
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -492,18 +492,52 @@ object InvertedIndex {
   def compactStore(spark: SparkSession, root: String, expectedGen: Long): Long =
     compactStoreHooked(spark, root, expectedGen, () => ())
 
+  /** AGE-OUT RETENTION — the time-based sibling of the takedown
+    * surface: compact the current generation keeping ONLY fragments
+    * with `batch_id >= minRetainedBatch`; everything older is dropped
+    * whole and the new generation's stats shrink to the survivors, so
+    * post-expiry serving is bit-identical to an index that never saw
+    * the aged-out batches. The sealed high-water mark still covers the
+    * EXPIRED ids — replaying an aged-out batch is refused (it would
+    * resurrect the dropped docs); re-ingesting that content is a NEW
+    * admission under a fresh batch id, exactly like re-crawl after a
+    * takedown.
+    *
+    * Granularity contract (the partition-drop stance of every LSM/
+    * columnar store): retention drops FRAGMENTS, and a merged fragment
+    * carries the high-water mark of its inputs — so a fold across a
+    * retention boundary makes the merged data expire only when its
+    * NEWEST input does. An operator running both policies compacts
+    * within retention windows (the `maxFragments` dial) or expires
+    * BEFORE compacting; expiry itself folds the survivors, so it never
+    * needs a separate compaction pass. Cost: one compaction over the
+    * surviving fragments — the dropped ones are never read.
+    */
+  def expireBatches(spark: SparkSession, root: String, expectedGen: Long,
+      minRetainedBatch: Long): Long =
+    compactStoreHooked(spark, root, expectedGen, () => (),
+      _ >= minRetainedBatch)
+
   /** [[compactStore]] with a hook run between the fragment listing and
     * the merge — the test seam that makes the straggler sweep's race
     * window reproducible (the [[VectorStore.admitAt]] pattern).
     */
   private[graft] def compactStoreHooked(spark: SparkSession, root: String,
-      expectedGen: Long, midHook: () => Unit): Long = {
+      expectedGen: Long, midHook: () => Unit,
+      retain: Long => Boolean = _ => true): Long = {
     val cur = currentGen(root)
     if (cur != expectedGen) return cur
     val src = genDir(root, cur)
-    val ids = GenStore.listBatchIds(spark, s"$src/postings")
-    require(ids.nonEmpty, s"nothing to compact under $src")
-    val hwm = ids.max
+    val allIds = GenStore.listBatchIds(spark, s"$src/postings")
+    require(allIds.nonEmpty, s"nothing to compact under $src")
+    val ids = allIds.filter(retain)
+    require(ids.nonEmpty,
+      "retention would empty the store — at least one fragment must " +
+        "survive; to drop everything, initialize a fresh root instead")
+    // seal at the FULL listing's high-water mark: an expired fragment's
+    // batch id must refuse replay (re-admitting it would resurrect the
+    // aged-out docs), exactly like a compacted-away one
+    val hwm = allIds.max
     midHook()
     val dst = genDir(root, cur + 1)
     // the merge reads the LISTED fragments explicitly, never the whole
@@ -574,7 +608,11 @@ object InvertedIndex {
     // entries anti-joined, doclens rows dropped, that fragment's stats
     // recomputed from its surviving doclens.
     def sweep(): Unit = {
-      (GenStore.listBatchIds(spark, s"$src/postings").toSet -- ids).toSeq.sorted
+      // subtract the FULL listing (an expired fragment is not a
+      // straggler — copying it back would undo the retention) and
+      // retain-filter what remains for the same reason
+      (GenStore.listBatchIds(spark, s"$src/postings").toSet -- allIds)
+        .filter(retain).toSeq.sorted
         .foreach { i =>
           del match {
             case None =>

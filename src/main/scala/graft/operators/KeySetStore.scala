@@ -176,21 +176,43 @@ object KeySetStore {
       expectedGen: Long): Long =
     compactStoreHooked(spark, root, expectedGen, () => ())
 
+  /** AGE-OUT RETENTION for the dedup memory — forget signatures older
+    * than the watermark so stale content can re-enter the corpus (the
+    * re-crawl policy: a page deduped against a 2-year-old snapshot of
+    * itself should be admitted when it returns changed). Compacts the
+    * current generation keeping ONLY fragments with `batch_id >=
+    * minRetainedBatch`; expired ids stay sealed (replays refused),
+    * re-ingestion is a new admission. Same fragment-granularity
+    * contract as [[InvertedIndex.expireBatches]]: a merged fragment
+    * expires with its NEWEST input — compact within retention windows
+    * or expire before compacting.
+    */
+  def expireBatches(spark: SparkSession, root: String, expectedGen: Long,
+      minRetainedBatch: Long): Long =
+    compactStoreHooked(spark, root, expectedGen, () => (),
+      _ >= minRetainedBatch)
+
   /** [[compactStore]] with a hook run between the fragment/delete
     * listing and the merge — the family's race-test seam: work
     * admitted inside the window must ride through the sweep (data
     * fragments unmerged, delete fragments still pending), never vanish.
     */
   private[graft] def compactStoreHooked(spark: SparkSession, root: String,
-      expectedGen: Long, midHook: () => Unit): Long = {
+      expectedGen: Long, midHook: () => Unit,
+      retain: Long => Boolean = _ => true): Long = {
     val cur = GenStore.currentGen(root)
     if (cur != expectedGen) return cur
     val ng = cur + 1
     val src = GenStore.genDir(root, cur)
     val dst = GenStore.genDir(root, ng)
-    val ids = GenStore.listBatchIds(spark, src)
-    require(ids.nonEmpty, s"nothing to compact under $src")
-    val hwm = ids.max
+    val allIds = GenStore.listBatchIds(spark, src)
+    require(allIds.nonEmpty, s"nothing to compact under $src")
+    val ids = allIds.filter(retain)
+    require(ids.nonEmpty,
+      "retention would empty the store — at least one fragment must " +
+        "survive; to drop everything, initialize a fresh root instead")
+    // seal at the FULL listing's hwm: expired ids must refuse replay
+    val hwm = allIds.max
     val delIds = GenStore.listBatchIds(spark, s"$src/deletes")
     midHook()
     // merge the LISTED fragments explicitly (parquet listing is lazy):
@@ -222,7 +244,10 @@ object KeySetStore {
       else Some(spark.read
         .parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*).distinct())
     def sweep(): Unit = {
-      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+      // subtract the FULL listing (an expired fragment is not a
+      // straggler) and retain-filter what remains
+      (GenStore.listBatchIds(spark, src).toSet -- allIds)
+        .filter(retain).toSeq.sorted.foreach { i =>
         val raw = spark.read.parquet(s"$src/batch_id=$i")
         listedDel.map(d =>
             raw.join(broadcast(d), raw.columns.toSeq, "left_anti"))

@@ -125,6 +125,46 @@ object Splits {
       .drop("_ss_rk")
   }
 
+  /** Fill per-stratum TOKEN budgets deterministically — the training-
+    * mixture assembly step: an LLM data mix is specified as tokens per
+    * source ("300B web, 50B code, 20B books"), not doc counts or keep
+    * fractions, so the sampler must cut each stratum when its RUNNING
+    * TOKEN SUM reaches the quota. Docs are consumed in portable-hash
+    * order ([[portableUniform]] of the key — an unbiased uniform draw,
+    * stable under partitioning/retries/backfills and recomputable by
+    * any engine), and a doc is kept while the tokens BEFORE it are
+    * still under budget — so the budget is met with an overshoot of at
+    * most one document, the standard fill rule (a strictly-under rule
+    * could undershoot by an arbitrarily large doc). Strata without a
+    * budget keep nothing; a stratum smaller than its budget is kept
+    * whole. Under corpus growth a stratum's selection changes only
+    * where new keys hash below its current cut — the same stability
+    * contract as [[stratumSample]].
+    *
+    * Cost: one exchange on the stratum key + a per-stratum window sort
+    * (parallel across sources). A single mega-stratum makes that sort
+    * wide; at that scale pre-filter with [[stratifiedSample]] at a
+    * generous fraction (estimate: budget / stratum tokens, padded) to
+    * shrink the sort input, then budget-cut the survivors — the cut
+    * itself must see an ordered prefix, so some per-stratum order is
+    * irreducible.
+    */
+  def tokenBudgetMix(
+      df: DataFrame, keyCol: String, strataCol: String, sizeCol: String,
+      budgets: Map[String, Long], salt: String = ""): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "token budgets must be >= 0")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(portableUniform(col(keyCol), salt), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L))
+    val budget = budgets.foldLeft(lit(0L): Column) {
+      case (els, (k, b)) => when(col(strataCol) === k, b).otherwise(els)
+    }
+    df.withColumn("_tb_before", before)
+      .filter(col("_tb_before") < budget)
+      .drop("_tb_before")
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis-Spirakis): each row draws `u = portableUniform(key)`,
     * scores `u^(1/w)`, and the k largest scores win — exactly a weighted

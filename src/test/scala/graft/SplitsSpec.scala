@@ -129,6 +129,38 @@ class SplitsSpec extends AnyFunSuite {
     assert(after.subsetOf(before ++ Set(1000L, 1001L)))
   }
 
+  test("tokenBudgetMix fills each budget with at most one doc of overshoot") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("ntok"))
+    val budgets = Map("src0" -> 120L, "src1" -> 1000000L)
+    val got = Splits.tokenBudgetMix(docs, "doc_id", "source", "ntok", budgets)
+      .as[(Long, String, Long)].collect()
+    val repart = Splits.tokenBudgetMix(docs.repartition(13), "doc_id",
+      "source", "ntok", budgets).as[(Long, String, Long)].collect()
+    assert(got.toSet == repart.toSet, "selection must ignore partitioning")
+    // absent strata keep nothing
+    assert(got.forall(r => budgets.contains(r._2)))
+    val all = docs.as[(Long, String, Long)].collect()
+    // src1's budget exceeds its total: kept whole
+    assert(got.count(_._2 == "src1") == all.count(_._2 == "src1"))
+    // src0: quota met, overshoot bounded by one document — dropping the
+    // LAST kept doc (by the hash order = any kept doc with max "before")
+    // must leave the sum under budget
+    val src0 = got.filter(_._2 == "src0")
+    val kept = src0.map(_._3).sum
+    val total = all.filter(_._2 == "src0").map(_._3).sum
+    assert(total > 120L, "fixture must be bigger than the budget")
+    assert(kept >= 120L, s"budget must be met, kept only $kept")
+    assert(kept - src0.map(_._3).max < 120L,
+      s"overshoot exceeds one doc: kept $kept of 120")
+    // monotone: raising a budget only ADDS rows
+    val more = Splits.tokenBudgetMix(docs, "doc_id", "source", "ntok",
+      budgets + ("src0" -> 300L)).as[(Long, String, Long)].collect()
+    assert(src0.map(_._1).toSet.subsetOf(
+      more.filter(_._2 == "src0").map(_._1).toSet))
+  }
+
   test("weightedSample favors heavy rows: weight-17 rows beat weight-1 rows in aggregate") {
     val rows = (1L to 300L).map(id => (id, if (id % 2 == 0) 17L else 1L))
     val sampled = Splits.weightedSample(rows.toDF("id", "w"), "id", "w", k = 50)
