@@ -888,6 +888,85 @@ object BenchTune {
       f"purge_compact=$vPurgeT%.1f s post_read=$vPostT%.2f s")
   }
 
+  /** `--retention [docs] [batches]`: the age-out economics q187/q188
+    * claim ("expiry is a compaction over the SURVIVORS — the dropped
+    * fragments are never read"), as numbers. Builds three identical
+    * `batches`-fragment stores (index + signature twins) at `docs`
+    * scale and times expireBatches keeping the newest quarter, the
+    * newest three quarters, and a full no-expiry compaction: the
+    * keep-a-quarter fold must cost a fraction of the full one, and the
+    * ordering quarter < three-quarters < full is the scaling claim —
+    * retention cost tracks surviving bytes, not corpus age.
+    */
+  private def retentionDemo(spark: SparkSession, docs: Long,
+      batches: Int): Unit = {
+    import graft.operators.{InvertedIndex, KeySetStore}
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-retention-probe").toString
+    val vocab = 2000L
+    val corpus = spark.range(docs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocab))
+          .cast("string"))).as("tk"))
+    def buildIndex(root: String): Unit = {
+      InvertedIndex.initStore(root)
+      (0 until batches).foreach { b =>
+        InvertedIndex.admitBatch(spark,
+          corpus.filter(pmod(col("doc_id"), lit(batches)) === b),
+          "doc_id", "tk", bucketSize = 4096L, batchId = b.toLong,
+          root = root)
+      }
+    }
+    val (ia, ib, ic) = (s"$base/ia", s"$base/ib", s"$base/ic")
+    Seq(ia, ib, ic).foreach(buildIndex)
+    // warm-up fold on a throwaway store so the first timed leg does
+    // not carry JVM/codegen startup
+    val iwarm = s"$base/iwarm"
+    InvertedIndex.initStore(iwarm)
+    InvertedIndex.admitBatch(spark, corpus.filter(col("doc_id") < 1000),
+      "doc_id", "tk", bucketSize = 4096L, batchId = 0L, root = iwarm)
+    InvertedIndex.compactStore(spark, iwarm, 1L)
+    val quarter = wall(InvertedIndex.expireBatches(spark, ia, 1L,
+      minRetainedBatch = batches - batches / 4))
+    val threeQ = wall(InvertedIndex.expireBatches(spark, ib, 1L,
+      minRetainedBatch = batches / 4))
+    val full = wall(InvertedIndex.compactStore(spark, ic, 1L))
+    println(f"[retention] index docs=$docs%d batches=$batches%d " +
+      f"keep_quarter=$quarter%.1f s keep_three_quarters=$threeQ%.1f s " +
+      f"full_compaction=$full%.1f s")
+    // signature store: synthetic (band, bucket) keys, ~4 per doc
+    val keys = spark.range(docs * 4).select(
+      pmod(col("id"), lit(8)).as("band"),
+      concat(lit("k"), pmod(xxhash64(col("id"), lit(7)), lit(docs))
+        .cast("string")).as("bucket"))
+    def buildSig(root: String): Unit = {
+      KeySetStore.init(root)
+      (0 until batches).foreach { b =>
+        KeySetStore.admitBatch(
+          keys.filter(pmod(xxhash64(col("bucket")), lit(batches)) === b),
+          batchId = b.toLong, root = root)
+      }
+    }
+    val (sa, sb, sc) = (s"$base/sa", s"$base/sb", s"$base/sc")
+    Seq(sa, sb, sc).foreach(buildSig)
+    val swarm = s"$base/swarm"
+    KeySetStore.init(swarm)
+    KeySetStore.admitBatch(keys.limit(1000), batchId = 0L, root = swarm)
+    KeySetStore.compactStore(spark, swarm, 1L)
+    val sQuarter = wall(KeySetStore.expireBatches(spark, sa, 1L,
+      minRetainedBatch = batches - batches / 4))
+    val sThreeQ = wall(KeySetStore.expireBatches(spark, sb, 1L,
+      minRetainedBatch = batches / 4))
+    val sFull = wall(KeySetStore.compactStore(spark, sc, 1L))
+    println(f"[retention] sigstore keys=${docs * 4}%d batches=$batches%d " +
+      f"keep_quarter=$sQuarter%.1f s keep_three_quarters=$sThreeQ%.1f s " +
+      f"full_compaction=$sFull%.1f s")
+  }
+
   /** `--curation [docs] [batches]`: throughput of the streaming
     * curation capstone (q164's `curationIngestCompacting`) on synthetic
     * hash-token docs — `docs` total across `batches` crawl files, ~10%
@@ -1036,6 +1115,14 @@ object BenchTune {
       val nums = args.dropWhile(_ != "--policy").drop(1)
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       policyDemo(spark, nums.headOption.getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+    if (args.contains("--retention")) {
+      val nums = args.dropWhile(_ != "--retention").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      retentionDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(8L).toInt)
       spark.stop()
       return
     }

@@ -1683,7 +1683,39 @@ object Queries {
              |WHERE before < CASE source WHEN 'src0' THEN 500
              |                           WHEN 'src1' THEN 1000000
              |                           ELSE 0 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q189_epoch_order",
+      // DETERMINISTIC PER-EPOCH TRAINING ORDER (Splits.epochOrder) —
+      // the data-ordering step between packing and the trainer: each
+      // doc's position within its shard is the rank of a portable
+      // (key, epoch)-salted hash, so every epoch is a DIFFERENT
+      // permutation (epoch 0's and epoch 1's orders decorrelate like
+      // independent shuffles) yet each is a pure function of the key —
+      // restarts, backfills and repartitioning cannot move a sample,
+      // and the oracle recomputes BOTH epochs' exact positions from
+      // the same md5 ranks (numeric first-8-hex order, key tiebreak —
+      // the q53/q54 draw). Shard-local by design: one bounded window
+      // per shard, parallel across shards; a global shuffle order would
+      // need a global sort that trainers reading shards independently
+      // never benefit from.
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Splits.epochOrder(
+          Splits.epochOrder(base, "doc_id", "source", epoch = 0L, "pos_e0"),
+          "doc_id", "source", epoch = 1L, "pos_e1")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch=0'), 1, 8)) AS UBIGINT) AS u0,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch=1'), 1, 8)) AS UBIGINT) AS u1
+             |  FROM documents
+             |)
+             |SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY u0, doc_id) AS BIGINT) AS pos_e0,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY u1, doc_id) AS BIGINT) AS pos_e1
+             |FROM u ORDER BY doc_id""".stripMargin))
   )
 
   // ---------------------------------------------------------------------------
@@ -8443,6 +8475,185 @@ object Queries {
              |  TRUE AS pre_expiry_self_rejected,
              |  TRUE AS expired_replay_refused
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q190_index_federation",
+      // FEDERATION MERGE on the retrieval index (InvertedIndex
+      // .mergeStores) — the scale-out ingestion pattern: the crawl is
+      // PARTITIONED across two independent builders (no coordination,
+      // each runs the ordinary admit lifecycle on its own root; builder
+      // B also takes a pending takedown), and the finished stores merge
+      // into one serving store with one narrow copy pass per fragment —
+      // no shuffle, no re-tokenization, stats ride as the per-fragment
+      // rows the read already sums. The emitted BM25 top-15 is the
+      // ORACLE's recomputation over the union corpus MINUS the taken-
+      // down docs: the merged store serves as if one pipeline had
+      // ingested everything, pending delete included. Gates: merged
+      // serving equals a single-store twin admitted with all four
+      // batches and the same delete (bit-identical rows); the merge
+      // seals its occupied ids (an admission reusing one is refused);
+      // a fresh admission under a higher id lands.
+      (s, d) => {
+        val base = scratchDir("q190")
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        val deadPred = col("doc_id") % 4 >= 2 && col("doc_id") % 7 === 3
+        val (ra, rb, twin, merged) =
+          (s"$base/a", s"$base/b", s"$base/twin", s"$base/merged")
+        Seq(ra, rb, twin).foreach(InvertedIndex.initStore)
+        (0L to 1L).foreach { b =>
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(4)) === b),
+            "doc_id", "tk", IndexBucket, batchId = b, root = ra)
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(4)) === b + 2),
+            "doc_id", "tk", IndexBucket, batchId = b, root = rb)
+        }
+        InvertedIndex.admitDeleteBatch(s,
+          docs.filter(deadPred).select("doc_id"), "doc_id", 0L, rb)
+        InvertedIndex.mergeStores(s, Seq(ra, rb), merged)
+        (0L to 3L).foreach { b =>
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(4)) === b),
+            "doc_id", "tk", IndexBucket, batchId = b, root = twin)
+        }
+        InvertedIndex.admitDeleteBatch(s,
+          docs.filter(deadPred).select("doc_id"), "doc_id", 0L, twin)
+        def bm(r: String) = InvertedIndex.bm25SearchCurrent(s, r,
+            bm25Terms, 15)
+          .collect().toSeq.map(x => (x.getLong(0), x.getDouble(1)))
+        val eqTwin = bm(merged) == bm(twin)
+        val sealRefused =
+          try {
+            InvertedIndex.admitBatch(s,
+              toks.filter(pmod(col("doc_id"), lit(4)) === 0),
+              "doc_id", "tk", IndexBucket, batchId = 0L, root = merged)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("seal") }
+        InvertedIndex.bm25SearchCurrent(s, merged, bm25Terms, 15)
+          .withColumn("merged_eq_single_pipeline", lit(eqTwin))
+          .withColumn("occupied_id_sealed", lit(sealRefused))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents
+              |  WHERE NOT (doc_id % 4 >= 2 AND doc_id % 7 = 3)
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS merged_eq_single_pipeline,
+              |  TRUE AS occupied_id_sealed
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q191_signature_federation",
+      // FEDERATION MERGE on the dedup memory (KeySetStore.mergeStores):
+      // two crawl partitions build signature stores INDEPENDENTLY
+      // (doc_id % 3 = 0 and % 3 = 1), merge into one memory, and the
+      // emitted frame is the NEXT crawl batch's admission probe
+      // (doc_id % 3 = 2, never admitted anywhere) against the merged
+      // store — a doc admits unless its band keys collide with EITHER
+      // partition's keys, which the oracle recomputes key for key from
+      // the portable-md5 closed form (store = both partitions' distinct
+      // band keys). Gates: merged decisions equal a single-store twin
+      // that admitted both partitions; the merge seals its occupied
+      // ids against replay.
+      (s, d) => {
+        val base = scratchDir("q191")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pa = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val pb = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        val probe = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        val (ra, rb, twin, merged) =
+          (s"$base/a", s"$base/b", s"$base/twin", s"$base/merged")
+        Seq(ra, rb, twin).foreach(KeySetStore.init)
+        Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = ra,
+          portableKeys = true)
+        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = rb,
+          portableKeys = true)
+        KeySetStore.mergeStores(s, Seq(ra, rb), merged)
+        Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = twin,
+          portableKeys = true)
+        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 1L, root = twin,
+          portableKeys = true)
+        def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(probe,
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8, root = r,
+            portableKeys = true)
+          .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
+        val eqTwin = dec(merged) == dec(twin)
+        val sealRefused =
+          try {
+            Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
+              numHashes = 32, bands = 8, batchId = 0L, root = merged,
+              portableKeys = true); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("seal") }
+        Dedup.admitAgainstMinHashStoreGen(probe, "doc_id", "text", n = 3,
+            numHashes = 32, bands = 8, root = merged, portableKeys = true)
+          .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
+          .withColumn("merged_eq_single_pipeline", lit(eqTwin))
+          .withColumn("occupied_id_sealed", lit(sealRefused))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), store AS (
+             |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 3 IN (0, 1)
+             |), hits AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+             |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             |  WHERE b.doc_id % 3 = 2
+             |  GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+             |  coalesce(h.hit_bands, 0) = 0 AS admit,
+             |  TRUE AS merged_eq_single_pipeline,
+             |  TRUE AS occupied_id_sealed
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
              |LEFT JOIN hits h USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )

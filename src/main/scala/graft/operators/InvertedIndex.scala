@@ -492,6 +492,53 @@ object InvertedIndex {
   def compactStore(spark: SparkSession, root: String, expectedGen: Long): Long =
     compactStoreHooked(spark, root, expectedGen, () => ())
 
+  /** FEDERATION MERGE — the scale-out ingestion pattern: partition the
+    * crawl across K INDEPENDENT builders (no coordination, no shared
+    * state, each runs the ordinary admit/compact lifecycle on its own
+    * root) and merge the finished stores into one serving store at the
+    * end. The merge is one narrow read→write pass per fragment —
+    * postings/doclens/stats fragments copy under fresh sequential batch
+    * ids (reads union fragments, so pairing never matters), pending
+    * DELETE fragments ride along (a takedown admitted to one builder
+    * stays pending in the merged store until its compaction), and the
+    * occupied ids are sealed so later admissions cannot overwrite them.
+    * No shuffle anywhere: stats stay per-fragment rows the read-side
+    * aggregation already sums, so merged serving is bit-identical to a
+    * single store admitted with every builder's batches (spec gate).
+    *
+    * Caller contract: doc_id spaces are disjoint across builders (the
+    * same uniqueness admission already requires) and `dstRoot` is
+    * fresh. Returns the published generation (1).
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long = {
+    require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    GenStore.initIfAbsent(dstRoot)
+    require(currentGen(dstRoot) == 1L &&
+      GenStore.listBatchIds(spark, s"${genDir(dstRoot, 1L)}/postings").isEmpty,
+      s"merge target $dstRoot must be a fresh store root")
+    val dst = genDir(dstRoot, 1L)
+    var next = 0L
+    var delNext = 0L
+    srcRoots.foreach { src =>
+      val sdir = genDir(src, currentGen(src))
+      GenStore.listBatchIds(spark, s"$sdir/postings").foreach { i =>
+        Seq("postings", "doclens", "stats").foreach { t =>
+          spark.read.parquet(s"$sdir/$t/batch_id=$i")
+            .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$next")
+        }
+        next += 1
+      }
+      GenStore.listBatchIds(spark, s"$sdir/deletes").foreach { i =>
+        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
+        delNext += 1
+      }
+    }
+    GenStore.seal(dstRoot, 1L, next - 1)
+    1L
+  }
+
   /** AGE-OUT RETENTION — the time-based sibling of the takedown
     * surface: compact the current generation keeping ONLY fragments
     * with `batch_id >= minRetainedBatch`; everything older is dropped

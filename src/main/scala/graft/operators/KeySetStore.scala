@@ -176,6 +176,42 @@ object KeySetStore {
       expectedGen: Long): Long =
     compactStoreHooked(spark, root, expectedGen, () => ())
 
+  /** FEDERATION MERGE for the dedup memory — K crawl partitions build
+    * signature stores independently, then merge into one memory
+    * ([[InvertedIndex.mergeStores]]'s pattern): data fragments copy
+    * under fresh sequential ids, pending delete fragments ride along,
+    * occupied ids seal. Key multisets union — exactly what the
+    * LEFT-SEMI probe semantics want (overlap across builders is
+    * harmless, the next compaction distincts it away). Caller
+    * contract: same key schema across sources; fresh `dstRoot`.
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long = {
+    require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    GenStore.initIfAbsent(dstRoot)
+    require(GenStore.currentGen(dstRoot) == 1L &&
+      GenStore.listBatchIds(spark, GenStore.genDir(dstRoot, 1L)).isEmpty,
+      s"merge target $dstRoot must be a fresh store root")
+    val dst = GenStore.genDir(dstRoot, 1L)
+    var next = 0L
+    var delNext = 0L
+    srcRoots.foreach { src =>
+      val sdir = GenStore.genDir(src, GenStore.currentGen(src))
+      GenStore.listBatchIds(spark, sdir).foreach { i =>
+        spark.read.parquet(s"$sdir/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$next")
+        next += 1
+      }
+      GenStore.listBatchIds(spark, s"$sdir/deletes").foreach { i =>
+        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
+        delNext += 1
+      }
+    }
+    GenStore.seal(dstRoot, 1L, next - 1)
+    1L
+  }
+
   /** AGE-OUT RETENTION for the dedup memory — forget signatures older
     * than the watermark so stale content can re-enter the corpus (the
     * re-crawl policy: a page deduped against a 2-year-old snapshot of

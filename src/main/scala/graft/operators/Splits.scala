@@ -165,6 +165,30 @@ object Splits {
       .drop("_tb_before")
   }
 
+  /** Deterministic per-epoch training order: position `1..n` within
+    * each shard, ordered by the portable hash of (key, epoch) — the
+    * data-ordering step between packing and the trainer. Each epoch is
+    * a DIFFERENT permutation (the epoch is salted into the draw, so
+    * consecutive epochs decorrelate like independent shuffles) yet every
+    * epoch is reproducible from the key alone: restarts, backfills and
+    * re-partitioning cannot move a sample's position, and any engine
+    * can recompute the exact order (the md5 contract of every sampler
+    * here — seed-dependent engine RNGs cannot promise either property).
+    *
+    * Shard-local by design: a global shuffle order would need a global
+    * sort, and trainers read shards independently anyway — hash-ordering
+    * WITHIN shards while shard assignment is itself hash-based gives the
+    * same statistical mix with one bounded window per shard, parallel
+    * across shards, at any corpus size.
+    */
+  def epochOrder(
+      df: DataFrame, keyCol: String, shardCol: String, epoch: Long,
+      outCol: String = "pos", salt: String = ""): DataFrame =
+    df.withColumn(outCol, row_number().over(
+      Window.partitionBy(col(shardCol))
+        .orderBy(portableUniform(col(keyCol), s"$salt:epoch=$epoch"),
+          col(keyCol))).cast("long"))
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis-Spirakis): each row draws `u = portableUniform(key)`,
     * scores `u^(1/w)`, and the k largest scores win — exactly a weighted

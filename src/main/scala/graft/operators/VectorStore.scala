@@ -151,6 +151,16 @@ object VectorStore {
   // takedown admitted mid-migration is never lost. Replayed delete
   // batches are no-ops (overwrite + anti-join of absent ids); so are
   // deletes of never-admitted ids.
+  //
+  // AGE-OUT RETENTION rides THIS surface, deliberately NOT the
+  // fragment-drop `expireBatches` the index/signature stores have
+  // ([[InvertedIndex.expireBatches]]): coded rows carry id attribution,
+  // so aging out a crawl is `admitDeletes` of its ids (the caller knows
+  // which ids aged — the same frame it admitted), and the stats
+  // baseline fragment — [[needsRefit]]'s fit-time drift reference,
+  // `_stats/batch_id=<min>` — stays intact, which fragment dropping
+  // would destroy (the drift policy would silently re-baseline to the
+  // oldest survivor).
   // -------------------------------------------------------------------------
 
   private def deletesDir(root: String, gen: Long) = genRoot(root, gen) + "/deletes"

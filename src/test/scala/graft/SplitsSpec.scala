@@ -161,6 +161,32 @@ class SplitsSpec extends AnyFunSuite {
       more.filter(_._2 == "src0").map(_._1).toSet))
   }
 
+  test("epochOrder: each epoch is a per-shard bijection, epochs differ, partitioning is irrelevant") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("source"))
+    val ordered = Splits.epochOrder(
+      Splits.epochOrder(docs, "doc_id", "source", epoch = 0L, "p0"),
+      "doc_id", "source", epoch = 1L, "p1")
+      .as[(Long, String, Long, Long)].collect()
+    // bijection 1..n per shard, both epochs
+    ordered.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.length.toLong
+      assert(rows.map(_._3).sorted.toSeq == (1L to n),
+        "epoch 0 must rank every shard 1..n")
+      assert(rows.map(_._4).sorted.toSeq == (1L to n),
+        "epoch 1 must rank every shard 1..n")
+    }
+    // the two epochs are different permutations (some doc moved)
+    assert(ordered.exists(r => r._3 != r._4),
+      "consecutive epochs must not repeat the order")
+    // pure function of the key: repartitioning changes nothing
+    val repart = Splits.epochOrder(
+      Splits.epochOrder(docs.repartition(13), "doc_id", "source", 0L, "p0"),
+      "doc_id", "source", 1L, "p1")
+      .as[(Long, String, Long, Long)].collect()
+    assert(repart.toSet == ordered.toSet)
+  }
+
   test("weightedSample favors heavy rows: weight-17 rows beat weight-1 rows in aggregate") {
     val rows = (1L to 300L).map(id => (id, if (id % 2 == 0) 17L else 1L))
     val sampled = Splits.weightedSample(rows.toDF("id", "w"), "id", "w", k = 50)
