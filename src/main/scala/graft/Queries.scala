@@ -8655,7 +8655,175 @@ object Queries {
              |  TRUE AS occupied_id_sealed
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
              |LEFT JOIN hits h USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q192_vector_federation",
+      // FEDERATION MERGE on the vector store (VectorStore.mergeStores)
+      // — FIT ONCE, ENCODE IN K PARTITIONS, MERGE: both builders were
+      // initialized with the SAME IVF-PQ artifact and encoded disjoint
+      // halves of the corpus independently (builder B also took a
+      // pending takedown); the merge copies coded+stats fragments (no
+      // re-encode, no shuffle) and the merged search equals a single
+      // pipeline that admitted everything — including the carried
+      // pending delete. Artifact equality is CHECKED: merging a store
+      // fit on different centroids is REFUSED loudly (coded rows are
+      // not comparable across artifacts — that case needs a refit).
+      // After one compaction the carried takedown purges physically
+      // and serving is stable across the fold.
+      (s, d) => {
+        val base = scratchDir("q192")
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val (c1, b1) = Similarity.fitIvfPq(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", nlist = 16, kmeansIters = 3, m = 16,
+          kcode = 16, pqIters = 2)
+        val (ra, rb, twin, merged) =
+          (s"$base/a", s"$base/b", s"$base/twin", s"$base/merged")
+        Seq(ra, rb, twin).foreach(r => VectorStore.init(s, r, c1, b1))
+        val pa = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val pb = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        VectorStore.admit(s, ra, pa, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, rb, pb, "vec_id", "embedding", 0L)
+        val deadIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1 &&
+          col("vec_id") % 7 === 3).select("vec_id")
+        VectorStore.admitDeletes(s, rb, deadIds, "vec_id", 0L)
+        VectorStore.mergeStores(s, Seq(ra, rb), merged)
+        VectorStore.admit(s, twin, pa, "vec_id", "embedding", 0L)
+        VectorStore.admit(s, twin, pb, "vec_id", "embedding", 1L)
+        VectorStore.admitDeletes(s, twin, deadIds, "vec_id", 0L)
+        def served(r: String) = VectorStore.search(s, r, q, "vec_id",
+            "embedding", 5, nprobe = 12, shortlistFactor = 32)
+          .collect().toSeq
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+        val pending = served(merged)
+        val eqTwin = pending == served(twin)
+        val (c2, b2) = Similarity.fitIvfPq(
+          emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 2)
+        val alien = s"$base/alien"
+        VectorStore.init(s, alien, c2, b2)
+        val mismatchRefused =
+          try { VectorStore.mergeStores(s, Seq(ra, alien), s"$base/bad"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("artifact") }
+        VectorStore.compactGen(s, merged, expectedGen = 1L)
+        val purged = s.read.parquet(VectorStore.codedDir(merged, 2L))
+          .join(deadIds.withColumnRenamed("vec_id", "cid"), Seq("cid"),
+            "left_semi").isEmpty &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(merged, "gen=2", "deletes"))
+        val stableAcrossFold = served(merged) == pending
+        import s.implicits._
+        pending.map(_._1).distinct.sorted.map { qid =>
+          (qid, pending.count(_._1 == qid).toLong, eqTwin, mismatchRefused,
+            purged, stableAcrossFold)
+        }.toDF("query_id", "n_results", "merged_eq_single_pipeline",
+          "alien_artifact_refused", "takedown_purged_after_fold",
+          "serving_stable_across_fold")
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS merged_eq_single_pipeline,
+             |  TRUE AS alien_artifact_refused,
+             |  TRUE AS takedown_purged_after_fold,
+             |  TRUE AS serving_stable_across_fold
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q193_mergeable_federation",
+      // FEDERATION across the MERGEABLE family (sketch / frequency /
+      // quantile, GenStore.mergeFlatStores): these stores' reads ALREADY
+      // union fragments by algebra (register max / MG merge / bin-count
+      // sum), so two builders' stores merged by fragment copies answer
+      // EXACTLY like one pipeline — the defining mergeability property,
+      // now exercised across store roots, not just batches. Emitted per
+      // event type: the merged frequency count (MG exact here, m
+      // exceeds the cardinality — the oracle recomputes it as count(*)),
+      // merged p50/p95 over the integral user_id%10+1 domain (exact
+      // integer-rank order statistics the oracle recomputes in window
+      // SQL), and the merged HLL estimate within the q148 band of the
+      // exact distinct count; the three merged==single-pipeline gates
+      // are collected equalities.
+      (s, d) => {
+        val base = scratchDir("q193")
+        val ev = t(s, d, "events")
+        val half = (h: Long) => ev.filter(pmod(col("event_id"), lit(2)) === h)
+        val qs = Seq(("p50", 1, 2), ("p95", 19, 20))
+        val v = (df: org.apache.spark.sql.DataFrame) => df.select(
+          col("event_type"), (col("user_id") % 10 + 1).cast("double").as("v"))
+        // builders (one batch each), twin (both batches), merged
+        val (sa, sb, sm, st) = (s"$base/sa", s"$base/sb", s"$base/sm", s"$base/st")
+        val (ha, hb, hm, ht) = (s"$base/ha", s"$base/hb", s"$base/hm", s"$base/ht")
+        val (qa, qb, qm, qt) = (s"$base/qa", s"$base/qb", s"$base/qm", s"$base/qt")
+        Seq(sa, sb, st).foreach(SketchStore.initStore)
+        Seq(ha, hb, ht).foreach(HeavyHitters.initStore)
+        Seq(qa, qb, qt).foreach(QuantileStore.initStore)
+        Seq(0L, 1L).foreach { h =>
+          val r = Seq(sa, sb)(h.toInt)
+          SketchStore.admitBatch(s, half(h), Seq("event_type"), "user_id", 0L, r)
+          HeavyHitters.admitBatch(s, half(h), "event_type", 64, 0L,
+            Seq(ha, hb)(h.toInt))
+          QuantileStore.admitBatch(s, v(half(h)), Seq("event_type"), "v",
+            lo = 1.0, width = 1.0, nbins = 10, batchId = 0L,
+            root = Seq(qa, qb)(h.toInt))
+          SketchStore.admitBatch(s, half(h), Seq("event_type"), "user_id", h, st)
+          HeavyHitters.admitBatch(s, half(h), "event_type", 64, h, ht)
+          QuantileStore.admitBatch(s, v(half(h)), Seq("event_type"), "v",
+            lo = 1.0, width = 1.0, nbins = 10, batchId = h, root = qt)
+        }
+        SketchStore.mergeStores(s, Seq(sa, sb), sm)
+        HeavyHitters.mergeStores(s, Seq(ha, hb), hm)
+        QuantileStore.mergeStores(s, Seq(qa, qb), qm)
+        def ests(r: String) = SketchStore.estimatesCurrent(s, r, Seq("event_type"))
+          .select(col("event_type"), col("est"))
+          .collect().toSeq.map(x => (x.getString(0), x.getLong(1))).sorted
+        def hits(r: String) = HeavyHitters.hittersCurrent(s, r, 64)
+          .collect().toSeq.map(x => (x.getString(0), x.getLong(1))).sorted
+        def quants(r: String) = QuantileStore.quantilesCurrent(s, r,
+            Seq("event_type"), qs, lo = 1.0, width = 1.0)
+          .collect().toSeq.map(_.toString).sorted
+        val skEq = ests(sm) == ests(st)
+        val hhEq = hits(hm) == hits(ht)
+        val qEq = quants(qm) == quants(qt)
+        HeavyHitters.hittersCurrent(s, hm, 64)
+          .select(col("key").as("event_type"), col("est").as("freq"))
+          .join(QuantileStore.quantilesCurrent(s, qm, Seq("event_type"), qs,
+            lo = 1.0, width = 1.0), "event_type")
+          .join(SketchStore.estimatesCurrent(s, sm, Seq("event_type"))
+            .select(col("event_type"), col("est").as("distinct_est")),
+            "event_type")
+          .join(ev.groupBy(col("event_type"))
+            .agg(count_distinct(col("user_id")).cast("long").as("n_exact")),
+            "event_type")
+          .select(col("event_type"), col("freq"), col("p50"), col("p95"),
+            (abs(col("distinct_est") - col("n_exact")).cast("double")
+              <= col("n_exact") * 0.05).as("sketch_within_5pct"),
+            lit(hhEq).as("freq_merged_eq_single_pipeline"),
+            lit(qEq).as("quantile_merged_eq_single_pipeline"),
+            lit(skEq).as("sketch_merged_eq_single_pipeline"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, user_id % 10 + 1 AS v, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), w AS (
+             |  SELECT event_type, v,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM c
+             |), q AS (
+             |  SELECT event_type,
+             |    CAST(min(CASE WHEN cum >= (n*1 + 1) // 2 THEN v END) AS DOUBLE) AS p50,
+             |    CAST(min(CASE WHEN cum >= (n*19 + 19) // 20 THEN v END) AS DOUBLE) AS p95
+             |  FROM w GROUP BY event_type
+             |)
+             |SELECT e.event_type, CAST(count(*) AS BIGINT) AS freq,
+             |  any_value(q.p50) AS p50, any_value(q.p95) AS p95,
+             |  TRUE AS sketch_within_5pct,
+             |  TRUE AS freq_merged_eq_single_pipeline,
+             |  TRUE AS quantile_merged_eq_single_pipeline,
+             |  TRUE AS sketch_merged_eq_single_pipeline
+             |FROM events e JOIN q USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
   )
 
   val defs: Seq[QDef] =

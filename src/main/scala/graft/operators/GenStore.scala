@@ -88,6 +88,45 @@ object GenStore {
       java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED"),
       hwm.toString.getBytes)
 
+  /** FEDERATION MERGE for FLAT-fragment stores (fragments directly
+    * under the generation directory; an optional `deletes/` table
+    * beside them) — the shared machinery behind [[KeySetStore
+    * .mergeStores]] and the mergeable-family wrappers (sketch /
+    * frequency / quantile, whose reads union fragments by algebra, so
+    * a merge IS just the fragments side by side): copy each source's
+    * current-generation fragments under fresh sequential ids (one
+    * narrow read→write per fragment, no shuffle), carry delete
+    * fragments, seal the occupied ids. Caller contract: compatible
+    * fragment schemas (same key columns / sketch parameters — the
+    * algebra's own merge precondition) and a fresh `dstRoot`.
+    */
+  private[graft] def mergeFlatStores(spark: SparkSession,
+      srcRoots: Seq[String], dstRoot: String): Long = {
+    require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    initIfAbsent(dstRoot)
+    require(currentGen(dstRoot) == 1L &&
+      listBatchIds(spark, genDir(dstRoot, 1L)).isEmpty,
+      s"merge target $dstRoot must be a fresh store root")
+    val dst = genDir(dstRoot, 1L)
+    var next = 0L
+    var delNext = 0L
+    srcRoots.foreach { src =>
+      val sdir = genDir(src, currentGen(src))
+      listBatchIds(spark, sdir).foreach { i =>
+        spark.read.parquet(s"$sdir/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$next")
+        next += 1
+      }
+      listBatchIds(spark, s"$sdir/deletes").foreach { i =>
+        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
+        delNext += 1
+      }
+    }
+    seal(dstRoot, 1L, next - 1)
+    1L
+  }
+
   /** Published generations still on disk, ascending (tombstoned
     * `.deleted` directories and unpublished generations excluded).
     */

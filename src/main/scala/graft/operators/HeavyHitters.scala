@@ -239,6 +239,15 @@ object HeavyHitters {
     fragmentCount(spark, root) >= maxFragments
   }
 
+  /** FEDERATION MERGE ([[GenStore.mergeFlatStores]]): K partitions
+    * summarize independently, merge by fragment copies — the MG merge
+    * the read already performs makes merged hitters equal a
+    * single-pipeline store's. Same m across sources.
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long =
+    GenStore.mergeFlatStores(spark, srcRoots, dstRoot)
+
   /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
     * shape): data cardinality is the summary row count (<= m per
     * fragment, footer-read); the pending side is structurally zero.

@@ -186,31 +186,8 @@ object KeySetStore {
     * contract: same key schema across sources; fresh `dstRoot`.
     */
   def mergeStores(spark: SparkSession, srcRoots: Seq[String],
-      dstRoot: String): Long = {
-    require(srcRoots.size >= 2, "mergeStores needs at least two sources")
-    GenStore.initIfAbsent(dstRoot)
-    require(GenStore.currentGen(dstRoot) == 1L &&
-      GenStore.listBatchIds(spark, GenStore.genDir(dstRoot, 1L)).isEmpty,
-      s"merge target $dstRoot must be a fresh store root")
-    val dst = GenStore.genDir(dstRoot, 1L)
-    var next = 0L
-    var delNext = 0L
-    srcRoots.foreach { src =>
-      val sdir = GenStore.genDir(src, GenStore.currentGen(src))
-      GenStore.listBatchIds(spark, sdir).foreach { i =>
-        spark.read.parquet(s"$sdir/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/batch_id=$next")
-        next += 1
-      }
-      GenStore.listBatchIds(spark, s"$sdir/deletes").foreach { i =>
-        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
-        delNext += 1
-      }
-    }
-    GenStore.seal(dstRoot, 1L, next - 1)
-    1L
-  }
+      dstRoot: String): Long =
+    GenStore.mergeFlatStores(spark, srcRoots, dstRoot)
 
   /** AGE-OUT RETENTION for the dedup memory — forget signatures older
     * than the watermark so stale content can re-enter the corpus (the

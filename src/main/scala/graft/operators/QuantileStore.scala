@@ -385,6 +385,15 @@ object QuantileStore {
     fragmentCount(spark, root) >= maxFragments
   }
 
+  /** FEDERATION MERGE ([[GenStore.mergeFlatStores]]): K partitions
+    * histogram independently, merge by fragment copies — bin counts
+    * form a group, so the re-sum the read already performs makes
+    * merged quantiles exact. Same (lo, width, nbins) across sources.
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long =
+    GenStore.mergeFlatStores(spark, srcRoots, dstRoot)
+
   /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
     * shape): data cardinality is the (key, bin) row count (footer-read,
     * <= keys × nbins per fragment); pending is structurally zero —

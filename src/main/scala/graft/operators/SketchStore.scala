@@ -179,6 +179,16 @@ object SketchStore {
     fragmentCount(spark, root) >= maxFragments
   }
 
+  /** FEDERATION MERGE ([[GenStore.mergeFlatStores]]): K partitions
+    * sketch independently, merge by fragment copies — register union
+    * at read time is the store's ordinary algebra, so merged estimates
+    * equal a single-pipeline store's exactly. Same lgK across sources
+    * (the union's own precondition).
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long =
+    GenStore.mergeFlatStores(spark, srcRoots, dstRoot)
+
   /** The maintenance dashboard row ([[KeySetStore.maintenanceStatus]]'s
     * shape): data cardinality is the per-key sketch row count
     * (footer-read); the pending side is structurally zero — nothing

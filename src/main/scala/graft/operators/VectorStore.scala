@@ -492,6 +492,64 @@ object VectorStore {
     ng
   }
 
+  /** FEDERATION MERGE — the vector half of the scale-out ingestion
+    * pattern ([[InvertedIndex.mergeStores]]): FIT ONCE, ENCODE IN K
+    * INDEPENDENT PARTITIONS, MERGE. Every builder was initialized with
+    * the same index artifact and ran the ordinary admit lifecycle on
+    * its own partition of the corpus; the merge copies coded + stats
+    * fragments under fresh sequential ids (one narrow pass per
+    * fragment, no shuffle, no re-encode), carries pending delete
+    * fragments, and seals the occupied ids. Artifact equality is
+    * CHECKED, not trusted (a KB comparison): coded rows are
+    * meaningless across artifacts — different centroids/books need a
+    * refit, not a merge. Caller contract: disjoint vec_id spaces;
+    * fresh `dstRoot`. Returns the published generation (1).
+    */
+  def mergeStores(spark: SparkSession, srcRoots: Seq[String],
+      dstRoot: String): Long = {
+    require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    val arts = srcRoots.map(r => loadGenIndex(spark, r, currentGen(r)))
+    val (c0, b0) = arts.head
+    require(arts.tail.forall { case (c, b) =>
+      c.length == c0.length &&
+        c.zip(c0).forall { case (x, y) => x.sameElements(y) } &&
+        b.length == b0.length &&
+        b.zip(b0).forall { case (x, y) =>
+          x.length == y.length &&
+            x.zip(y).forall { case (p, q) => p.sameElements(q) } }
+    }, "mergeStores requires every source to carry the SAME index " +
+      "artifact — coded rows are not comparable across artifacts; " +
+      "refit, don't merge")
+    require(!java.nio.file.Files.exists(pointerPath(dstRoot)) ||
+      (currentGen(dstRoot) == 1L &&
+        listBatchIds(spark, codedDir(dstRoot, 1L)).isEmpty),
+      s"merge target $dstRoot must be a fresh store root")
+    init(spark, dstRoot, c0, b0)
+    var next = 0L
+    var delNext = 0L
+    srcRoots.foreach { src =>
+      val gen = currentGen(src)
+      val coded = codedDir(src, gen)
+      listBatchIds(spark, coded).foreach { i =>
+        spark.read.parquet(s"$coded/batch_id=$i")
+          .write.mode("overwrite")
+          .parquet(s"${codedDir(dstRoot, 1L)}/batch_id=$next")
+        spark.read.parquet(s"${coded}_stats/batch_id=$i")
+          .write.mode("overwrite")
+          .parquet(s"${codedDir(dstRoot, 1L)}_stats/batch_id=$next")
+        next += 1
+      }
+      listBatchIds(spark, deletesDir(src, gen)).foreach { i =>
+        spark.read.parquet(s"${deletesDir(src, gen)}/batch_id=$i")
+          .write.mode("overwrite")
+          .parquet(s"${deletesDir(dstRoot, 1L)}/batch_id=$delNext")
+        delNext += 1
+      }
+    }
+    GenStore.seal(dstRoot, 1L, next - 1)
+    1L
+  }
+
   /** The continuous-compaction policy over [[compactGen]]
     * ([[InvertedIndex.compactIfFragmented]]'s shape): compact once
     * `maxFragments` accumulate. Returns the new generation when it

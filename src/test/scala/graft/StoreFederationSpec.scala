@@ -104,6 +104,92 @@ class StoreFederationSpec extends AnyFunSuite {
     assert(dec(merged) == want)
   }
 
+  test("vector federation: same-artifact stores merge and serve like one pipeline; alien artifacts refused") {
+    import graft.operators.{Similarity, VectorStore}
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val (c1, b1) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    val base = Files.createTempDirectory("graft-fed-vec").toString
+    val (ra, rb, twin, merged) =
+      (s"$base/a", s"$base/b", s"$base/twin", s"$base/m")
+    Seq(ra, rb, twin).foreach(r => VectorStore.init(spark, r, c1, b1))
+    VectorStore.admit(spark, ra, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 0L)
+    VectorStore.admit(spark, rb, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", 0L)
+    VectorStore.admit(spark, twin, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 0L)
+    VectorStore.admit(spark, twin, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", 1L)
+    assert(VectorStore.mergeStores(spark, Seq(ra, rb), merged) == 1L)
+    def served(r: String) = VectorStore.search(spark, r, q, "vec_id",
+      "embedding", 5, nprobe = 8, shortlistFactor = 16).collect().toSeq
+    assert(served(merged) == served(twin))
+    // different artifact: refused before any file lands
+    val (c2, b2) = Similarity.fitIvfPq(
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    val alien = s"$base/alien"
+    VectorStore.init(spark, alien, c2, b2)
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.mergeStores(spark, Seq(ra, alien), s"$base/bad")
+    }
+    assert(e.getMessage.contains("artifact"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/bad", "_CURRENT")))
+  }
+
+  test("mergeable-family federation: sketch/frequency/quantile merged stores answer like single pipelines") {
+    import graft.operators.{HeavyHitters, QuantileStore, SketchStore}
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val base = Files.createTempDirectory("graft-fed-mrg").toString
+    def half(h: Long) = ev.filter(pmod(col("event_id"), lit(2)) === h)
+    val vframe = (df: DataFrame) => df.select(col("event_type"),
+      (col("user_id") % 10 + 1).cast("double").as("v"))
+    val (sa, sb, sm, st) = (s"$base/sa", s"$base/sb", s"$base/sm", s"$base/st")
+    val (ha, hb, hm, ht) = (s"$base/ha", s"$base/hb", s"$base/hm", s"$base/ht")
+    val (qa, qb, qm, qt) = (s"$base/qa", s"$base/qb", s"$base/qm", s"$base/qt")
+    Seq(sa, sb, st).foreach(SketchStore.initStore)
+    Seq(ha, hb, ht).foreach(HeavyHitters.initStore)
+    Seq(qa, qb, qt).foreach(QuantileStore.initStore)
+    Seq(0L, 1L).foreach { h =>
+      SketchStore.admitBatch(spark, half(h), Seq("event_type"), "user_id",
+        0L, Seq(sa, sb)(h.toInt))
+      HeavyHitters.admitBatch(spark, half(h), "event_type", 64, 0L,
+        Seq(ha, hb)(h.toInt))
+      QuantileStore.admitBatch(spark, vframe(half(h)), Seq("event_type"),
+        "v", lo = 1.0, width = 1.0, nbins = 10, batchId = 0L,
+        root = Seq(qa, qb)(h.toInt))
+      SketchStore.admitBatch(spark, half(h), Seq("event_type"), "user_id",
+        h, st)
+      HeavyHitters.admitBatch(spark, half(h), "event_type", 64, h, ht)
+      QuantileStore.admitBatch(spark, vframe(half(h)), Seq("event_type"),
+        "v", lo = 1.0, width = 1.0, nbins = 10, batchId = h, root = qt)
+    }
+    SketchStore.mergeStores(spark, Seq(sa, sb), sm)
+    HeavyHitters.mergeStores(spark, Seq(ha, hb), hm)
+    QuantileStore.mergeStores(spark, Seq(qa, qb), qm)
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(SketchStore.estimatesCurrent(spark, sm, Seq("event_type"))
+        .select("event_type", "est")) ==
+      rows(SketchStore.estimatesCurrent(spark, st, Seq("event_type"))
+        .select("event_type", "est")))
+    assert(rows(HeavyHitters.hittersCurrent(spark, hm, 64)) ==
+      rows(HeavyHitters.hittersCurrent(spark, ht, 64)))
+    val qs = Seq(("p50", 1, 2), ("p95", 19, 20))
+    assert(rows(QuantileStore.quantilesCurrent(spark, qm, Seq("event_type"),
+        qs, lo = 1.0, width = 1.0)) ==
+      rows(QuantileStore.quantilesCurrent(spark, qt, Seq("event_type"),
+        qs, lo = 1.0, width = 1.0)))
+    // the merged store keeps the ordinary lifecycle: compaction folds it
+    QuantileStore.compactStore(spark, qm, expectedGen = 1L, Seq("event_type"))
+    assert(rows(QuantileStore.quantilesCurrent(spark, qm, Seq("event_type"),
+        qs, lo = 1.0, width = 1.0)) ==
+      rows(QuantileStore.quantilesCurrent(spark, qt, Seq("event_type"),
+        qs, lo = 1.0, width = 1.0)))
+  }
+
   test("mergeStores refuses a non-fresh target") {
     val docs = tokenized
     val base = Files.createTempDirectory("graft-fed-dirty").toString
