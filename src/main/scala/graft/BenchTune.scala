@@ -967,6 +967,54 @@ object BenchTune {
       f"full_compaction=$sFull%.1f s")
   }
 
+  /** `--federation [docs]`: the scale-out ingestion economics q190
+    * claims ("merge is a fragment copy; only the builders touch the
+    * corpus"), as numbers. Two builders each index `docs/2` hash-token
+    * docs independently (that part is embarrassingly parallel — on a
+    * real fleet the two build legs overlap in wall time), then the
+    * merge folds the finished stores; the comparison line is ONE
+    * pipeline indexing all `docs` itself. Prints each leg so the claim
+    * is checkable: merge wall ≈ the parquet copy of the fragments, far
+    * under either build leg, and federated serving equals the single
+    * pipeline's (spec-gated; here the two BM25 reads are timed).
+    */
+  private def federationDemo(spark: SparkSession, docs: Long): Unit = {
+    import graft.operators.InvertedIndex
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-federation-probe").toString
+    val vocab = 2000L
+    val corpus = spark.range(docs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocab))
+          .cast("string"))).as("tk"))
+    val (ra, rb, merged, single) =
+      (s"$base/a", s"$base/b", s"$base/m", s"$base/single")
+    Seq(ra, rb, single).foreach(InvertedIndex.initStore)
+    val buildA = wall(InvertedIndex.admitBatch(spark,
+      corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "tk",
+      bucketSize = 4096L, batchId = 0L, root = ra))
+    val buildB = wall(InvertedIndex.admitBatch(spark,
+      corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "tk",
+      bucketSize = 4096L, batchId = 0L, root = rb))
+    val mergeT = wall(InvertedIndex.mergeStores(spark, Seq(ra, rb), merged))
+    val singleT = wall(InvertedIndex.admitBatch(spark, corpus, "doc_id",
+      "tk", bucketSize = 4096L, batchId = 0L, root = single))
+    val terms = Seq("w10", "w20", "w30", "w40")
+    def bm(r: String) =
+      InvertedIndex.bm25SearchCurrent(spark, r, terms, 15).collect()
+    bm(merged) // warm
+    val fedRead = wall(bm(merged))
+    val singleRead = wall(bm(single))
+    println(f"[federation] index docs=$docs%d build_a=$buildA%.1f s " +
+      f"build_b=$buildB%.1f s (parallel on a fleet) merge=$mergeT%.1f s " +
+      f"single_pipeline_build=$singleT%.1f s " +
+      f"federated_read=$fedRead%.2f s single_read=$singleRead%.2f s")
+  }
+
   /** `--curation [docs] [batches]`: throughput of the streaming
     * curation capstone (q164's `curationIngestCompacting`) on synthetic
     * hash-token docs — `docs` total across `batches` crawl files, ~10%
@@ -1115,6 +1163,13 @@ object BenchTune {
       val nums = args.dropWhile(_ != "--policy").drop(1)
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       policyDemo(spark, nums.headOption.getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+    if (args.contains("--federation")) {
+      val nums = args.dropWhile(_ != "--federation").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      federationDemo(spark, nums.headOption.getOrElse(1000000L))
       spark.stop()
       return
     }

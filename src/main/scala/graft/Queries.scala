@@ -8823,7 +8823,140 @@ object Queries {
              |  TRUE AS quantile_merged_eq_single_pipeline,
              |  TRUE AS sketch_merged_eq_single_pipeline
              |FROM events e JOIN q USING (event_type)
-             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    QDef("q194_federated_fleet",
+      // THE FEDERATION CAPSTONE — a MERGED fleet lives the full
+      // lifecycle: two independent builder fleets (index + signature +
+      // vector, the vector legs encoding under ONE shared artifact)
+      // each ingest half the corpus with zero coordination; one
+      // federation tick merges all three families and publishes the
+      // result as manifest v1. Then the q180 operational discipline
+      // runs ON THE MERGED STORES unchanged — pin v1, roll each store a
+      // generation, land a takedown, let the needsCompaction POLICY
+      // sweep the purges, publish v2 — proving federation composes
+      // with everything downstream: policy maintenance, manifest
+      // pinning, takedown. Gates: the sweep is quiet on the rolled
+      // clean stores and fires on all three after the deletes; v1
+      // still serves the pre-takedown read bit for bit; nothing dead
+      // survives v2's coded fragments. Emitted rows are v2's BM25
+      // top-15 over the clean-corpus closed form the oracle recomputes.
+      (s, d) => {
+        import graft.operators.GenStore
+        val base = scratchDir("q194")
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        // two builder fleets, halves of the corpus, no coordination
+        def fleet(tag: String, h: Long): (String, String, String) = {
+          val (i, k, v) =
+            (s"$base/$tag/i", s"$base/$tag/k", s"$base/$tag/v")
+          InvertedIndex.initStore(i)
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(2)) === h),
+            "doc_id", "tk", IndexBucket, batchId = 0L, root = i)
+          KeySetStore.init(k)
+          Dedup.admitMinHashBatch(
+            docs.select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"), lit(2)) === h),
+            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+            batchId = 0L, root = k, portableKeys = true)
+          VectorStore.init(s, v, vc, vb)
+          VectorStore.admit(s, v,
+            emb.filter(pmod(col("vec_id"), lit(2)) === h),
+            "vec_id", "embedding", 0L)
+          (i, k, v)
+        }
+        val (ia, ka, va) = fleet("a", 0L)
+        val (ib, kb, vbr) = fleet("b", 1L)
+        // the federation tick: merge each family, publish as v1
+        val (im, km, vm) = (s"$base/m/i", s"$base/m/k", s"$base/m/v")
+        InvertedIndex.mergeStores(s, Seq(ia, ib), im)
+        KeySetStore.mergeStores(s, Seq(ka, kb), km)
+        VectorStore.mergeStores(s, Seq(va, vbr), vm)
+        val mroot = s"$base/manifest"
+        Manifest.init(mroot,
+          Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
+        def bmAt(ver: Long) = InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(im, Manifest.resolve(mroot, ver, "index")),
+            bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val preBm = bmAt(1L)
+        // q180 discipline on the MERGED stores: roll off the pinned gens
+        InvertedIndex.compactStore(s, im, expectedGen = 1L)
+        KeySetStore.compactStore(s, km, expectedGen = 1L)
+        VectorStore.compactGen(s, vm, expectedGen = 1L)
+        val frac = 0.02
+        def sweep(): Map[String, Option[Long]] = Map(
+          "index" -> InvertedIndex.compactIfNeeded(s, im,
+            maxFragments = 1000, maxPendingFraction = frac),
+          "vectors" -> VectorStore.compactIfNeeded(s, vm,
+            maxFragments = 1000, maxPendingFraction = frac),
+          "signatures" -> KeySetStore.compactIfNeeded(s, km,
+            maxFragments = 1000, maxPendingFraction = frac))
+        val quietOnClean = sweep().values.forall(_.isEmpty)
+        val deadDocs = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("text"))
+        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+          "doc_id", 0L, im)
+        VectorStore.admitDeletes(s, vm,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
+        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = km,
+          portableKeys = true)
+        val firedAll = sweep().values.forall(_ == Some(3L))
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))
+        val v1Stable = v2 == 2L && bmAt(1L) == preBm
+        val vectorPurged = s.read.parquet(VectorStore.codedDir(vm, 3L))
+          .filter(col("cid") % 7 === 3).isEmpty &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(vm, "gen=3", "deletes"))
+        InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(im, Manifest.resolve(mroot, 2L, "index")),
+            bm25Terms, 15)
+          .withColumn("sweep_quiet_on_clean_merged_stores", lit(quietOnClean))
+          .withColumn("sweep_fired_all_after_deletes", lit(firedAll))
+          .withColumn("v1_pre_takedown_stable", lit(v1Stable))
+          .withColumn("vector_purged_at_v2", lit(vectorPurged))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 7 <> 3
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS sweep_quiet_on_clean_merged_stores,
+              |  TRUE AS sweep_fired_all_after_deletes,
+              |  TRUE AS v1_pre_takedown_stable,
+              |  TRUE AS vector_purged_at_v2
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =
