@@ -8956,6 +8956,95 @@ object Queries {
               |  TRUE AS sweep_fired_all_after_deletes,
               |  TRUE AS v1_pre_takedown_stable,
               |  TRUE AS vector_purged_at_v2
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q195_retention_cutover",
+      // RETENTION THROUGH THE MANIFEST — the q168 cutover discipline
+      // applied to AGE-OUT instead of takedown: pin v1 on the full
+      // history, expire the oldest batch (expiry is itself a
+      // generation roll, so the pinned generation is never touched),
+      // publish v2 on the expired generation. Gates: v1 still serves
+      // the FULL history bit for bit after the expiry (generational
+      // isolation makes retention non-destructive to pinned readers —
+      // compliance can hold the old world while production ages
+      // forward); vacuumStore REFUSES to drop the generation v1 still
+      // pins (retainedPins enforced); after the manifest retires v1,
+      // the same vacuum drops it and v2 serving is unaffected. Emitted
+      // rows are v2's BM25 top-15 over the surviving corpus
+      // (doc_id % 3 <> 0), the closed form the oracle recomputes.
+      (s, d) => {
+        val root = scratchDir("q195") + "/istore"
+        val mroot = scratchDir("q195m") + "/manifest"
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        (0L to 2L).foreach { b =>
+          InvertedIndex.admitBatch(s,
+            toks.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "tk", IndexBucket, batchId = b, root = root)
+        }
+        Manifest.init(mroot, Map("index" -> 1L))
+        def bmAt(ver: Long) = InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(root, Manifest.resolve(mroot, ver, "index")),
+            bm25Terms, 15)
+          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        val preBm = bmAt(1L)
+        val gen2 = InvertedIndex.expireBatches(s, root, expectedGen = 1L,
+          minRetainedBatch = 1L)
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("index" -> gen2))
+        val v1Stable = v2 == 2L && bmAt(1L) == preBm
+        // the pinned generation survives a vacuum attempt
+        val pinHolds = Manifest.vacuumStore(mroot, "index", root,
+          keepLast = 1).isEmpty
+        // retire v1, then the same vacuum drops gen 1 and v2 is unmoved
+        val v2Pre = bmAt(2L)
+        Manifest.vacuum(mroot, keepLast = 1)
+        val droppedAfterRetire = Manifest.vacuumStore(mroot, "index", root,
+          keepLast = 1) == Seq(1L)
+        val v2Unmoved = bmAt(2L) == v2Pre
+        InvertedIndex.bm25SearchStore(s,
+            InvertedIndex.genDir(root, Manifest.resolve(mroot, 2L, "index")),
+            bm25Terms, 15)
+          .withColumn("v1_full_history_stable", lit(v1Stable))
+          .withColumn("pinned_gen_vacuum_refused", lit(pinHolds))
+          .withColumn("dropped_after_manifest_retire", lit(droppedAfterRetire))
+          .withColumn("v2_unmoved_by_vacuum", lit(v2Unmoved))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |  FROM documents WHERE doc_id % 3 <> 0
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25,
+              |  TRUE AS v1_full_history_stable,
+              |  TRUE AS pinned_gen_vacuum_refused,
+              |  TRUE AS dropped_after_manifest_retire,
+              |  TRUE AS v2_unmoved_by_vacuum
               |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
