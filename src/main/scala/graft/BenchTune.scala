@@ -967,18 +967,23 @@ object BenchTune {
       f"full_compaction=$sFull%.1f s")
   }
 
-  /** `--federation [docs]`: the scale-out ingestion economics q190
-    * claims ("merge is a fragment copy; only the builders touch the
-    * corpus"), as numbers. Two builders each index `docs/2` hash-token
-    * docs independently (that part is embarrassingly parallel — on a
-    * real fleet the two build legs overlap in wall time), then the
-    * merge folds the finished stores; the comparison line is ONE
-    * pipeline indexing all `docs` itself. Prints each leg so the claim
-    * is checkable: merge wall ≈ the parquet copy of the fragments, far
-    * under either build leg, and federated serving equals the single
-    * pipeline's (spec-gated; here the two BM25 reads are timed).
+  /** `--federation [docs] [builders]`: the scale-out ingestion
+    * economics q190 claims ("merge is a fragment copy; only the
+    * builders touch the corpus"), as numbers, at a configurable fleet
+    * width. K builders each index `docs/K` hash-token docs
+    * independently (that part is embarrassingly parallel — on a real
+    * fleet the K build legs overlap in wall time, so the fleet's build
+    * wall is ~max over legs), then the merge folds the finished
+    * stores; the comparison line is ONE pipeline indexing all `docs`
+    * itself. Prints each leg so the claim is checkable: merge wall ≈
+    * the byte copy of the fragment files (GenStore.copyFragments —
+    * parallel on the driver pool, no Spark job, no re-encode), flat in
+    * K beyond dispatch, far under any build leg; federated serving
+    * equals the single pipeline's (spec-gated; here both BM25 reads
+    * are warmed once and then timed, symmetrically).
     */
-  private def federationDemo(spark: SparkSession, docs: Long): Unit = {
+  private def federationDemo(spark: SparkSession, docs: Long,
+      builders: Int): Unit = {
     import graft.operators.InvertedIndex
     def wall(body: => Unit): Double = {
       val t0 = System.nanoTime(); body
@@ -991,26 +996,26 @@ object BenchTune {
       transform(sequence(lit(0), lit(39)), j =>
         concat(lit("w"), pmod(xxhash64(col("id"), j), lit(vocab))
           .cast("string"))).as("tk"))
-    val (ra, rb, merged, single) =
-      (s"$base/a", s"$base/b", s"$base/m", s"$base/single")
-    Seq(ra, rb, single).foreach(InvertedIndex.initStore)
-    val buildA = wall(InvertedIndex.admitBatch(spark,
-      corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "tk",
-      bucketSize = 4096L, batchId = 0L, root = ra))
-    val buildB = wall(InvertedIndex.admitBatch(spark,
-      corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "tk",
-      bucketSize = 4096L, batchId = 0L, root = rb))
-    val mergeT = wall(InvertedIndex.mergeStores(spark, Seq(ra, rb), merged))
+    val roots = (0 until builders).map(k => s"$base/b$k")
+    val (merged, single) = (s"$base/m", s"$base/single")
+    (roots :+ single).foreach(InvertedIndex.initStore)
+    val builds = roots.zipWithIndex.map { case (r, k) =>
+      wall(InvertedIndex.admitBatch(spark,
+        corpus.filter(pmod(col("doc_id"), lit(builders)) === k),
+        "doc_id", "tk", bucketSize = 4096L, batchId = 0L, root = r))
+    }
+    val mergeT = wall(InvertedIndex.mergeStores(spark, roots, merged))
     val singleT = wall(InvertedIndex.admitBatch(spark, corpus, "doc_id",
       "tk", bucketSize = 4096L, batchId = 0L, root = single))
     val terms = Seq("w10", "w20", "w30", "w40")
     def bm(r: String) =
       InvertedIndex.bm25SearchCurrent(spark, r, terms, 15).collect()
-    bm(merged) // warm
+    bm(merged); bm(single) // warm BOTH reads symmetrically
     val fedRead = wall(bm(merged))
     val singleRead = wall(bm(single))
-    println(f"[federation] index docs=$docs%d build_a=$buildA%.1f s " +
-      f"build_b=$buildB%.1f s (parallel on a fleet) merge=$mergeT%.1f s " +
+    println(f"[federation] index docs=$docs%d builders=$builders%d " +
+      f"build_max=${builds.max}%.1f s build_sum=${builds.sum}%.1f s " +
+      f"(legs overlap on a fleet) merge=$mergeT%.1f s " +
       f"single_pipeline_build=$singleT%.1f s " +
       f"federated_read=$fedRead%.2f s single_read=$singleRead%.2f s")
   }
@@ -1169,7 +1174,8 @@ object BenchTune {
     if (args.contains("--federation")) {
       val nums = args.dropWhile(_ != "--federation").drop(1)
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
-      federationDemo(spark, nums.headOption.getOrElse(1000000L))
+      federationDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(2L).toInt)
       spark.stop()
       return
     }

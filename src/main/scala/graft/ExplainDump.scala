@@ -101,6 +101,9 @@ object ExplainDump {
     "q181_store_health" -> "the maintenance dashboard's NEGATIVE audit: all three delete-capable stores hold data AND pending deletes when this frame is built, yet the plan must contain NO file scan of any store directory — every status row is driver-built from parquet FOOTER counts (GenStore.footerRowCount reads one footer per fragment file, no data pages, no Spark job), so the dashboard is a Union of LocalTableScans plus a projection and the display sort; check no FileScan node exists anywhere: a scheduler evaluates the whole fleet's maintenance posture without launching a job over store data — the cost model that makes per-batch policy evaluation affordable at 100 TB",
     "q185_mergeable_health" -> "the mergeable-store dashboard (sketch/frequency/quantile), same NEGATIVE audit as q181: three stores each holding two admitted fragments, yet the plan is a Union of driver-built LocalTableScan rows — check NO FileScan of any store directory appears (data cardinalities come from footer counts; the structurally-zero pending side is a driver constant because these stores have no delete surface — their takedown contract is the q176/q177 scoped rebuild)",
     "q180_maintenance_sweep" -> "the post-sweep serving read (v2 through the manifest): bm25SearchStore resolves the pin to the generation the POLICY-driven sweep purged, so the plan must be the audited q143/q161/q168 post-purge shape — single-fragment postings scan with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct, NO delete anti-join anywhere (the sweep's compactions folded every pending set away) and NO policy or manifest machinery (needsCompaction evaluated parquet footers at tick time, pin resolution is a driver-side file read); the verdict booleans are literal columns — check the takedown+maintenance lifecycle leaves the read path indistinguishable from a store that never saw a delete",
+    "q174_compaction_policy" -> "the maintenance-trigger lifecycle's returned frame, a NEGATIVE audit in the q181/q185 dashboard discipline: every policy verdict (fresh_quiet, tight_threshold_fires, policy_fired_gen2, quiet_after_fold...) is a LITERAL column — needsCompaction evaluated parquet FOOTER counts on the driver (GenStore.footerRowCount: one footer read per fragment file, no data pages, zero Spark jobs) and compactIfNeeded ran eagerly — so the only FileScan in the plan is the documents count that sizes the gates; check NO signature-store directory appears in any scan: deciding WHETHER to compact must stay a metadata read a maintenance loop can afford every batch, and this plan is the proof the decision never touches store data",
+    "q178_takedown_sink_policy" -> "the in-stream bounded-takedown gate frame, same NEGATIVE audit: the streaming sink (signatureTakedownIngest with compactAtPendingFraction) landed delete fragments, evaluated the footer-count predicate, and fired the mid-stream compaction entirely inside foreachBatch — all eager, none of it in this plan — so the returned frame is the documents count plus literal verdict columns; check NO store FileScan and NO streaming machinery appears: the per-micro-batch policy cost (one tiny fragment write + two footer reads) is driver-side metadata work, invisible to the read path, which is what lets the window stay bounded in-stream at any corpus size; the pending-window read itself is the audited q165-pending aux shape",
+    "q179_vector_compaction_policy" -> "the vector-store policy lifecycle's returned frame: a driver-built local relation (the search results were collected across the fold to compare them) ordered for display — check NO FileScan at all, not even the corpus: every expensive read this query gates (the PENDING-delete kNN at 1.13x clean, the post-fold q150 store search, the from-scratch twin) ran eagerly and is audited in its own section (the q161 vector-pending aux, the q150 post-compaction aux); what this frame proves is that the policy verdicts — footer-counted delete markers vs KB stats-fragment vector counts — cost the plan nothing",
     "q186_token_budget_mix" -> "the training-mixture assembly step: token counts are a narrow codegen'd projection off the documents scan, the running-sum window partitions BY SOURCE ordered by the portable md5 draw (ONE exchange on source, per-source bounded sort state, parallel across sources — never a global sort), and the budget cut is a scalar Filter above the window; check exactly one exchange before the display sort and no join anywhere: assembling a tokens-per-source mix at 100 TB costs one shuffle of (id, source, ntok) triples, not documents",
     "q188_signature_retention" -> "the post-expiry re-admission probe (the re-crawl policy's serving read): the store side scans ONLY the surviving fragment (batch_id=1 — the expired batch 0 directory appears NOWHERE in the plan, the entire point of fragment-drop retention), the probe's band keys build as narrow per-row expressions off the documents scan, meet the store in the audited q151 LEFT-SEMI hash join on (band, bucket), per-doc hit count one partial/final HashAggregate pair; the lifecycle gates are literal columns — check no delete anti-join either (expiry is a fragment drop, not a pending set: there is nothing to subtract at read time, ever)",
     "q189_epoch_order" -> "per-epoch training order: BOTH epoch windows partition BY source, so the plan must show ONE exchange on source feeding two Window operators back to back (the second reuses the first's partitioning — no second shuffle; each epoch's rank is a different hash expression over the same partitioned stream); the hash draws are narrow codegen'd projections, no join anywhere, and the only other exchange is the display sort: re-ordering a 100 TB corpus for epoch N costs one shuffle of (id, shard) pairs — and nothing at all if the previous epoch's layout is still partitioned by shard",
@@ -269,7 +272,77 @@ object ExplainDump {
         .withColumn("rank", org.apache.spark.sql.functions.row_number()
           .over(org.apache.spark.sql.expressions.Window
             .orderBy(col("bm25").desc, col("doc_id"))).cast("long")))
-    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan, pplan, gplan, rplan)
+    // q187: the POST-EXPIRY index read (the q187 catalog row is a
+    // driver-built verdict table; SCALE.md's "indistinguishable from a
+    // never-saw-it store" claim cites the q188 signature-side audit —
+    // this is the index side, dumped from an expired store directly)
+    val eroot = Files.createTempDirectory("explain-q187-").toString + "/istore"
+    InvertedIndex.initStore(eroot)
+    (0L to 2L).foreach { b =>
+      InvertedIndex.admitBatch(spark,
+        toks.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) === b),
+        "doc_id", "tk", 64L, batchId = b, root = eroot)
+    }
+    InvertedIndex.expireBatches(spark, eroot, expectedGen = 1L,
+      minRetainedBatch = 1L)
+    val eplan = ("q187_index_retention (the POST-EXPIRY BM25 read)",
+      "age-out retention's serving read, dumped from the expired store: expiry IS a compaction over the survivors (the dropped batch-0 fragment was never read), so the plan must be the audited q143/q161 post-purge shape — a postings scan of gen=2's SINGLE folded fragment with the term isin filter in PushedFilters, stats/df broadcast, dl from the posting struct; check the aged-out batch's directory appears NOWHERE in any scan Location, there is NO delete anti-join (expiry is a fragment drop — no pending set exists, ever), and no retention machinery of any kind sits in the plan: post-expiry serving is bit-identical in SHAPE to an index that never saw the aged-out docs, which is the plan-level half of the claim the q187 oracle proves value-level",
+      InvertedIndex.bm25SearchCurrent(spark, eroot,
+        Seq("join", "vector", "stream", "window"), 15))
+    // q192: the MERGED vector store's search (the q192 catalog row is a
+    // driver-built verdict table) — two same-artifact builders merged,
+    // builder B's pending takedown carried
+    val mbase = Files.createTempDirectory("explain-q192-").toString
+    val (mra, mrb, mm) = (s"$mbase/a", s"$mbase/b", s"$mbase/m")
+    Seq(mra, mrb).foreach(r => VectorStore.init(spark, r, vc, vb))
+    VectorStore.admit(spark, mra,
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 0L)
+    VectorStore.admit(spark, mrb,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 0L)
+    VectorStore.admitDeletes(spark, mrb,
+      emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 7 === 3)
+        .select("vec_id"), "vec_id", 0L)
+    VectorStore.mergeStores(spark, Seq(mra, mrb), mm)
+    val mplan = ("q192_vector_federation (the MERGED store's kNN read)",
+      "the federated vector store's serving read (two builders' byte-copied fragments + builder B's carried pending takedown): check the probed-cell In(cell) filter reaches the coded scan's PushedFilters — CELL PRUNING SURVIVES THE MERGE, because the merge copied the cell-clustered fragments byte-for-byte (same row-group cell locality, same stats) and renumbering the batch_id directories touches nothing the pruning reads; the scan's Location must list BOTH renumbered fragments (batch_id=0 and 1) under the merged gen=1; the carried delete set enters as the audited broadcast LeftAnti between the coded scan and the LUT scoring (the r13 1.13x-clean pending window, unchanged by federation); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank) — federation leaves NO machinery in the read path",
+      VectorStore.search(spark, mm, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    // q176: the scoped sketch rebuild's WRITE-SIDE frame (rebuildKeys
+    // ran eagerly inside the catalog row; this is the exact frame it
+    // materializes, built by the same code path)
+    import graft.operators.{HeavyHitters, SketchStore}
+    val sroot = Files.createTempDirectory("explain-q176-").toString + "/sstore"
+    val ev = Tables.load(spark, sf, "events")
+    SketchStore.initStore(sroot)
+    (0L to 1L).foreach { b =>
+      SketchStore.admitBatch(spark,
+        ev.filter(org.apache.spark.sql.functions.pmod(col("event_id"),
+          org.apache.spark.sql.functions.lit(2)) === b),
+        Seq("event_type"), "user_id", b, sroot)
+    }
+    import spark.implicits._
+    val affectedT = Seq("click", "view")
+    val sgen = graft.operators.GenStore.genDir(sroot, 1L)
+    val sids = graft.operators.GenStore.listBatchIds(spark, sgen)
+    val splan = ("q176_sketch_takedown_rebuild (the scoped rebuild's merge frame)",
+      "the frame rebuildKeys materializes as the new generation (the q176 catalog row is a driver-built verdict table; this is the same frame from the same code path): the claim 'recompute ONLY the affected keys from the surviving slice' must be visible — check (a) the CARRIED side is the KB-sized sketch-fragment scan (ReadSchema (event_type, sketch, lgk)) minus a BroadcastHashJoin LeftAnti on the affected keys feeding hll_union_agg — register union, no data rows; (b) the REBUILT side reaches the events corpus through a BroadcastHashJoin LeftSemi on the same 2-row affected-key relation BEFORE the hll_sketch_agg, so the only aggregation that touches corpus rows processes the affected keys' survivors and nothing else (at 100 TB with the corpus partitioned by key, that semi-join is also the partition-pruning hook); (c) the two sides meet in a Union with no exchange above it — the rebuild writes one fragment, reads the corpus once, and never rescans unaffected history",
+      SketchStore.rebuildFrame(spark, sgen, sids, Seq("event_type"),
+        "user_id", affectedT.toDF("event_type"),
+        ev.filter(!(col("event_type").isInCollection(affectedT) &&
+          col("user_id") % 10 === 3)), 12))
+    // q177: the frequency rebuild's recomputed-fragment summary (the
+    // carry side is now a BYTE copy — GenStore.copyFragments — so the
+    // only Spark plan the rebuild runs is this summarize)
+    val hplan = ("q177_frequency_takedown_rebuild (the rebuilt fragment's summary)",
+      "the ONLY Spark plan HeavyHitters.rebuildBatches runs (the unaffected fragments are carried by BYTE-LEVEL copies — GenStore.copyFragments, literally bit-for-bit, no decode, no Spark job — so the scoped-rebuild cost IS this frame): the affected batch's surviving slice aggregates through the audited q92/q149 MG shape — ObjectHashAggregate partial/final with at most m counters crossing the exchange — off ONE events scan with the survivor predicate pushed down; check the scan's PushedFilters carries the batch/survivor filters, nothing else scans the corpus, and no store fragment appears anywhere (the store side of a scoped rebuild costs zero reads for unaffected fragments, which is the entire economics claim SCALE.md prices)",
+      HeavyHitters.summarize(
+        ev.filter(org.apache.spark.sql.functions.pmod(col("event_id"),
+            org.apache.spark.sql.functions.lit(2)) === 0 &&
+          !(col("user_id") % 10 === 3)),
+        "event_type", 64))
+    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan, pplan, gplan, rplan,
+      eplan, mplan, splan, hplan)
   }
 
   def main(args: Array[String]): Unit = {

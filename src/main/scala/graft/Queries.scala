@@ -9045,7 +9045,268 @@ object Queries {
               |  TRUE AS pinned_gen_vacuum_refused,
               |  TRUE AS dropped_after_manifest_retire,
               |  TRUE AS v2_unmoved_by_vacuum
-              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |FROM p ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q196_live_merge_quiesce",
+      // LIVE-MERGE QUIESCE (GenStore.quiesce + the movement fence +
+      // EventStreams.signatureIngestQuiesceAware) — federation while a
+      // builder is still INGESTING, the contract q190-q194 left
+      // undefined: a crawl stream admits signatures to builder A
+      // continuously; mid-stream, the federation tick quiesces A and a
+      // finished builder B (CAS a _MERGING mark naming the merged
+      // successor), merges them (byte copies; the post-copy movement
+      // fence refuses to seal if anything landed inside the window),
+      // and the SAME sink observes the mark at its next micro-batch
+      // boundary and re-points to the merged store — batch ids remapped
+      // above the merged generation-1 seal, stable across restarts.
+      // Gates: direct admission to a quiesced source is refused naming
+      // the successor; the re-pointed stream's admissions land in the
+      // merged store; its final key set equals a single-pipeline twin
+      // that admitted every phase (zero lost, zero duplicated — the
+      // probe decisions are bit-equal); retiring the merged-away
+      // sources removes them without touching the successor. Emitted
+      // rows are a never-admitted probe partition's decisions against
+      // the merged store — the q191 closed form, recomputed by the
+      // oracle from the portable-md5 keys of all three admitted phases.
+      (s, d) => {
+        import graft.operators.GenStore
+        import graft.streaming.EventStreams
+        val base = scratchDir("q196")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pa = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val pb = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        val pc = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+        val probe = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+        val (ra, rb, merged, twin) =
+          (s"$base/a", s"$base/b", s"$base/m", s"$base/twin")
+        Seq(rb, twin).foreach(KeySetStore.init)
+        // builder B finished before the tick
+        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, batchId = 0L, root = rb,
+          portableKeys = true)
+        // builder A ingests phase-1 crawl files as a LIVE stream
+        val feed = s"$base/feed"
+        pa.repartition(2).write.parquet(feed)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = EventStreams.signatureIngestQuiesceAware(stream, "doc_id",
+          "text", ra, s"$base/_cp", n = 3, numHashes = 32, bands = 8,
+          portableKeys = true)
+        try {
+          q.processAllAvailable()
+          // THE FEDERATION TICK, mid-stream: quiesce both sources into
+          // the successor, then merge
+          GenStore.quiesce(ra, merged)
+          GenStore.quiesce(rb, merged)
+          val fenceNamed =
+            try {
+              Dedup.admitMinHashBatch(pa.limit(1), "doc_id", "text", n = 3,
+                numHashes = 32, bands = 8, batchId = 99L, root = ra,
+                portableKeys = true); false
+            } catch { case e: IllegalStateException =>
+              e.getMessage.contains(merged) }
+          KeySetStore.mergeStores(s, Seq(ra, rb), merged)
+          // phase-2 crawl files land AFTER the merge; the sink re-points
+          pc.repartition(2).write.mode("append").parquet(feed)
+          q.processAllAvailable()
+          val repointed = GenStore.listBatchIds(s,
+            GenStore.genDir(merged, 1L)).size > 3 // 2 copied A + 1 B
+          // single-pipeline twin over every phase
+          Seq(pa -> 0L, pb -> 1L, pc -> 2L).foreach { case (p, b) =>
+            Dedup.admitMinHashBatch(p, "doc_id", "text", n = 3,
+              numHashes = 32, bands = 8, batchId = b, root = twin,
+              portableKeys = true)
+          }
+          def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(probe,
+              "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+              root = r, portableKeys = true)
+            .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
+          val eqTwin = dec(merged) == dec(twin)
+          // zero lost, zero duplicated: the DISTINCT key sets coincide
+          // (fragment multiplicity differs by micro-batch split, which
+          // the store's multiset-insensitive reads are built for)
+          val keysEq = KeySetStore.keysCurrent(s, merged).distinct()
+            .exceptAll(KeySetStore.keysCurrent(s, twin).distinct())
+            .isEmpty &&
+            KeySetStore.keysCurrent(s, twin).distinct()
+              .exceptAll(KeySetStore.keysCurrent(s, merged).distinct())
+              .isEmpty
+          // merged-away sources retire without touching the successor
+          Seq(ra, rb).foreach(GenStore.retire)
+          val retired = !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(ra)) &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(rb)) &&
+            dec(merged) == dec(twin)
+          Dedup.admitAgainstMinHashStoreGen(probe, "doc_id", "text",
+              n = 3, numHashes = 32, bands = 8, root = merged,
+              portableKeys = true)
+            .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
+            .withColumn("quiesce_fence_names_successor", lit(fenceNamed))
+            .withColumn("sink_repointed_to_merged", lit(repointed))
+            .withColumn("merged_eq_single_pipeline", lit(eqTwin))
+            .withColumn("zero_lost_zero_duplicated", lit(keysEq))
+            .withColumn("sources_retired_cleanly", lit(retired))
+            .orderBy(col("doc_id"))
+        } finally q.stop()
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents
+             |), tri AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM tok WHERE len(tk) >= 3
+             |), sigs AS (
+             |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS sig
+             |  FROM (SELECT doc_id, unnest(sh) AS s FROM tri)
+             |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+             |  GROUP BY doc_id, i
+             |), bnd AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    md5(string_agg(sig, '|' ORDER BY i)) AS bucket
+             |  FROM sigs GROUP BY doc_id, i // 4
+             |), store AS (
+             |  SELECT DISTINCT band, bucket FROM bnd WHERE doc_id % 4 IN (0, 1, 2)
+             |), hits AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS hit_bands
+             |  FROM bnd b JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             |  WHERE b.doc_id % 4 = 3
+             |  GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+             |  coalesce(h.hit_bands, 0) = 0 AS admit,
+             |  TRUE AS quiesce_fence_names_successor,
+             |  TRUE AS sink_repointed_to_merged,
+             |  TRUE AS merged_eq_single_pipeline,
+             |  TRUE AS zero_lost_zero_duplicated,
+             |  TRUE AS sources_retired_cleanly
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d
+             |LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QDef("q197_cdc_federation",
+      // FEDERATION for the CDC SNAPSHOT store (EventStreams
+      // .mergeCdcStores) — the one store family q190-q194 left out,
+      // because version counters are per-pipeline LOCAL CLOCKS: two
+      // pipelines' v2 directories are not the same instant, so
+      // histories cannot interleave. What federates is the STATE: the
+      // merge byte-copies both sources' CURRENT snapshots as the merged
+      // store's v0 (a cut) and the merged clock starts at 0; per-key
+      // seq guards stay sound with NO clock reconciliation because key
+      // spaces are disjoint (the family contract) — a seq only ever
+      // compares against seqs its own pipeline minted, VERIFIED here at
+      // merge time (verifyKeyCols). Lifecycle gates: two pipelines each
+      // publish updates (seq 1) and deletes (seq 2) on disjoint key
+      // halves; quiesce + merge; merged v0 equals the union of the
+      // source currents; a quiesced source's publish is refused naming
+      // the successor; the merged clock publishes v1 (seq-3 updates
+      // spanning BOTH halves); replaying a pre-merge change (stale seq
+      // 1) is a no-op through the carried per-key guard; as-of v0
+      // still serves the cut after both publishes; merging stores with
+      // OVERLAPPING keys is refused before any pointer publishes.
+      // Emitted rows are the merged current snapshot — the oracle
+      // recomputes every surviving key's (bal, seq) closed-form.
+      (s, d) => {
+        import graft.operators.GenStore
+        import graft.streaming.EventStreams
+        val base = scratchDir("q197")
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        val (sa, sb, m) = (s"$base/a", s"$base/b", s"$base/m")
+        def pipeline(dir: String, half: Long, upd: Double, updMod: Long,
+            delMod: Long): Unit = {
+          val mine = cust.filter(pmod(col("key"), lit(2)) === half)
+          EventStreams.initCdcState(mine.withColumn("seq", lit(0L)), dir)
+          EventStreams.publishCdcBatch(s, dir,
+            mine.filter(col("key") % 8 === updMod)
+              .select(col("key"), (col("bal") + upd).as("bal"),
+                lit(1L).as("seq"), lit("U").as("op")),
+            Seq("key"), "seq", "op")
+          EventStreams.publishCdcBatch(s, dir,
+            mine.filter(col("key") % 16 === delMod)
+              .select(col("key"), col("bal"), lit(2L).as("seq"),
+                lit("D").as("op")),
+            Seq("key"), "seq", "op")
+        }
+        pipeline(sa, 0L, 100.0, 0L, 4L)
+        pipeline(sb, 1L, 50.0, 1L, 5L)
+        def setEq(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        val cut = EventStreams.currentCdcSnapshot(s, sa)
+          .unionByName(EventStreams.currentCdcSnapshot(s, sb))
+          .localCheckpoint() // pin: the sources retire-able afterwards
+        // the federation tick: quiesce both clocks, cut, verify keys
+        GenStore.quiesce(sa, m)
+        GenStore.quiesce(sb, m)
+        val vm = EventStreams.mergeCdcStores(s, Seq(sa, sb), m,
+          verifyKeyCols = Seq("key"))
+        val cutEq = vm == 0L &&
+          setEq(EventStreams.currentCdcSnapshot(s, m), cut)
+        val fenceNamed =
+          try {
+            EventStreams.publishCdcBatch(s, sa,
+              cust.limit(1).select(col("key"), col("bal"),
+                lit(9L).as("seq"), lit("U").as("op")),
+              Seq("key"), "seq", "op"); false
+          } catch { case e: IllegalStateException =>
+            e.getMessage.contains(m) }
+        // the merged clock continues: seq-3 updates spanning BOTH halves
+        EventStreams.publishCdcBatch(s, m,
+          cust.filter(col("key") % 16 === 8 || col("key") % 16 === 9)
+            .select(col("key"),
+              (col("bal") + when(col("key") % 8 === 0, 100.0)
+                .otherwise(50.0) + 7.0).as("bal"),
+              lit(3L).as("seq"), lit("U").as("op")),
+          Seq("key"), "seq", "op")
+        val v1 = EventStreams.currentCdcSnapshot(s, m).localCheckpoint()
+        // stale replay of a PRE-merge change: the carried per-key seq
+        // guard drops it — publishing is version-advancing but state-
+        // preserving
+        EventStreams.publishCdcBatch(s, m,
+          cust.filter(pmod(col("key"), lit(2)) === 0 && col("key") % 8 === 0)
+            .select(col("key"), (col("bal") + 999.0).as("bal"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("key"), "seq", "op")
+        val staleNoop = setEq(EventStreams.currentCdcSnapshot(s, m), v1)
+        val asOfStable = setEq(EventStreams.cdcSnapshotAt(s, m, 0L), cut)
+        // overlapping key spaces are refused before any pointer lands
+        val sc = s"$base/c"
+        EventStreams.initCdcState(
+          cust.filter(col("key") % 4 === 0).withColumn("seq", lit(0L)), sc)
+        val overlapRefused =
+          (try {
+            EventStreams.mergeCdcStores(s, Seq(sa, sc), s"$base/bad",
+              verifyKeyCols = Seq("key")); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("disjoint") }) &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$base/bad", "_CURRENT"))
+        EventStreams.currentCdcSnapshot(s, m)
+          .select(col("key"), col("bal"), col("seq"))
+          .withColumn("merged_v0_is_cut", lit(cutEq))
+          .withColumn("quiesced_publish_refused", lit(fenceNamed))
+          .withColumn("stale_premerge_replay_noop", lit(staleNoop))
+          .withColumn("asof_v0_stable", lit(asOfStable))
+          .withColumn("overlap_merge_refused", lit(overlapRefused))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT c_custkey AS key,
+             |  c_acctbal
+             |    + CASE WHEN c_custkey % 8 = 0 THEN 100
+             |           WHEN c_custkey % 8 = 1 THEN 50 ELSE 0 END
+             |    + CASE WHEN c_custkey % 16 IN (8, 9) THEN 7 ELSE 0 END AS bal,
+             |  CAST(CASE WHEN c_custkey % 16 IN (8, 9) THEN 3
+             |            WHEN c_custkey % 8 IN (0, 1) THEN 1
+             |            ELSE 0 END AS BIGINT) AS seq,
+             |  TRUE AS merged_v0_is_cut,
+             |  TRUE AS quiesced_publish_refused,
+             |  TRUE AS stale_premerge_replay_noop,
+             |  TRUE AS asof_v0_stable,
+             |  TRUE AS overlap_merge_refused
+             |FROM customer
+             |WHERE c_custkey % 16 NOT IN (4, 5)
+             |ORDER BY key""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -88,42 +88,270 @@ object GenStore {
       java.nio.file.Paths.get(genDir(root, gen), "_COMPACTED"),
       hwm.toString.getBytes)
 
+  /** The DELETE-id high-water mark of a generation (`_DELETES_HWM`), or
+    * -1 when none was ever sealed. Delete batch ids normally belong to
+    * the CALLER (replaying one is a semantic no-op, so [[seal]] never
+    * covers them) — but a federation merge RENUMBERS carried delete
+    * fragments into ids the caller never chose, and an innocent
+    * post-merge takedown admitted under one of those ids (0 is the
+    * natural first choice on a gen-1 merged store) would
+    * mode-overwrite a carried builder takedown: a pending compliance
+    * delete silently lost before compaction. The merge therefore seals
+    * the renumbered delete-id space, and every `admitDelete*` refuses
+    * ids at or below it. The seal is per-generation by construction:
+    * the next compaction CONSUMES the renumbered fragments (applies
+    * them physically; stragglers it carries were admitted post-merge,
+    * so their caller-chosen ids are above this mark), leaving no
+    * fragment in the new generation that a reused low id could
+    * clobber — so the new generation correctly starts unfenced.
+    */
+  def deletesHwm(root: String, gen: Long): Long = {
+    val m = java.nio.file.Paths.get(genDir(root, gen), "_DELETES_HWM")
+    if (!java.nio.file.Files.exists(m)) -1L
+    else new String(java.nio.file.Files.readAllBytes(m)).trim.toLong
+  }
+
+  /** Seal the delete-id space at `hwm` (see [[deletesHwm]]). No-op for
+    * hwm < 0 so merge sites can call it unconditionally.
+    */
+  def sealDeletes(root: String, gen: Long, hwm: Long): Unit =
+    if (hwm >= 0L) java.nio.file.Files.write(
+      java.nio.file.Paths.get(genDir(root, gen), "_DELETES_HWM"),
+      hwm.toString.getBytes)
+
+  // -------------------------------------------------------------------------
+  // LIVE-MERGE QUIESCE — the contract for merging stores whose sources
+  // have CONTINUOUS admission sinks. A merge lists the source fragments
+  // once; an admission landing after that listing would silently miss
+  // the merged store. The protocol: (1) QUIESCE each live source — CAS
+  // a `_MERGING` mark at its root naming the successor store; (2) every
+  // admission front refuses a quiesced store loudly, naming the
+  // successor, and the cooperating sink re-points there at its next
+  // micro-batch boundary (foreachBatch is serial per query, so the
+  // in-flight batch completed before the sink's next pre-check);
+  // (3) the merge re-lists the sources after copying and REFUSES to
+  // seal if anything moved — an in-flight admission that landed inside
+  // the window makes the merge fail loudly instead of publishing a
+  // store that silently misses (or tore) a fragment; the merge is
+  // wipe-and-redo retryable, so the retry — issued once the writer has
+  // observed the mark — converges and includes the straggler;
+  // (4) after the merge, retire the sources (tombstone) or leave them
+  // quiesced forever (the mark is permanent — a retired id space).
+  // -------------------------------------------------------------------------
+
+  private def quiescePath(root: String) =
+    java.nio.file.Paths.get(root, "_MERGING")
+
+  /** QUIESCE a store for federation merge: atomically mark it closed
+    * for admission, naming the successor store admissions should go
+    * to. CAS — a second quiesce fails loudly instead of silently
+    * re-pointing the fleet somewhere else.
+    */
+  def quiesce(root: String, successorRoot: String): Unit = {
+    require(successorRoot.nonEmpty, "quiesce needs a successor root")
+    val tmp = java.nio.file.Paths.get(root, "_MERGING.tmp")
+    java.nio.file.Files.write(tmp, successorRoot.getBytes)
+    // CAS publish: hard-link the fully-written tmp into place —
+    // atomically fails if the mark exists (a rename would silently
+    // REPLACE it on POSIX, re-pointing the fleet), and readers never
+    // see partial content (the link target is complete before it links)
+    try java.nio.file.Files.createLink(quiescePath(root), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"store $root is already quiesced into " +
+          s"'${quiescedSuccessor(root).getOrElse("?")}' — a second " +
+          "quiesce would re-point the fleet; retire the store or use " +
+          "the existing successor")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** The successor a quiesced store forwards admissions to, or None
+    * for a live store. The cooperative sink's per-micro-batch
+    * pre-check (one file existence test).
+    */
+  def quiescedSuccessor(root: String): Option[String] = {
+    val p = quiescePath(root)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p)).trim)
+  }
+
+  /** The admission-front fence every store's `admit*` runs first:
+    * refuse a quiesced store loudly, naming the successor.
+    */
+  def requireNotQuiesced(root: String): Unit =
+    quiescedSuccessor(root).foreach { succ =>
+      throw new IllegalStateException(
+        s"store $root is quiesced for a federation merge — admissions " +
+          s"re-point to '$succ'")
+    }
+
+  /** RETIRE a merged-away source store: tombstone-rename then delete
+    * the whole root ([[graft.streaming.EventStreams.tombstoneDelete]]'s
+    * crash discipline — a racing reader never observes a partial root
+    * that still resolves).
+    */
+  def retire(root: String): Unit =
+    graft.streaming.EventStreams.tombstoneDelete(
+      java.nio.file.Paths.get(root))
+
+  /** The post-copy movement check: a merge listed `observed` before
+    * copying; if any source directory's fragment set changed since, an
+    * admission landed inside the window (quiesce violated, or an
+    * in-flight write completed after the listing) — the copy may have
+    * missed it or torn it, so REFUSE to seal. The merge target is
+    * wipe-and-redo retryable ([[mergeOpen]]): retry once the source is
+    * quiet and the straggler merges cleanly.
+    */
+  private[graft] def requireSourcesUnmoved(spark: SparkSession,
+      observed: Seq[(String, Seq[Long])]): Unit =
+    observed.foreach { case (dir, ids) =>
+      val now = listBatchIds(spark, dir)
+      if (now != ids) throw new IllegalStateException(
+        s"source $dir changed during the merge (fragments $ids -> $now): " +
+          "an admission landed inside the copy window — quiesce the " +
+          "source (GenStore.quiesce) and retry the merge; the unsealed " +
+          "target is wiped and redone on retry")
+    }
+
+  /** BYTE-LEVEL parallel fragment copy — the federation-merge data
+    * mover. Sealed fragments are immutable parquet, so a merge needs
+    * no decode: each (srcDir → dstDir) pair is a raw recursive file
+    * copy, and all pairs run concurrently on the driver's thread pool
+    * (the [[footerRowCount]] pattern — zero Spark jobs, zero executor
+    * dispatch, no re-encode). Cost model at fleet scale: a K-builder
+    * merge is O(index bytes / copy bandwidth) with file-count-bounded
+    * dispatch, not K×fragments×tables serial Spark jobs each paying a
+    * parquet decode+re-encode. Each pair is idempotent (a partial
+    * prior copy at `dstDir` is replaced whole), which is what makes
+    * merge retry after a crash safe: the seal is written last, so an
+    * unsealed target is always a redo-able prefix.
+    */
+  private[graft] def copyFragments(spark: SparkSession,
+      pairs: Seq[(String, String)]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val conf = spark.sessionState.newHadoopConf()
+    Await.result(Future.sequence(pairs.map { case (s, d) => Future {
+      val sp = new org.apache.hadoop.fs.Path(s)
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val sfs = sp.getFileSystem(conf)
+      val dfs = dp.getFileSystem(conf)
+      if (dfs.exists(dp)) dfs.delete(dp, true)
+      dfs.mkdirs(dp.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+          /* deleteSource = */ false, conf))
+        throw new java.io.IOException(s"fragment copy failed: $s -> $d")
+    }}), Duration.Inf)
+  }
+
+  /** Open a merge target generation for writing — the crash-retry
+    * guard shared by every `mergeStores`. A merge writes fragments
+    * first and the `_COMPACTED` seal LAST, so a target generation
+    * holding fragments without a seal is either (a) a crashed previous
+    * attempt at this merge — identified by the `_MERGE_PENDING` mark
+    * this guard writes before any fragment lands, safe to wipe and
+    * redo whole — or (b) a LIVE never-compacted store someone passed
+    * by mistake, which has fragments but no mark and must be refused,
+    * never overwritten. Call [[mergeSeal]] to finish.
+    */
+  private[graft] def mergeOpen(spark: SparkSession, root: String,
+      gen: Long, occupied: Boolean): Unit = {
+    val dir = genDir(root, gen)
+    val mark = java.nio.file.Paths.get(dir, "_MERGE_PENDING")
+    require(!occupied || java.nio.file.Files.exists(mark),
+      s"merge target $root holds fragments but no _MERGE_PENDING mark — " +
+        "it is a live store, not a crashed merge; refusing to overwrite")
+    if (occupied) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(mark, Array.emptyByteArray)
+  }
+
+  /** Finish a merge: seal the delete-id space and the data ids (in
+    * that order — the data seal is the completion marker), then drop
+    * the `_MERGE_PENDING` mark. A crash after the data seal leaves a
+    * COMPLETE store with a stale mark; the next merge attempt at this
+    * root fails its "already sealed" require, which is the caller's
+    * signal that the merge in fact succeeded.
+    */
+  private[graft] def mergeSeal(root: String, gen: Long, dataHwm: Long,
+      delHwm: Long): Unit = {
+    sealDeletes(root, gen, delHwm)
+    seal(root, gen, dataHwm)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(genDir(root, gen), "_MERGE_PENDING"))
+  }
+
   /** FEDERATION MERGE for FLAT-fragment stores (fragments directly
     * under the generation directory; an optional `deletes/` table
     * beside them) — the shared machinery behind [[KeySetStore
     * .mergeStores]] and the mergeable-family wrappers (sketch /
     * frequency / quantile, whose reads union fragments by algebra, so
     * a merge IS just the fragments side by side): copy each source's
-    * current-generation fragments under fresh sequential ids (one
-    * narrow read→write per fragment, no shuffle), carry delete
-    * fragments, seal the occupied ids. Caller contract: compatible
-    * fragment schemas (same key columns / sketch parameters — the
-    * algebra's own merge precondition) and a fresh `dstRoot`.
+    * current-generation fragments under fresh sequential ids — a
+    * BYTE-LEVEL parallel copy ([[copyFragments]]): the fragments are
+    * immutable sealed parquet, so no decode, no Spark job, no shuffle
+    * — carry delete fragments, seal the occupied data ids AND the
+    * renumbered delete-id space ([[deletesHwm]]). Caller contract:
+    * compatible fragment schemas (same key columns / sketch parameters
+    * — the algebra's own merge precondition) and a `dstRoot` that is
+    * fresh or holds only a crashed previous attempt at this merge (the
+    * seal is written last, so an unsealed target is wiped and redone —
+    * merge is crash-retryable).
     */
   private[graft] def mergeFlatStores(spark: SparkSession,
-      srcRoots: Seq[String], dstRoot: String): Long = {
+      srcRoots: Seq[String], dstRoot: String): Long =
+    mergeFlatStoresHooked(spark, srcRoots, dstRoot, () => ())
+
+  /** [[mergeFlatStores]] with a hook run between the fragment listing
+    * and the copy — the race-test seam for the live-merge window (the
+    * [[InvertedIndex.compactStoreHooked]] pattern): a fragment landing
+    * inside the hook must make the merge REFUSE to seal
+    * ([[requireSourcesUnmoved]]), never publish a store missing it.
+    */
+  private[graft] def mergeFlatStoresHooked(spark: SparkSession,
+      srcRoots: Seq[String], dstRoot: String,
+      midHook: () => Unit): Long = {
     require(srcRoots.size >= 2, "mergeStores needs at least two sources")
     initIfAbsent(dstRoot)
-    require(currentGen(dstRoot) == 1L &&
-      listBatchIds(spark, genDir(dstRoot, 1L)).isEmpty,
-      s"merge target $dstRoot must be a fresh store root")
+    require(currentGen(dstRoot) == 1L && compactedHwm(dstRoot, 1L) == -1L,
+      s"merge target $dstRoot must be a fresh store root (or an unsealed " +
+        "partial merge); it already holds a sealed generation")
     val dst = genDir(dstRoot, 1L)
+    mergeOpen(spark, dstRoot, 1L,
+      occupied = java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
     var next = 0L
     var delNext = 0L
-    srcRoots.foreach { src =>
+    val observed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Long])]
+    val pairs = srcRoots.flatMap { src =>
       val sdir = genDir(src, currentGen(src))
-      listBatchIds(spark, sdir).foreach { i =>
-        spark.read.parquet(s"$sdir/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/batch_id=$next")
-        next += 1
-      }
-      listBatchIds(spark, s"$sdir/deletes").foreach { i =>
-        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
-        delNext += 1
+      val ids = listBatchIds(spark, sdir)
+      val delIds = listBatchIds(spark, s"$sdir/deletes")
+      observed += ((sdir, ids)); observed += ((s"$sdir/deletes", delIds))
+      ids.map { i =>
+        val p = (s"$sdir/batch_id=$i", s"$dst/batch_id=$next")
+        next += 1; p
+      } ++ delIds.map { i =>
+        val p = (s"$sdir/deletes/batch_id=$i",
+          s"$dst/deletes/batch_id=$delNext")
+        delNext += 1; p
       }
     }
-    seal(dstRoot, 1L, next - 1)
+    require(next > 0, "no data fragments found under any source's " +
+      "current generation — refusing to seal an empty merged store " +
+      "(were the right roots passed?)")
+    midHook()
+    copyFragments(spark, pairs)
+    // the live-merge fence: anything moved since the listing -> refuse
+    // to seal (retry is a wipe-and-redo once the source is quiet)
+    requireSourcesUnmoved(spark, observed.toSeq)
+    mergeSeal(dstRoot, 1L, next - 1, delNext - 1)
     1L
   }
 

@@ -160,6 +160,7 @@ object HeavyHitters {
     */
   def admitBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
       m: Int, batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,
@@ -319,11 +320,12 @@ object HeavyHitters {
     survivorsByBatch.foreach { case (i, survivors) =>
       appendBatch(survivors, keyCol, m, i, dst)
     }
-    // carry every unaffected listed fragment bit-for-bit
-    (ids.toSet -- affected.toSet).toSeq.sorted.foreach { i =>
-      spark.read.parquet(s"$src/batch_id=$i")
-        .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
-    }
+    // carry every unaffected listed fragment bit-for-bit — LITERALLY:
+    // a byte-level parallel copy of the immutable summary fragments
+    // (GenStore.copyFragments), no decode, no Spark job per fragment
+    GenStore.copyFragments(spark,
+      (ids.toSet -- affected.toSet).toSeq.sorted.map(i =>
+        (s"$src/batch_id=$i", s"$dst/batch_id=$i")))
     // family straggler sweep: an admit racing the rebuild rides through
     def sweep(): Unit =
       (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>

@@ -426,6 +426,7 @@ object InvertedIndex {
   private[graft] def admitBatchAt(spark: SparkSession, docs: DataFrame,
       idCol: String, toksCol: String, bucketSize: Long, batchId: Long,
       root: String, gen: Long): Unit = {
+    GenStore.requireNotQuiesced(root)
     val hwm = compactedHwm(root, gen)
     require(batchId > hwm,
       s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
@@ -455,6 +456,14 @@ object InvertedIndex {
     */
   private[graft] def admitDeleteBatchAt(spark: SparkSession, ids: DataFrame,
       idCol: String, batchId: Long, root: String, gen: Long): Unit = {
+    GenStore.requireNotQuiesced(root)
+    val dhwm = GenStore.deletesHwm(root, gen)
+    require(batchId > dhwm,
+      s"delete batch_id=$batchId is at or below gen=$gen's delete-id " +
+        s"high-water mark $dhwm: a federation merge renumbered carried " +
+        "delete fragments into that id space — admitting under one of " +
+        "those ids would clobber a pending takedown; use a fresh id above " +
+        "the mark")
     appendDeleteBatch(ids, idCol, batchId, genDir(root, gen))
     val now = currentGen(root)
     if (now != gen) throw new IllegalStateException(
@@ -496,15 +505,22 @@ object InvertedIndex {
     * crawl across K INDEPENDENT builders (no coordination, no shared
     * state, each runs the ordinary admit/compact lifecycle on its own
     * root) and merge the finished stores into one serving store at the
-    * end. The merge is one narrow read→write pass per fragment —
-    * postings/doclens/stats fragments copy under fresh sequential batch
-    * ids (reads union fragments, so pairing never matters), pending
-    * DELETE fragments ride along (a takedown admitted to one builder
-    * stays pending in the merged store until its compaction), and the
-    * occupied ids are sealed so later admissions cannot overwrite them.
-    * No shuffle anywhere: stats stay per-fragment rows the read-side
-    * aggregation already sums, so merged serving is bit-identical to a
-    * single store admitted with every builder's batches (spec gate).
+    * end. The merge is a BYTE-LEVEL parallel fragment copy
+    * ([[GenStore.copyFragments]]) — the fragments are immutable sealed
+    * parquet, so no decode, no re-encode, no Spark job: postings/
+    * doclens/stats fragments copy under fresh sequential batch ids
+    * (reads union fragments, so pairing never matters), pending DELETE
+    * fragments ride along (a takedown admitted to one builder stays
+    * pending in the merged store until its compaction), the occupied
+    * data ids are sealed so later admissions cannot overwrite them,
+    * and the RENUMBERED delete-id space is sealed too
+    * ([[GenStore.deletesHwm]]) so a post-merge takedown cannot clobber
+    * a carried builder takedown. No shuffle anywhere: stats stay
+    * per-fragment rows the read-side aggregation already sums, so
+    * merged serving is bit-identical to a single store admitted with
+    * every builder's batches (spec gate). Crash-retryable: the data
+    * seal is written last, so an unsealed target is a wipe-and-redo
+    * prefix ([[GenStore.mergeOpen]]).
     *
     * Caller contract: doc_id spaces are disjoint across builders (the
     * same uniqueness admission already requires) and `dstRoot` is
@@ -515,27 +531,40 @@ object InvertedIndex {
     require(srcRoots.size >= 2, "mergeStores needs at least two sources")
     GenStore.initIfAbsent(dstRoot)
     require(currentGen(dstRoot) == 1L &&
-      GenStore.listBatchIds(spark, s"${genDir(dstRoot, 1L)}/postings").isEmpty,
-      s"merge target $dstRoot must be a fresh store root")
+      GenStore.compactedHwm(dstRoot, 1L) == -1L,
+      s"merge target $dstRoot must be a fresh store root (an already " +
+        "sealed generation means a previous merge completed)")
     val dst = genDir(dstRoot, 1L)
+    GenStore.mergeOpen(spark, dstRoot, 1L,
+      occupied = java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
     var next = 0L
     var delNext = 0L
-    srcRoots.foreach { src =>
+    val observed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Long])]
+    val pairs = srcRoots.flatMap { src =>
       val sdir = genDir(src, currentGen(src))
-      GenStore.listBatchIds(spark, s"$sdir/postings").foreach { i =>
-        Seq("postings", "doclens", "stats").foreach { t =>
-          spark.read.parquet(s"$sdir/$t/batch_id=$i")
-            .write.mode("overwrite").parquet(s"$dst/$t/batch_id=$next")
+      val ids = GenStore.listBatchIds(spark, s"$sdir/postings")
+      val delIds = GenStore.listBatchIds(spark, s"$sdir/deletes")
+      observed += ((s"$sdir/postings", ids))
+      observed += ((s"$sdir/deletes", delIds))
+      ids.flatMap { i =>
+        val ps = Seq("postings", "doclens", "stats").map { t =>
+          (s"$sdir/$t/batch_id=$i", s"$dst/$t/batch_id=$next")
         }
-        next += 1
-      }
-      GenStore.listBatchIds(spark, s"$sdir/deletes").foreach { i =>
-        spark.read.parquet(s"$sdir/deletes/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$delNext")
-        delNext += 1
+        next += 1; ps
+      } ++ delIds.map { i =>
+        val p = (s"$sdir/deletes/batch_id=$i",
+          s"$dst/deletes/batch_id=$delNext")
+        delNext += 1; p
       }
     }
-    GenStore.seal(dstRoot, 1L, next - 1)
+    require(next > 0, "no data fragments found under any source's " +
+      "current generation — refusing to seal an empty merged store " +
+      "(were the right roots passed?)")
+    GenStore.copyFragments(spark, pairs)
+    // live-merge fence: refuse to seal if a source moved since listing
+    GenStore.requireSourcesUnmoved(spark, observed.toSeq)
+    GenStore.mergeSeal(dstRoot, 1L, next - 1, delNext - 1)
     1L
   }
 

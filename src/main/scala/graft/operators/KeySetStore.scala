@@ -48,6 +48,7 @@ object KeySetStore {
     * Idempotent per batch id (mode overwrite).
     */
   def admitBatch(keys: DataFrame, batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,
@@ -85,10 +86,19 @@ object KeySetStore {
     * `deletes/batch_id=N` (same schema as the data fragments). Replays
     * are semantic no-ops whether or not a compaction already applied
     * them — subtracting an absent key removes nothing — so there is no
-    * sealed-id fence, only the family's pointer re-check.
+    * compaction seal on delete ids, only the family's pointer re-check
+    * plus the merge-renumbered-id fence ([[GenStore.deletesHwm]]).
     */
   def admitDeleteBatch(keys: DataFrame, batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
+    val dhwm = GenStore.deletesHwm(root, gen)
+    require(batchId > dhwm,
+      s"delete batch_id=$batchId is at or below gen=$gen's delete-id " +
+        s"high-water mark $dhwm: a federation merge renumbered carried " +
+        "delete fragments into that id space — admitting under one of " +
+        "those ids would clobber a pending takedown; use a fresh id above " +
+        "the mark")
     keys.distinct().write.mode("overwrite")
       .parquet(s"${GenStore.genDir(root, gen)}/deletes/batch_id=$batchId")
     val now = GenStore.currentGen(root)

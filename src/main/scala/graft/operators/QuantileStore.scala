@@ -226,6 +226,7 @@ object QuantileStore {
   def admitBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
       valueCol: String, lo: Double, width: Double, nbins: Int,
       batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,
@@ -279,6 +280,7 @@ object QuantileStore {
   private def admitNegated(spark: SparkSession, batch: DataFrame,
       keyCols: Seq[String], binCol: Column, valueCol: String,
       batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,

@@ -94,6 +94,7 @@ object SketchStore {
   def admitBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
       valueCol: String, batchId: Long, root: String,
       lgK: Int = DefaultLgK): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,
@@ -264,6 +265,37 @@ object SketchStore {
     require(ids.nonEmpty, s"nothing to rebuild under $src")
     val hwm = ids.max
     val dst = GenStore.genDir(root, cur + 1)
+    rebuildFrame(spark, src, ids, keyCols, valueCol, affectedKeys,
+        survivors, lgK)
+      .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
+    // family straggler sweep: an admit racing the rebuild rides through
+    // unmerged (its registers are NEW post-takedown data — carrying
+    // them raw is correct; the read union folds them in)
+    def sweep(): Unit =
+      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
+        spark.read.parquet(s"$src/batch_id=$i")
+          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
+      }
+    sweep()
+    GenStore.seal(root, cur + 1, hwm)
+    GenStore.writePointer(root, cur + 1)
+    sweep()
+    cur + 1
+  }
+
+  /** The scoped-rebuild frame [[rebuildKeys]] materializes — exposed
+    * for the plan audit (PLANS.md q176): the cost claim "recompute
+    * ONLY the affected keys from the surviving slice" must be visible
+    * in the executed plan, not just asserted. Check: the store side is
+    * the KB-sized sketch-fragment scan minus a BROADCAST left-anti on
+    * the affected keys (register union untouched for carried keys);
+    * the corpus side enters through a BROADCAST left-semi on the same
+    * key set BEFORE the hll_sketch_agg, so only the affected keys'
+    * surviving rows feed the one aggregation that touches data rows.
+    */
+  private[graft] def rebuildFrame(spark: SparkSession, src: String,
+      ids: Seq[Long], keyCols: Seq[String], valueCol: String,
+      affectedKeys: DataFrame, survivors: DataFrame, lgK: Int): DataFrame = {
     val affected = broadcast(affectedKeys.select(keyCols.map(col): _*)
       .distinct())
     // unaffected keys: the ordinary compaction union, minus affected
@@ -281,19 +313,5 @@ object SketchStore {
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
       .withColumn("lgk", lit(lgK))
     carried.unionByName(rebuilt)
-      .write.mode("overwrite").parquet(s"$dst/batch_id=$hwm")
-    // family straggler sweep: an admit racing the rebuild rides through
-    // unmerged (its registers are NEW post-takedown data — carrying
-    // them raw is correct; the read union folds them in)
-    def sweep(): Unit =
-      (GenStore.listBatchIds(spark, src).toSet -- ids).toSeq.sorted.foreach { i =>
-        spark.read.parquet(s"$src/batch_id=$i")
-          .write.mode("overwrite").parquet(s"$dst/batch_id=$i")
-      }
-    sweep()
-    GenStore.seal(root, cur + 1, hwm)
-    GenStore.writePointer(root, cur + 1)
-    sweep()
-    cur + 1
   }
 }

@@ -127,6 +127,7 @@ object VectorStore {
   private[graft] def admitAt(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, vecCol: String, batchId: Long, asOfGen: Long,
       nassign: Int = 2): Unit = {
+    GenStore.requireNotQuiesced(root)
     val sealedHwm = GenStore.compactedHwm(root, asOfGen)
     require(batchId > sealedHwm,
       s"batch_id=$batchId is at or below gen=$asOfGen's compacted high-water " +
@@ -166,12 +167,23 @@ object VectorStore {
   private def deletesDir(root: String, gen: Long) = genRoot(root, gen) + "/deletes"
 
   /** TAKEDOWN: admit one batch of vec ids to delete under the CURRENT
-    * generation, with the [[admit]] pointer-re-read fence. No sealed-id
-    * fence — delete replay is a semantic no-op.
+    * generation, with the [[admit]] pointer-re-read fence. No
+    * compaction seal on delete ids — delete replay is a semantic no-op
+    * — but ids a federation merge renumbered are fenced
+    * ([[GenStore.deletesHwm]]): overwriting one would clobber a
+    * carried builder takedown.
     */
   def admitDeletes(spark: SparkSession, root: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = currentGen(root)
+    val dhwm = GenStore.deletesHwm(root, gen)
+    require(batchId > dhwm,
+      s"delete batch_id=$batchId is at or below gen=$gen's delete-id " +
+        s"high-water mark $dhwm: a federation merge renumbered carried " +
+        "delete fragments into that id space — admitting under one of " +
+        "those ids would clobber a pending takedown; use a fresh id above " +
+        "the mark")
     ids.select(col(idCol).cast("long").as("cid")).distinct()
       .write.mode("overwrite").parquet(s"${deletesDir(root, gen)}/batch_id=$batchId")
     val now = currentGen(root)
@@ -497,9 +509,11 @@ object VectorStore {
     * INDEPENDENT PARTITIONS, MERGE. Every builder was initialized with
     * the same index artifact and ran the ordinary admit lifecycle on
     * its own partition of the corpus; the merge copies coded + stats
-    * fragments under fresh sequential ids (one narrow pass per
-    * fragment, no shuffle, no re-encode), carries pending delete
-    * fragments, and seals the occupied ids. Artifact equality is
+    * fragments under fresh sequential ids — byte-level and parallel
+    * ([[GenStore.copyFragments]]): no decode, no re-encode, no Spark
+    * job — carries pending delete fragments, seals the occupied data
+    * ids AND the renumbered delete-id space ([[GenStore.deletesHwm]]),
+    * and is crash-retryable ([[GenStore.mergeOpen]]). Artifact equality is
     * CHECKED, not trusted (a KB comparison): coded rows are
     * meaningless across artifacts — different centroids/books need a
     * refit, not a merge. Caller contract: disjoint vec_id spaces;
@@ -522,31 +536,47 @@ object VectorStore {
       "refit, don't merge")
     require(!java.nio.file.Files.exists(pointerPath(dstRoot)) ||
       (currentGen(dstRoot) == 1L &&
-        listBatchIds(spark, codedDir(dstRoot, 1L)).isEmpty),
-      s"merge target $dstRoot must be a fresh store root")
+        GenStore.compactedHwm(dstRoot, 1L) == -1L),
+      s"merge target $dstRoot must be a fresh store root (an already " +
+        "sealed generation means a previous merge completed)")
+    GenStore.mergeOpen(spark, dstRoot, 1L,
+      occupied = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(genRoot(dstRoot, 1L))))
     init(spark, dstRoot, c0, b0)
     var next = 0L
     var delNext = 0L
-    srcRoots.foreach { src =>
+    // byte-level parallel fragment copy (GenStore.copyFragments): the
+    // coded/stats/delete fragments are immutable sealed parquet — no
+    // decode, no re-encode, no Spark job per fragment
+    val observed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Long])]
+    val pairs = srcRoots.flatMap { src =>
       val gen = currentGen(src)
       val coded = codedDir(src, gen)
-      listBatchIds(spark, coded).foreach { i =>
-        spark.read.parquet(s"$coded/batch_id=$i")
-          .write.mode("overwrite")
-          .parquet(s"${codedDir(dstRoot, 1L)}/batch_id=$next")
-        spark.read.parquet(s"${coded}_stats/batch_id=$i")
-          .write.mode("overwrite")
-          .parquet(s"${codedDir(dstRoot, 1L)}_stats/batch_id=$next")
-        next += 1
-      }
-      listBatchIds(spark, deletesDir(src, gen)).foreach { i =>
-        spark.read.parquet(s"${deletesDir(src, gen)}/batch_id=$i")
-          .write.mode("overwrite")
-          .parquet(s"${deletesDir(dstRoot, 1L)}/batch_id=$delNext")
-        delNext += 1
+      val ids = listBatchIds(spark, coded)
+      val delIds = listBatchIds(spark, deletesDir(src, gen))
+      observed += ((coded, ids))
+      observed += ((deletesDir(src, gen), delIds))
+      ids.flatMap { i =>
+        val ps = Seq(
+          (s"$coded/batch_id=$i",
+            s"${codedDir(dstRoot, 1L)}/batch_id=$next"),
+          (s"${coded}_stats/batch_id=$i",
+            s"${codedDir(dstRoot, 1L)}_stats/batch_id=$next"))
+        next += 1; ps
+      } ++ delIds.map { i =>
+        val p = (s"${deletesDir(src, gen)}/batch_id=$i",
+          s"${deletesDir(dstRoot, 1L)}/batch_id=$delNext")
+        delNext += 1; p
       }
     }
-    GenStore.seal(dstRoot, 1L, next - 1)
+    require(next > 0, "no data fragments found under any source's " +
+      "current generation — refusing to seal an empty merged store " +
+      "(were the right roots passed?)")
+    GenStore.copyFragments(spark, pairs)
+    // live-merge fence: refuse to seal if a source moved since listing
+    GenStore.requireSourcesUnmoved(spark, observed.toSeq)
+    GenStore.mergeSeal(dstRoot, 1L, next - 1, delNext - 1)
     1L
   }
 

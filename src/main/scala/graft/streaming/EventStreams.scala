@@ -182,6 +182,7 @@ object EventStreams {
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        graft.operators.GenStore.requireNotQuiesced(stateDir)
         val cur = readCdcVersion(stateDir)
         val snap = spark.read.parquet(s"$stateDir/v$cur")
         graft.operators.Merge.cdcApply(snap, batch, keyCols, seqCol, opCol)
@@ -466,6 +467,68 @@ object EventStreams {
         if (batchId > GenStore.compactedHwm(root, GenStore.currentGen(root))) {
           KeySetStore.admitBatch(batch, batchId, root)
           KeySetStore.compactIfFragmented(spark, root, maxFragments)
+          ()
+        } // else: sealed replay — keys already in the compacted fragment
+      }
+      .start()
+  }
+
+  /** Streaming SIGNATURE admission under the LIVE-MERGE QUIESCE
+    * contract ([[graft.operators.GenStore.quiesce]]) — the sink half of
+    * merging a store whose builder is still ingesting: each micro-batch
+    * derives the crawl batch's MinHash band keys and admits them, but
+    * FIRST chases the store's forwarding chain — a quiesced store's
+    * `_MERGING` mark names the merged successor, and the sink re-points
+    * there at the micro-batch boundary (foreachBatch is serial per
+    * query, so the in-flight batch fully landed before this pre-check
+    * runs; the merge's movement fence catches anything that still
+    * races). Batch ids at the successor are remapped above the merged
+    * store's generation-1 seal — written once at merge completion and
+    * immutable thereafter, so the mapping is stable across restarts and
+    * a replayed micro-batch overwrites its own remapped fragment
+    * idempotently. Sealed replays (a restart whose remapped id a later
+    * compaction folded) are no-ops, the [[keySetIngestCompacting]]
+    * discipline. Zero lost and zero duplicated admissions across a
+    * mid-stream merge is the q196 gate.
+    *
+    * Contract: ONE live sink per merge tick re-points this way (the
+    * id remap is per-target, not per-sink; K live builders each merge
+    * into their own successor or quiesce at different ticks). The
+    * key-set store's multiset-insensitive reads make even a pathological
+    * duplicate admission semantically invisible — which is why the
+    * re-point recipe is defined on THIS store family first.
+    */
+  def signatureIngestQuiesceAware(
+      docs: DataFrame, idCol: String, textCol: String, root: String,
+      checkpointDir: String, n: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, portableKeys: Boolean = false,
+      maxFragments: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.GenStore.initIfAbsent(root)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, GenStore, KeySetStore}
+        val spark = batch.sparkSession
+        // chase the forwarding chain (a merged store may itself have
+        // been quiesced into a later merge)
+        var target = root
+        var offset = 0L
+        var hop = GenStore.quiescedSuccessor(target)
+        while (hop.isDefined) {
+          target = hop.get
+          // gen 1's seal is the merge's last write and never changes:
+          // a stable base that clears every merge-renumbered id
+          offset = GenStore.compactedHwm(target, 1L) + 1
+          hop = GenStore.quiescedSuccessor(target)
+        }
+        val mapped = offset + batchId
+        if (mapped > GenStore.compactedHwm(target,
+            GenStore.currentGen(target))) {
+          Dedup.admitMinHashBatch(batch, idCol, textCol, n, numHashes,
+            bands, batchId = mapped, root = target,
+            portableKeys = portableKeys)
+          if (maxFragments != Int.MaxValue)
+            KeySetStore.compactIfFragmented(spark, target, maxFragments)
           ()
         } // else: sealed replay — keys already in the compacted fragment
       }
@@ -810,12 +873,80 @@ object EventStreams {
   def publishCdcBatch(
       spark: SparkSession, stateDir: String, changes: DataFrame,
       keyCols: Seq[String], seqCol: String, opCol: String): Long = {
+    graft.operators.GenStore.requireNotQuiesced(stateDir)
     val cur = readCdcVersion(stateDir)
     val snap = spark.read.parquet(s"$stateDir/v$cur")
     graft.operators.Merge.cdcApply(snap, changes, keyCols, seqCol, opCol)
       .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
     writeCdcVersion(stateDir, cur + 1)
     cur + 1
+  }
+
+  /** FEDERATION MERGE for CDC SNAPSHOT stores — the last store family
+    * without one (every fragment store merges by fragment copy;
+    * q190–q194). What federates here is the STATE, not the log:
+    * version counters are per-pipeline LOCAL CLOCKS (two pipelines'
+    * v3 directories are not the same instant — interleaving their
+    * histories is semantically meaningless), so the merge is a CUT:
+    * the merged store's v0 is the union of each source's CURRENT
+    * snapshot, byte-copied file for file (the
+    * [[graft.operators.GenStore.copyFragments]] mover — no decode, no
+    * Spark job on the fast path), and the merged clock starts at 0.
+    * Pre-merge history stays readable in the quiesced sources until
+    * they are retired — an as-of question about a pre-merge instant is
+    * a question about ONE pipeline's clock and is answered by that
+    * pipeline's store.
+    *
+    * Why per-key correctness survives without any clock
+    * reconciliation: the caller contract everywhere in the federation
+    * family — DISJOINT key spaces across sources — means
+    * [[graft.operators.Merge.cdcApply]]'s stale-seq guard only ever
+    * compares seqs of the same key, i.e. seqs minted by the same
+    * pipeline. Cross-pipeline seqs never meet. Post-merge changes keyed
+    * into either half carry that half's seq lineage forward unchanged.
+    * Pass `verifyKeyCols` to CHECK disjointness (one group-by over the
+    * merged state before the pointer publishes — the pointer is the
+    * last write, so a failed check leaves no readable store); empty
+    * trusts the contract like every other store's merge.
+    *
+    * Quiesce the sources first ([[graft.operators.GenStore.quiesce]]) —
+    * the publish fronts ([[publishCdcBatch]], [[cdcIngest]]) respect
+    * the mark, so no version can land between the cut and the retire.
+    * Returns the merged store's published version (0).
+    */
+  def mergeCdcStores(spark: SparkSession, srcDirs: Seq[String],
+      dstDir: String, verifyKeyCols: Seq[String] = Nil): Long = {
+    require(srcDirs.size >= 2, "mergeCdcStores needs at least two sources")
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dstDir, "_CURRENT")),
+      s"merge target $dstDir must be a fresh store root")
+    val conf = spark.sessionState.newHadoopConf()
+    val pairs = srcDirs.zipWithIndex.flatMap { case (src, k) =>
+      val cur = readCdcVersion(src)
+      val p = new org.apache.hadoop.fs.Path(s"$src/v$cur")
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString,
+          s"$dstDir/v0/src$k-${s.getPath.getName}"))
+    }
+    require(pairs.nonEmpty,
+      "no snapshot files found under any source's current version")
+    graft.operators.GenStore.copyFragments(spark, pairs)
+    if (verifyKeyCols.nonEmpty) {
+      val dup = spark.read.parquet(s"$dstDir/v0")
+        .groupBy(verifyKeyCols.map(org.apache.spark.sql.functions.col): _*)
+        .count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"sources share key ${dup.head.toSeq.init.mkString("(", ", ", ")")}" +
+          " — CDC federation requires disjoint key spaces (per-key seq " +
+          "clocks are per-pipeline and cannot be compared); the unsealed " +
+          "target has no pointer and is not readable")
+    }
+    writeCdcVersion(dstDir, 0)
+    0L
   }
 
   /** TIME TRAVEL: the snapshot exactly as it stood at `version`. Every

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, InvertedIndex, KeySetStore}
+import graft.operators.{Dedup, GenStore, InvertedIndex, KeySetStore}
 
 /** FEDERATION MERGE (`mergeStores`): K independently-built stores fold
   * into one serving store by fragment copies — merged serving is
@@ -193,15 +193,97 @@ class StoreFederationSpec extends AnyFunSuite {
   test("mergeStores refuses a non-fresh target") {
     val docs = tokenized
     val base = Files.createTempDirectory("graft-fed-dirty").toString
-    val (ra, rb, dirty) = (s"$base/a", s"$base/b", s"$base/d")
+    val (ra, rb, dirty, sealed0) =
+      (s"$base/a", s"$base/b", s"$base/d", s"$base/s")
     Seq(ra, rb, dirty).foreach(InvertedIndex.initStore)
     Seq(ra, rb, dirty).foreach { r =>
       InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "tk", 7L, batchId = 0L, root = r)
     }
+    // a LIVE never-compacted store (fragments, no _MERGE_PENDING mark)
+    // must be refused — byte-copy retry semantics may never wipe it
     val e = intercept[IllegalArgumentException] {
       InvertedIndex.mergeStores(spark, Seq(ra, rb), dirty)
     }
-    assert(e.getMessage.contains("fresh"))
+    assert(e.getMessage.contains("live store"))
+    // a SEALED store (a completed previous merge) is refused too
+    assert(InvertedIndex.mergeStores(spark, Seq(ra, rb), sealed0) == 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      InvertedIndex.mergeStores(spark, Seq(ra, rb), sealed0)
+    }
+    assert(e2.getMessage.contains("fresh"))
+  }
+
+  test("a crashed merge retries cleanly; a sourceless merge refuses to seal empty") {
+    val docs = tokenized
+    val base = Files.createTempDirectory("graft-fed-retry").toString
+    val (ra, rb, m) = (s"$base/a", s"$base/b", s"$base/m")
+    Seq(ra, rb).foreach(InvertedIndex.initStore)
+    InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "tk", 7L, batchId = 0L, root = ra)
+    InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "tk", 7L, batchId = 0L, root = rb)
+    // simulate a crash mid-copy: target holds the _MERGE_PENDING mark
+    // plus a garbage partial fragment, but no seal (the seal is last)
+    GenStore.initIfAbsent(m)
+    val gdir = java.nio.file.Paths.get(InvertedIndex.genDir(m, 1L))
+    Files.createDirectories(gdir.resolve("postings/batch_id=0"))
+    Files.write(gdir.resolve("_MERGE_PENDING"), Array.emptyByteArray)
+    Files.write(gdir.resolve("postings/batch_id=0/garbage.parquet"),
+      "not parquet".getBytes)
+    // the retry wipes the partial prefix and completes
+    assert(InvertedIndex.mergeStores(spark, Seq(ra, rb), m) == 1L)
+    assert(InvertedIndex.bm25SearchCurrent(spark, m, terms, 15)
+      .count() > 0L)
+    assert(!Files.exists(gdir.resolve("_MERGE_PENDING")),
+      "a completed merge must drop its pending mark")
+    // empty sources: initialized stores with zero fragments must refuse
+    val (ea, eb) = (s"$base/ea", s"$base/eb")
+    Seq(ea, eb).foreach(InvertedIndex.initStore)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.mergeStores(spark, Seq(ea, eb), s"$base/em")
+    }
+    assert(e.getMessage.contains("no data fragments"))
+  }
+
+  test("merge seals the renumbered delete-id space: a post-merge takedown cannot clobber a carried one") {
+    val docs = tokenized
+    val base = Files.createTempDirectory("graft-fed-dhwm").toString
+    val (ra, rb, m) = (s"$base/a", s"$base/b", s"$base/m")
+    Seq(ra, rb).foreach(InvertedIndex.initStore)
+    InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "tk", 7L, batchId = 0L, root = ra)
+    InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "tk", 7L, batchId = 0L, root = rb)
+    // each builder carries a pending takedown, both under batch_id=0 in
+    // their own id spaces — the merge renumbers them to 0 and 1
+    val deadA = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 0)
+      .select("doc_id")
+    val deadB = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0)
+      .select("doc_id")
+    InvertedIndex.admitDeleteBatch(spark, deadA, "doc_id", 0L, ra)
+    InvertedIndex.admitDeleteBatch(spark, deadB, "doc_id", 0L, rb)
+    InvertedIndex.mergeStores(spark, Seq(ra, rb), m)
+    assert(GenStore.deletesHwm(m, 1L) == 1L)
+    // a post-merge takedown under a renumbered id is refused — admitting
+    // it would mode-overwrite a carried pending compliance delete
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.admitDeleteBatch(spark,
+        docs.limit(1).select("doc_id"), "doc_id", 1L, m)
+    }
+    assert(e.getMessage.contains("delete-id high-water mark"))
+    // a fresh id above the mark lands, and compaction purges everything
+    InvertedIndex.admitDeleteBatch(spark,
+      docs.filter(col("doc_id") === 2).select("doc_id"), "doc_id", 2L, m)
+    InvertedIndex.compactStore(spark, m, expectedGen = 1L)
+    val survivors = spark.read
+      .parquet(InvertedIndex.genDir(m, 2L) + "/doclens")
+    assert(survivors.join(deadA.union(deadB), Seq("doc_id"), "left_semi")
+      .count() == 0L, "both carried takedowns must be applied")
+    // the new generation starts unfenced: the renumbered fragments were
+    // consumed, so low delete ids clobber nothing
+    assert(GenStore.deletesHwm(m, 2L) == -1L)
+    InvertedIndex.admitDeleteBatch(spark,
+      docs.limit(1).select("doc_id"), "doc_id", 0L, m)
   }
 }
