@@ -899,7 +899,7 @@ object BenchTune {
     * retention cost tracks surviving bytes, not corpus age.
     */
   private def retentionDemo(spark: SparkSession, docs: Long,
-      batches: Int): Unit = {
+      batches: Int, sigOnly: Boolean = false): Unit = {
     import graft.operators.{InvertedIndex, KeySetStore}
     def wall(body: => Unit): Double = {
       val t0 = System.nanoTime(); body
@@ -921,23 +921,25 @@ object BenchTune {
           root = root)
       }
     }
-    val (ia, ib, ic) = (s"$base/ia", s"$base/ib", s"$base/ic")
-    Seq(ia, ib, ic).foreach(buildIndex)
-    // warm-up fold on a throwaway store so the first timed leg does
-    // not carry JVM/codegen startup
-    val iwarm = s"$base/iwarm"
-    InvertedIndex.initStore(iwarm)
-    InvertedIndex.admitBatch(spark, corpus.filter(col("doc_id") < 1000),
-      "doc_id", "tk", bucketSize = 4096L, batchId = 0L, root = iwarm)
-    InvertedIndex.compactStore(spark, iwarm, 1L)
-    val quarter = wall(InvertedIndex.expireBatches(spark, ia, 1L,
-      minRetainedBatch = batches - batches / 4))
-    val threeQ = wall(InvertedIndex.expireBatches(spark, ib, 1L,
-      minRetainedBatch = batches / 4))
-    val full = wall(InvertedIndex.compactStore(spark, ic, 1L))
-    println(f"[retention] index docs=$docs%d batches=$batches%d " +
-      f"keep_quarter=$quarter%.1f s keep_three_quarters=$threeQ%.1f s " +
-      f"full_compaction=$full%.1f s")
+    if (!sigOnly) {
+      val (ia, ib, ic) = (s"$base/ia", s"$base/ib", s"$base/ic")
+      Seq(ia, ib, ic).foreach(buildIndex)
+      // warm-up fold on a throwaway store so the first timed leg does
+      // not carry JVM/codegen startup
+      val iwarm = s"$base/iwarm"
+      InvertedIndex.initStore(iwarm)
+      InvertedIndex.admitBatch(spark, corpus.filter(col("doc_id") < 1000),
+        "doc_id", "tk", bucketSize = 4096L, batchId = 0L, root = iwarm)
+      InvertedIndex.compactStore(spark, iwarm, 1L)
+      val quarter = wall(InvertedIndex.expireBatches(spark, ia, 1L,
+        minRetainedBatch = batches - batches / 4))
+      val threeQ = wall(InvertedIndex.expireBatches(spark, ib, 1L,
+        minRetainedBatch = batches / 4))
+      val full = wall(InvertedIndex.compactStore(spark, ic, 1L))
+      println(f"[retention] index docs=$docs%d batches=$batches%d " +
+        f"keep_quarter=$quarter%.1f s keep_three_quarters=$threeQ%.1f s " +
+        f"full_compaction=$full%.1f s")
+    }
     // signature store: synthetic (band, bucket) keys, ~4 per doc
     val keys = spark.range(docs * 4).select(
       pmod(col("id"), lit(8)).as("band"),
@@ -967,6 +969,93 @@ object BenchTune {
       f"full_compaction=$sFull%.1f s")
   }
 
+  /** `--rebuild [rows] [keys]`: the SCOPED-REBUILD economics q176/q177
+    * claim ("recompute ONLY the affected keys from the surviving
+    * slice"), as numbers — rebuild cost must track the AFFECTED
+    * fraction, not the corpus. A sketch store over `rows` events with
+    * `keys` distinct keys (4 admitted fragments); takedowns hit 1%,
+    * 10%, and 50% of the keys; each rebuildKeys is timed with the
+    * caller passing the affected keys' surviving slice (the production
+    * shape: the caller knows which keys' rows to re-read — with a
+    * key-partitioned corpus that is also the partition-pruning hook),
+    * against a FULL from-scratch store build as the 100% line. The
+    * frequency store's per-fragment scope: rebuild 1 of 4 fragments vs
+    * all 4.
+    */
+  private def rebuildDemo(spark: SparkSession, rows: Long,
+      keys: Long): Unit = {
+    import graft.operators.{HeavyHitters, SketchStore}
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-probe").toString
+    import spark.implicits._
+    // a REAL parquet corpus, partitioned by key (the 100 TB layout a
+    // takedown-rebuild pipeline would keep): the scoped-rebuild claim
+    // is an I/O claim — the caller passes the affected keys' slice and
+    // the partition-pruned read never touches unaffected bytes — so the
+    // probe must pay real read bytes, not synthetic range() rows
+    val dir = s"$base/corpus"
+    spark.range(rows).select(
+        concat(lit("k"), pmod(col("id"), lit(keys)).cast("string"))
+          .as("key"),
+        pmod(xxhash64(col("id")), lit(rows / 2 + 1)).as("uid"),
+        // payload padding so per-row bytes resemble event rows
+        sha2(concat(col("id").cast("string"), lit("pad")), 256).as("pad"),
+        pmod(col("id"), lit(4)).as("b"))
+      .write.partitionBy("key").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    def buildSketch(root: String): Unit = {
+      SketchStore.initStore(root)
+      (0L to 3L).foreach { bb =>
+        SketchStore.admitBatch(spark, corpus.filter(col("b") === bb),
+          Seq("key"), "uid", bb, root)
+      }
+    }
+    // warm-up so the first timed leg carries no codegen startup
+    val warm = s"$base/warm"
+    SketchStore.initStore(warm)
+    SketchStore.admitBatch(spark, corpus.limit(1000), Seq("key"), "uid",
+      0L, warm)
+    val legs = Seq(1L -> "1pct", (keys / 10).max(1L) -> "10pct",
+      (keys / 2).max(1L) -> "50pct")
+    val timed = legs.map { case (n, tag) =>
+      val root = s"$base/s$tag"
+      buildSketch(root)
+      val names = (0L until n).map(i => s"k$i")
+      val affected = names.toDF("key")
+      // the production slice: partition-pruned to the affected keys
+      val slice = corpus.filter(col("key").isInCollection(names) &&
+        !(col("uid") % 10 === 3))
+      tag -> wall(SketchStore.rebuildKeys(spark, root, expectedGen = 1L,
+        Seq("key"), "uid", affectedKeys = affected, survivors = slice))
+    }
+    val fresh = s"$base/fresh"
+    val fullBuild = wall(buildSketch(fresh))
+    println(f"[rebuild] sketch rows=$rows%d keys=$keys%d " +
+      timed.map { case (t, s2) => f"affected_$t=$s2%.1f s" }
+        .mkString(" ") + f" full_from_scratch=$fullBuild%.1f s")
+    // frequency store: per-FRAGMENT scope — 1 of 4 batches recomputed
+    def buildHh(root: String): Unit = {
+      HeavyHitters.initStore(root)
+      (0L to 3L).foreach { bb =>
+        HeavyHitters.admitBatch(spark,
+          corpus.filter(col("b") === bb), "key", 256, bb, root)
+      }
+    }
+    val (h1, hf) = (s"$base/h1", s"$base/hf")
+    buildHh(h1)
+    val oneFrag = wall(HeavyHitters.rebuildBatches(spark, h1,
+      expectedGen = 1L, "key", 256,
+      Seq(0L -> corpus.filter(col("b") === 0 &&
+        !(col("uid") % 10 === 3)))))
+    val hhFull = wall(buildHh(hf))
+    println(f"[rebuild] frequency rows=$rows%d " +
+      f"one_of_4_fragments=$oneFrag%.1f s full_from_scratch=$hhFull%.1f s")
+  }
+
   /** `--federation [docs] [builders]`: the scale-out ingestion
     * economics q190 claims ("merge is a fragment copy; only the
     * builders touch the corpus"), as numbers, at a configurable fleet
@@ -983,7 +1072,8 @@ object BenchTune {
     * are warmed once and then timed, symmetrically).
     */
   private def federationDemo(spark: SparkSession, docs: Long,
-      builders: Int): Unit = {
+      builders: Int, withSingle: Boolean = true,
+      batchesPerBuilder: Int = 1): Unit = {
     import graft.operators.InvertedIndex
     def wall(body: => Unit): Double = {
       val t0 = System.nanoTime(); body
@@ -999,25 +1089,39 @@ object BenchTune {
     val roots = (0 until builders).map(k => s"$base/b$k")
     val (merged, single) = (s"$base/m", s"$base/single")
     (roots :+ single).foreach(InvertedIndex.initStore)
+    val lanes = builders * batchesPerBuilder
     val builds = roots.zipWithIndex.map { case (r, k) =>
-      wall(InvertedIndex.admitBatch(spark,
-        corpus.filter(pmod(col("doc_id"), lit(builders)) === k),
-        "doc_id", "tk", bucketSize = 4096L, batchId = 0L, root = r))
+      wall((0 until batchesPerBuilder).foreach { b =>
+        InvertedIndex.admitBatch(spark,
+          corpus.filter(pmod(col("doc_id"), lit(lanes)) ===
+            k * batchesPerBuilder + b),
+          "doc_id", "tk", bucketSize = 4096L, batchId = b.toLong, root = r)
+      })
     }
     val mergeT = wall(InvertedIndex.mergeStores(spark, roots, merged))
-    val singleT = wall(InvertedIndex.admitBatch(spark, corpus, "doc_id",
-      "tk", bucketSize = 4096L, batchId = 0L, root = single))
+    val fragments = graft.operators.GenStore.listBatchIds(spark,
+      s"${InvertedIndex.genDir(merged, 1L)}/postings").size
     val terms = Seq("w10", "w20", "w30", "w40")
     def bm(r: String) =
       InvertedIndex.bm25SearchCurrent(spark, r, terms, 15).collect()
-    bm(merged); bm(single) // warm BOTH reads symmetrically
+    bm(merged) // warm
     val fedRead = wall(bm(merged))
-    val singleRead = wall(bm(single))
-    println(f"[federation] index docs=$docs%d builders=$builders%d " +
-      f"build_max=${builds.max}%.1f s build_sum=${builds.sum}%.1f s " +
-      f"(legs overlap on a fleet) merge=$mergeT%.1f s " +
-      f"single_pipeline_build=$singleT%.1f s " +
-      f"federated_read=$fedRead%.2f s single_read=$singleRead%.2f s")
+    if (withSingle) {
+      val singleT = wall(InvertedIndex.admitBatch(spark, corpus, "doc_id",
+        "tk", bucketSize = 4096L, batchId = 0L, root = single))
+      bm(single) // warm (symmetrically with the merged read)
+      val singleRead = wall(bm(single))
+      println(f"[federation] index docs=$docs%d builders=$builders%d " +
+        f"fragments=$fragments%d build_max=${builds.max}%.1f s " +
+        f"build_sum=${builds.sum}%.1f s (legs overlap on a fleet) " +
+        f"merge=$mergeT%.1f s single_pipeline_build=$singleT%.1f s " +
+        f"federated_read=$fedRead%.2f s single_read=$singleRead%.2f s")
+    } else
+      println(f"[federation] index docs=$docs%d builders=$builders%d " +
+        f"fragments=$fragments%d build_max=${builds.max}%.1f s " +
+        f"build_sum=${builds.sum}%.1f s (legs overlap on a fleet) " +
+        f"merge=$mergeT%.1f s federated_read=$fedRead%.2f s " +
+        "(single-pipeline leg skipped)")
   }
 
   /** `--curation [docs] [batches]`: throughput of the streaming
@@ -1171,19 +1275,32 @@ object BenchTune {
       spark.stop()
       return
     }
+    if (args.contains("--rebuild")) {
+      val nums = args.dropWhile(_ != "--rebuild").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      rebuildDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(100L))
+      spark.stop()
+      return
+    }
     if (args.contains("--federation")) {
-      val nums = args.dropWhile(_ != "--federation").drop(1)
+      val tail = args.dropWhile(_ != "--federation").drop(1)
+      val nums = tail
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       federationDemo(spark, nums.headOption.getOrElse(1000000L),
-        nums.drop(1).headOption.getOrElse(2L).toInt)
+        nums.drop(1).headOption.getOrElse(2L).toInt,
+        withSingle = !tail.contains("nosingle"),
+        batchesPerBuilder = nums.drop(2).headOption.getOrElse(1L).toInt)
       spark.stop()
       return
     }
     if (args.contains("--retention")) {
-      val nums = args.dropWhile(_ != "--retention").drop(1)
+      val tail = args.dropWhile(_ != "--retention").drop(1)
+      val nums = tail
         .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       retentionDemo(spark, nums.headOption.getOrElse(1000000L),
-        nums.drop(1).headOption.getOrElse(8L).toInt)
+        nums.drop(1).headOption.getOrElse(8L).toInt,
+        sigOnly = tail.contains("sigonly"))
       spark.stop()
       return
     }

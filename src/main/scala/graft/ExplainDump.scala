@@ -335,7 +335,7 @@ object ExplainDump {
     // carry side is now a BYTE copy — GenStore.copyFragments — so the
     // only Spark plan the rebuild runs is this summarize)
     val hplan = ("q177_frequency_takedown_rebuild (the rebuilt fragment's summary)",
-      "the ONLY Spark plan HeavyHitters.rebuildBatches runs (the unaffected fragments are carried by BYTE-LEVEL copies — GenStore.copyFragments, literally bit-for-bit, no decode, no Spark job — so the scoped-rebuild cost IS this frame): the affected batch's surviving slice aggregates through the audited q92/q149 MG shape — ObjectHashAggregate partial/final with at most m counters crossing the exchange — off ONE events scan with the survivor predicate pushed down; check the scan's PushedFilters carries the batch/survivor filters, nothing else scans the corpus, and no store fragment appears anywhere (the store side of a scoped rebuild costs zero reads for unaffected fragments, which is the entire economics claim SCALE.md prices)",
+      "the ONLY Spark plan HeavyHitters.rebuildBatches runs (the unaffected fragments are carried by BYTE-LEVEL copies — GenStore.copyFragments, literally bit-for-bit, no decode, no Spark job — so the scoped-rebuild cost IS this frame): the affected batch's surviving slice aggregates through the audited q92/q149 MG shape — ObjectHashAggregate partial/final with at most m counters crossing the exchange — off ONE events scan with the survivor predicate sitting directly above it as a codegen'd Filter (modulo predicates are not parquet-pushable — only the IsNotNull guards reach PushedFilters); check nothing else scans the corpus, and no store fragment appears anywhere (the store side of a scoped rebuild costs zero reads for unaffected fragments, which is the entire economics claim SCALE.md prices)",
       HeavyHitters.summarize(
         ev.filter(org.apache.spark.sql.functions.pmod(col("event_id"),
             org.apache.spark.sql.functions.lit(2)) === 0 &&
