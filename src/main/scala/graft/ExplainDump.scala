@@ -112,6 +112,8 @@ object ExplainDump {
     "q193_mergeable_federation" -> "the mergeable family's federated reads in one frame: the frequency side is the audited q92/q149 ObjectHashAggregate partial/final MG merge over the merged store's TWO copied fragments (at most m counters cross the exchange), the quantile side re-sums (key, bin) cells in one partial/final pair then windows per key over <= nbins rows, the sketch side is one hll_union_agg pair over KB sketch rows — check every store-side scan lists exactly two batch_id fragments and the joins above are key-count-sized (the events scan in the plan is the gate's exact-distinct oracle side, never the store read): federation changes the fragment COUNT, never the plan shape",
     "q194_federated_fleet" -> "the capstone's v2 serving read — BM25 through the manifest pin over the MERGED index store after the policy sweep purged the takedown: the postings scan must be the audited q143/q161/q168/q180 post-purge shape (single gen=3 fragment, term isin in PushedFilters, stats/df broadcast, dl from the posting struct), with NO delete anti-join, NO manifest machinery, and NO trace of federation (two builder fleets, a merge, a roll, a takedown and a policy sweep all ran eagerly and leave the read path indistinguishable from a store that lived one quiet life) — the whole round-13 claim in one negative audit",
     "q195_retention_cutover" -> "the retention cutover's v2 serving read (the q168 discipline applied to AGE-OUT): BM25 through the manifest pin over the EXPIRED generation — postings scan of gen=2's single fragment (the aged-out batch 0 appears nowhere; there is no delete set because expiry is a fragment drop), term isin in PushedFilters, stats/df broadcast, dl from the posting struct; NO anti-join, NO manifest machinery, NO vacuum trace (the pinned-generation protection and the post-retire drop ran eagerly against the filesystem) — retention, like takedown, costs the read path literally nothing once published",
+    "q196_live_merge_quiesce" -> "the live-merge capstone's returned frame — the probe partition's admission decisions against the MERGED store after a mid-stream quiesce+merge+re-point: the store side scans the merged gen=1 fragments (builder A's copied batches + builder B's + the re-pointed sink's remapped admissions — five batch_id directories) feeding the audited q151 LEFT-SEMI hash join on (band, bucket), probe band keys build narrow off the documents scan, per-doc hit count one partial/final HashAggregate pair, lifecycle gates are literal columns; check NO quiesce/merge/stream machinery appears anywhere — the _MERGING marks, the movement fence, the id remap and the retire all ran eagerly against the filesystem, and a store assembled by a live merge reads exactly like one that never saw a stream",
+    "q197_cdc_federation" -> "the CDC federation capstone's returned frame — the merged store's CURRENT snapshot after the post-merge publishes: ONE version-directory scan (the _CURRENT pointer resolved on the driver; v<N> is a plain parquet table) plus literal gate columns and the display sort; check NO join, NO log replay, NO trace of the merge (the state cut, the seq-guarded publishes, the stale-replay drop and the overlap refusal all ran eagerly) — a federated snapshot store serves reads at exactly the cost of a never-federated one, which is the point of merging STATE instead of histories",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)",
     "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below")
 
