@@ -149,7 +149,12 @@ object GenStore {
     */
   def quiesce(root: String, successorRoot: String): Unit = {
     require(successorRoot.nonEmpty, "quiesce needs a successor root")
-    val tmp = java.nio.file.Paths.get(root, "_MERGING.tmp")
+    // per-attempt tmp name: a SHARED tmp would let a concurrent quiesce
+    // rewrite the content between this writer's write and link — the
+    // winner would atomically publish the LOSER's successor (and the
+    // loser's cleanup could race the winner's link)
+    val tmp = java.nio.file.Paths.get(root,
+      s"_MERGING.${java.util.UUID.randomUUID}.tmp")
     java.nio.file.Files.write(tmp, successorRoot.getBytes)
     // CAS publish: hard-link the fully-written tmp into place —
     // atomically fails if the mark exists (a rename would silently
@@ -185,6 +190,65 @@ object GenStore {
           s"re-point to '$succ'")
     }
 
+  /** The POST-WRITE half of the quiesce fence, run by every admission
+    * front AFTER its multi-second Spark write: the pre-check
+    * ([[requireNotQuiesced]]) races the mark by construction — an
+    * admission that passed it can complete its write inside the merge's
+    * copy-to-seal gap, where even the movement fence
+    * ([[requireSourcesUnmoved]]) no longer re-lists. Re-checking the
+    * mark here closes that window: the write happened-before this
+    * check, and the mark happened-before the merge's first listing, so
+    * an admission the merge could have missed ALWAYS sees the mark and
+    * throws — the caller re-admits at the successor (for the key-set
+    * family a double admission is a semantic no-op; for count state the
+    * orphan fragment sits in a retired generation no reader serves).
+    */
+  def requireStillNotQuiesced(root: String, what: String): Unit =
+    quiescedSuccessor(root).foreach { succ =>
+      throw new IllegalStateException(
+        s"$what completed after store $root was quiesced into '$succ': " +
+          "the fragment may be invisible to the in-flight merge — " +
+          "re-admit at the successor (the quiesced source is never " +
+          "served once retired)")
+    }
+
+  /** ABORT a quiesce — the guarded escape hatch for a quiesce issued in
+    * error (wrong successor path, merge plans cancelled). Allowed ONLY
+    * while no COMPLETED merge exists at the successor: once a merge
+    * sealed there, the fleet's sinks may already have re-pointed and
+    * admitted — un-quiescing the source would split the id space across
+    * two live stores. "No completed merge" means the successor root (as
+    * named by the mark) is absent, has no `_CURRENT` pointer, or its
+    * current generation is still `_MERGE_PENDING`-marked / unsealed.
+    * NOT safe against a merge IN FLIGHT at the instant of the abort:
+    * cancel the merge job first — an abort only removes the mark, and a
+    * racing merge that seals after it wins the guard's race.
+    */
+  def abortQuiesce(root: String): Unit = {
+    val succ = quiescedSuccessor(root).getOrElse(
+      throw new IllegalStateException(s"store $root is not quiesced"))
+    val sealedMerge =
+      java.nio.file.Files.exists(pointerPath(succ)) && {
+        val gen = currentGen(succ)
+        val dir = java.nio.file.Paths.get(genDir(succ, gen))
+        if (java.nio.file.Files.isDirectory(dir))
+          !java.nio.file.Files.exists(dir.resolve("_MERGE_PENDING")) &&
+            compactedHwm(succ, gen) >= 0
+        else
+          // no generation dir: a CDC successor's pointer is written
+          // LAST (mergeCdcStores), so pointer + v<cur> snapshot = a
+          // sealed CDC merge; a bare pointer is only mergeFlatStores'
+          // initIfAbsent — no fragment copied yet, safe to abort
+          java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(succ, s"v$gen"))
+      }
+    if (sealedMerge) throw new IllegalStateException(
+      s"cannot abort the quiesce of $root: successor '$succ' holds a " +
+        "COMPLETED merge — sinks may already have re-pointed and " +
+        "admitted there; retire this source instead")
+    java.nio.file.Files.delete(quiescePath(root))
+  }
+
   /** RETIRE a merged-away source store: tombstone-rename then delete
     * the whole root ([[graft.streaming.EventStreams.tombstoneDelete]]'s
     * crash discipline — a racing reader never observes a partial root
@@ -194,23 +258,52 @@ object GenStore {
     graft.streaming.EventStreams.tombstoneDelete(
       java.nio.file.Paths.get(root))
 
-  /** The post-copy movement check: a merge listed `observed` before
-    * copying; if any source directory's fragment set changed since, an
-    * admission landed inside the window (quiesce violated, or an
-    * in-flight write completed after the listing) — the copy may have
-    * missed it or torn it, so REFUSE to seal. The merge target is
-    * wipe-and-redo retryable ([[mergeOpen]]): retry once the source is
-    * quiet and the straggler merges cleanly.
+  /** FILE-LEVEL manifest of a directory tree: every file's (relative
+    * path, length, modification time), sorted — the movement fence's
+    * observation unit. A batch-id SET compare would miss an in-flight
+    * IDEMPOTENT re-admission (mode-overwrite of an existing `batch_id=`
+    * directory) landing mid-copy: the id set is unchanged while the
+    * byte-level copy may have captured a torn mix of old and new part
+    * files. File names (writer UUIDs — never reused), lengths and
+    * mtimes change under any rewrite, so the manifest catches it.
+    */
+  private[graft] def listManifest(spark: SparkSession,
+      dir: String): Seq[(String, Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString.stripPrefix(root.toString),
+            s.getLen, s.getModificationTime))
+        }
+      walk(root).sortBy(_._1)
+    }
+  }
+
+  /** The post-copy movement check: a merge took a file-level manifest
+    * ([[listManifest]]) of each source before copying; if any source's
+    * manifest changed since, a write landed inside the window (quiesce
+    * violated, or an in-flight write completed after the listing) — the
+    * copy may have missed it or torn it, so REFUSE to seal. Compares
+    * whole manifests, not just fragment-id sets: an idempotent
+    * re-admission that overwrites an EXISTING batch directory leaves
+    * the id set unchanged but not the file names/lengths/mtimes. The
+    * merge target is wipe-and-redo retryable ([[mergeOpen]]): retry
+    * once the source is quiet and the straggler merges cleanly.
     */
   private[graft] def requireSourcesUnmoved(spark: SparkSession,
-      observed: Seq[(String, Seq[Long])]): Unit =
-    observed.foreach { case (dir, ids) =>
-      val now = listBatchIds(spark, dir)
-      if (now != ids) throw new IllegalStateException(
-        s"source $dir changed during the merge (fragments $ids -> $now): " +
-          "an admission landed inside the copy window — quiesce the " +
-          "source (GenStore.quiesce) and retry the merge; the unsealed " +
-          "target is wiped and redone on retry")
+      observed: Seq[(String, Seq[(String, Long, Long)])]): Unit =
+    observed.foreach { case (dir, manifest) =>
+      val now = listManifest(spark, dir)
+      if (now != manifest) throw new IllegalStateException(
+        s"source $dir changed during the merge (" +
+          s"${manifest.size} files -> ${now.size}, or contents rewritten " +
+          "in place): a write landed inside the copy window — quiesce " +
+          "the source (GenStore.quiesce) and retry the merge; the " +
+          "unsealed target is wiped and redone on retry")
     }
 
   /** BYTE-LEVEL parallel fragment copy — the federation-merge data
@@ -328,12 +421,12 @@ object GenStore {
     var next = 0L
     var delNext = 0L
     val observed = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Seq[Long])]
+      .empty[(String, Seq[(String, Long, Long)])]
     val pairs = srcRoots.flatMap { src =>
       val sdir = genDir(src, currentGen(src))
       val ids = listBatchIds(spark, sdir)
       val delIds = listBatchIds(spark, s"$sdir/deletes")
-      observed += ((sdir, ids)); observed += ((s"$sdir/deletes", delIds))
+      observed += ((sdir, listManifest(spark, sdir)))
       ids.map { i =>
         val p = (s"$sdir/batch_id=$i", s"$dst/batch_id=$next")
         next += 1; p

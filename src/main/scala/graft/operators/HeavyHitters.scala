@@ -167,6 +167,7 @@ object HeavyHitters {
       s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
         s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
     appendBatch(batch, keyCol, m, batchId, GenStore.genDir(root, gen))
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +

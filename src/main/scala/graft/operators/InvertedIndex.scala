@@ -425,13 +425,15 @@ object InvertedIndex {
     */
   private[graft] def admitBatchAt(spark: SparkSession, docs: DataFrame,
       idCol: String, toksCol: String, bucketSize: Long, batchId: Long,
-      root: String, gen: Long): Unit = {
+      root: String, gen: Long, midHook: () => Unit = () => ()): Unit = {
     GenStore.requireNotQuiesced(root)
     val hwm = compactedHwm(root, gen)
     require(batchId > hwm,
       s"batch_id=$batchId is at or below gen=$gen's compacted high-water " +
         s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
     appendBatch(docs, idCol, toksCol, bucketSize, batchId, genDir(root, gen))
+    midHook()
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
@@ -465,6 +467,7 @@ object InvertedIndex {
         "those ids would clobber a pending takedown; use a fresh id above " +
         "the mark")
     appendDeleteBatch(ids, idCol, batchId, genDir(root, gen))
+    GenStore.requireStillNotQuiesced(root, s"delete batch_id=$batchId")
     val now = currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"delete batch_id=$batchId raced a compaction: wrote under gen=$gen " +
@@ -540,13 +543,15 @@ object InvertedIndex {
     var next = 0L
     var delNext = 0L
     val observed = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Seq[Long])]
+      .empty[(String, Seq[(String, Long, Long)])]
     val pairs = srcRoots.flatMap { src =>
       val sdir = genDir(src, currentGen(src))
       val ids = GenStore.listBatchIds(spark, s"$sdir/postings")
       val delIds = GenStore.listBatchIds(spark, s"$sdir/deletes")
-      observed += ((s"$sdir/postings", ids))
-      observed += ((s"$sdir/deletes", delIds))
+      // one file-level manifest per source generation covers postings,
+      // doclens, stats AND deletes — including in-place rewrites the
+      // old id-set compare missed
+      observed += ((sdir, GenStore.listManifest(spark, sdir)))
       ids.flatMap { i =>
         val ps = Seq("postings", "doclens", "stats").map { t =>
           (s"$sdir/$t/batch_id=$i", s"$dst/$t/batch_id=$next")

@@ -44,10 +44,23 @@ object KeySetStore {
       GenStore.genDir(root, GenStore.currentGen(root))).size.toLong
 
   /** Admit one batch's key rows (made distinct here) under the CURRENT
-    * generation, with the family's sealed-id and pointer-recheck fences.
-    * Idempotent per batch id (mode overwrite).
+    * generation, with the family's sealed-id and pointer-recheck fences
+    * plus the post-write quiesce re-check
+    * ([[GenStore.requireStillNotQuiesced]] — an admission completing
+    * inside a live merge's copy-to-seal gap must fail loudly, never be
+    * silently absent from the merged store). Idempotent per batch id
+    * (mode overwrite).
     */
-  def admitBatch(keys: DataFrame, batchId: Long, root: String): Unit = {
+  def admitBatch(keys: DataFrame, batchId: Long, root: String): Unit =
+    admitBatchHooked(keys, batchId, root, () => ())
+
+  /** [[admitBatch]] with a hook between the write and the post-write
+    * fences — the quiesce-TOCTOU race-test seam: a quiesce landing
+    * inside the hook (i.e. while the write was in flight) must make
+    * THIS admission throw, so its caller re-admits at the successor.
+    */
+  private[graft] def admitBatchHooked(keys: DataFrame, batchId: Long,
+      root: String, midHook: () => Unit): Unit = {
     GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
@@ -57,6 +70,8 @@ object KeySetStore {
         "refused (a per-batch overwrite would drop the other merged batches' keys)")
     keys.distinct().write.mode("overwrite")
       .parquet(s"${GenStore.genDir(root, gen)}/batch_id=$batchId")
+    midHook()
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
@@ -101,6 +116,7 @@ object KeySetStore {
         "the mark")
     keys.distinct().write.mode("overwrite")
       .parquet(s"${GenStore.genDir(root, gen)}/deletes/batch_id=$batchId")
+    GenStore.requireStillNotQuiesced(root, s"delete batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"delete batch_id=$batchId raced a compaction: wrote under gen=$gen " +

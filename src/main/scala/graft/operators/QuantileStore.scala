@@ -176,10 +176,11 @@ object QuantileStore {
     cum.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** [[admitBatch]] under HDR binning — the same two lifecycle fences. */
+  /** [[admitBatch]] under HDR binning — the same lifecycle fences. */
   def admitBatchHdr(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
       valueCol: String, subBits: Int, nbins: Int,
       batchId: Long, root: String): Unit = {
+    GenStore.requireNotQuiesced(root)
     val gen = GenStore.currentGen(root)
     val hwm = GenStore.compactedHwm(root, gen)
     require(batchId > hwm,
@@ -187,6 +188,7 @@ object QuantileStore {
         s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
     appendBatchHdr(batch, keyCols, valueCol, subBits, nbins, batchId,
       GenStore.genDir(root, gen))
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
@@ -234,6 +236,7 @@ object QuantileStore {
         s"mark $hwm: compaction sealed it; replays of compacted batches are refused")
     appendBatch(batch, keyCols, valueCol, lo, width, nbins, batchId,
       GenStore.genDir(root, gen))
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a compaction: wrote under gen=$gen " +
@@ -292,6 +295,7 @@ object QuantileStore {
       .agg((-count(lit(1))).cast("long").as("cnt"))
       .write.mode("overwrite")
       .parquet(s"${GenStore.genDir(root, gen)}/batch_id=$batchId")
+    GenStore.requireStillNotQuiesced(root, s"retraction batch_id=$batchId")
     val now = GenStore.currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"retraction batch_id=$batchId raced a compaction: wrote under gen=$gen " +

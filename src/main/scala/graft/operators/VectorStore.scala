@@ -136,6 +136,7 @@ object VectorStore {
     val (cents, books) = loadGenIndex(spark, root, asOfGen)
     Similarity.appendCodedBatch(batch, idCol, vecCol, cents, books,
       batchId, codedDir(root, asOfGen), nassign)
+    GenStore.requireStillNotQuiesced(root, s"admit of batch_id=$batchId")
     val now = currentGen(root)
     if (now != asOfGen) throw new IllegalStateException(
       s"admit of batch_id=$batchId raced a refit: wrote under gen=$asOfGen " +
@@ -186,6 +187,7 @@ object VectorStore {
         "the mark")
     ids.select(col(idCol).cast("long").as("cid")).distinct()
       .write.mode("overwrite").parquet(s"${deletesDir(root, gen)}/batch_id=$batchId")
+    GenStore.requireStillNotQuiesced(root, s"delete batch_id=$batchId")
     val now = currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"delete batch_id=$batchId raced a refit/compaction: wrote under " +
@@ -549,14 +551,17 @@ object VectorStore {
     // coded/stats/delete fragments are immutable sealed parquet — no
     // decode, no re-encode, no Spark job per fragment
     val observed = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Seq[Long])]
+      .empty[(String, Seq[(String, Long, Long)])]
     val pairs = srcRoots.flatMap { src =>
       val gen = currentGen(src)
       val coded = codedDir(src, gen)
       val ids = listBatchIds(spark, coded)
       val delIds = listBatchIds(spark, deletesDir(src, gen))
-      observed += ((coded, ids))
-      observed += ((deletesDir(src, gen), delIds))
+      // one file-level manifest per source generation covers coded,
+      // coded stats AND deletes — including in-place rewrites the old
+      // id-set compare missed
+      observed += ((genRoot(src, gen), GenStore.listManifest(spark,
+        genRoot(src, gen))))
       ids.flatMap { i =>
         val ps = Seq(
           (s"$coded/batch_id=$i",
