@@ -4549,7 +4549,7 @@ object Queries {
             sum(col("bal").cast(DecimalType(18, 2))).cast("double")).head()
           (v, st.getLong(0), st.getDouble(1), ok)
         }
-        val dropped = EventStreams.vacuumCdc(dir, keepLast = 2)
+        val dropped = EventStreams.vacuumCdc(s, dir, keepLast = 2)
         require(dropped == Seq(0L), s"vacuum dropped $dropped, expected v0 only")
         def retained(v: Long): Boolean =
           try { EventStreams.cdcSnapshotAt(s, dir, v).count(); true }
@@ -9236,7 +9236,12 @@ object Queries {
         val cut = EventStreams.currentCdcSnapshot(s, sa)
           .unionByName(EventStreams.currentCdcSnapshot(s, sb))
           .localCheckpoint() // pin: the sources retire-able afterwards
-        // the federation tick: quiesce both clocks, cut, verify keys
+        // the federation tick: checkpoint-before-quiesce on ONE source
+        // (the runbook step that keeps the merge on the byte-copy fast
+        // path — state-preserving, so the cut and oracle are
+        // unchanged); the other stays delta-current, so this merge
+        // exercises BOTH movers: byte-copy for sb, resolve for sa
+        EventStreams.checkpointCdc(s, sb)
         GenStore.quiesce(sa, m)
         GenStore.quiesce(sb, m)
         val vm = EventStreams.mergeCdcStores(s, Seq(sa, sb), m,
@@ -9306,7 +9311,139 @@ object Queries {
              |  TRUE AS overlap_merge_refused
              |FROM customer
              |WHERE c_custkey % 16 NOT IN (4, 5)
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    QDef("q198_cdc_delta_log",
+      // DELTA-LOG CDC VERSIONS (round 15 — the write-amplification fix):
+      // publish APPENDS the change batch as a delta version (an
+      // O(change-batch) write, flat in state size) instead of
+      // rewriting the full snapshot; the checkpoint policy
+      // (cdcNeedsCheckpoint — chain length OR pending-delta-rows
+      // fraction, footer metadata only) periodically folds the chain
+      // into a full snapshot version, amortizing the one state-sized
+      // write across many publishes. Reads resolve nearest checkpoint
+      // + ordered cdcApply replay — bit-identical to eager application
+      // because the replay IS the eager fold. Exercised here: four
+      // publishes under maxDeltas=3 produce deltas v1..v3 and a
+      // policy-forced checkpoint v4 (layout asserted per version);
+      // each version's as-of read matches its independently recomputed
+      // closed form; vacuum(keepLast=2) lands its boundary on DELTA v3
+      // and must PROMOTE it (materialize a sealed v3c twin) before
+      // dropping v0..v2 — retained versions serve identically after
+      // the drop. The oracle states each version's (n_keys, total_bal)
+      // in closed form over customer.
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.EventStreams
+        val dir = scratchDir("q198") + "/cdc"
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        EventStreams.initCdcState(
+          cust.filter(col("key") % 3 === 0).withColumn("seq", lit(0L)), dir)
+        def pub(b: DataFrame): Long =
+          EventStreams.publishCdcBatch(s, dir, b, Seq("key"), "seq", "op",
+            maxDeltas = 3, maxDeltaFraction = 1e9)
+        pub(cust.filter(col("key") % 6 === 0)
+          .select(col("key"), (col("bal") + 10).as("bal"),
+            lit(1L).as("seq"), lit("U").as("op")))
+        pub(cust.filter(col("key") % 3 === 1)
+          .select(col("key"), col("bal"), lit(1L).as("seq"),
+            lit("I").as("op")))
+        pub(cust.filter(col("key") % 6 === 3)
+          .select(col("key"), col("bal"), lit(2L).as("seq"),
+            lit("D").as("op")))
+        pub(cust.filter(col("key") % 6 === 0)
+          .select(col("key"), (col("bal") + 50).as("bal"),
+            lit(3L).as("seq"), lit("U").as("op")))
+        // layout: three deltas then the policy-forced checkpoint
+        val layoutOk = (1L to 3L).forall(EventStreams.isCdcDelta(dir, _)) &&
+          !EventStreams.isCdcDelta(dir, 4L) &&
+          EventStreams.cdcDeltasSinceCheckpoint(dir, 3L) == 3 &&
+          EventStreams.cdcDeltasSinceCheckpoint(dir, 4L) == 0
+        // closed-form expected state per version, recomputed from source
+        def expected(v: Long): DataFrame = v match {
+          case 0L => cust.filter(col("key") % 3 === 0)
+          case 1L => cust.filter(col("key") % 3 === 0)
+            .select(col("key"), when(col("key") % 6 === 0, col("bal") + 10)
+              .otherwise(col("bal")).as("bal"))
+          case 2L => expected(1L)
+            .unionByName(cust.filter(col("key") % 3 === 1))
+          case 3L => cust.filter(col("key") % 6 === 0)
+            .select(col("key"), (col("bal") + 10).as("bal"))
+            .unionByName(cust.filter(col("key") % 3 === 1))
+          case _ => cust.filter(col("key") % 6 === 0)
+            .select(col("key"), (col("bal") + 50).as("bal"))
+            .unionByName(cust.filter(col("key") % 3 === 1))
+        }
+        // eager pre-vacuum capture (the q140 pattern) — including the
+        // per-version layout kind, which vacuum reclaims with the chain
+        val preVacuum = (0L to 4L).map { v =>
+          val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
+          val exp = expected(v).select("key", "bal")
+          val ok = asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+          val st = asof.agg(count(lit(1)).cast("long"),
+            sum(col("bal").cast(DecimalType(18, 2))).cast("double")).head()
+          (v, st.getLong(0), st.getDouble(1), ok,
+            EventStreams.isCdcDelta(dir, v))
+        }
+        // vacuum boundary = delta v3: promotion must seal a twin before
+        // v0..v2 drop, and the retained reads must be unchanged
+        val dropped = EventStreams.vacuumCdc(s, dir, keepLast = 2)
+        require(dropped == Seq(0L, 1L, 2L),
+          s"vacuum dropped $dropped, expected v0..v2")
+        val promoted = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "v3c", "_SEALED"))
+        def retained(v: Long): Boolean =
+          try { EventStreams.cdcSnapshotAt(s, dir, v).count(); true }
+          catch { case _: IllegalArgumentException => false }
+        def stillServes(v: Long): Boolean = {
+          val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
+          val exp = expected(v).select("key", "bal")
+          asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+        }
+        preVacuum.map { case (v, n, sumBal, ok, wasDelta) =>
+          val ret = retained(v)
+          (v, n, sumBal, ok && (!ret || stillServes(v)), wasDelta,
+            ret, layoutOk && promoted)
+        }.toDF("version", "n_keys", "total_bal", "asof_read_ok",
+          "was_delta", "retained_after_vacuum", "layout_ok")
+          .orderBy(col("version"))
+      },
+      Some("""WITH v AS (
+             |  SELECT 0 AS version UNION ALL SELECT 1 UNION ALL SELECT 2
+             |  UNION ALL SELECT 3 UNION ALL SELECT 4
+             |), st AS (
+             |  SELECT 0 AS version, count(*) AS n,
+             |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT 1, count(*),
+             |    sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 10
+             |      ELSE c_acctbal END AS DECIMAL(18,2)))
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT 2, count(*),
+             |    sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 10
+             |      ELSE c_acctbal END AS DECIMAL(18,2)))
+             |  FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 1
+             |  UNION ALL
+             |  SELECT 3, count(*),
+             |    sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 10
+             |      ELSE c_acctbal END AS DECIMAL(18,2)))
+             |  FROM customer WHERE c_custkey % 6 = 0 OR c_custkey % 3 = 1
+             |  UNION ALL
+             |  SELECT 4, count(*),
+             |    sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 50
+             |      ELSE c_acctbal END AS DECIMAL(18,2)))
+             |  FROM customer WHERE c_custkey % 6 = 0 OR c_custkey % 3 = 1
+             |)
+             |SELECT CAST(st.version AS BIGINT) AS version,
+             |  CAST(n AS BIGINT) AS n_keys, CAST(s AS DOUBLE) AS total_bal,
+             |  TRUE AS asof_read_ok,
+             |  st.version IN (1, 2, 3) AS was_delta,
+             |  st.version IN (3, 4) AS retained_after_vacuum,
+             |  TRUE AS layout_ok
+             |FROM st ORDER BY version""".stripMargin))
   )
 
   val defs: Seq[QDef] =

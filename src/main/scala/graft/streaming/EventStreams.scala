@@ -162,32 +162,31 @@ object EventStreams {
     * file-stream source itself requires `eventsDir` to be a directory of
     * parquet files.
     */
-  /** Continuous CDC ingestion: maintain a parquet snapshot from a change
-    * stream via foreachBatch + [[graft.operators.Merge.cdcApply]].
-    * Versions alternate under `stateDir/v<N>` with a `_CURRENT` pointer
-    * file advanced only AFTER the new version is fully written — readers
-    * resolving the pointer never observe a partial snapshot, and a crash
-    * between write and pointer-advance just re-applies the batch, which
-    * the stale-seq guard makes a no-op (idempotent-by-seq). This is the
-    * continuously-updated-corpus shape at 100 TB: each micro-batch costs
-    * one broadcastable join + anti join against the change set; the
-    * snapshot itself is never shuffled.
+  /** Continuous CDC ingestion: maintain a versioned snapshot store from
+    * a change stream via foreachBatch + [[publishCdcBatch]] — each
+    * micro-batch publishes one version under the DELTA-LOG layout
+    * (change batch appended as a delta fragment; a policy-driven
+    * checkpoint periodically folds the chain — see [[publishCdcBatch]]
+    * for the layout and cost model). The `_CURRENT` pointer advances
+    * only AFTER the version is fully written — readers never observe a
+    * partial version, and a crash between write and pointer-advance
+    * just re-publishes the batch, which the stale-seq guard makes a
+    * state-preserving no-op (idempotent-by-seq). This is the
+    * continuously-updated-corpus shape at 100 TB: each micro-batch
+    * WRITES O(change-batch) bytes, never O(state).
     *
     * Call [[initCdcState]] once before starting the query.
     */
   def cdcIngest(
       changes: DataFrame, stateDir: String, keyCols: Seq[String],
-      seqCol: String, opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      seqCol: String, opCol: String, maxDeltas: Int = 8,
+      maxDeltaFraction: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        graft.operators.GenStore.requireNotQuiesced(stateDir)
-        val cur = readCdcVersion(stateDir)
-        val snap = spark.read.parquet(s"$stateDir/v$cur")
-        graft.operators.Merge.cdcApply(snap, batch, keyCols, seqCol, opCol)
-          .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
-        writeCdcVersion(stateDir, cur + 1)
+        publishCdcBatch(batch.sparkSession, stateDir, batch, keyCols,
+          seqCol, opCol, maxDeltas, maxDeltaFraction)
+        ()
       }
       .start()
 
@@ -857,29 +856,221 @@ object EventStreams {
     writeCdcVersion(stateDir, 0)
   }
 
-  /** The snapshot readers see: whatever version `_CURRENT` points at. */
+  /** The snapshot readers see: whatever version `_CURRENT` points at,
+    * resolved through the delta log (nearest checkpoint + replay of at
+    * most `maxDeltas` pending deltas — the policy-bounded read cost).
+    */
   def currentCdcSnapshot(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readCdcVersion(stateDir)}")
+    resolveCdcSnapshot(spark, stateDir, readCdcVersion(stateDir))
 
-  /** Batch-path version publisher — one [[cdcIngest]] micro-batch without
-    * the stream: applies `changes` to the CURRENT snapshot via
-    * [[graft.operators.Merge.cdcApply]], writes the result as the next
-    * `v<N>` directory, and only then advances `_CURRENT`. Returns the
-    * published version. Same crash discipline as the stream: an
-    * unadvanced pointer means the write never happened as far as any
-    * reader is concerned, and the retry's stale-seq guard makes
-    * re-application a no-op.
+  // ---------------------------------------------------------------------
+  // DELTA-LOG CDC LAYOUT — versions under `stateDir/v<N>` are either
+  //   CHECKPOINTS (a full materialized snapshot — the only kind v0 ever
+  //     is, and what [[initCdcState]] writes), or
+  //   DELTAS (the raw change batch: payload + op column, plus a
+  //     `_DELTA` marker recording key/seq/op column names — `_`-prefixed
+  //     files are invisible to parquet scans).
+  // A read at version V resolves to the nearest checkpoint at-or-below V
+  // plus an ordered [[graft.operators.Merge.cdcApply]] replay of the
+  // deltas between — BIT-IDENTICAL to eager application, because eager
+  // publish computed exactly that fold (cdcApply is a deterministic
+  // function of (state, batch), and the replay applies the same batches
+  // in the same order to the same base). What the layout buys at
+  // 100 TB: publish WRITES O(change-batch) bytes, never O(state) — the
+  // full-state rewrite the pre-r15 layout paid per publish is now paid
+  // only when the CHECKPOINT POLICY fires (chain length or
+  // delta-bytes-fraction, footer-metadata reads only), amortizing it
+  // across many publishes exactly like a log-structured table format.
+  // Read cost is bounded by the same policy: at most `maxDeltas` joins
+  // above one checkpoint scan.
+  // ---------------------------------------------------------------------
+
+  private def cdcVersionDir(stateDir: String, v: Long) = s"$stateDir/v$v"
+
+  private def cdcDeltaMarker(stateDir: String, v: Long) =
+    java.nio.file.Paths.get(cdcVersionDir(stateDir, v), "_DELTA")
+
+  /** Is published version `v` a delta fragment (vs a checkpoint)? */
+  private[graft] def isCdcDelta(stateDir: String, v: Long): Boolean =
+    java.nio.file.Files.exists(cdcDeltaMarker(stateDir, v))
+
+  /** A PROMOTED checkpoint twin for version `v` (`v<N>c/` + `_SEALED`
+    * written last): the vacuum's materialization of a delta version
+    * whose chain it is about to drop — readers prefer a sealed twin, so
+    * history below it can be reclaimed without breaking the version.
+    * An unsealed twin is a crashed promotion and is ignored (the
+    * original chain is still intact: the vacuum drops nothing before
+    * the seal).
+    */
+  private def cdcTwinDir(stateDir: String, v: Long) = s"$stateDir/v${v}c"
+
+  private def cdcTwinSealed(stateDir: String, v: Long): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cdcTwinDir(stateDir, v), "_SEALED"))
+
+  private case class CdcDeltaMeta(keyCols: Seq[String], seqCol: String,
+      opCol: String)
+
+  private def writeCdcDeltaMarker(stateDir: String, v: Long,
+      m: CdcDeltaMeta): Unit =
+    java.nio.file.Files.write(cdcDeltaMarker(stateDir, v),
+      (s"keyCols=${m.keyCols.mkString(",")}\n" +
+        s"seqCol=${m.seqCol}\nopCol=${m.opCol}\n").getBytes)
+
+  private def readCdcDeltaMeta(stateDir: String, v: Long): CdcDeltaMeta = {
+    val kv = new String(java.nio.file.Files.readAllBytes(
+        cdcDeltaMarker(stateDir, v)))
+      .linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
+      .toMap
+    CdcDeltaMeta(kv("keyCols").split(',').toSeq, kv("seqCol"), kv("opCol"))
+  }
+
+  /** The resolution chain for version `v`: (base checkpoint directory,
+    * the ordered deltas above it). Walks down from `v` preferring a
+    * sealed promoted twin, then a checkpoint directory; a missing
+    * directory on the way down means the chain was vacuumed.
+    */
+  private def resolveCdcChain(stateDir: String, v: Long):
+      (String, Seq[(String, CdcDeltaMeta)]) = {
+    var w = v
+    var deltas: List[(String, CdcDeltaMeta)] = Nil
+    while (true) {
+      require(w >= 0, s"version $v has been vacuumed (its checkpoint " +
+        "chain is no longer on disk)")
+      if (cdcTwinSealed(stateDir, w))
+        return (cdcTwinDir(stateDir, w), deltas)
+      val dir = java.nio.file.Paths.get(cdcVersionDir(stateDir, w))
+      require(java.nio.file.Files.isDirectory(dir),
+        s"version $v has been vacuumed (retention window passed)")
+      if (!isCdcDelta(stateDir, w))
+        return (cdcVersionDir(stateDir, w), deltas)
+      deltas = (cdcVersionDir(stateDir, w),
+        readCdcDeltaMeta(stateDir, w)) :: deltas
+      w -= 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Resolve the snapshot at version `v`: nearest checkpoint + ordered
+    * delta replay. The replay IS the eager fold — see the layout note
+    * above for why this is bit-identical to the pre-delta-log store.
+    */
+  private def resolveCdcSnapshot(spark: SparkSession, stateDir: String,
+      v: Long): DataFrame = {
+    val (base, deltas) = resolveCdcChain(stateDir, v)
+    deltas.foldLeft(spark.read.parquet(base)) { case (df, (d, m)) =>
+      graft.operators.Merge.cdcApply(df, spark.read.parquet(d),
+        m.keyCols, m.seqCol, m.opCol)
+    }
+  }
+
+  /** Deltas pending above the last checkpoint at version `v` — the
+    * chain length a read of `v` pays. */
+  private[graft] def cdcDeltasSinceCheckpoint(stateDir: String,
+      v: Long): Int = resolveCdcChain(stateDir, v)._2.size
+
+  /** The CHECKPOINT POLICY predicate (the q174 `needsCompaction`
+    * pattern, restated for the delta log): true when the pending delta
+    * chain reached `maxDeltas` (read amplification — every as-of read
+    * above the checkpoint pays one cdcApply per delta) OR the pending
+    * delta rows grew past `maxDeltaFraction` of the checkpoint's rows
+    * (write amplification of the NEXT checkpoint is then already
+    * bounded by a constant factor of what the deltas cost anyway).
+    * Footer-metadata reads only ([[graft.operators.GenStore
+    * .footerRowCount]]): no Spark job, so every publish can afford the
+    * check. `maxDeltas = 0` forces a checkpoint every publish (the
+    * pre-r15 behavior).
+    */
+  def cdcNeedsCheckpoint(spark: SparkSession, stateDir: String,
+      maxDeltas: Int = 8, maxDeltaFraction: Double = 0.5): Boolean = {
+    require(maxDeltas >= 0, "maxDeltas must be non-negative")
+    require(maxDeltaFraction > 0, "maxDeltaFraction must be positive")
+    val (base, deltas) = resolveCdcChain(stateDir, readCdcVersion(stateDir))
+    if (deltas.size >= maxDeltas) true
+    else if (deltas.isEmpty) false
+    else {
+      val pending = graft.operators.GenStore.footerRowCount(spark,
+        deltas.map(_._1))
+      val ckpt = graft.operators.GenStore.footerRowCount(spark, Seq(base))
+      pending.toDouble >= maxDeltaFraction * ckpt
+    }
+  }
+
+  /** Batch-path version publisher — one [[cdcIngest]] micro-batch
+    * without the stream. Under the delta-log layout the common case
+    * APPENDS the change batch as a delta version — an O(change-batch)
+    * write, flat in state size — and the checkpoint policy
+    * ([[cdcNeedsCheckpoint]]) periodically folds the chain into a full
+    * snapshot version, amortizing the state-sized write across many
+    * publishes. Only then does `_CURRENT` advance. Returns the
+    * published version.
+    *
+    * Crash discipline unchanged: an unadvanced pointer means the write
+    * never happened as far as any reader is concerned (the retry's
+    * mode-overwrite wipes the orphan, marker included), and a replayed
+    * batch re-published as a NEW version is state-preserving through
+    * the stale-seq guard — replayed at read time exactly as it was
+    * applied eagerly. Quiesce fences on both sides of the write
+    * ([[graft.operators.GenStore.requireStillNotQuiesced]]): a publish
+    * completing inside a federation merge's cut window throws before
+    * the pointer advances, so the cut never silently misses it.
     */
   def publishCdcBatch(
       spark: SparkSession, stateDir: String, changes: DataFrame,
-      keyCols: Seq[String], seqCol: String, opCol: String): Long = {
+      keyCols: Seq[String], seqCol: String, opCol: String,
+      maxDeltas: Int = 8, maxDeltaFraction: Double = 0.5): Long = {
     graft.operators.GenStore.requireNotQuiesced(stateDir)
     val cur = readCdcVersion(stateDir)
-    val snap = spark.read.parquet(s"$stateDir/v$cur")
-    graft.operators.Merge.cdcApply(snap, changes, keyCols, seqCol, opCol)
-      .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
-    writeCdcVersion(stateDir, cur + 1)
-    cur + 1
+    val next = cur + 1
+    if (cdcNeedsCheckpoint(spark, stateDir, maxDeltas, maxDeltaFraction)) {
+      // checkpoint publish: fold chain + batch into a full snapshot
+      graft.operators.Merge.cdcApply(
+          resolveCdcSnapshot(spark, stateDir, cur), changes,
+          keyCols, seqCol, opCol)
+        .write.mode("overwrite").parquet(cdcVersionDir(stateDir, next))
+    } else {
+      // delta publish: the raw change batch, O(batch) bytes. Contract
+      // check against the chain base's schema (one footer read): the
+      // batch must carry exactly payload + op, or the read-time replay
+      // would fail far from the writer that caused it.
+      val payload = spark.read.parquet(
+        resolveCdcChain(stateDir, cur)._1).columns.toSet
+      require(changes.columns.toSet == payload + opCol,
+        s"delta batch columns ${changes.columns.sorted.mkString(",")} " +
+          s"must be exactly the snapshot payload + $opCol " +
+          s"(${(payload + opCol).toSeq.sorted.mkString(",")})")
+      changes.write.mode("overwrite")
+        .parquet(cdcVersionDir(stateDir, next))
+      writeCdcDeltaMarker(stateDir, next,
+        CdcDeltaMeta(keyCols, seqCol, opCol))
+    }
+    graft.operators.GenStore.requireStillNotQuiesced(stateDir,
+      s"publish of version $next")
+    writeCdcVersion(stateDir, next)
+    next
+  }
+
+  /** Explicit CHECKPOINT: materialize the current state as a new
+    * checkpoint version (no changes applied). A no-op returning the
+    * current version when it is already a checkpoint. The
+    * checkpoint-before-quiesce runbook step: a federation merge
+    * byte-copies checkpoint sources ([[mergeCdcStores]]) but must
+    * resolve-and-rewrite delta-current ones — checkpointing each source
+    * before quiescing keeps the merge on the zero-decode fast path,
+    * exactly like compact-before-quiesce for the fragment stores.
+    */
+  def checkpointCdc(spark: SparkSession, stateDir: String): Long = {
+    graft.operators.GenStore.requireNotQuiesced(stateDir)
+    val cur = readCdcVersion(stateDir)
+    if (!isCdcDelta(stateDir, cur)) return cur
+    val next = cur + 1
+    resolveCdcSnapshot(spark, stateDir, cur)
+      .write.mode("overwrite").parquet(cdcVersionDir(stateDir, next))
+    graft.operators.GenStore.requireStillNotQuiesced(stateDir,
+      s"checkpoint at version $next")
+    writeCdcVersion(stateDir, next)
+    next
   }
 
   /** FEDERATION MERGE for CDC SNAPSHOT stores — the last store family
@@ -889,13 +1080,16 @@ object EventStreams {
     * v3 directories are not the same instant — interleaving their
     * histories is semantically meaningless), so the merge is a CUT:
     * the merged store's v0 is the union of each source's CURRENT
-    * snapshot, byte-copied file for file (the
-    * [[graft.operators.GenStore.copyFragments]] mover — no decode, no
-    * Spark job on the fast path), and the merged clock starts at 0.
-    * Pre-merge history stays readable in the quiesced sources until
-    * they are retired — an as-of question about a pre-merge instant is
-    * a question about ONE pipeline's clock and is answered by that
-    * pipeline's store.
+    * snapshot, and the merged clock starts at 0. A source whose
+    * current version is a CHECKPOINT is byte-copied file for file
+    * (the [[graft.operators.GenStore.copyFragments]] mover — no
+    * decode, no Spark job); a source whose current version is a DELTA
+    * is resolved (checkpoint + replay) and written once — run
+    * [[checkpointCdc]] on each source BEFORE quiescing to keep the
+    * whole merge on the byte-copy fast path. Pre-merge history stays
+    * readable in the quiesced sources until they are retired — an
+    * as-of question about a pre-merge instant is a question about ONE
+    * pipeline's clock and is answered by that pipeline's store.
     *
     * Why per-key correctness survives without any clock
     * reconciliation: the caller contract everywhere in the federation
@@ -909,10 +1103,16 @@ object EventStreams {
     * last write, so a failed check leaves no readable store); empty
     * trusts the contract like every other store's merge.
     *
-    * Quiesce the sources first ([[graft.operators.GenStore.quiesce]]) —
-    * the publish fronts ([[publishCdcBatch]], [[cdcIngest]]) respect
-    * the mark, so no version can land between the cut and the retire.
-    * Returns the merged store's published version (0).
+    * Quiesce the sources first ([[graft.operators.GenStore.quiesce]]);
+    * the publish fronts fence on the mark BEFORE and AFTER their
+    * writes, and this merge re-reads each source's `_CURRENT` after
+    * the copy (the movement fence) — a publish that still advanced a
+    * source inside the cut window makes the merge REFUSE to publish
+    * its pointer instead of serving a cut that silently misses the
+    * batch. The pointer-less target is wiped and redone on retry: any
+    * stale files from a refused or crashed previous attempt are
+    * deleted before the copy, never silently unioned in. Returns the
+    * merged store's published version (0).
     */
   def mergeCdcStores(spark: SparkSession, srcDirs: Seq[String],
       dstDir: String, verifyKeyCols: Seq[String] = Nil): Long = {
@@ -921,18 +1121,47 @@ object EventStreams {
         java.nio.file.Paths.get(dstDir, "_CURRENT")),
       s"merge target $dstDir must be a fresh store root")
     val conf = spark.sessionState.newHadoopConf()
-    val pairs = srcDirs.zipWithIndex.flatMap { case (src, k) =>
-      val cur = readCdcVersion(src)
-      val p = new org.apache.hadoop.fs.Path(s"$src/v$cur")
+    // wipe-and-redo (the mergeOpen discipline): a pointer-less target
+    // is an unsealed prior attempt — stale part files from a refused
+    // or crashed merge must not survive into this one's union
+    val v0 = new org.apache.hadoop.fs.Path(s"$dstDir/v0")
+    val dfs = v0.getFileSystem(conf)
+    if (dfs.exists(v0)) dfs.delete(v0, true)
+    // the cut: record each source's version, then move the bytes
+    val cuts = srcDirs.map(src => (src, readCdcVersion(src)))
+    val (deltaCut, ckptCut) = cuts.partition { case (src, cur) =>
+      isCdcDelta(src, cur)
+    }
+    if (deltaCut.nonEmpty)
+      deltaCut.map { case (src, cur) => resolveCdcSnapshot(spark, src, cur) }
+        .reduce(_.unionByName(_))
+        .write.mode(if (deltaCut.size == cuts.size) "overwrite" else "append")
+        .parquet(s"$dstDir/v0")
+    val pairs = ckptCut.flatMap { case (src, cur) =>
+      val k = srcDirs.indexOf(src)
+      val (base, _) = resolveCdcChain(src, cur) // checkpoint or sealed twin
+      val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(conf)
       fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => (s.getPath.toString,
           s"$dstDir/v0/src$k-${s.getPath.getName}"))
     }
-    require(pairs.nonEmpty,
+    require(deltaCut.nonEmpty || pairs.nonEmpty,
       "no snapshot files found under any source's current version")
     graft.operators.GenStore.copyFragments(spark, pairs)
+    // movement fence (requireSourcesUnmoved semantics): a publish that
+    // passed its pre-check before the quiesce mark landed may have
+    // advanced a source inside the copy window — refuse to publish the
+    // cut rather than silently missing its batch
+    cuts.foreach { case (src, cur) =>
+      val now = readCdcVersion(src)
+      if (now != cur) throw new IllegalStateException(
+        s"source $src advanced during the merge cut (v$cur -> v$now): " +
+          "a publish landed inside the copy window — quiesce the source " +
+          "(GenStore.quiesce) and retry; the pointer-less target is " +
+          "wiped and redone on retry")
+    }
     if (verifyKeyCols.nonEmpty) {
       val dup = spark.read.parquet(s"$dstDir/v0")
         .groupBy(verifyKeyCols.map(org.apache.spark.sql.functions.col): _*)
@@ -949,24 +1178,27 @@ object EventStreams {
     0L
   }
 
+
   /** TIME TRAVEL: the snapshot exactly as it stood at `version`. Every
     * [[cdcIngest]] batch (and the batch-path equivalents) writes a NEW
     * `v<N>` directory and only then advances `_CURRENT` — old versions
-    * are immutable history, so an as-of read is just the `v<version>`
-    * scan, same cost shape as the current read. Versions above
-    * `_CURRENT` are refused even if their directory exists: a crash
-    * between snapshot write and pointer advance leaves an unpublished
-    * `v<N+1>` that no reader may observe (it will be overwritten by the
-    * batch's retry).
+    * are immutable history, so an as-of read is the version's
+    * checkpoint chain (nearest checkpoint at-or-below + ordered delta
+    * replay), the same policy-bounded cost shape as the current read.
+    * Versions above `_CURRENT` are refused even if their directory
+    * exists: a crash between snapshot write and pointer advance leaves
+    * an unpublished `v<N+1>` that no reader may observe (it will be
+    * overwritten by the batch's retry).
     */
   def cdcSnapshotAt(spark: SparkSession, stateDir: String, version: Long): DataFrame = {
     val cur = readCdcVersion(stateDir)
     require(version >= 0 && version <= cur,
       s"version $version is not published (current is $cur)")
-    require(java.nio.file.Files.isDirectory(
+    require(cdcTwinSealed(stateDir, version) ||
+      java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(stateDir, s"v$version")),
       s"version $version has been vacuumed (retention window passed)")
-    spark.read.parquet(s"$stateDir/v$version")
+    resolveCdcSnapshot(spark, stateDir, version)
   }
 
   /** Published versions still on disk, ascending. Tombstoned directories
@@ -1024,24 +1256,52 @@ object EventStreams {
   }
 
   /** Retention: drop every published version older than the newest
-    * `keepLast` (the current version is always kept). At 100 TB each
-    * version is a full snapshot directory, so retention is what bounds
-    * storage — the time-travel window is an explicit cost dial, exactly
-    * as in log-structured table formats. Deleting old directories never
-    * touches the pointer or any retained version, so concurrent readers
-    * of retained versions are unaffected; readers of a vacuumed version
-    * get [[cdcSnapshotAt]]'s retention error, not silent absence — the
-    * directory is atomically renamed to a `v<N>.deleted` tombstone
-    * BEFORE the recursive delete, so a crash mid-vacuum (or a reader
-    * racing the delete) can never observe a partial `v<N>` that still
-    * passes the as-of existence check and serves truncated data.
+    * `keepLast` (the current version is always kept). Retention is what
+    * bounds storage — the time-travel window is an explicit cost dial,
+    * exactly as in log-structured table formats; under the delta log,
+    * storage between checkpoints is O(change bytes), so the window is
+    * cheaper than it was when every version was a full snapshot.
+    *
+    * If the OLDEST RETAINED version is a delta (its chain reaches into
+    * the drop set), the vacuum first PROMOTES it: materializes its
+    * resolved state as a sealed `v<N>c` twin — readers prefer the twin
+    * from the instant its `_SEALED` marker lands, and only then does
+    * anything below get dropped, so a crash mid-vacuum leaves either
+    * the intact chain or the sealed twin, never a broken version. The
+    * promotion is the ONLY state-sized cost in the whole publish/read/
+    * retire lifecycle, paid once per vacuum at most — align retention
+    * windows to checkpoint boundaries (or [[checkpointCdc]] first) to
+    * avoid even that.
+    *
+    * Deleting old directories never touches the pointer or any retained
+    * version, so concurrent readers of retained versions are
+    * unaffected; readers of a vacuumed version get [[cdcSnapshotAt]]'s
+    * retention error, not silent absence — the directory is atomically
+    * renamed to a `v<N>.deleted` tombstone BEFORE the recursive delete,
+    * so a crash mid-vacuum (or a reader racing the delete) can never
+    * observe a partial `v<N>` that still passes the as-of existence
+    * check and serves truncated data.
     */
-  def vacuumCdc(stateDir: String, keepLast: Int): Seq[Long] = {
+  def vacuumCdc(spark: SparkSession, stateDir: String,
+      keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the current version")
     sweepTombstones(java.nio.file.Paths.get(stateDir))
-    val drop = listCdcVersions(stateDir).dropRight(keepLast)
-    drop.foreach(v =>
-      tombstoneDelete(java.nio.file.Paths.get(stateDir, s"v$v")))
+    val vs = listCdcVersions(stateDir)
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) return drop
+    val boundary = vs(vs.size - keepLast)
+    if (isCdcDelta(stateDir, boundary) && !cdcTwinSealed(stateDir, boundary)) {
+      // promotion: seal the twin BEFORE dropping anything below it
+      resolveCdcSnapshot(spark, stateDir, boundary)
+        .write.mode("overwrite").parquet(cdcTwinDir(stateDir, boundary))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(cdcTwinDir(stateDir, boundary), "_SEALED"),
+        Array.emptyByteArray)
+    }
+    drop.foreach { v =>
+      tombstoneDelete(java.nio.file.Paths.get(stateDir, s"v$v"))
+      tombstoneDelete(java.nio.file.Paths.get(stateDir, s"v${v}c"))
+    }
     drop
   }
 

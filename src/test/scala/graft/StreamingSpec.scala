@@ -704,14 +704,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     // vacuum drops exactly the oldest beyond the window; retained
     // versions and the current pointer are untouched
-    assert(EventStreams.vacuumCdc(dir, keepLast = 2) == Seq(0L))
+    assert(EventStreams.vacuumCdc(spark, dir, keepLast = 2) == Seq(0L))
     assertThrows[IllegalArgumentException] {
       EventStreams.cdcSnapshotAt(spark, dir, 0L)
     }
     assert(state(1L) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
     assert(state(2L) == Set((2L, "b2"), (3L, "c2")))
     // vacuum is idempotent once the window is satisfied
-    assert(EventStreams.vacuumCdc(dir, keepLast = 2).isEmpty)
+    assert(EventStreams.vacuumCdc(spark, dir, keepLast = 2).isEmpty)
   }
 
   test("vacuum tombstone: a crashed mid-vacuum directory is invisible to readers and finished by the next vacuum") {
@@ -737,7 +737,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("vacuumed"))
     // the next vacuum finishes the crashed delete and proceeds normally
-    assert(EventStreams.vacuumCdc(dir, keepLast = 1) == Seq(1L))
+    assert(EventStreams.vacuumCdc(spark, dir, keepLast = 1) == Seq(1L))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v0.deleted")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v1")))
     assert(EventStreams.cdcSnapshotAt(spark, dir, 2L)
