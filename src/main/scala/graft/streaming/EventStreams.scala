@@ -472,6 +472,33 @@ object EventStreams {
       .start()
   }
 
+  /** Per-sink LANE-PROGRESS file at a store root: the highest remapped
+    * batch id sink `sinkId` has fully admitted there — what lets a
+    * multi-sink fleet distinguish "my own replay" (skip, idempotent)
+    * from "a fresh admission that merely sits below ANOTHER lane's
+    * compacted high-water mark" (must admit — and if a compaction
+    * really did seal across the lane, the store's clobber fence throws
+    * LOUDLY instead of this sink silently dropping the batch). Written
+    * AFTER each successful admit; a crash between admit and this write
+    * makes the replay re-admit, which mode-overwrites the identical
+    * fragment — idempotent.
+    */
+  private def laneLast(root: String, sinkId: Int): Option[Long] = {
+    val p = java.nio.file.Paths.get(root, "_LANES", s"sink$sinkId")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+  }
+
+  private def writeLaneLast(root: String, sinkId: Int, mapped: Long): Unit = {
+    val dir = java.nio.file.Paths.get(root, "_LANES")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"sink$sinkId.tmp")
+    java.nio.file.Files.write(tmp, mapped.toString.getBytes)
+    java.nio.file.Files.move(tmp, dir.resolve(s"sink$sinkId"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Streaming SIGNATURE admission under the LIVE-MERGE QUIESCE
     * contract ([[graft.operators.GenStore.quiesce]]) — the sink half of
     * merging a store whose builder is still ingesting: each micro-batch
@@ -480,34 +507,44 @@ object EventStreams {
     * `_MERGING` mark names the merged successor, and the sink re-points
     * there at the micro-batch boundary (foreachBatch is serial per
     * query, so the in-flight batch fully landed before this pre-check
-    * runs; the merge's movement fence catches anything that still
-    * races). Batch ids at the successor are remapped above the merged
-    * store's generation-1 seal — written once at merge completion and
-    * immutable thereafter, so the mapping is stable across restarts and
-    * a replayed micro-batch overwrites its own remapped fragment
-    * idempotently. Sealed replays (a restart whose remapped id a later
-    * compaction folded) are no-ops, the [[keySetIngestCompacting]]
-    * discipline. Zero lost and zero duplicated admissions across a
-    * mid-stream merge is the q196 gate.
+    * runs; the merge's movement fence and the admit's post-write
+    * quiesce re-check catch anything that still races). Zero lost and
+    * zero duplicated admissions across a mid-stream merge is the q196
+    * gate.
     *
-    * Contract: ONE live sink per merge tick re-points this way (the
-    * id remap is per-target, not per-sink; K live builders each merge
-    * into their own successor or quiesce at different ticks). The
-    * key-set store's multiset-insensitive reads make even a pathological
-    * duplicate admission semantically invisible — which is why the
-    * re-point recipe is defined on THIS store family first.
+    * MULTI-SINK LANES (round 15): K live builders' sinks can all
+    * re-point into ONE successor. Each sink owns a lane of the
+    * remapped id space — `mapped = gen1Seal + 1 + sinkId*laneWidth +
+    * batchId` — so re-pointed fleets never collide (requires
+    * `batchId < laneWidth`, fenced). The gen-1 seal is the merge's
+    * last write and immutable, so every lane base is stable across
+    * restarts and clears every merge-renumbered id. Replay detection
+    * is PER-SINK ([[laneLast]] progress files), not the global
+    * compacted high-water mark: with multiple lanes, "my id is below
+    * the seal" no longer implies "my id was folded" (another lane's
+    * higher ids may have been) — a lane-lagging FRESH admission must
+    * not be silently skipped. If a compaction genuinely sealed across
+    * a lagging lane, the store's clobber fence refuses the admit
+    * loudly; the maintenance runbook is therefore: compact a shared
+    * successor only when its live lanes are quiet (the
+    * compact-before-quiesce discipline, lane-shaped).
     */
   def signatureIngestQuiesceAware(
       docs: DataFrame, idCol: String, textCol: String, root: String,
       checkpointDir: String, n: Int = 3, numHashes: Int = 32,
       bands: Int = 8, portableKeys: Boolean = false,
-      maxFragments: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFragments: Int = Int.MaxValue, sinkId: Int = 0,
+      laneWidth: Long = 1L << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(sinkId >= 0 && laneWidth >= 1, "sinkId/laneWidth out of range")
     graft.operators.GenStore.initIfAbsent(root)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.{Dedup, GenStore, KeySetStore}
         val spark = batch.sparkSession
+        require(batchId < laneWidth,
+          s"micro-batch id $batchId overflows the sink lane (width " +
+            s"$laneWidth) — restart the stream with a wider lane")
         // chase the forwarding chain (a merged store may itself have
         // been quiesced into a later merge)
         var target = root
@@ -517,19 +554,26 @@ object EventStreams {
           target = hop.get
           // gen 1's seal is the merge's last write and never changes:
           // a stable base that clears every merge-renumbered id
-          offset = GenStore.compactedHwm(target, 1L) + 1
+          offset = GenStore.compactedHwm(target, 1L) + 1 +
+            sinkId * laneWidth
           hop = GenStore.quiescedSuccessor(target)
         }
         val mapped = offset + batchId
-        if (mapped > GenStore.compactedHwm(target,
-            GenStore.currentGen(target))) {
+        // per-sink replay detection; no lane file (pre-lane stores, or
+        // a fresh stream against a compacted store) falls back to the
+        // conservative global seal — exactly the pre-lane semantics
+        val last = laneLast(target, sinkId).getOrElse(
+          GenStore.compactedHwm(target, GenStore.currentGen(target)))
+        if (mapped > last) {
           Dedup.admitMinHashBatch(batch, idCol, textCol, n, numHashes,
             bands, batchId = mapped, root = target,
             portableKeys = portableKeys)
+          writeLaneLast(target, sinkId, mapped)
           if (maxFragments != Int.MaxValue)
             KeySetStore.compactIfFragmented(spark, target, maxFragments)
           ()
-        } // else: sealed replay — keys already in the compacted fragment
+        } // else: this sink's own replay — the fragment already landed
+          // (and may since have been folded); skipping is exactness
       }
       .start()
   }
