@@ -12,6 +12,26 @@ object BenchTune {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Probe-disk PREFLIGHT: large probes (federation at 100M docs,
+    * retention at 640M keys) write tens of GB under the tmp filesystem
+    * — a 40M×8-builder run once filled the disk mid-probe (SCALE.md).
+    * Estimate the footprint up front from the probe's own byte model
+    * and refuse LOUDLY while nothing has been written yet, instead of
+    * dying on ENOSPC an hour in. A 20% headroom is kept on top of the
+    * estimate.
+    */
+  private def requireDiskBudget(dir: String, estBytes: Long,
+      what: String): Unit = {
+    val free = java.nio.file.Files
+      .getFileStore(java.nio.file.Paths.get(dir)).getUsableSpace
+    require(free > estBytes * 1.2,
+      f"$what probe needs ~${estBytes / 1e9}%.1f GB (+20%% headroom) " +
+        f"under $dir but only ${free / 1e9}%.1f GB is free — clear " +
+        "/tmp/graft-*probe* leftovers or shrink the probe")
+    println(f"[budget] $what est=${estBytes / 1e9}%.1f GB " +
+      f"free=${free / 1e9}%.1f GB under $dir")
+  }
+
   /** `--scale [rows]`: generate the reference bench schema at `rows`
     * (default 10M) across 32 files and measure the four shapes with real
     * multi-core parallelism — the throughput demonstration the 600k-row
@@ -907,6 +927,10 @@ object BenchTune {
     }
     val base = java.nio.file.Files
       .createTempDirectory("graft-retention-probe").toString
+    // byte model: three sig stores + folds ≈ 50 B/key over 4 keys/doc;
+    // the index triplet adds ≈ 600 B/doc
+    requireDiskBudget(base,
+      docs * 4 * 50L + (if (sigOnly) 0L else docs * 600L), "retention")
     val vocab = 2000L
     val corpus = spark.range(docs).select(col("id").as("doc_id"),
       transform(sequence(lit(0), lit(39)), j =>
@@ -1081,6 +1105,10 @@ object BenchTune {
     }
     val base = java.nio.file.Files
       .createTempDirectory("graft-federation-probe").toString
+    // byte model from the 40M×8 run (SCALE.md): sources+merged ≈ 650 B/doc
+    // all-in; the single-pipeline leg adds its own store
+    requireDiskBudget(base,
+      docs * (if (withSingle) 900L else 650L), "federation")
     val vocab = 2000L
     val corpus = spark.range(docs).select(col("id").as("doc_id"),
       transform(sequence(lit(0), lit(39)), j =>
@@ -1122,6 +1150,59 @@ object BenchTune {
         f"build_sum=${builds.sum}%.1f s (legs overlap on a fleet) " +
         f"merge=$mergeT%.1f s federated_read=$fedRead%.2f s " +
         "(single-pipeline leg skipped)")
+  }
+
+  /** `--cdc [stateRows] [batchRows] [publishes]`: the DELTA-LOG publish
+    * economics (q198's structural claim, as numbers): against a
+    * snapshot store holding `stateRows` rows, time (a) `publishes`
+    * DELTA publishes of `batchRows`-row change batches — the claim is
+    * this cost tracks the CHANGE-BATCH bytes, flat in state size —
+    * (b) the current read paying the full pending chain, (c) ONE
+    * explicit checkpoint fold (the pre-r15 per-publish cost, now paid
+    * once per policy window instead of every publish), and (d) the
+    * read after the fold. Run at several state sizes with the same
+    * batch size: delta_publish should stay ~flat while checkpoint
+    * scales with state.
+    */
+  private def cdcDemo(spark: SparkSession, stateRows: Long,
+      batchRows: Long, publishes: Int): Unit = {
+    import graft.streaming.EventStreams
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-probe").toString
+    requireDiskBudget(base,
+      stateRows * 80L + publishes * batchRows * 40L, "cdc")
+    val dir = s"$base/cdc"
+    val initT = wall(EventStreams.initCdcState(
+      spark.range(stateRows).select(col("id").as("key"),
+        (col("id") % 1000).cast("double").as("v"), lit(0L).as("seq")),
+      dir))
+    val stride = math.max(stateRows / math.max(batchRows, 1L), 1L)
+    val deltaTs = (1 to publishes).map { i =>
+      val changes = spark.range(batchRows).select(
+        (col("id") * stride).as("key"), lit(i.toDouble).as("v"),
+        lit(i.toLong).as("seq"), lit("U").as("op"))
+      wall(EventStreams.publishCdcBatch(spark, dir, changes,
+        Seq("key"), "seq", "op",
+        maxDeltas = Int.MaxValue, maxDeltaFraction = 1e18))
+    }
+    def readCount(): Unit = {
+      val n = EventStreams.currentCdcSnapshot(spark, dir)
+        .agg(count(lit(1))).head().getLong(0)
+      require(n == stateRows, s"state drifted: $n != $stateRows")
+    }
+    val chainRead = wall(readCount())
+    val ckptT = wall(EventStreams.checkpointCdc(spark, dir))
+    val foldedRead = wall(readCount())
+    println(f"[cdc] state=$stateRows%d batch=$batchRows%d " +
+      f"publishes=$publishes%d init=$initT%.1f s " +
+      f"delta_publish_avg=${deltaTs.sum / deltaTs.size}%.2f s " +
+      f"(min=${deltaTs.min}%.2f max=${deltaTs.max}%.2f) " +
+      f"chain_read=$chainRead%.1f s checkpoint_fold=$ckptT%.1f s " +
+      f"folded_read=$foldedRead%.1f s")
   }
 
   /** `--curation [docs] [batches]`: throughput of the streaming
@@ -1291,6 +1372,15 @@ object BenchTune {
         nums.drop(1).headOption.getOrElse(2L).toInt,
         withSingle = !tail.contains("nosingle"),
         batchesPerBuilder = nums.drop(2).headOption.getOrElse(1L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--cdc")) {
+      val nums = args.dropWhile(_ != "--cdc").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      cdcDemo(spark, nums.headOption.getOrElse(10000000L),
+        nums.drop(1).headOption.getOrElse(10000L),
+        nums.drop(2).headOption.getOrElse(4L).toInt)
       spark.stop()
       return
     }

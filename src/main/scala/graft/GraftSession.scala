@@ -32,6 +32,15 @@ object GraftSession {
     // has no native type for; read them as raw nano longs and normalize to
     // microsecond TimestampType in Tables.load.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4.1's union-partitioning propagation is unsound for our
+    // stacked upsert folds (Merge.applyChanges: anti-join ∪ upserts,
+    // iterated by the CDC delta-log read): UnionExec advertises its
+    // children's common HashPartitioning(key, N) while its RDD is the
+    // 2N-partition concatenation, so a downstream sort-merge join that
+    // trusts the claim zips N-vs-2N partitions and throws ("Can't zip
+    // RDDs with unequal numbers of partitions"). Disabling restores the
+    // exchange the consumer needs — the pre-4.1 plan shape.
+    .config("spark.sql.unionOutputPartitioning", "false")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/CLI; `cpus` defaults to SPARK_GRAFT_CPUS or 32. */

@@ -999,13 +999,22 @@ object EventStreams {
   /** Resolve the snapshot at version `v`: nearest checkpoint + ordered
     * delta replay. The replay IS the eager fold — see the layout note
     * above for why this is bit-identical to the pre-delta-log store.
+    * Plan shape per chain length: a single pending delta replays
+    * through [[graft.operators.Merge.cdcApply]] (broadcast shape — the
+    * checkpoint never shuffles); a deeper chain replays through
+    * [[graft.operators.Merge.cdcApplyJoined]], whose single-reference
+    * levels keep the plan LINEAR in chain depth (cdcApply's
+    * double-reference would re-derive the checkpoint 2^N times) and
+    * reuse one hash partitioning across all levels.
     */
   private def resolveCdcSnapshot(spark: SparkSession, stateDir: String,
       v: Long): DataFrame = {
     val (base, deltas) = resolveCdcChain(stateDir, v)
+    val step =
+      if (deltas.size <= 1) graft.operators.Merge.cdcApply _
+      else graft.operators.Merge.cdcApplyJoined _
     deltas.foldLeft(spark.read.parquet(base)) { case (df, (d, m)) =>
-      graft.operators.Merge.cdcApply(df, spark.read.parquet(d),
-        m.keyCols, m.seqCol, m.opCol)
+      step(df, spark.read.parquet(d), m.keyCols, m.seqCol, m.opCol)
     }
   }
 

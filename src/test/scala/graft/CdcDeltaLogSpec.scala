@@ -91,6 +91,35 @@ class CdcDeltaLogSpec extends AnyFunSuite {
       maxDeltas = 1000, maxDeltaFraction = 0.5))
   }
 
+  test("cdcApplyJoined == cdcApply on every corner: stale, ties, deletes, resurrection") {
+    import graft.operators.Merge
+    val snap = Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 5L),
+      (4L, "d", 5L)).toDF("key", "v", "seq")
+    val ch1 = Seq(
+      (1L, "a9", 9L, "U"), // fresh update
+      (2L, "b4", 4L, "U"), // stale -> dropped
+      (3L, "x", 5L, "U"),  // equal seq -> dropped (strict guard)
+      (4L, "", 9L, "D"),   // delete
+      (5L, "e", 1L, "I"),  // insert new key
+      (6L, "f1", 7L, "U"), (6L, "f2", 7L, "U"), // intra-batch tie -> tuple max
+      (7L, "g", 3L, "D")   // delete of an absent key -> no-op
+    ).toDF("key", "v", "seq", "op")
+    // the resurrection corner (the documented cdcApply caveat): key 4
+    // was deleted at seq 9, so its seq memory is gone and a LATER step's
+    // stale upsert re-inserts — sequential replay must preserve this
+    val ch2 = Seq((4L, "z", 2L, "U")).toDF("key", "v", "seq", "op")
+    def via(step: (DataFrame, DataFrame, Seq[String], String, String) => DataFrame) =
+      step(step(snap, ch1, Seq("key"), "seq", "op"),
+        ch2, Seq("key"), "seq", "op")
+    val a = via(Merge.cdcApply)
+    val j = via(Merge.cdcApplyJoined)
+    assert(a.columns.toSeq == j.columns.toSeq)
+    assert(setEq(a, j), "the joined formulation must be row-identical")
+    val got = j.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a9", 9L), (2L, "b", 5L), (3L, "c", 5L),
+      (4L, "z", 2L), (5L, "e", 1L), (6L, "f2", 7L)))
+  }
+
   test("vacuum promotes a delta boundary to a sealed twin; history below is reclaimed") {
     val base = Files.createTempDirectory("graft-deltavacuum").toString
     val dir = s"$base/cdc"
