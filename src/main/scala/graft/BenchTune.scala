@@ -1106,9 +1106,12 @@ object BenchTune {
     val base = java.nio.file.Files
       .createTempDirectory("graft-federation-probe").toString
     // byte model from the 40M×8 run (SCALE.md): sources+merged ≈ 650 B/doc
-    // all-in; the single-pipeline leg adds its own store
+    // all-in; the single-pipeline leg adds its own store; the
+    // compactFirst leg (batchesPerBuilder > 1) adds folded source
+    // generations plus a second merged store, both near-compacted size
     requireDiskBudget(base,
-      docs * (if (withSingle) 900L else 650L), "federation")
+      docs * ((if (withSingle) 900L else 650L) +
+        (if (batchesPerBuilder > 1) 400L else 0L)), "federation")
     val vocab = 2000L
     val corpus = spark.range(docs).select(col("id").as("doc_id"),
       transform(sequence(lit(0), lit(39)), j =>
@@ -1134,6 +1137,40 @@ object BenchTune {
       InvertedIndex.bm25SearchCurrent(spark, r, terms, 15).collect()
     bm(merged) // warm
     val fedRead = wall(bm(merged))
+    if (batchesPerBuilder > 1) {
+      // compactFirst leg — the K-sweep fragmentation tax and its cure as
+      // numbers. Decomposed the way a fleet pays it: each BUILDER folds
+      // its own store (legs overlap, so the fleet's added wall ≈ the max
+      // fold), then the merge tick copies near-minimal bytes. The merge
+      // itself runs with compactFirst = true so the knob is on the
+      // measured path (it finds the folded sources and skips re-folding).
+      def duBytes(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        def walk(q: org.apache.hadoop.fs.Path): Long =
+          fs.listStatus(q).map(s =>
+            if (s.isDirectory) walk(s.getPath) else s.getLen).sum
+        if (!fs.exists(p)) 0L else walk(p)
+      }
+      def srcBytes = roots.map(r =>
+        duBytes(InvertedIndex.genDir(r, InvertedIndex.currentGen(r)))).sum
+      val before = srcBytes
+      val folds = roots.map(r => wall(
+        InvertedIndex.compactStore(spark, r, InvertedIndex.currentGen(r))))
+      val after = srcBytes
+      val mcf = s"$base/mcf"
+      val cfT = wall(
+        InvertedIndex.mergeStores(spark, roots, mcf, compactFirst = true))
+      val cfFrags = graft.operators.GenStore.listBatchIds(spark,
+        s"${InvertedIndex.genDir(mcf, 1L)}/postings").size
+      bm(mcf) // warm
+      val cfRead = wall(bm(mcf))
+      println(f"[federation] compactFirst: fold_max=${folds.max}%.1f s " +
+        f"fold_sum=${folds.sum}%.1f s (legs overlap on a fleet) " +
+        f"src_bytes=${before / 1e9}%.2f->${after / 1e9}%.2f GB " +
+        f"merge=$cfT%.1f s fragments=$cfFrags%d read=$cfRead%.2f s " +
+        f"(plain merge above copied the unfolded bytes)")
+    }
     if (withSingle) {
       val singleT = wall(InvertedIndex.admitBatch(spark, corpus, "doc_id",
         "tk", bucketSize = 4096L, batchId = 0L, root = single))

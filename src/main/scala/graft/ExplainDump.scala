@@ -113,7 +113,8 @@ object ExplainDump {
     "q194_federated_fleet" -> "the capstone's v2 serving read — BM25 through the manifest pin over the MERGED index store after the policy sweep purged the takedown: the postings scan must be the audited q143/q161/q168/q180 post-purge shape (single gen=3 fragment, term isin in PushedFilters, stats/df broadcast, dl from the posting struct), with NO delete anti-join, NO manifest machinery, and NO trace of federation (two builder fleets, a merge, a roll, a takedown and a policy sweep all ran eagerly and leave the read path indistinguishable from a store that lived one quiet life) — the whole round-13 claim in one negative audit",
     "q195_retention_cutover" -> "the retention cutover's v2 serving read (the q168 discipline applied to AGE-OUT): BM25 through the manifest pin over the EXPIRED generation — postings scan of gen=2's single fragment (the aged-out batch 0 appears nowhere; there is no delete set because expiry is a fragment drop), term isin in PushedFilters, stats/df broadcast, dl from the posting struct; NO anti-join, NO manifest machinery, NO vacuum trace (the pinned-generation protection and the post-retire drop ran eagerly against the filesystem) — retention, like takedown, costs the read path literally nothing once published",
     "q196_live_merge_quiesce" -> "the live-merge capstone's returned frame — the probe partition's admission decisions against the MERGED store after a mid-stream quiesce+merge+re-point: the store side scans the merged gen=1 fragments (builder A's copied batches + builder B's + the re-pointed sink's remapped admissions — five batch_id directories) feeding the audited q151 LEFT-SEMI hash join on (band, bucket), probe band keys build narrow off the documents scan, per-doc hit count one partial/final HashAggregate pair, lifecycle gates are literal columns; check NO quiesce/merge/stream machinery appears anywhere — the _MERGING marks, the movement fence, the id remap and the retire all ran eagerly against the filesystem, and a store assembled by a live merge reads exactly like one that never saw a stream",
-    "q197_cdc_federation" -> "the CDC federation capstone's returned frame — the merged store's CURRENT snapshot after the post-merge publishes: ONE version-directory scan (the _CURRENT pointer resolved on the driver; v<N> is a plain parquet table) plus literal gate columns and the display sort; check NO join, NO log replay, NO trace of the merge (the state cut, the seq-guarded publishes, the stale-replay drop and the overlap refusal all ran eagerly) — a federated snapshot store serves reads at exactly the cost of a never-federated one, which is the point of merging STATE instead of histories",
+    "q197_cdc_federation" -> "the CDC federation capstone's returned frame — the merged store's CURRENT snapshot after two post-merge DELTA publishes (r15's delta-log layout): the base is the merged v0 checkpoint scan (byte-copied src1-* files beside the resolve-written part files — the two merge movers, visible in one directory), and above it exactly TWO replay steps for the two pending deltas (policy-bounded by maxDeltas — never the store's history), each one max_by aggregation over a tiny delta scan joined to the state; check NO trace of the merge machinery (the state cut, the quiesce marks, the movement fence, the overlap refusal all ran eagerly) and that the deltas' scans are the 10-to-200-row change batches, never a second state scan — the read pays checkpoint + policy-bounded chain, the write path that used to rewrite the state per publish appears nowhere because it no longer exists",
+    "q198_cdc_delta_log" -> "the delta-log CDC economics gate's returned frame — literal per-version stats captured eagerly, so the INTERESTING plans ran before this one: the as-of v4 read (a bare checkpoint scan: the policy folded the 3-delta chain at publish 4), the as-of v3 read pre-vacuum (checkpoint + 3 cdcApplyJoined replay levels — each level ONE full-outer sort-merge join whose state side reuses the previous level's hash partitioning on key, the linear plan shape that replaced the 2^N double-reference fold), and the post-vacuum v3 read (ONE scan of the sealed v3c promotion twin — a vacuumed-boundary version serves at checkpoint cost, zero replay); the returned frame itself is a 5-row literal toDF with the display sort",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)",
     "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below")
 

@@ -528,10 +528,28 @@ object InvertedIndex {
     * Caller contract: doc_id spaces are disjoint across builders (the
     * same uniqueness admission already requires) and `dstRoot` is
     * fresh. Returns the published generation (1).
+    *
+    * `compactFirst` is the COMPACT-BEFORE-QUIESCE economics as a knob
+    * (SCALE.md's K-sweep: K builders' uncompacted fragments hold ~K×
+    * the postings bytes of one folded store — duplicated per-fragment
+    * term entries, worse compression — so the byte-copy pays a
+    * fragmentation tax that grows with K): fold each source to one
+    * fragment (and apply its pending deletes) before listing, so the
+    * copy moves near-minimal bytes and the merged store starts
+    * compacted. Legal on quiesced sources — the quiesce fence guards
+    * ADMISSION fronts only, and once the sinks re-pointed the merge is
+    * the sources' sole actor.
     */
   def mergeStores(spark: SparkSession, srcRoots: Seq[String],
-      dstRoot: String): Long = {
+      dstRoot: String, compactFirst: Boolean = false): Long = {
     require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    if (compactFirst) srcRoots.foreach { src =>
+      val g = currentGen(src)
+      val sdir = genDir(src, g)
+      if (GenStore.listBatchIds(spark, s"$sdir/postings").size > 1 ||
+        GenStore.listBatchIds(spark, s"$sdir/deletes").nonEmpty)
+        compactStore(spark, src, g)
+    }
     GenStore.initIfAbsent(dstRoot)
     require(currentGen(dstRoot) == 1L &&
       GenStore.compactedHwm(dstRoot, 1L) == -1L,

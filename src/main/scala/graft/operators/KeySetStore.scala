@@ -210,10 +210,25 @@ object KeySetStore {
     * LEFT-SEMI probe semantics want (overlap across builders is
     * harmless, the next compaction distincts it away). Caller
     * contract: same key schema across sources; fresh `dstRoot`.
+    *
+    * `compactFirst` folds each source before the copy (the
+    * compact-before-quiesce economics, [[InvertedIndex.mergeStores]]) —
+    * for THIS family the fold also DISTINCTs each source's key multiset
+    * and applies its pending deletes, so the copy moves near-minimal
+    * bytes. Legal on quiesced sources (the fence guards admission
+    * fronts only).
     */
   def mergeStores(spark: SparkSession, srcRoots: Seq[String],
-      dstRoot: String): Long =
+      dstRoot: String, compactFirst: Boolean = false): Long = {
+    if (compactFirst) srcRoots.foreach { src =>
+      val g = GenStore.currentGen(src)
+      val sdir = GenStore.genDir(src, g)
+      if (GenStore.listBatchIds(spark, sdir).size > 1 ||
+        GenStore.listBatchIds(spark, s"$sdir/deletes").nonEmpty)
+        compactStore(spark, src, g)
+    }
     GenStore.mergeFlatStores(spark, srcRoots, dstRoot)
+  }
 
   /** AGE-OUT RETENTION for the dedup memory — forget signatures older
     * than the watermark so stale content can re-enter the corpus (the

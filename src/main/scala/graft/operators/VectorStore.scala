@@ -520,10 +520,22 @@ object VectorStore {
     * meaningless across artifacts — different centroids/books need a
     * refit, not a merge. Caller contract: disjoint vec_id spaces;
     * fresh `dstRoot`. Returns the published generation (1).
+    *
+    * `compactFirst` folds each source (one coded fragment, pending
+    * deletes applied) before the byte copy — the compact-before-quiesce
+    * economics ([[InvertedIndex.mergeStores]]): the copy moves
+    * near-minimal bytes and the merged store starts compacted. Legal on
+    * quiesced sources (the quiesce fence guards admission fronts only).
     */
   def mergeStores(spark: SparkSession, srcRoots: Seq[String],
-      dstRoot: String): Long = {
+      dstRoot: String, compactFirst: Boolean = false): Long = {
     require(srcRoots.size >= 2, "mergeStores needs at least two sources")
+    if (compactFirst) srcRoots.foreach { src =>
+      val g = currentGen(src)
+      if (listBatchIds(spark, codedDir(src, g)).size > 1 ||
+        listBatchIds(spark, deletesDir(src, g)).nonEmpty)
+        compactGen(spark, src, g)
+    }
     val arts = srcRoots.map(r => loadGenIndex(spark, r, currentGen(r)))
     val (c0, b0) = arts.head
     require(arts.tail.forall { case (c, b) =>

@@ -190,6 +190,95 @@ class StoreFederationSpec extends AnyFunSuite {
         qs, lo = 1.0, width = 1.0)))
   }
 
+  test("compactFirst merge folds each source before the copy: one fragment per source, pending deletes applied, serving identical to a plain merge") {
+    import graft.operators.{Similarity, VectorStore}
+    val docs = tokenized
+    val base = Files.createTempDirectory("graft-fed-cf").toString
+
+    // --- index family: 3 fragments per builder + a pending takedown on A
+    val (ia, ib) = (s"$base/ia", s"$base/ib")
+    Seq(ia, ib).foreach(InvertedIndex.initStore)
+    (0L to 2L).foreach { b =>
+      InvertedIndex.admitBatch(spark, docs.filter(col("doc_id") % 6 === b),
+        "doc_id", "tk", 7L, batchId = b, root = ia)
+      InvertedIndex.admitBatch(spark,
+        docs.filter(col("doc_id") % 6 === b + 3),
+        "doc_id", "tk", 7L, batchId = b, root = ib)
+    }
+    val dead = docs.filter(col("doc_id") % 6 < 3 && col("doc_id") % 5 === 2)
+      .select("doc_id")
+    InvertedIndex.admitDeleteBatch(spark, dead, "doc_id", 0L, ia)
+    def idxFrags(root: String) = {
+      val d = InvertedIndex.genDir(root, InvertedIndex.currentGen(root))
+      (GenStore.listBatchIds(spark, s"$d/postings").size,
+        GenStore.listBatchIds(spark, s"$d/deletes").size)
+    }
+    // plain first — compactFirst mutates the sources (gen bump)
+    InvertedIndex.mergeStores(spark, Seq(ia, ib), s"$base/ip")
+    InvertedIndex.mergeStores(spark, Seq(ia, ib), s"$base/if",
+      compactFirst = true)
+    assert(idxFrags(s"$base/ip") == ((6, 1)),
+      "the plain merge carries every fragment and the pending delete")
+    assert(idxFrags(s"$base/if") == ((2, 0)),
+      "compactFirst must fold each source to one fragment and apply " +
+        "its pending deletes before the copy")
+    assert(idxFrags(ia) == ((1, 0)) && idxFrags(ib) == ((1, 0)))
+    def bm(r: String) =
+      InvertedIndex.bm25SearchCurrent(spark, r, terms, 15).collect().toSeq
+    assert(bm(s"$base/if") == bm(s"$base/ip"),
+      "folded-merge serving must equal the plain merge's")
+
+    // --- signature family: 2 overlapping fragments per source fold +
+    // distinct; admission decisions unchanged
+    val raw = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val (sa, sb) = (s"$base/sa", s"$base/sb")
+    Seq(sa, sb).foreach(KeySetStore.init)
+    Seq(sa, sb).zipWithIndex.foreach { case (r, i) =>
+      (0L to 1L).foreach { b => // batch 1 re-admits batch 0's docs
+        Dedup.admitMinHashBatch(raw.filter(col("doc_id") % 3 === i),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
+          batchId = b, root = r, portableKeys = true)
+      }
+    }
+    val probe = raw.filter(col("doc_id") % 3 === 2)
+    def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(probe, "doc_id",
+        "text", n = 3, numHashes = 32, bands = 8, root = r,
+        portableKeys = true)
+      .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
+    KeySetStore.mergeStores(spark, Seq(sa, sb), s"$base/sp")
+    KeySetStore.mergeStores(spark, Seq(sa, sb), s"$base/sf",
+      compactFirst = true)
+    def sigFrags(root: String) = GenStore.listBatchIds(spark,
+      GenStore.genDir(root, GenStore.currentGen(root))).size
+    assert(sigFrags(s"$base/sp") == 4 && sigFrags(s"$base/sf") == 2)
+    assert(dec(s"$base/sf") == dec(s"$base/sp"))
+
+    // --- vector family: 2 fragments per source fold to one
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val (c1, b1) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+    val (va, vb) = (s"$base/va", s"$base/vb")
+    Seq(va, vb).foreach(r => VectorStore.init(spark, r, c1, b1))
+    Seq(va, vb).zipWithIndex.foreach { case (r, i) =>
+      (0L to 1L).foreach { b =>
+        VectorStore.admit(spark, r,
+          emb.filter(col("vec_id") % 4 === i + 2 * b),
+          "vec_id", "embedding", b)
+      }
+    }
+    VectorStore.mergeStores(spark, Seq(va, vb), s"$base/vp")
+    VectorStore.mergeStores(spark, Seq(va, vb), s"$base/vf",
+      compactFirst = true)
+    def vecFrags(root: String) = GenStore.listBatchIds(spark,
+      VectorStore.codedDir(root, VectorStore.currentGen(root))).size
+    assert(vecFrags(s"$base/vp") == 4 && vecFrags(s"$base/vf") == 2)
+    val q = emb.filter(col("vec_id") < 5)
+    def served(r: String) = VectorStore.search(spark, r, q, "vec_id",
+      "embedding", 5, nprobe = 8, shortlistFactor = 16).collect().toSeq
+    assert(served(s"$base/vf") == served(s"$base/vp"))
+  }
+
   test("mergeStores refuses a non-fresh target") {
     val docs = tokenized
     val base = Files.createTempDirectory("graft-fed-dirty").toString
