@@ -171,6 +171,12 @@ object ExplainDump {
       "post-compaction vector serving: the q150 catalog row is a driver-built verdict table, so this dumps the search against the compacted store directly. Check the coded scan's Location is gen=2's coded directory with exactly TWO batch_id fragments (batch_id=2, the merged cell-clustered rewrite of batches 0-2, plus batch_id=3 appended after) and ReadSchema (cid, cv, cell, codes); the probed-cell In(cell) filter must sit in PushedFilters — against the compacted fragment's global cell-range layout that filter now skips whole FILES, not just row groups inside each batch file (the layout half of the compaction claim); above the scan the plan is the audited q123 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg — with NO encode expressions (encoding is on disk; compaction never re-encoded)",
       VectorStore.search(spark, vroot, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    val fplan = ("q199_filtered_ann (the filtered store search itself)",
+      "filtered ANN (VectorStore.searchWhere): the q199 catalog row is the recall/containment gate frame, so this dumps the pre-filtered search directly, against the same compacted store as the q150 section. Check the allowed-id LEFT-SEMI hash join sits directly ABOVE the coded store scan — disallowed vectors die before any scoring, which is the pre-filter claim (a post-filter would score them and leak rank distortion) — with the allowed side built narrow off the embeddings scan and broadcast by stats (hint-free: a corpus-sized predicate frame co-partitions on the id instead); the probed-cell In(cell) filter must STILL sit in the coded scan's PushedFilters, i.e. cell pruning composes with the metadata filter rather than dying under the join; above the semi-join the plan is the audited q123/q150 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg — with no encode above the scan",
+      VectorStore.searchWhere(spark, vroot, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5,
+        emb.filter(col("label") % 2 === 0).select("vec_id"),
+        nprobe = 8, shortlistFactor = 16))
     // q144: refit to gen 2, vacuum gen 1, dump the POST-VACUUM serving
     // read (the q144 catalog row is a driver-built verdict table)
     val wroot = Files.createTempDirectory("explain-q144-").toString + "/vstore"
@@ -344,8 +350,8 @@ object ExplainDump {
             org.apache.spark.sql.functions.lit(2)) === 0 &&
           !(col("user_id") % 10 === 3)),
         "event_type", 64))
-    Seq(cdcPlan, vplan, wplan, sqPlan, iplan, kplan, pplan, gplan, rplan,
-      eplan, mplan, splan, hplan)
+    Seq(cdcPlan, vplan, fplan, wplan, sqPlan, iplan, kplan, pplan, gplan,
+      rplan, eplan, mplan, splan, hplan)
   }
 
   def main(args: Array[String]): Unit = {

@@ -9443,7 +9443,61 @@ object Queries {
              |  st.version IN (1, 2, 3) AS was_delta,
              |  st.version IN (3, 4) AS retained_after_vacuum,
              |  TRUE AS layout_ok
-             |FROM st ORDER BY version""".stripMargin))
+             |FROM st ORDER BY version""".stripMargin)),
+
+    QDef("q199_filtered_ann",
+      // FILTERED ANN (VectorStore.searchWhere) — the metadata-predicate
+      // search every production vector store needs: top-k over ONLY the
+      // vectors passing a predicate (here: even label — the embeddings
+      // table's metadata column, ~50% selective). Pre-filter semantics
+      // gated two ways: (1) every returned neighbor must satisfy the
+      // filter (a post-filter can't leak here by construction — the
+      // coded store LEFT-SEMI joins the allowed ids BEFORE scoring, so
+      // disallowed vectors never hold a slot); (2) recall >= 0.8
+      // against brute-force cosine over the FILTERED corpus (the q35
+      // gate pattern; nprobe dialed to 12/16 because the filter thins
+      // every probed cell's candidate pool — measured ~1.0 at these
+      // settings since the shortlist re-ranks exactly). n_results = k
+      // per query is exact and oracle-checked.
+      (s, d) => {
+        val dir = scratchDir("q199")
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+        val allowed = emb.filter(col("label") % 2 === 0).select("vec_id")
+        val (cents, books) = Similarity.fitIvfPq(emb, "vec_id",
+          "embedding", nlist = 16, kmeansIters = 3, m = 16, kcode = 16,
+          pqIters = 2)
+        VectorStore.init(s, dir + "/store", cents, books)
+        VectorStore.admit(s, dir + "/store", emb, "vec_id", "embedding", 0L)
+        val filt = VectorStore.searchWhere(s, dir + "/store", q,
+            "vec_id", "embedding", 5, allowed,
+            nprobe = 12, shortlistFactor = 32)
+          .select("query_id", "neighbor_id")
+        val bf = Similarity.bruteForceTopK(q,
+            emb.join(allowed, Seq("vec_id"), "left_semi"),
+            "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy() // 10 queries by this point: tiny
+        filt
+          .join(bf.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .join(allowed.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumn("ok", lit(true)), Seq("neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+            bool_and(coalesce(col("ok"), lit(false)))
+              .as("all_match_filter"))
+          .select(col("query_id"), col("n_results"),
+            col("all_match_filter"),
+            (sum(col("n_hits")).over(w).cast("double")
+              / sum(col("n_results")).over(w) >= 0.8).as("recall_ge_080"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+             |  TRUE AS all_match_filter, TRUE AS recall_ge_080
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
   )
 
   val defs: Seq[QDef] =

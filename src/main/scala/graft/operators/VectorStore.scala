@@ -712,6 +712,41 @@ object VectorStore {
     searchGen(spark, root, currentGen(root), queries, idCol, vecCol, k,
       nprobe, shortlistFactor, broadcastQueries, tier)
 
+  /** FILTERED ANN — the metadata-predicate search every production
+    * vector store needs ("nearest English documents", "nearest vectors
+    * this tenant may read"): top-k restricted to vectors whose id
+    * appears in `allowed` (a frame carrying an `idCol` column — the
+    * caller's metadata predicate, evaluated against whatever table
+    * holds the metadata). This is a PRE-filter: the coded store
+    * LEFT-SEMI joins `allowed` BEFORE scoring/shortlist/top-k, so a
+    * disallowed vector can never occupy a result slot or displace an
+    * allowed one — unlike the post-filter shortcut (search k' > k, then
+    * filter), which under-fills and leaks rank distortion at low
+    * selectivity. Scale posture: the semi join is hint-free — a small
+    * allowed list broadcasts by stats, a corpus-sized one co-partitions
+    * on the id — and the probed-cell In(cell) predicate still pushes
+    * through the semi join into the store scan, so cell pruning
+    * composes with the filter instead of dying under it. Recall is
+    * measured against brute force over the FILTERED corpus; a highly
+    * selective filter thins the probed cells' candidate pool, so dial
+    * `nprobe` up with selectivity (the q199 gate runs at nprobe 12/16).
+    * Pending takedowns are excluded on top, exactly as [[searchGen]].
+    */
+  def searchWhere(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, allowed: DataFrame,
+      nprobe: Int = 4, shortlistFactor: Int = 8,
+      broadcastQueries: Boolean = true, tier: String = "pq"): DataFrame = {
+    val gen = currentGen(root)
+    val (cents, books) = loadGenIndex(spark, root, gen)
+    val ids = allowed.select(col(idCol).as("cid"))
+    Similarity.searchCodedFrame(
+      minusDeleted(spark, root, gen,
+        spark.read.parquet(codedDir(root, gen))
+          .join(ids, Seq("cid"), "left_semi")),
+      queries, idCol, vecCol, k, cents, books, nprobe, shortlistFactor,
+      broadcastQueries, tier)
+  }
+
   /** Serve queries MID-MIGRATION with no read downtime: batches already
     * under `newGen` search with the new index, the rest with the old,
     * and the exact top-k merge ([[Similarity.mergeTopK]]) combines them

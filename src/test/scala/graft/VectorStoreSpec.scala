@@ -275,6 +275,38 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.migratedBatchIds(spark, root, 3L) === Seq(2L, 3L, 4L))
   }
 
+  test("filtered ANN: containment exact, all-allowed equals unfiltered, pending takedown excluded even when allowed") {
+    val all = corpus(0, 400)
+    val root = freshStore("filt", Seq(all))
+    val q = corpus(0, 5)
+    // containment: a pre-filter can never return a disallowed neighbor
+    val allowed = all.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val got = VectorStore.searchWhere(spark, root, q, "vec_id",
+      "embedding", 5, allowed, nprobe = 8, shortlistFactor = 16)
+    assert(got.join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() == 0L,
+      "every returned neighbor must satisfy the filter")
+    assert(got.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L), "k results per query")
+    // an all-pass filter is the unfiltered search, row for row
+    val everything = all.select("vec_id")
+    val unfiltered = VectorStore.search(spark, root, q, "vec_id",
+      "embedding", 5, nprobe = 8, shortlistFactor = 16)
+    assert(VectorStore.searchWhere(spark, root, q, "vec_id", "embedding",
+        5, everything, nprobe = 8, shortlistFactor = 16)
+        .collect().toSeq.sortBy(_.toString) ==
+      unfiltered.collect().toSeq.sortBy(_.toString))
+    // a pending takedown wins over the filter: deleted-and-allowed
+    // never serves (exact self-match makes vec 0 its own top hit)
+    import spark.implicits._
+    VectorStore.admitDeletes(spark, root,
+      Seq(0L).toDF("vec_id"), "vec_id", 0L)
+    val afterDel = VectorStore.searchWhere(spark, root, q, "vec_id",
+      "embedding", 5, everything, nprobe = 8, shortlistFactor = 16)
+    assert(afterDel.filter(col("neighbor_id") === 0L).count() == 0L,
+      "a pending takedown must be excluded even when the filter allows it")
+  }
+
   test("generation vacuum drops superseded generations, never the current one") {
     val root = freshStore("vacuum", Seq(corpus(0, 300), corpus(300, 400)))
     val q = corpus(0, 5)
