@@ -9497,7 +9497,62 @@ object Queries {
       },
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
              |  TRUE AS all_match_filter, TRUE AS recall_ge_080
-             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin)),
+
+    QDef("q200_filtered_bm25",
+      // FILTERED BM25 (InvertedIndex.bm25SearchCurrentWhere) — the
+      // retrieval twin of q199's filtered ANN: top-k restricted to docs
+      // passing a metadata predicate (doc_id % 4 <> 1 here), with the
+      // Lucene filtered-query stance on stats — corpus-level N/avgdl/df
+      // are KEPT, so the filter decides who may hold a slot, never the
+      // weights: a surviving doc's score is bit-identical to its
+      // unconstrained score (scores stay comparable across tenant
+      // views of one corpus). The oracle recomputes the FULL-corpus
+      // weight pipeline (q143's CTEs) and applies the predicate only at
+      // the final cut — hash-matching both the membership claim (no
+      // disallowed doc ranks) and the stats claim (weights unchanged by
+      // the filter) in one shot. The semi join restricts candidate
+      // rows of the query's terms, never the corpus.
+      (s, d) => {
+        val root = scratchDir("q200") + "/istore"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        InvertedIndex.initStore(root)
+        InvertedIndex.admitBatch(s, docs, "doc_id", "tk", IndexBucket,
+          batchId = 0L, root = root)
+        val allowed = t(s, d, "documents")
+          .filter(col("doc_id") % 4 =!= 1).select("doc_id")
+        InvertedIndex.bm25SearchCurrentWhere(s, root, bm25Terms, 15,
+            allowed)
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""$tokCte, dl AS (
+              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok
+              |), st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |  FROM dl
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+              |  WHERE tok IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+              |  GROUP BY doc_id, tok
+              |), dfc AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), w AS (
+              |  SELECT tf.doc_id, tf.tok,
+              |    ${bm25W("st.n", "dfc.df", "tf.tf", "dl.dl", "st.avgdl")} AS w
+              |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              |), p AS (
+              |  SELECT doc_id,
+              |    ${bm25Terms.zipWithIndex.map { case (t2, i) =>
+                     s"max(CASE WHEN tok = '$t2' THEN w END) AS w$i" }.mkString(",\n              |    ")}
+              |  FROM w GROUP BY doc_id
+              |)
+              |SELECT doc_id,
+              |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
+              |FROM p WHERE doc_id % 4 <> 1
+              |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
   )
 
   val defs: Seq[QDef] =

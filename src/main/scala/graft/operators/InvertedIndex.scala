@@ -231,6 +231,30 @@ object InvertedIndex {
     bm25Scores(spark, path, terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
+  /** FILTERED BM25 — tenant-scoped / predicate-scoped retrieval, the
+    * retrieval twin of [[VectorStore.searchWhere]]: top-k restricted to
+    * documents whose id appears in `allowed` (one column, the doc id —
+    * the caller's metadata predicate evaluated against whatever table
+    * holds the metadata). The Lucene filtered-query stance on stats:
+    * corpus-level N/avgdl/df are kept, so the filter decides WHO may
+    * hold a result slot, never the weights — a surviving document's
+    * score is bit-identical to its unconstrained-search score (scores
+    * stay comparable across differently-filtered views of one corpus,
+    * which is what a multi-tenant ranking layer needs; per-sub-corpus
+    * IDF is a different product decision and would be a different
+    * function). Pre-filter semantics like the vector twin: the semi
+    * join restricts the CANDIDATE frame (the query terms' posting rows
+    * — never the corpus) before the top-k cut, so a disallowed document
+    * cannot under-fill k. Hint-free: a small allowed list broadcasts by
+    * stats, a corpus-sized predicate frame co-partitions on doc_id.
+    */
+  def bm25SearchStoreWhere(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, allowed: DataFrame): DataFrame =
+    bm25Scores(spark, path, terms)
+      .join(allowed.select(col(allowed.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
   /** The per-candidate-document BM25 score frame of [[bm25SearchStore]]
     * — (doc_id, bm25) for every document containing at least one query
     * term, before the top-k cut. Shared with [[phraseBm25SearchStore]],
@@ -830,6 +854,12 @@ object InvertedIndex {
   def bm25SearchCurrent(spark: SparkSession, root: String,
       terms: Seq[String], k: Int): DataFrame =
     bm25SearchStore(spark, genDir(root, currentGen(root)), terms, k)
+
+  /** [[bm25SearchStoreWhere]] through the pointer. */
+  def bm25SearchCurrentWhere(spark: SparkSession, root: String,
+      terms: Seq[String], k: Int, allowed: DataFrame): DataFrame =
+    bm25SearchStoreWhere(spark, genDir(root, currentGen(root)), terms, k,
+      allowed)
 
   /** [[phraseSearchStore]] through the pointer. */
   def phraseSearchCurrent(spark: SparkSession, root: String,

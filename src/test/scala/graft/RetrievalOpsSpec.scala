@@ -148,6 +148,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(store == oneShot)
   }
 
+  test("filtered BM25: membership restricted, weights unchanged (corpus-level stats), all-pass filter equals unfiltered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxadm-").toString
+    admitAll(dir)
+    val terms = Seq("join", "vector", "stream", "window")
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val allowed = docs.filter(col("doc_id") % 4 =!= 1).select("doc_id")
+    val filtered = InvertedIndex.bm25SearchStoreWhere(spark, dir, terms,
+        15, allowed)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(filtered.forall(_._1 % 4 != 1), "a disallowed doc ranked")
+    assert(filtered.size == 15)
+    // the Lucene stance: corpus-level stats, so the filtered top-k IS
+    // the unconstrained ranking restricted to allowed docs — weights
+    // bit-identical, membership the only difference
+    val full = InvertedIndex.bm25SearchStore(spark, dir, terms, 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(filtered ==
+      full.filter(_._1 % 4 != 1).sortBy { case (id, s) => (-s, id) }
+        .take(15).toSeq)
+    // an all-pass filter is the unfiltered search, row for row
+    val allPass = InvertedIndex.bm25SearchStoreWhere(spark, dir, terms,
+        15, docs.select("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = InvertedIndex.bm25SearchStore(spark, dir, terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allPass == plain)
+  }
+
   // --- positional postings / phrase search (q145 machinery) ---
 
   test("phrase search: positional intersection, overlapping and repeated-token phrases, across a batch split") {
