@@ -225,6 +225,12 @@ object ExplainDump {
       "takedown still pending (delete admitted, compaction not yet run): the postings scan is the audited q139 candidates-only shape, and the delete set joins in as LEFT-ANTI hash joins on doc_id at each bounded relation it feeds (candidate posting entries, the doclens-derived stats inputs, per-term df) — every one over index-sized rows (the delete fragment is a tiny distinct id scan that broadcasts); check the raw corpus appears nowhere and no anti-join input is corpus-sized: pending-delete serving costs one small anti-join per bounded relation, which is exactly what the next compaction folds away (the zero-cost post-purge plan is the main q161 section above)",
       InvertedIndex.bm25SearchCurrent(spark, iroot,
         Seq("join", "vector", "stream", "window"), 15))
+    val f2plan = ("q200_filtered_bm25 (the filtered read, composed with a pending takedown)",
+      "filtered BM25 (InvertedIndex.bm25SearchStoreWhere) against the SAME pending-delete store as the q161 section — the two restriction mechanisms compose: the allowed-id LEFT-SEMI hash join (the tenant filter) sits on the per-document score frame next to the takedown's LEFT-ANTI joins, all of them over candidate rows of the query's terms (df-sized, never the corpus) with the tiny allowed list broadcast by stats, hint-free; the corpus-level stats inputs (N, avgdl, df) are NOT filtered — the Lucene stance: a surviving doc's weight is bit-identical to its unconstrained weight, so the semi join may sit anywhere on the per-candidate doc_id stream but NEVER inside the stats legs; Catalyst actually pushes it BELOW the final per-doc score aggregation (legal: doc_id is the grouping key; fewer docs aggregate — strictly better than the declared position above it), while the broadcast stats legs stay unfiltered; candidates-only postings scan unchanged underneath (term isin in PushedFilters)",
+      InvertedIndex.bm25SearchStoreWhere(spark,
+        InvertedIndex.genDir(iroot, InvertedIndex.currentGen(iroot)),
+        Seq("join", "vector", "stream", "window"), 15,
+        docs.filter(col("doc_id") % 4 =!= 1).select("doc_id")))
     val kroot = Files.createTempDirectory("explain-q165-").toString + "/sigstore"
     KeySetStore.init(kroot)
     Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
@@ -350,8 +356,8 @@ object ExplainDump {
             org.apache.spark.sql.functions.lit(2)) === 0 &&
           !(col("user_id") % 10 === 3)),
         "event_type", 64))
-    Seq(cdcPlan, vplan, fplan, wplan, sqPlan, iplan, kplan, pplan, gplan,
-      rplan, eplan, mplan, splan, hplan)
+    Seq(cdcPlan, vplan, fplan, wplan, sqPlan, iplan, f2plan, kplan, pplan,
+      gplan, rplan, eplan, mplan, splan, hplan)
   }
 
   def main(args: Array[String]): Unit = {
