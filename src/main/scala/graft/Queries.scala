@@ -9552,7 +9552,208 @@ object Queries {
               |SELECT doc_id,
               |  round(${bm25Terms.indices.map(i => s"COALESCE(w$i, 0.0)").mkString(" + ")}, 6) AS bm25
               |FROM p WHERE doc_id % 4 <> 1
-              |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
+              |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)),
+
+    QDef("q201_cdc_index_sync",
+      // CDC → RETRIEVAL-INDEX SYNC (round 15's structural piece): the
+      // index TRACKS a mutating corpus through the CDC store's delta
+      // log — no rebuilds. Each CdcSync tick reads the net change feed
+      // (cdcChangesBetween: raw deltas + the narrow (key, seq) guard,
+      // O(change bytes), flat in state/index size) and applies it as
+      // ONE scoped delete (hwm = tick version - 1 masks every earlier
+      // copy; the ordered-delete rule Lucene/Delta use) plus ONE
+      // admission of the new versions — upserts REPLACE (the q-gate
+      // below proves the %20 docs carry exactly their second re-crawl's
+      // single extra token, not the first's two), deletes take down,
+      // inserts admit, and a doc has one live copy per read even while
+      // two physical copies exist. In-query gates: watermark no-op
+      // stability; lookup + BM25 bit-equality against a FRESH one-shot
+      // build of the mutated corpus (exact-stats masking: N/sum_dl/df
+      // shrink row-exactly); compaction folds the history physically
+      // (no pending deletes, one doclens row per doc) and serves
+      // identically. The oracle states the mutated corpus in closed
+      // form and the posting lists over it (q142's shape).
+      (s, d) => {
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q201")
+        val (cdc, root, fresh) = (s"$base/cdc", s"$base/idx", s"$base/fresh")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        EventStreams.initCdcState(docs.withColumn("seq", lit(0L)), cdc)
+        val prep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        def tick() = CdcSync.syncIndexFromCdc(s, cdc, root, "doc_id", "tk",
+          IndexBucket, prep)
+        require(tick() == 0L, "bootstrap tick must land at v0")
+        // v1: first re-crawl (U, adds two tokens to %10==0)
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync graftsync")).as("text"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        require(tick() == 1L, "tick must advance to v1")
+        // v2: new crawl (I, shifted ids) + takedowns (D, %10==7);
+        // v3: second re-crawl REPLACES v1's versions for %20==0
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("graftsync "), col("text")).as("text"),
+              lit(1L).as("seq"), lit("I").as("op"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 7)
+              .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+                lit("D").as("op"))),
+          Seq("doc_id"), "seq", "op")
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync")).as("text"),
+              lit(2L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        require(tick() == 3L, "one tick must cover the (1, 3] window")
+        require(tick() == 3L, "a no-op tick must not move the watermark")
+        InvertedIndex.initStore(fresh)
+        InvertedIndex.admitBatch(s,
+          prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
+          IndexBucket, batchId = 0L, root = fresh)
+        val terms = Seq("graftsync", "join", "vector")
+        def surfaces(r: String) = (
+          InvertedIndex.lookupCurrent(s, r, terms)
+            .select(col("tok"), col("n_docs"),
+              array_join(transform(col("postings"), _.cast("string")), ",")
+                .as("postings"))
+            .orderBy("tok").collect().toSeq,
+          InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
+        require(surfaces(root) == surfaces(fresh),
+          "synced store diverges from a fresh build of the mutated corpus")
+        InvertedIndex.compactStore(s, root, InvertedIndex.currentGen(root))
+        require(surfaces(root) == surfaces(fresh),
+          "post-compaction surfaces diverge")
+        val gen = InvertedIndex.genDir(root, InvertedIndex.currentGen(root))
+        require(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(gen, "deletes")),
+          "compaction left pending deletes")
+        require(s.read.parquet(s"$gen/doclens").groupBy("doc_id").count()
+            .filter(col("count") > 1).isEmpty,
+          "a doc survives in more than one physical copy")
+        InvertedIndex.lookupCurrent(s, root, terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",")
+              .as("postings"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH mut AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 20 = 0 THEN text || ' graftsync'
+             |    WHEN doc_id % 10 = 0 THEN text || ' graftsync graftsync'
+             |    ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 7
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, 'graftsync ' || text AS text
+             |  FROM documents WHERE doc_id % 10 = 2
+             |), tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM mut
+             |)
+             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+             |WHERE tok IN ('graftsync', 'join', 'vector')
+             |GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    QDef("q202_cdc_vector_sync",
+      // CDC → VECTOR-STORE SYNC — q201's twin for embeddings: the coded
+      // ANN store tracks a mutating embedding corpus (re-embedded docs,
+      // new docs, takedowns) through the same delta-log feed. The
+      // bootstrap tick FITS the IVF-PQ artifact once; each tick is a
+      // scoped delete + re-encode admission (VectorStore.admitReplace's
+      // shape) — geometry refresh stays the drift policy's job
+      // (needsRefit), orthogonal to sync. In-query gates carry the
+      // payload claim: the synced store's recoverable vectors equal a
+      // twin store (same artifact) admitted the mutated corpus once —
+      // exact, including the re-embedded values; a search WITH an
+      // updated embedding returns its own id at top-1 (the new version
+      // serves and the old is masked — the probe's own cell is probed
+      // and exact re-rank scores the stored twin 1.0; the update is a
+      // component REVERSAL, in-distribution for the codebooks fit on
+      // the pre-mutation corpus, unlike a shift/negation which would
+      // bury the true match in quantization error);
+      // compaction folds the upsert history physically. The oracle
+      // states the served id set per modulus class in closed form.
+      (s, d) => {
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q202")
+        val (cdc, root, twin) = (s"$base/cdc", s"$base/vec", s"$base/twin")
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        EventStreams.initCdcState(emb.withColumn("seq", lit(0L)), cdc)
+        val vprep: DataFrame => DataFrame =
+          _.select(col("vec_id"), col("embedding"))
+        def tick() = CdcSync.syncVectorsFromCdc(s, cdc, root, "vec_id",
+          "embedding", vprep, nlist = 16, kmeansIters = 5, m = 16,
+          kcode = 16, pqIters = 5)
+        require(tick() == 0L, "bootstrap tick must land at v0")
+        // one batch: re-embeds (U, all components shifted), new docs
+        // (I, shifted ids), takedowns (D)
+        EventStreams.publishCdcBatch(s, cdc,
+          emb.filter(col("vec_id") % 5 === 0)
+            .select(col("vec_id"),
+              reverse(col("embedding")).as("embedding"),
+              lit(1L).as("seq"), lit("U").as("op"))
+            .unionByName(emb.filter(col("vec_id") % 5 === 2)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                col("embedding"), lit(1L).as("seq"), lit("I").as("op")))
+            .unionByName(emb.filter(col("vec_id") % 5 === 3)
+              .select(col("vec_id"), col("embedding"), lit(1L).as("seq"),
+                lit("D").as("op"))),
+          Seq("vec_id"), "seq", "op")
+        require(tick() == 1L, "tick must advance to v1")
+        val gen = VectorStore.currentGen(root)
+        val (cents, books) = VectorStore.loadGenIndex(s, root, gen)
+        VectorStore.init(s, twin, cents, books)
+        VectorStore.admit(s, twin,
+          vprep(EventStreams.currentCdcSnapshot(s, cdc)), "vec_id",
+          "embedding", batchId = 0L)
+        def vecs(r: String) = VectorStore.vectors(s, r, "vec_id", "embedding")
+        def setEq(a: DataFrame, b: DataFrame) =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        require(setEq(vecs(root), vecs(twin)),
+          "synced vector store diverges from the mutated corpus")
+        // the UPDATED (component-reversed) embedding retrieves the doc
+        // it replaced at top-1 with cosine ~1 (exact re-rank on the
+        // stored twin) — under FRESH query ids, because every search
+        // path is a kNN join that excludes self-pairs (query_id = cid).
+        // Reversal keeps the component distribution (the artifact's
+        // codebooks still quantize it into the shortlist) while
+        // decorrelating the direction from the old copy
+        val probe = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 20)
+          .select((col("vec_id") + 5000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        val top1 = VectorStore.search(s, root, probe, "vec_id", "embedding",
+            k = 1, nprobe = 8, shortlistFactor = 32)
+          .filter(col("neighbor_id") === col("query_id") - 5000000L &&
+            col("cos") > 0.999)
+          .count()
+        require(top1 == 4L,
+          "an updated embedding must retrieve its new version at top-1")
+        VectorStore.compactGen(s, root, gen)
+        require(setEq(vecs(root), vecs(twin)), "post-compaction divergence")
+        require(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+            s"$root/gen=${VectorStore.currentGen(root)}/deletes")),
+          "compaction left pending deletes")
+        vecs(root).select((col("vec_id") % 5).cast("long").as("klass"))
+          .groupBy(col("klass"))
+          .agg(count(lit(1)).cast("long").as("n_vecs"))
+          .orderBy(col("klass"))
+      },
+      Some("""WITH mut AS (
+             |  SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 3
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS vec_id FROM embeddings
+             |  WHERE vec_id % 5 = 2
+             |)
+             |SELECT CAST(vec_id % 5 AS BIGINT) AS klass,
+             |  CAST(count(*) AS BIGINT) AS n_vecs
+             |FROM mut GROUP BY klass ORDER BY klass""".stripMargin))
   )
 
   val defs: Seq[QDef] =

@@ -144,21 +144,41 @@ object InvertedIndex {
   // overwrite is a storage no-op, and anti-joining an already-removed
   // id changes nothing. Deleting an id the store never admitted is
   // equally harmless.
+  //
+  // ORDERED (hwm-SCOPED) deletes — the upsert enabler: every delete row
+  // carries a high-water mark, and it masks ONLY posting/doclens rows
+  // from admission batches with batch_id <= hwm (the Lucene/Delta rule:
+  // a delete applies to the segments that existed when it was issued,
+  // never to later ones). A takedown keeps hwm = Long.MaxValue and
+  // behaves exactly as before; an UPSERT writes a scoped delete at
+  // hwm = B-1 and re-admits the document's new version at batch B in
+  // one front ([[admitReplaceBatch]]) — the old copy is masked from
+  // every read and physically removed at the next compaction, the new
+  // one serves, and the "one live copy per doc_id" contract the bucket
+  // layout needs holds per READ even while two physical copies exist.
   // -------------------------------------------------------------------------
 
   /** Lands one batch of doc ids to delete under `path/deletes` — the
     * flat-path form ([[appendBatch]]'s sibling); id space is the
     * delete table's own (a delete batch id never collides with an
-    * admission batch id — different subdirectory).
+    * admission batch id — different subdirectory). `hwm` scopes the
+    * mask to admission batches at or below it (default: unbounded —
+    * the plain-takedown semantics).
     */
   def appendDeleteBatch(ids: DataFrame, idCol: String, batchId: Long,
-      path: String): Unit =
+      path: String, hwm: Long = Long.MaxValue): Unit =
     ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .withColumn("hwm", lit(hwm))
       .write.mode("overwrite").parquet(s"$path/deletes/batch_id=$batchId")
 
-  /** The pending delete set of a store directory: distinct doc ids
-    * across every delete fragment, or None when no deletes were ever
-    * admitted (the zero-cost common case — read plans are unchanged).
+  /** The pending delete set of a store directory as `(doc_id,
+    * del_hwm)` — one row per dead/replaced doc with the HIGHEST mask
+    * bound across its delete rows (a doc has at most one live copy, so
+    * the max bound is the one that matters: batches above it hold the
+    * live version, batches at or below hold masked history) — or None
+    * when no deletes were ever admitted (the zero-cost common case —
+    * read plans are unchanged). Fragments written before the hwm
+    * column existed read as null and coalesce to unbounded.
     */
   private def pendingDeletes(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -171,9 +191,27 @@ object InvertedIndex {
     // 10M-doc/100k-dead store, vs 1.5× broadcast — SCALE.md). The
     // needsCompaction policy is what keeps the set fraction-bounded, so
     // the broadcast never outgrows the driver by contract.
-    else Some(broadcast(spark.read.parquet(s"$path/deletes")
-      .select(col("doc_id")).distinct()))
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/deletes")
+      val hwmCol = if (raw.columns.contains("hwm"))
+        coalesce(col("hwm"), lit(Long.MaxValue)) else lit(Long.MaxValue)
+      Some(broadcast(raw.groupBy(col("doc_id"))
+        .agg(max(hwmCol).as("del_hwm"))))
+    }
   }
+
+  /** Restrict a candidate frame (carrying the admission `batch_id`
+    * partition column) to rows that survive the scoped-delete mask:
+    * keep a row unless some delete row for its doc has `del_hwm >=
+    * batch_id`. With unbounded (takedown) deletes this is exactly the
+    * old anti-join; the broadcast shape is unchanged (left join against
+    * the same O(dead ids) broadcast set, then a filter).
+    */
+  private def maskLive(cands: DataFrame, del: DataFrame): DataFrame =
+    cands.join(del, Seq("doc_id"), "left")
+      .filter(col("del_hwm").isNull || col("batch_id") > col("del_hwm"))
+      .drop("del_hwm")
 
   /** Term lookup across EVERY admitted batch, equal to [[lookup]] over a
     * fresh [[build]] of the union corpus — in ONE aggregation (the r9
@@ -203,9 +241,9 @@ object InvertedIndex {
           .agg(sum(col("n_docs")).cast("long").as("n_docs"),
             array_sort(flatten(collect_list(col("ids")))).as("postings"))
       case Some(del) =>
-        base.select(col("tok"),
-            explode(transform(col("postings"), _.getField("doc_id"))).as("doc_id"))
-          .join(del, Seq("doc_id"), "left_anti")
+        maskLive(base.select(col("tok"), col("batch_id"),
+            explode(transform(col("postings"), _.getField("doc_id"))).as("doc_id")),
+            del)
           .groupBy(col("tok"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sort_array(collect_list(col("doc_id"))).as("postings"))
@@ -278,8 +316,13 @@ object InvertedIndex {
         val full = spark.read.parquet(s"$path/stats")
           .agg(sum(col("n_docs")).cast("long").as("n0"),
             sum(col("sum_dl")).cast("long").as("sd0"))
+        // a doclens row is "gone" iff its batch falls under its doc's
+        // mask bound — for a replaced doc that subtracts exactly the
+        // old copy's row, so N and sum(dl) count the doc ONCE with the
+        // new version's length
         val gone = spark.read.parquet(s"$path/doclens")
-          .join(d, Seq("doc_id"), "left_semi")
+          .join(d, Seq("doc_id"))
+          .filter(col("batch_id") <= col("del_hwm"))
           .agg(count(lit(1)).cast("long").as("dn"),
             coalesce(sum(col("dl")), lit(0L)).cast("long").as("dsum"))
         full.crossJoin(gone)
@@ -289,10 +332,11 @@ object InvertedIndex {
     }
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
-    val tf0 = post.select(col("tok"), explode(col("postings")).as("p"))
-      .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"),
-        col("p.dl").as("dl"))
-    val tf = del.map(d => tf0.join(d, Seq("doc_id"), "left_anti")).getOrElse(tf0)
+    val tf0 = post.select(col("tok"), col("batch_id"),
+        explode(col("postings")).as("p"))
+      .select(col("tok"), col("batch_id"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"))
+    val tf = del.map(d => maskLive(tf0, d)).getOrElse(tf0).drop("batch_id")
     // document frequency: bucket-size sums when nothing is deleted
     // (never explodes); the exact count of surviving candidates when
     // deletes are pending — df shrinks with N, term by term
@@ -354,13 +398,14 @@ object InvertedIndex {
     require(terms.size >= 2, "a phrase needs at least two terms")
     val post0 = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms.distinct: _*))
-      .select(col("tok"), explode(col("postings")).as("p"))
-      .select(col("tok"), col("p.doc_id").as("doc_id"),
+      .select(col("tok"), col("batch_id"), explode(col("postings")).as("p"))
+      .select(col("tok"), col("batch_id"), col("p.doc_id").as("doc_id"),
         col("p.positions").as("positions"))
-    // pending deletes excluded at the candidate-row level — one
-    // anti-join below every phrase slot
+    // pending deletes excluded at the candidate-row level — one masked
+    // join below every phrase slot (a replaced doc keeps exactly its
+    // live copy's positions)
     val post = pendingDeletes(spark, path)
-      .map(d => post0.join(d, Seq("doc_id"), "left_anti")).getOrElse(post0)
+      .map(d => maskLive(post0, d)).getOrElse(post0).drop("batch_id")
     // one side per PHRASE SLOT (a token may occupy several slots:
     // "the more the merrier" — each slot filters the same posting rows)
     val sides = terms.zipWithIndex.map { case (term, i) =>
@@ -481,7 +526,8 @@ object InvertedIndex {
     * — the race-fence test seam (the [[admitBatchAt]] pattern).
     */
   private[graft] def admitDeleteBatchAt(spark: SparkSession, ids: DataFrame,
-      idCol: String, batchId: Long, root: String, gen: Long): Unit = {
+      idCol: String, batchId: Long, root: String, gen: Long,
+      hwm: Long = Long.MaxValue): Unit = {
     GenStore.requireNotQuiesced(root)
     val dhwm = GenStore.deletesHwm(root, gen)
     require(batchId > dhwm,
@@ -490,13 +536,51 @@ object InvertedIndex {
         "delete fragments into that id space — admitting under one of " +
         "those ids would clobber a pending takedown; use a fresh id above " +
         "the mark")
-    appendDeleteBatch(ids, idCol, batchId, genDir(root, gen))
+    appendDeleteBatch(ids, idCol, batchId, genDir(root, gen), hwm)
     GenStore.requireStillNotQuiesced(root, s"delete batch_id=$batchId")
     val now = currentGen(root)
     if (now != gen) throw new IllegalStateException(
       s"delete batch_id=$batchId raced a compaction: wrote under gen=$gen " +
         s"but _CURRENT is now gen=$now — re-admit under the current generation")
   }
+
+  /** UPSERT one batch of documents: a SCOPED delete at `hwm = batchId -
+    * 1` (masks every copy admitted so far — for a new doc it masks
+    * nothing, harmlessly) followed by admission of the new versions at
+    * `batchId`, under one generation read. Serves immediately: every
+    * read sees exactly the new version (the old copy is masked, its
+    * stats/doclens contributions subtracted row-exactly), and the next
+    * compaction removes the old copies physically — the folded
+    * generation is bit-identical to a store that only ever saw the
+    * final versions. Replay-safe: both writes are per-batch overwrites
+    * of themselves.
+    *
+    * Single-writer contract (stronger than [[admitBatch]]'s): scoped
+    * deletes must not race a compaction — the fold seals pre-fold batch
+    * ids, so a straggling scoped delete would be refused by the sweep
+    * ([[compactStoreHooked]]) rather than carried. The CDC sync front
+    * ([[graft.streaming.CdcSync]]) serializes ticks and maintenance on
+    * one writer, which is the intended caller shape.
+    */
+  def admitReplaceBatch(spark: SparkSession, docs: DataFrame, idCol: String,
+      toksCol: String, bucketSize: Long, batchId: Long, root: String): Unit = {
+    val gen = currentGen(root)
+    admitDeleteBatchAt(spark, docs.select(col(idCol)), idCol, batchId, root,
+      gen, hwm = batchId - 1)
+    admitBatchAt(spark, docs, idCol, toksCol, bucketSize, batchId, root, gen)
+  }
+
+  /** SCOPED takedown: delete every copy of `ids` admitted at or below
+    * `batchId - 1`, leaving the door open for a LATER re-admission of
+    * the same ids (batch ids above the bound are unmasked) — the CDC
+    * delete-then-reinsert lifecycle. A plain [[admitDeleteBatch]]
+    * masks unboundedly and needs a compaction before the id can live
+    * again.
+    */
+  def admitScopedDeleteBatch(spark: SparkSession, ids: DataFrame,
+      idCol: String, batchId: Long, root: String): Unit =
+    admitDeleteBatchAt(spark, ids, idCol, batchId, root, currentGen(root),
+      hwm = batchId - 1)
 
   /** COMPACT the current generation: merge every batch fragment of
     * postings (per-(term, bucket) cell merge — [[storeLookup]]'s
@@ -573,6 +657,27 @@ object InvertedIndex {
       if (GenStore.listBatchIds(spark, s"$sdir/postings").size > 1 ||
         GenStore.listBatchIds(spark, s"$sdir/deletes").nonEmpty)
         compactStore(spark, src, g)
+    }
+    // SCOPED-delete fence: a pending hwm-scoped delete references its
+    // source's LOCAL admission batch ids, which this merge renumbers —
+    // the carried mask would scope against the wrong batches. Unbounded
+    // takedowns (hwm = infinity) are renumber-invariant and carry fine.
+    // Cure: compact the source first (fold applies the mask and clears
+    // the pending set) — compactFirst=true does exactly that.
+    srcRoots.foreach { src =>
+      val sdir = genDir(src, currentGen(src))
+      val delIds = GenStore.listBatchIds(spark, s"$sdir/deletes")
+      if (delIds.nonEmpty) {
+        val dels = spark.read.option("mergeSchema", "true")
+          .parquet(delIds.map(i => s"$sdir/deletes/batch_id=$i"): _*)
+        if (dels.columns.contains("hwm") &&
+            dels.filter(col("hwm") =!= Long.MaxValue).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"source $src has pending SCOPED (hwm) deletes: their " +
+              "high-water marks reference source-local admission batch " +
+              "ids, which this merge renumbers — compact the source " +
+              "first (or pass compactFirst = true)")
+      }
     }
     GenStore.initIfAbsent(dstRoot)
     require(currentGen(dstRoot) == 1L &&
@@ -661,6 +766,10 @@ object InvertedIndex {
     // batch id must refuse replay (re-admitting it would resurrect the
     // aged-out docs), exactly like a compacted-away one
     val hwm = allIds.max
+    // the delete set is listed HERE, alongside the data fragments (and
+    // before the race-test hook): anything landing later is a straggler
+    // for the sweep — carried pending if unbounded, refused if scoped
+    val delIdsListed = GenStore.listBatchIds(spark, s"$src/deletes")
     midHook()
     val dst = genDir(root, cur + 1)
     // the merge reads the LISTED fragments explicitly, never the whole
@@ -670,16 +779,28 @@ object InvertedIndex {
     // sweep would copy it AGAIN — duplicating its postings and stats
     def frag(table: String, is: Seq[Long]) =
       spark.read.parquet(is.map(i => s"$src/$table/batch_id=$i"): _*)
+    // same fragments, with the admission batch_id retained as a column
+    // (basePath keeps partition discovery on explicit-path reads) — the
+    // scoped-delete mask is a per-(doc, batch) predicate
+    def fragB(table: String, is: Seq[Long]) =
+      spark.read.option("basePath", s"$src/$table")
+        .parquet(is.map(i => s"$src/$table/batch_id=$i"): _*)
     // pending deletes listed alongside the data fragments are applied
     // PHYSICALLY here: the compacted generation holds no trace of the
     // deleted docs (postings entries removed, doclens rows dropped,
     // stats recomputed) and starts with no pending set — bit-identical
-    // to a store built without those documents
-    val delIds = GenStore.listBatchIds(spark, s"$src/deletes")
+    // to a store built without those documents. Scoped (hwm) deletes
+    // apply per batch: a replaced doc's OLD copies die, its live copy
+    // (admitted above the mask bound) folds through untouched.
+    val delIds = delIdsListed
     val del = if (delIds.isEmpty) None
-      else Some(broadcast( // O(dead ids) — see pendingDeletes
-        spark.read.parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
-          .select(col("doc_id")).distinct()))
+      else Some(broadcast { // O(dead ids) — see pendingDeletes
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(delIds.map(i => s"$src/deletes/batch_id=$i"): _*)
+        val hwmCol = if (raw.columns.contains("hwm"))
+          coalesce(col("hwm"), lit(Long.MaxValue)) else lit(Long.MaxValue)
+        raw.groupBy(col("doc_id")).agg(max(hwmCol).as("del_hwm"))
+      })
     del match {
       case None =>
         frag("postings", ids)
@@ -696,21 +817,21 @@ object InvertedIndex {
             sum(col("sum_dl")).cast("long").as("sum_dl"))
           .write.mode("overwrite").parquet(s"$dst/stats/batch_id=$hwm")
       case Some(d) =>
-        // per-entry anti-join (struct sort restores the doc_id order the
-        // admission layout guarantees); cells whose entries all die
-        // disappear entirely, exactly as a fresh build would have it
-        frag("postings", ids)
-          .select(col("tok"), col("bucket"), explode(col("postings")).as("p"))
-          .withColumn("doc_id", col("p.doc_id"))
-          .join(d, Seq("doc_id"), "left_anti")
+        // per-entry masked join (struct sort restores the doc_id order
+        // the admission layout guarantees); cells whose entries all die
+        // disappear entirely, exactly as a fresh build would have it —
+        // and a replaced doc folds exactly its LIVE copy through
+        maskLive(fragB("postings", ids)
+            .select(col("tok"), col("bucket"), col("batch_id"),
+              explode(col("postings")).as("p"))
+            .withColumn("doc_id", col("p.doc_id")), d)
           .groupBy(col("tok"), col("bucket"))
           .agg(sort_array(collect_list(col("p"))).as("postings"))
           .select(col("tok"), col("bucket"),
             size(col("postings")).cast("long").as("n_docs"), col("postings"))
           .write.mode("overwrite").parquet(s"$dst/postings/batch_id=$hwm")
-        frag("doclens", ids)
+        maskLive(fragB("doclens", ids), d)
           .select(col("doc_id"), col("dl"))
-          .join(d, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$dst/doclens/batch_id=$hwm")
         // stats recomputed from the surviving doclens rows — N, sum_dl
         // shrink exactly, so post-compaction BM25 needs no pending set
@@ -737,7 +858,11 @@ object InvertedIndex {
       (GenStore.listBatchIds(spark, s"$src/postings").toSet -- allIds)
         .filter(retain).toSeq.sorted
         .foreach { i =>
-          del match {
+          // a LISTED scoped delete masks this straggler only if its
+          // bound reaches batch i — within one fragment the mask is a
+          // plain anti-join against the reachable subset
+          val dI = del.map(_.filter(col("del_hwm") >= lit(i)))
+          dI match {
             case None =>
               Seq("postings", "doclens", "stats").foreach { t =>
                 frag(t, Seq(i))
@@ -765,7 +890,25 @@ object InvertedIndex {
         }
       (GenStore.listBatchIds(spark, s"$src/deletes").toSet -- delIds).toSeq.sorted
         .foreach { i =>
-          spark.read.parquet(s"$src/deletes/batch_id=$i")
+          val straggler = spark.read.parquet(s"$src/deletes/batch_id=$i")
+          // a SCOPED delete straggling into the compaction window is
+          // refused: its hwm references batch ids this fold just sealed
+          // into one fragment, so carrying it pending could unmask the
+          // folded old copy it meant to kill (resurrection). Scoped
+          // deletes are the upsert front's private discipline — that
+          // front serializes its ticks against compaction (single
+          // writer), so this throw marks a contract breach, not a race
+          // to tolerate. Unbounded takedowns stay carry-safe (infinity
+          // is renumber- and fold-invariant).
+          if (straggler.columns.contains("hwm") &&
+              straggler.filter(col("hwm") =!= Long.MaxValue).limit(1).count() > 0)
+            throw new IllegalStateException(
+              s"scoped (hwm) delete batch_id=$i landed during a compaction " +
+                s"of $root: scoped deletes reference pre-fold admission " +
+                "batch ids and cannot be carried pending across the fold — " +
+                "the upsert front must serialize its ticks against " +
+                "compaction (re-run the tick against the new generation)")
+          straggler
             .write.mode("overwrite").parquet(s"$dst/deletes/batch_id=$i")
         }
     }

@@ -172,10 +172,12 @@ object VectorStore {
     * compaction seal on delete ids — delete replay is a semantic no-op
     * — but ids a federation merge renumbered are fenced
     * ([[GenStore.deletesHwm]]): overwriting one would clobber a
-    * carried builder takedown.
+    * carried builder takedown. `hwm` scopes the mask to admission
+    * batches at or below it (the [[InvertedIndex.appendDeleteBatch]]
+    * ordered-delete rule; default: unbounded — plain takedown).
     */
   def admitDeletes(spark: SparkSession, root: String, ids: DataFrame,
-      idCol: String, batchId: Long): Unit = {
+      idCol: String, batchId: Long, hwm: Long = Long.MaxValue): Unit = {
     GenStore.requireNotQuiesced(root)
     val gen = currentGen(root)
     val dhwm = GenStore.deletesHwm(root, gen)
@@ -186,6 +188,7 @@ object VectorStore {
         "those ids would clobber a pending takedown; use a fresh id above " +
         "the mark")
     ids.select(col(idCol).cast("long").as("cid")).distinct()
+      .withColumn("hwm", lit(hwm))
       .write.mode("overwrite").parquet(s"${deletesDir(root, gen)}/batch_id=$batchId")
     GenStore.requireStillNotQuiesced(root, s"delete batch_id=$batchId")
     val now = currentGen(root)
@@ -194,17 +197,50 @@ object VectorStore {
         s"gen=$gen but _CURRENT is now gen=$now — re-admit under the current generation")
   }
 
-  /** The pending delete set of one generation (distinct vec ids), or
-    * None when nothing was ever deleted — the common case keeps every
-    * read plan untouched.
+  /** UPSERT one batch of vectors: a SCOPED delete at `hwm = batchId -
+    * 1` (masks every copy admitted so far; nothing, harmlessly, for a
+    * new id) followed by admission of the re-embedded versions at
+    * `batchId` — [[InvertedIndex.admitReplaceBatch]]'s shape on the
+    * coded store. The old encoding is masked from every read (search,
+    * transitional search, the refit fit corpus) and removed physically
+    * at the next compaction. Single-writer contract as the index twin:
+    * upsert ticks serialize against compaction — a scoped delete
+    * straggling into a compaction window is refused by the sweep.
+    */
+  def admitReplace(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, batchId: Long, nassign: Int = 2): Unit = {
+    admitDeletes(spark, root, batch.select(col(idCol)), idCol, batchId,
+      hwm = batchId - 1)
+    admit(spark, root, batch, idCol, vecCol, batchId, nassign)
+  }
+
+  /** SCOPED takedown: delete every copy of `ids` admitted at or below
+    * `batchId - 1`, leaving later re-admissions of the same ids
+    * unmasked — the CDC delete-then-reinsert lifecycle
+    * ([[InvertedIndex.admitScopedDeleteBatch]]'s twin).
+    */
+  def admitScopedDeletes(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit =
+    admitDeletes(spark, root, ids, idCol, batchId, hwm = batchId - 1)
+
+  /** The pending delete set of one generation as `(cid, del_hwm)` —
+    * one row per dead/replaced vector with the highest mask bound
+    * across its delete rows — or None when nothing was ever deleted
+    * (the common case keeps every read plan untouched). Fragments
+    * written before the hwm column existed read as unbounded.
     */
   private def pendingDeletes(spark: SparkSession, root: String,
       gen: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletesDir(root, gen))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(deletesDir(root, gen))
-      .select(col("cid")).distinct())
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(deletesDir(root, gen))
+      val hwmCol = if (raw.columns.contains("hwm"))
+        coalesce(col("hwm"), lit(Long.MaxValue)) else lit(Long.MaxValue)
+      Some(raw.groupBy(col("cid")).agg(max(hwmCol).as("del_hwm")))
+    }
   }
 
   /** Excludes a generation's pending deletes from a coded frame — the
@@ -222,7 +258,9 @@ object VectorStore {
   private def minusDeleted(spark: SparkSession, root: String, gen: Long,
       coded: DataFrame): DataFrame =
     pendingDeletes(spark, root, gen)
-      .map(d => coded.join(broadcast(d), Seq("cid"), "left_anti"))
+      .map(d => coded.join(broadcast(d), Seq("cid"), "left")
+        .filter(col("del_hwm").isNull || col("batch_id") > col("del_hwm"))
+        .drop("del_hwm"))
       .getOrElse(coded)
 
   /** The current generation's per-batch drift dashboard
@@ -299,7 +337,8 @@ object VectorStore {
     // geometry must not be shaped around vectors the store will never
     // serve again
     val corpus = minusDeleted(spark, root, cur, primaryRows(
-      spark.read.parquet(codedDir(root, cur)).select("cid", "cv", "cell", "codes"),
+      spark.read.parquet(codedDir(root, cur))
+        .select("cid", "cv", "cell", "codes", "batch_id"),
       oldCents))
     val (nc, nb) = Similarity.fitIvfPq(corpus, "cid", "cv",
       nlist, kmeansIters, m, kcode, pqIters)
@@ -448,18 +487,28 @@ object VectorStore {
     // listing stay pending (swept through below).
     val delIds = listBatchIds(spark, deletesDir(root, cur))
     val del = if (delIds.isEmpty) None
-      else Some(broadcast( // O(dead ids) — see minusDeleted
-        spark.read.parquet(
-            delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
-          .select(col("cid")).distinct()))
+      else Some(broadcast { // O(dead ids) — see minusDeleted
+        val raw = spark.read.option("mergeSchema", "true").parquet(
+          delIds.map(i => s"${deletesDir(root, cur)}/batch_id=$i"): _*)
+        val hwmCol = if (raw.columns.contains("hwm"))
+          coalesce(col("hwm"), lit(Long.MaxValue)) else lit(Long.MaxValue)
+        raw.groupBy(col("cid")).agg(max(hwmCol).as("del_hwm"))
+      })
     midHook()
     // compaction is layout-only, so it carries whatever code tiers the
     // store was admitted with — a pre-SQ8 store (no sq column) compacts
     // fine and stays pq-only; adding the tier is refit's job, not this
     def mergeInto(dstId: Long, srcIds: Seq[Long], applyDeletes: Boolean): Unit = {
-      val frags = spark.read.parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
+      // basePath keeps the batch_id partition column on explicit-path
+      // reads — the scoped-delete mask is a per-(vector, batch)
+      // predicate: a replaced vector's live re-encode (admitted above
+      // its mask bound) folds through, its old copies die
+      val frags = spark.read.option("basePath", src)
+        .parquet(srcIds.map(i => s"$src/batch_id=$i"): _*)
       val kept =
-        if (applyDeletes) del.map(d => frags.join(d, Seq("cid"), "left_anti"))
+        if (applyDeletes) del.map(d => frags.join(d, Seq("cid"), "left")
+            .filter(col("del_hwm").isNull || col("batch_id") > col("del_hwm"))
+            .drop("del_hwm"))
           .getOrElse(frags)
         else frags
       kept
@@ -495,7 +544,23 @@ object VectorStore {
       }
       (listBatchIds(spark, deletesDir(root, cur)).toSet -- delIds).toSeq.sorted
         .foreach { i =>
-          spark.read.parquet(s"${deletesDir(root, cur)}/batch_id=$i")
+          val straggler = spark.read.parquet(
+            s"${deletesDir(root, cur)}/batch_id=$i")
+          // a SCOPED delete straggling into the compaction window is
+          // refused, never mis-carried: its hwm references batch ids
+          // this fold just merged away, so carrying it pending could
+          // unmask the folded copy it meant to kill
+          // ([[InvertedIndex.compactStoreHooked]]'s rule — the upsert
+          // front serializes its ticks against compaction)
+          if (straggler.columns.contains("hwm") &&
+              straggler.filter(col("hwm") =!= Long.MaxValue).limit(1).count() > 0)
+            throw new IllegalStateException(
+              s"scoped (hwm) delete batch_id=$i landed during a " +
+                s"compaction of $root: scoped deletes reference pre-fold " +
+                "admission batch ids and cannot be carried pending " +
+                "across the fold — re-run the upsert tick against the " +
+                "new generation")
+          straggler
             .write.mode("overwrite").parquet(s"${deletesDir(root, ng)}/batch_id=$i")
         }
     }
@@ -535,6 +600,25 @@ object VectorStore {
       if (listBatchIds(spark, codedDir(src, g)).size > 1 ||
         listBatchIds(spark, deletesDir(src, g)).nonEmpty)
         compactGen(spark, src, g)
+    }
+    // SCOPED-delete fence ([[InvertedIndex.mergeStores]]'s rule): a
+    // pending hwm-scoped delete references source-local admission batch
+    // ids, which this merge renumbers — compact the source first
+    // (compactFirst=true does) so the mask is applied, not mis-carried
+    srcRoots.foreach { src =>
+      val g = currentGen(src)
+      val dIds = listBatchIds(spark, deletesDir(src, g))
+      if (dIds.nonEmpty) {
+        val dels = spark.read.option("mergeSchema", "true")
+          .parquet(dIds.map(i => s"${deletesDir(src, g)}/batch_id=$i"): _*)
+        if (dels.columns.contains("hwm") &&
+            dels.filter(col("hwm") =!= Long.MaxValue).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"source $src has pending SCOPED (hwm) deletes: their " +
+              "high-water marks reference source-local admission batch " +
+              "ids, which this merge renumbers — compact the source " +
+              "first (or pass compactFirst = true)")
+      }
     }
     val arts = srcRoots.map(r => loadGenIndex(spark, r, currentGen(r)))
     val (c0, b0) = arts.head
@@ -679,7 +763,8 @@ object VectorStore {
     val gen = currentGen(root)
     val (cents, _) = loadGenIndex(spark, root, gen)
     minusDeleted(spark, root, gen, primaryRows(
-      spark.read.parquet(codedDir(root, gen)).select("cid", "cv", "cell", "codes"),
+      spark.read.parquet(codedDir(root, gen))
+        .select("cid", "cv", "cell", "codes", "batch_id"),
       cents))
       .select(col("cid").as(idCol), col("cv").as(vecCol))
   }
@@ -771,16 +856,22 @@ object VectorStore {
     // pending sets (by cid, so it applies to migrated re-encodes too)
     val del = (pendingDeletes(spark, root, oldGen),
         pendingDeletes(spark, root, newGen)) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (Some(a), Some(b)) => Some(a.unionByName(b)
+        .groupBy(col("cid")).agg(max(col("del_hwm")).as("del_hwm")))
       case (a, b) => a.orElse(b)
     }
     def side(gen: Long, ids: Seq[Long]): Option[DataFrame] =
       if (ids.isEmpty) None
       else {
         val (cents, books) = loadGenIndex(spark, root, gen)
-        val coded0 = spark.read.parquet(
-          ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
-        val coded = del.map(d => coded0.join(broadcast(d), Seq("cid"), "left_anti"))
+        // basePath keeps batch_id for the scoped mask; migrated
+        // re-encodes keep their source batch ids, so one mask bound
+        // applies identically on both sides of the transition
+        val coded0 = spark.read.option("basePath", codedDir(root, gen))
+          .parquet(ids.map(i => s"${codedDir(root, gen)}/batch_id=$i"): _*)
+        val coded = del.map(d => coded0.join(broadcast(d), Seq("cid"), "left")
+            .filter(col("del_hwm").isNull || col("batch_id") > col("del_hwm"))
+            .drop("del_hwm"))
           .getOrElse(coded0)
         Some(Similarity.searchCodedFrame(coded, queries, idCol, vecCol, k,
           cents, books, nprobe, shortlistFactor, broadcastQueries, tier))

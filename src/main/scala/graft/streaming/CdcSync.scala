@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{InvertedIndex, Similarity, VectorStore}
+
+/** CDC → DERIVED-STORE SYNC: keep a serving store (the retrieval index
+  * here; [[graft.operators.VectorStore]] has the vector twin) tracking
+  * a mutating corpus WITHOUT rebuilds, by consuming the CDC snapshot
+  * store's delta log ([[EventStreams.cdcChangesBetween]]) and applying
+  * each window as one admission tick:
+  *
+  *   - upserts (I/U) become [[InvertedIndex.admitReplaceBatch]]'s
+  *     shape: a SCOPED delete (mask every copy admitted so far) plus
+  *     admission of the new versions — the lakehouse change-data-feed
+  *     → index-maintenance pattern (Delta CDF readers, Lucene soft
+  *     deletes) on this repo's store discipline;
+  *   - deletes (D) become scoped takedowns, leaving the door open for
+  *     a later re-insert of the same key.
+  *
+  * Cost per tick on the delta fast path: O(window change bytes) to
+  * compute the feed (plus one narrow (key, seq) scan of the watermark
+  * snapshot), O(changed docs) to admit — FLAT in corpus and index
+  * size. The index's own `needsCompaction` policy bounds read
+  * amplification between ticks exactly as for append-only admission.
+  *
+  * EXACTLY-ONCE without a transaction log: the tick's admissions all
+  * use `batchId = <target CDC version>` (idempotent per-path
+  * overwrites), the watermark file advances LAST, and a crash between
+  * admission and watermark is self-healing — the retry tick's window
+  * nests the orphan's, so its scoped delete (hwm = newVersion - 1)
+  * masks every copy the orphan admitted, and the re-admitted versions
+  * serve alone. No distributed coordination, no cleanup pass.
+  *
+  * SINGLE-WRITER contract: one sync driver per (cdcDir, root) pair
+  * runs ticks and maintenance (compaction) serially — scoped deletes
+  * must not race a compaction ([[InvertedIndex.admitReplaceBatch]]'s
+  * contract; the compaction sweep refuses a straggling scoped delete
+  * rather than mis-carrying it).
+  *
+  * RESYNC: if the watermark version has been vacuumed from the CDC
+  * store, the incremental feed is unrecoverable — build a FRESH root
+  * (first sync call bootstraps from the current snapshot) and cut
+  * serving over via the manifest (the q152/q195 pin-and-cutover
+  * pattern); this front refuses rather than silently full-diffing.
+  */
+object CdcSync {
+
+  private def watermarkPath(root: String) =
+    java.nio.file.Paths.get(root, "_CDC_SYNC")
+
+  /** The applied CDC (version, source dir) recorded at the store root,
+    * or None before the bootstrap tick. */
+  def appliedState(root: String): Option[(Long, String)] = {
+    val p = watermarkPath(root)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(p))
+        .linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
+        .toMap
+      Some((kv("version").toLong, kv("cdcDir")))
+    }
+  }
+
+  // atomic pointer write (the _CURRENT discipline): tmp + ATOMIC_MOVE,
+  // so a reader never sees a torn watermark and a crash leaves the old
+  // one — the tick replays, which the hwm mask makes idempotent
+  private def writeApplied(root: String, v: Long, cdcDir: String): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "_CDC_SYNC.tmp")
+    java.nio.file.Files.write(tmp, s"version=$v\ncdcDir=$cdcDir\n".getBytes)
+    java.nio.file.Files.move(tmp, watermarkPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One sync TICK for the retrieval index: advance the store at
+    * `root` to the CDC store's current version. First call bootstraps
+    * (admits the full current snapshot as one batch); later calls
+    * apply the net change feed for `(applied, current]`. `prep` maps
+    * change-feed payload rows (`keyCol` + snapshot payload, no op) to
+    * the indexable frame (`keyCol`, `toksCol`) — tokenization lives
+    * with the caller, the sync owns only the lifecycle. Returns the
+    * new applied version (= current at the cut); a no-op tick (already
+    * current) returns it untouched.
+    */
+  def syncIndexFromCdc(spark: SparkSession, cdcDir: String, root: String,
+      keyCol: String, toksCol: String, bucketSize: Long,
+      prep: DataFrame => DataFrame,
+      seqCol: String = "seq", opCol: String = "op"): Long = {
+    val cur = EventStreams.currentCdcVersion(cdcDir)
+    appliedState(root) match {
+      case None =>
+        InvertedIndex.initStore(root)
+        val docs = prep(EventStreams.cdcSnapshotAt(spark, cdcDir, cur))
+        if (!docs.isEmpty)
+          InvertedIndex.admitBatch(spark, docs, keyCol, toksCol,
+            bucketSize, batchId = cur, root = root)
+        writeApplied(root, cur, cdcDir)
+        cur
+      case Some((applied, src)) =>
+        require(src == cdcDir,
+          s"store $root syncs from $src — refusing a tick against " +
+            s"$cdcDir (one store tracks one CDC source; federate the " +
+            "sources or build a second store)")
+        if (applied == cur) return cur
+        require(applied < cur,
+          s"applied watermark $applied is ahead of the CDC store's " +
+            s"current version $cur — was the CDC store at $cdcDir " +
+            "reset or replaced? Resync into a fresh root")
+        val changes = EventStreams.cdcChangesBetween(spark, cdcDir,
+          applied, cur, Seq(keyCol), seqCol, opCol).persist()
+        try {
+          if (!changes.isEmpty) {
+            // one scoped delete covers updates AND deletes (for a
+            // freshly inserted key it masks nothing, harmlessly) —
+            // hwm = cur - 1 reaches every earlier tick's batch id
+            InvertedIndex.admitScopedDeleteBatch(spark,
+              changes.select(col(keyCol)), keyCol, batchId = cur,
+              root = root)
+            val ups = prep(changes.filter(col(opCol) =!= "D").drop(opCol))
+            if (!ups.isEmpty)
+              InvertedIndex.admitBatch(spark, ups, keyCol, toksCol,
+                bucketSize, batchId = cur, root = root)
+          }
+          writeApplied(root, cur, cdcDir)
+        } finally changes.unpersist()
+        cur
+    }
+  }
+
+  /** One sync TICK for the CODED VECTOR store — [[syncIndexFromCdc]]'s
+    * twin for embeddings: the bootstrap tick FITS the IVF-PQ artifact
+    * on the initial snapshot (the one fit; later ticks encode against
+    * it — geometry refresh is the drift policy's job,
+    * [[VectorStore.needsRefit]], orthogonal to sync), and each
+    * incremental tick applies the net change feed as scoped deletes +
+    * re-encoded admissions ([[VectorStore.admitReplace]]'s shape).
+    * `prep` maps change-feed payload rows to (`keyCol`, `vecCol`)
+    * embedding rows. Same watermark-last, nested-window crash
+    * discipline as the index twin. Returns the new applied version.
+    */
+  def syncVectorsFromCdc(spark: SparkSession, cdcDir: String, root: String,
+      keyCol: String, vecCol: String, prep: DataFrame => DataFrame,
+      nlist: Int, kmeansIters: Int, m: Int, kcode: Int, pqIters: Int,
+      nassign: Int = 2,
+      seqCol: String = "seq", opCol: String = "op"): Long = {
+    val cur = EventStreams.currentCdcVersion(cdcDir)
+    appliedState(root) match {
+      case None =>
+        val vecs = prep(EventStreams.cdcSnapshotAt(spark, cdcDir, cur))
+        require(!vecs.isEmpty,
+          "vector bootstrap needs a non-empty snapshot: the tick fits " +
+            "the IVF-PQ artifact on it (an empty corpus has no geometry)")
+        val (cents, books) = Similarity.fitIvfPq(vecs, keyCol, vecCol,
+          nlist, kmeansIters, m, kcode, pqIters)
+        VectorStore.init(spark, root, cents, books)
+        VectorStore.admit(spark, root, vecs, keyCol, vecCol,
+          batchId = cur, nassign = nassign)
+        writeApplied(root, cur, cdcDir)
+        cur
+      case Some((applied, src)) =>
+        require(src == cdcDir,
+          s"store $root syncs from $src — refusing a tick against " +
+            s"$cdcDir (one store tracks one CDC source)")
+        if (applied == cur) return cur
+        require(applied < cur,
+          s"applied watermark $applied is ahead of the CDC store's " +
+            s"current version $cur — was the CDC store at $cdcDir " +
+            "reset or replaced? Resync into a fresh root")
+        val changes = EventStreams.cdcChangesBetween(spark, cdcDir,
+          applied, cur, Seq(keyCol), seqCol, opCol).persist()
+        try {
+          if (!changes.isEmpty) {
+            VectorStore.admitScopedDeletes(spark, root,
+              changes.select(col(keyCol)), keyCol, batchId = cur)
+            val ups = prep(changes.filter(col(opCol) =!= "D").drop(opCol))
+            if (!ups.isEmpty)
+              VectorStore.admit(spark, root, ups, keyCol, vecCol,
+                batchId = cur, nassign = nassign)
+          }
+          writeApplied(root, cur, cdcDir)
+        } finally changes.unpersist()
+        cur
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1306,6 +1306,122 @@ object EventStreams {
       .select(keyCols.map(col) ++
         payload.map(f => when(col(opCol) === "D", col(s"__from.$f"))
           .otherwise(col(s"__to.$f")).as(f)) :+ col(opCol): _*)
+  }
+
+  /** The published version `_CURRENT` points at — the public read of
+    * the pointer (the sync front's cut coordinate). */
+  def currentCdcVersion(stateDir: String): Long = readCdcVersion(stateDir)
+
+  /** NET CHANGES between two published versions — the change feed a
+    * DERIVED store consumes to track this one without rebuilds
+    * ([[CdcSync]]): one row per key whose state at `toV` may differ
+    * from its state at `fromV`, carrying the `toV` payload and an op
+    * computed AGAINST `fromV` (I: absent then, present now; U: present
+    * both; D: present then, absent now — D rows carry null payload,
+    * the key is the authoritative part).
+    *
+    * FAST PATH — every version in `(fromV, toV]` is a retained DELTA:
+    * the feed is computed from the raw delta batches, O(window change
+    * bytes), plus ONE narrow (key, seq) projection of the `fromV`
+    * snapshot for the stale-seq guard — the exact cost the store's own
+    * replay pays per read, flat in state size. The fold is
+    * bit-faithful to the replay: within a version the survivor is
+    * [[graft.operators.Merge.applyChanges]]' lexicographic-max rule;
+    * across versions changes apply in version order under the strict
+    * seq guard, a D tombstones the key so ANY later change applies
+    * (the documented post-delete-resurrection semantics of
+    * [[graft.operators.Merge.cdcApply]]) — so applying this feed to
+    * the `fromV` snapshot lands exactly at `toV`.
+    *
+    * FALLBACK — a CHECKPOINT crosses the window (its publish folded
+    * its change batch into the snapshot, so no raw delta exists for
+    * it): [[cdcDiff]], the O(state) snapshot diff. That cost is paid
+    * exactly when the store itself paid a state-sized write, so a
+    * consumer syncing at least once per checkpoint interval never
+    * leaves the delta path — the runbook line, same economics as
+    * compact-before-quiesce.
+    *
+    * Caveat (superset, harmless to appliers): a key republished with
+    * an advanced seq but byte-identical payload is emitted as U here;
+    * [[cdcDiff]] compares payloads and drops it. Both land at `toV`
+    * when applied.
+    */
+  def cdcChangesBetween(spark: SparkSession, stateDir: String,
+      fromV: Long, toV: Long, keyCols: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val cur = readCdcVersion(stateDir)
+    require(fromV >= 0 && fromV <= toV && toV <= cur,
+      s"need 0 <= fromV <= toV <= current ($cur); got ($fromV, $toV)")
+    val cols = spark.read.parquet(resolveCdcChain(stateDir, fromV)._1)
+      .columns.toSeq
+    require(keyCols.forall(cols.contains),
+      s"key columns ${keyCols.mkString(",")} not all present in " +
+        s"snapshot schema ${cols.mkString(",")}")
+    require(cols.contains(seqCol), s"snapshot must carry $seqCol")
+    val payload = cols.filterNot(keyCols.contains) // includes seqCol
+    val outCols = (keyCols ++ payload :+ opCol).map(col)
+    if (fromV == toV)
+      return resolveCdcSnapshot(spark, stateDir, fromV)
+        .withColumn(opCol, lit("U")).select(outCols: _*).limit(0)
+    val window = (fromV + 1) to toV
+    val allDeltas = window.forall { v =>
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(cdcVersionDir(stateDir, v))) &&
+        isCdcDelta(stateDir, v)
+    }
+    if (!allDeltas)
+      return cdcDiff(spark, stateDir, fromV, toV, keyCols, opCol)
+    window.foreach { v =>
+      val m = readCdcDeltaMeta(stateDir, v)
+      require(m.keyCols == keyCols && m.seqCol == seqCol && m.opCol == opCol,
+        s"delta v$v was published as (keys=${m.keyCols.mkString(",")}, " +
+          s"seq=${m.seqCol}, op=${m.opCol}) — caller asked for " +
+          s"(keys=${keyCols.mkString(",")}, seq=$seqCol, op=$opCol)")
+    }
+    val pStruct = struct(payload.map(col): _*)
+    // survivor per (key, version): applyChanges' within-batch rule
+    val perVersion = window.map { v =>
+        spark.read.parquet(cdcVersionDir(stateDir, v))
+          .withColumn("__v", lit(v))
+      }.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col) :+ col("__v"): _*)
+      .agg(max_by(struct(col(opCol).as("op"), pStruct.as("p")),
+        struct(col(seqCol) +: col(opCol) +: payload.map(col): _*)).as("c"))
+    val pType = perVersion.select(col("c.p").as("p")).schema("p").dataType
+    // ordered change list per key (leading __v sorts the structs)
+    val byKey = perVersion.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__v"),
+        col("c.op").as("op"), col("c.p").as("p")))).as("cs"))
+    val baseNarrow = resolveCdcSnapshot(spark, stateDir, fromV)
+      .select(keyCols.map(col) :+ col(seqCol).as("__base_seq"): _*)
+    def st(present: Column, seq: Column, p: Column, changed: Column) =
+      struct(present.as("present"), seq.as("seq"), p.as("p"),
+        changed.as("changed"))
+    val folded = byKey.join(baseNarrow, keyCols, "left")
+      .withColumn("f", aggregate(col("cs"),
+        st(col("__base_seq").isNotNull,
+          coalesce(col("__base_seq"), lit(Long.MinValue)),
+          lit(null).cast(pType), lit(false)),
+        (acc, c) => {
+          val applies = !acc.getField("present") ||
+            c.getField("p").getField(seqCol) > acc.getField("seq")
+          when(!applies, acc)
+            .when(c.getField("op") === "D",
+              st(lit(false), acc.getField("seq"),
+                lit(null).cast(pType), lit(true)))
+            .otherwise(st(lit(true), c.getField("p").getField(seqCol),
+              c.getField("p"), lit(true)))
+        }))
+    folded
+      // net no-ops drop: nothing applied, or insert-then-delete
+      .filter(col("f.changed") &&
+        (col("f.present") || col("__base_seq").isNotNull))
+      .withColumn(opCol,
+        when(!col("f.present"), "D")
+          .when(col("__base_seq").isNull, "I")
+          .otherwise("U"))
+      .select(keyCols.map(col) ++
+        payload.map(f => col(s"f.p.$f").as(f)) :+ col(opCol): _*)
   }
 
   /** Retention: drop every published version older than the newest
