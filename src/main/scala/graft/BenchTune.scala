@@ -1242,6 +1242,66 @@ object BenchTune {
       f"folded_read=$foldedRead%.1f s")
   }
 
+  /** `--cdcsync [docs] [batchRows] [ticks]`: the CDC → index SYNC
+    * economics (q201's structural claim, as numbers): against a CDC
+    * store holding `docs` hash-token documents, time (a) the bootstrap
+    * tick (the ONE corpus-sized cost — full tokenize + admit), (b)
+    * `ticks` incremental ticks of `batchRows`-doc re-crawl batches —
+    * the claim is each tick costs O(change batch): the feed is raw
+    * deltas + one narrow (key, seq) scan of the watermark snapshot,
+    * the admission tokenizes only the changed docs, the scoped delete
+    * is O(changed ids) — flat in corpus and index size — (c) the
+    * compaction that folds the upsert history (state-sized, policy-
+    * amortized), and (d) one post-compaction tick (the steady state).
+    * Run at several corpus sizes with the same batch size:
+    * tick_avg should stay ~flat while bootstrap/compact scale.
+    */
+  private def cdcSyncDemo(spark: SparkSession, docs: Long,
+      batchRows: Long, ticks: Int): Unit = {
+    import graft.streaming.{CdcSync, EventStreams}
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdcsync-probe").toString
+    requireDiskBudget(base,
+      docs * 900L + (ticks + 1) * batchRows * 900L, "cdcsync")
+    val (cdc, root) = (s"$base/cdc", s"$base/idx")
+    def text(idCol: org.apache.spark.sql.Column, salt: Int) =
+      concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("w"), pmod(xxhash64(idCol, j, lit(salt)), lit(50000L))
+          .cast("string"))))
+    val initT = wall(EventStreams.initCdcState(
+      spark.range(docs).select(col("id").as("doc_id"),
+        text(col("id"), 0).as("text"), lit(0L).as("seq")), cdc))
+    val prep: DataFrame => DataFrame = df => df.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    def tick() = CdcSync.syncIndexFromCdc(spark, cdc, root,
+      "doc_id", "tk", 4096L, prep)
+    val bootT = wall(tick())
+    val stride = math.max(docs / math.max(batchRows, 1L), 1L)
+    def publish(i: Int): Unit =
+      EventStreams.publishCdcBatch(spark, cdc,
+        spark.range(batchRows).select((col("id") * stride).as("doc_id"),
+          text(col("id") * stride, i).as("text"),
+          lit(i.toLong).as("seq"), lit("U").as("op")),
+        Seq("doc_id"), "seq", "op",
+        maxDeltas = Int.MaxValue, maxDeltaFraction = 1e18)
+    val tickTs = (1 to ticks).map { i =>
+      publish(i); wall(tick())
+    }
+    val compT = wall(graft.operators.InvertedIndex.compactStore(spark, root,
+      graft.operators.InvertedIndex.currentGen(root)))
+    publish(ticks + 1)
+    val postT = wall(tick())
+    println(f"[cdcsync] docs=$docs%d batch=$batchRows%d ticks=$ticks%d " +
+      f"init=$initT%.1f s bootstrap=$bootT%.1f s " +
+      f"tick_avg=${tickTs.sum / tickTs.size}%.2f s " +
+      f"(min=${tickTs.min}%.2f max=${tickTs.max}%.2f) " +
+      f"compact=$compT%.1f s post_compact_tick=$postT%.2f s")
+  }
+
   /** `--curation [docs] [batches]`: throughput of the streaming
     * curation capstone (q164's `curationIngestCompacting`) on synthetic
     * hash-token docs — `docs` total across `batches` crawl files, ~10%
@@ -1409,6 +1469,15 @@ object BenchTune {
         nums.drop(1).headOption.getOrElse(2L).toInt,
         withSingle = !tail.contains("nosingle"),
         batchesPerBuilder = nums.drop(2).headOption.getOrElse(1L).toInt)
+      spark.stop()
+      return
+    }
+    if (args.contains("--cdcsync")) {
+      val nums = args.dropWhile(_ != "--cdcsync").drop(1)
+        .takeWhile(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      cdcSyncDemo(spark, nums.headOption.getOrElse(1000000L),
+        nums.drop(1).headOption.getOrElse(20000L),
+        nums.drop(2).headOption.getOrElse(4L).toInt)
       spark.stop()
       return
     }

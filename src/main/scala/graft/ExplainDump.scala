@@ -222,11 +222,11 @@ object ExplainDump {
       docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
       0L, iroot)
     val iplan = ("q161_store_takedown (the PENDING-delete BM25 read)",
-      "takedown still pending (delete admitted, compaction not yet run): the postings scan is the audited q139 candidates-only shape, and the delete set joins in as LEFT-ANTI hash joins on doc_id at each bounded relation it feeds (candidate posting entries, the doclens-derived stats inputs, per-term df) — every one over index-sized rows (the delete fragment is a tiny distinct id scan that broadcasts); check the raw corpus appears nowhere and no anti-join input is corpus-sized: pending-delete serving costs one small anti-join per bounded relation, which is exactly what the next compaction folds away (the zero-cost post-purge plan is the main q161 section above)",
+      "takedown still pending (delete admitted, compaction not yet run): the postings scan is the audited q139 candidates-only shape, and the delete set joins in as the r15 SCOPED-DELETE MASK at each bounded relation it feeds (candidate posting entries, the doclens-derived stats inputs, per-term df): a BroadcastHashJoin LEFT-OUTER on doc_id against the (doc_id, max hwm) set followed by the mask filter (del_hwm null OR batch_id > del_hwm) — the batch_id comes from the partition column, zero extra bytes read; for this plain takedown every hwm is unbounded so the mask filters exactly what the old anti-join did, and the broadcast stays O(dead ids); check the raw corpus appears nowhere and no mask input is corpus-sized: pending-delete serving costs one small masked join per bounded relation, which is exactly what the next compaction folds away (the zero-cost post-purge plan is the main q161 section above)",
       InvertedIndex.bm25SearchCurrent(spark, iroot,
         Seq("join", "vector", "stream", "window"), 15))
     val f2plan = ("q200_filtered_bm25 (the filtered read, composed with a pending takedown)",
-      "filtered BM25 (InvertedIndex.bm25SearchStoreWhere) against the SAME pending-delete store as the q161 section — the two restriction mechanisms compose: the allowed-id LEFT-SEMI hash join (the tenant filter) sits on the per-document score frame next to the takedown's LEFT-ANTI joins, all of them over candidate rows of the query's terms (df-sized, never the corpus) with the tiny allowed list broadcast by stats, hint-free; the corpus-level stats inputs (N, avgdl, df) are NOT filtered — the Lucene stance: a surviving doc's weight is bit-identical to its unconstrained weight, so the semi join may sit anywhere on the per-candidate doc_id stream but NEVER inside the stats legs; Catalyst actually pushes it BELOW the final per-doc score aggregation (legal: doc_id is the grouping key; fewer docs aggregate — strictly better than the declared position above it), while the broadcast stats legs stay unfiltered; candidates-only postings scan unchanged underneath (term isin in PushedFilters)",
+      "filtered BM25 (InvertedIndex.bm25SearchStoreWhere) against the SAME pending-delete store as the q161 section — the two restriction mechanisms compose: the allowed-id LEFT-SEMI hash join (the tenant filter) sits on the per-document score frame next to the takedown's broadcast mask joins (LEFT-OUTER + hwm filter since r15), all of them over candidate rows of the query's terms (df-sized, never the corpus) with the tiny allowed list broadcast by stats, hint-free; the corpus-level stats inputs (N, avgdl, df) are NOT filtered — the Lucene stance: a surviving doc's weight is bit-identical to its unconstrained weight, so the semi join may sit anywhere on the per-candidate doc_id stream but NEVER inside the stats legs; Catalyst actually pushes it BELOW the final per-doc score aggregation (legal: doc_id is the grouping key; fewer docs aggregate — strictly better than the declared position above it), while the broadcast stats legs stay unfiltered; candidates-only postings scan unchanged underneath (term isin in PushedFilters)",
       InvertedIndex.bm25SearchStoreWhere(spark,
         InvertedIndex.genDir(iroot, InvertedIndex.currentGen(iroot)),
         Seq("join", "vector", "stream", "window"), 15,
@@ -255,7 +255,7 @@ object ExplainDump {
     VectorStore.admitDeletes(spark, proot,
       emb.filter(col("vec_id") % 10 === 2).select("vec_id"), "vec_id", 0L)
     val pplan = ("q161_store_takedown (the PENDING-delete kNN read, vector store)",
-      "vector takedown still pending (delete admitted, compaction not yet run) — the window SCALE.md prices at 1.13x clean after round 13's broadcast fix (was 2.85x): check the delete side enters as a BroadcastExchange feeding a BroadcastHashJoin LeftAnti sitting between the coded scan and the LUT scoring — the pending set is O(dead ids) by construction (minusDeleted broadcasts it explicitly), so the coded side's partitioning never reshuffles for the subtraction; check the probed-cell In(cell) filter STILL reaches the coded scan's PushedFilters below the anti-join (cell pruning survives the delete machinery — the scan reads ~nprobe/nlist of the store, deletes pending or not); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank); the compaction the needsCompaction policy triggers folds the anti-join away entirely (the main q150/q161 post-compaction sections)",
+      "vector takedown still pending (delete admitted, compaction not yet run) — the window SCALE.md prices at 1.13x clean after round 13's broadcast fix (was 2.85x): check the delete side enters as a BroadcastExchange feeding a BroadcastHashJoin LeftOuter + the scoped-mask filter (del_hwm null OR batch_id > del_hwm — r15's ordered deletes; batch_id is the partition column, zero extra bytes) sitting between the coded scan and the LUT scoring — the pending set is O(dead ids) by construction (minusDeleted broadcasts it explicitly), so the coded side's partitioning never reshuffles for the subtraction; check the probed-cell In(cell) filter STILL reaches the coded scan's PushedFilters below the anti-join (cell pruning survives the delete machinery — the scan reads ~nprobe/nlist of the store, deletes pending or not); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank); the compaction the needsCompaction policy triggers folds the anti-join away entirely (the main q150/q161 post-compaction sections)",
       VectorStore.search(spark, proot, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
     // q169: the POST-TAKEDOWN span-dedup read (the q169 catalog row is
@@ -320,7 +320,7 @@ object ExplainDump {
         .select("vec_id"), "vec_id", 0L)
     VectorStore.mergeStores(spark, Seq(mra, mrb), mm)
     val mplan = ("q192_vector_federation (the MERGED store's kNN read)",
-      "the federated vector store's serving read (two builders' byte-copied fragments + builder B's carried pending takedown): check the probed-cell In(cell) filter reaches the coded scan's PushedFilters — CELL PRUNING SURVIVES THE MERGE, because the merge copied the cell-clustered fragments byte-for-byte (same row-group cell locality, same stats) and renumbering the batch_id directories touches nothing the pruning reads; the scan's Location must list BOTH renumbered fragments (batch_id=0 and 1) under the merged gen=1; the carried delete set enters as the audited broadcast LeftAnti between the coded scan and the LUT scoring (the r13 1.13x-clean pending window, unchanged by federation); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank) — federation leaves NO machinery in the read path",
+      "the federated vector store's serving read (two builders' byte-copied fragments + builder B's carried pending takedown): check the probed-cell In(cell) filter reaches the coded scan's PushedFilters — CELL PRUNING SURVIVES THE MERGE, because the merge copied the cell-clustered fragments byte-for-byte (same row-group cell locality, same stats) and renumbering the batch_id directories touches nothing the pruning reads; the scan's Location must list BOTH renumbered fragments (batch_id=0 and 1) under the merged gen=1; the carried delete set enters as the audited broadcast mask (LeftOuter + hwm filter since r15 — an unbounded takedown's infinity bound is renumber-invariant, which is why the merge may carry it at all; finite-hwm scoped deletes are fenced out pre-copy) between the coded scan and the LUT scoring (the r13 1.13x-clean pending window, unchanged by federation); above it the plan is the audited q123 store-search shape (broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank) — federation leaves NO machinery in the read path",
       VectorStore.search(spark, mm, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
     // q176: the scoped sketch rebuild's WRITE-SIDE frame (rebuildKeys
@@ -356,8 +356,38 @@ object ExplainDump {
             org.apache.spark.sql.functions.lit(2)) === 0 &&
           !(col("user_id") % 10 === 3)),
         "event_type", 64))
+    // q201/q202: the PENDING-UPSERT masked reads — the r15 scoped-delete
+    // window between a sync tick and the next compaction, where TWO
+    // physical copies of a replaced doc exist and exactly one serves
+    // (the catalog rows return post-compaction/gate frames)
+    val uroot = Files.createTempDirectory("explain-q201-").toString + "/istore"
+    InvertedIndex.initStore(uroot)
+    InvertedIndex.admitBatch(spark, toks, "doc_id", "tk", 64L,
+      batchId = 0L, root = uroot)
+    InvertedIndex.admitReplaceBatch(spark,
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" graftsync"))).as("tk")),
+      "doc_id", "tk", 64L, batchId = 1L, root = uroot)
+    val uplan = ("q201_cdc_index_sync (the PENDING-upsert masked BM25 read)",
+      "the sync tick's serving window — %10 docs were REPLACED (scoped delete at hwm=0 + re-admission at batch 1), compaction not yet run, so both physical copies are on disk and the read must serve exactly the new one: the postings scan lists BOTH batch_id directories with the term isin filter in PushedFilters, and the r15 scoped mask sits above each bounded candidate relation as a BroadcastHashJoin LEFT-OUTER on doc_id against the (doc_id, max hwm) set plus the mask filter (del_hwm null OR batch_id > del_hwm) — batch_id is the partition column, so deciding WHICH copy lives costs zero data bytes; the stats legs subtract exactly the masked doclens rows (N and sum_dl count each replaced doc ONCE, at its new length — the bit-equality claim q201 oracle-gates); check no mask input is corpus-sized and the raw corpus appears nowhere; the next compaction folds the mask away entirely (the q161/q180 post-purge shape)",
+      InvertedIndex.bm25SearchCurrent(spark, uroot,
+        Seq("graftsync", "join", "vector"), 15))
+    val u2root = Files.createTempDirectory("explain-q202-").toString + "/vstore"
+    VectorStore.init(spark, u2root, vc, vb)
+    VectorStore.admit(spark, u2root, emb, "vec_id", "embedding", 0L)
+    VectorStore.admitReplace(spark, u2root,
+      emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), org.apache.spark.sql.functions.reverse(
+          col("embedding")).as("embedding")),
+      "vec_id", "embedding", batchId = 1L)
+    val u2plan = ("q202_cdc_vector_sync (the PENDING-upsert masked kNN read)",
+      "the vector sync tick's serving window — %5 vectors were RE-EMBEDDED (scoped delete at hwm=0 + re-encode at batch 1), compaction not yet run: the coded scan lists BOTH batch_id directories with the probed-cell In(cell) filter STILL in PushedFilters (cell pruning survives the upsert machinery — each copy was encoded into its own nearest cells, and the mask decides between them after the pruned scan), and the scoped mask is the BroadcastExchange -> BroadcastHashJoin LEFT-OUTER + hwm filter between the scan and the LUT scoring (batch_id from the partition column, zero extra bytes; the old encodings die in the filter, the new ones score); above it the audited q123 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank; the next compaction folds both copies to one and the mask away (the q150 post-compaction shape)",
+      VectorStore.search(spark, u2root, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
     Seq(cdcPlan, vplan, fplan, wplan, sqPlan, iplan, f2plan, kplan, pplan,
-      gplan, rplan, eplan, mplan, splan, hplan)
+      gplan, rplan, eplan, mplan, splan, hplan, uplan, u2plan)
   }
 
   def main(args: Array[String]): Unit = {

@@ -136,6 +136,34 @@ class CdcSyncSpec extends AnyFunSuite {
       s"feed ops wrong: $ops")
   }
 
+  test("cdcChangesBetween: a mid-chain fromV folds the below-window deltas for the guard (no state-wide resolve) and still lands exactly") {
+    val dir = Files.createTempDirectory("graft-sync-mid").toString + "/cdc"
+    EventStreams.initCdcState(Seq((1L, "one", 10L), (2L, "two", 10L),
+      (3L, "three", 10L)).toDF("key", "text", "seq"), dir)
+    def pub(rows: Seq[(Long, String, Long, String)]): Long =
+      EventStreams.publishCdcBatch(spark, dir,
+        rows.toDF("key", "text", "seq", "op"), Seq("key"), "seq", "op",
+        maxDeltas = Int.MaxValue, maxDeltaFraction = 1e18)
+    // below the window: key1 advanced to seq 20, key2 DELETED, key4 born
+    pub(Seq((1L, "one-b", 20L, "U"), (2L, "bye", 11L, "D")))
+    pub(Seq((4L, "four", 1L, "I")))
+    // the window (2, 4]: key1 gets a STALE change (seq 15 < 20 at v2 —
+    // must drop); key2 gets a stale-SEQ change that APPLIES because the
+    // delete tombstoned it at v1; key3 a plain fresh update; key4 a
+    // delete of the chain-born key
+    pub(Seq((1L, "one-stale", 15L, "U"), (2L, "two-back", 3L, "U")))
+    pub(Seq((3L, "three-b", 11L, "U"), (4L, "gone", 2L, "D")))
+    val feed = EventStreams.cdcChangesBetween(spark, dir, 2L, 4L, Seq("key"))
+    val landed = Merge.applyChanges(
+      EventStreams.cdcSnapshotAt(spark, dir, 2L), feed, Seq("key"),
+      "seq", "op")
+    assert(setEq(landed, EventStreams.cdcSnapshotAt(spark, dir, 4L)),
+      "mid-chain feed does not land at the target version")
+    val ops = feed.select("key", "op").as[(Long, String)].collect().toMap
+    assert(ops === Map(2L -> "I", 3L -> "U", 4L -> "D"),
+      s"feed ops wrong (stale key1 must be absent): $ops")
+  }
+
   test("cdcChangesBetween: a checkpoint inside the window falls back to the snapshot diff and still lands exactly") {
     val dir = Files.createTempDirectory("graft-sync-ckpt").toString + "/cdc"
     EventStreams.initCdcState(
