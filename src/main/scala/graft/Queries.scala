@@ -4639,6 +4639,32 @@ object Queries {
 
   private val phrase = Seq("window", "join")
 
+  /** Shared closed form for the q201/q203 mutated corpus: U (%10==0
+    * gains two tokens, %20==0 replaced again with ONE), I (shifted-id
+    * re-crawls of %10==2), D (%10==7) — the posting lists over the
+    * final state (q142's shape).
+    */
+  private val cdcSyncLookupOracle =
+    Some("""WITH mut AS (
+           |  SELECT doc_id, CASE
+           |    WHEN doc_id % 20 = 0 THEN text || ' graftsync'
+           |    WHEN doc_id % 10 = 0 THEN text || ' graftsync graftsync'
+           |    ELSE text END AS text
+           |  FROM documents WHERE doc_id % 10 <> 7
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, 'graftsync ' || text AS text
+           |  FROM documents WHERE doc_id % 10 = 2
+           |), tok AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM mut
+           |)
+           |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+           |    x -> CAST(x AS VARCHAR)), ',') AS postings
+           |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+           |WHERE tok IN ('graftsync', 'join', 'vector')
+           |GROUP BY tok ORDER BY tok""".stripMargin)
+
   private val storeLifecycle = Seq(
     QDef("q143_index_compaction",
       // The ADMISSION-STORE COMPACTOR: the one unbounded-degradation
@@ -9641,25 +9667,7 @@ object Queries {
               .as("postings"))
           .orderBy(col("tok"))
       },
-      Some("""WITH mut AS (
-             |  SELECT doc_id, CASE
-             |    WHEN doc_id % 20 = 0 THEN text || ' graftsync'
-             |    WHEN doc_id % 10 = 0 THEN text || ' graftsync graftsync'
-             |    ELSE text END AS text
-             |  FROM documents WHERE doc_id % 10 <> 7
-             |  UNION ALL
-             |  SELECT doc_id + 1000000 AS doc_id, 'graftsync ' || text AS text
-             |  FROM documents WHERE doc_id % 10 = 2
-             |), tok AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-             |  FROM mut
-             |)
-             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
-             |    x -> CAST(x AS VARCHAR)), ',') AS postings
-             |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
-             |WHERE tok IN ('graftsync', 'join', 'vector')
-             |GROUP BY tok ORDER BY tok""".stripMargin)),
+      cdcSyncLookupOracle),
 
     QDef("q202_cdc_vector_sync",
       // CDC → VECTOR-STORE SYNC — q201's twin for embeddings: the coded
@@ -9753,7 +9761,86 @@ object Queries {
              |)
              |SELECT CAST(vec_id % 5 AS BIGINT) AS klass,
              |  CAST(count(*) AS BIGINT) AS n_vecs
-             |FROM mut GROUP BY klass ORDER BY klass""".stripMargin))
+             |FROM mut GROUP BY klass ORDER BY klass""".stripMargin)),
+
+    QDef("q203_cdc_sync_streaming",
+      // THE CORPUS-TRACKING PIPELINE AS ONE STREAM
+      // (CdcSync.cdcIngestSyncing): change-batch files stream in; each
+      // micro-batch PUBLISHES a delta version, runs a sync TICK, and
+      // evaluates the index's compaction policy — publish, sync,
+      // maintain, serialized per micro-batch (which IS the
+      // scoped-delete single-writer contract). The same q201 mutations
+      // arrive as three feed files (one per trigger); the final state
+      // is order- and batching-robust BY THE SEQ DESIGN: a replacing
+      // update carries a higher seq, so whatever the file-source's
+      // trigger grouping, stale changes drop and the fold lands at the
+      // same corpus. Gates: the index watermark sits at the CDC store's
+      // current version when the stream drains; lookup + BM25
+      // bit-equality against a fresh one-shot build of the final
+      // corpus; the in-stream policy ROLLED the generation (pending
+      // scoped deletes + fragment growth crossed the dials) and is
+      // QUIET at drain. Output: the shared q201 closed form.
+      (s, d) => {
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q203")
+        val (cdc, root, fresh, feed) =
+          (s"$base/cdc", s"$base/idx", s"$base/fresh", s"$base/feed")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        EventStreams.initCdcState(docs.withColumn("seq", lit(0L)), cdc)
+        val prep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        val b1 = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" graftsync graftsync")).as("text"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        val b2 = docs.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("graftsync "), col("text")).as("text"),
+            lit(1L).as("seq"), lit("I").as("op"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+              lit("D").as("op")))
+        val b3 = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" graftsync")).as("text"),
+            lit(2L).as("seq"), lit("U").as("op"))
+        Seq(b1, b2, b3).foreach(
+          _.coalesce(1).write.mode("append").parquet(feed))
+        val stream = s.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+        val q = CdcSync.cdcIngestSyncing(stream, cdc, root, "doc_id",
+          "tk", IndexBucket, prep, s"$base/_cp",
+          maxFragments = 2, maxPendingFraction = 0.01)
+        try q.processAllAvailable() finally q.stop()
+        val atCurrent = CdcSync.appliedState(root).exists(_._1 ==
+          EventStreams.currentCdcVersion(cdc))
+        require(atCurrent, "index watermark must sit at the CDC current")
+        require(InvertedIndex.currentGen(root) > 1L,
+          "the in-stream compaction policy never fired")
+        require(!InvertedIndex.needsCompaction(s, root,
+            maxFragments = 2, maxPendingFraction = 0.01),
+          "the policy is not quiet at drain")
+        InvertedIndex.initStore(fresh)
+        InvertedIndex.admitBatch(s,
+          prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
+          IndexBucket, batchId = 0L, root = fresh)
+        val terms = Seq("graftsync", "join", "vector")
+        def surfaces(r: String) = (
+          InvertedIndex.lookupCurrent(s, r, terms)
+            .select(col("tok"), col("n_docs"),
+              array_join(transform(col("postings"), _.cast("string")), ",")
+                .as("postings"))
+            .orderBy("tok").collect().toSeq,
+          InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
+        require(surfaces(root) == surfaces(fresh),
+          "streamed-synced store diverges from a fresh build")
+        InvertedIndex.lookupCurrent(s, root, terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",")
+              .as("postings"))
+          .orderBy(col("tok"))
+      },
+      cdcSyncLookupOracle)
   )
 
   val defs: Seq[QDef] =

@@ -130,6 +130,44 @@ object CdcSync {
     }
   }
 
+  /** The WHOLE corpus-tracking pipeline as ONE streaming sink: each
+    * micro-batch of changes (payload + op rows) is PUBLISHED to the CDC
+    * store's delta log ([[EventStreams.publishCdcBatch]] — O(batch)
+    * write, policy-driven checkpoints), then a sync TICK advances the
+    * serving index to the new version, then the index's own compaction
+    * policy folds when its dials say so — publish, sync, maintain,
+    * serialized per micro-batch, which IS the scoped-delete
+    * single-writer contract (foreachBatch runs batches one at a time).
+    *
+    * Exactly-once composition: a replayed micro-batch re-publishes as
+    * a NEW version whose changes are all stale (the seq guard), so the
+    * tick's feed nets empty and the index is untouched; a crash
+    * between publish and tick just widens the next tick's window. Call
+    * [[EventStreams.initCdcState]] once before starting; the first
+    * tick bootstraps the index from that snapshot.
+    */
+  def cdcIngestSyncing(changes: DataFrame, stateDir: String,
+      indexRoot: String, keyCol: String, toksCol: String,
+      bucketSize: Long, prep: DataFrame => DataFrame,
+      checkpointDir: String,
+      seqCol: String = "seq", opCol: String = "op",
+      maxDeltas: Int = 8, maxDeltaFraction: Double = 0.5,
+      maxFragments: Int = 16, maxPendingFraction: Double = 0.05)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        EventStreams.publishCdcBatch(s, stateDir, batch, Seq(keyCol),
+          seqCol, opCol, maxDeltas, maxDeltaFraction)
+        syncIndexFromCdc(s, stateDir, indexRoot, keyCol, toksCol,
+          bucketSize, prep, seqCol, opCol)
+        InvertedIndex.compactIfNeeded(s, indexRoot, maxFragments,
+          maxPendingFraction)
+        ()
+      }
+      .start()
+
   /** One sync TICK for the CODED VECTOR store — [[syncIndexFromCdc]]'s
     * twin for embeddings: the bootstrap tick FITS the IVF-PQ artifact
     * on the initial snapshot (the one fit; later ticks encode against

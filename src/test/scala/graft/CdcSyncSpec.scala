@@ -304,6 +304,40 @@ class CdcSyncSpec extends AnyFunSuite {
       "compaction left pending deletes")
   }
 
+  test("streaming sink: publish+sync+maintain per micro-batch, restart-stable across a stop/start") {
+    val base = Files.createTempDirectory("graft-sync-stream").toString
+    val (cdc, root, feed) = (s"$base/cdc", s"$base/idx", s"$base/feed")
+    EventStreams.initCdcState(corpus0, cdc)
+    val b1 = corpus0.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val b2 = corpus0.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+        lit("D").as("op"))
+    def start() = CdcSync.cdcIngestSyncing(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+      cdc, root, "doc_id", "tk", 7L, prep, s"$base/_cp",
+      maxFragments = 2, maxPendingFraction = 0.01)
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the stream stops; more changes land; a NEW query resumes from the
+    // same checkpoint — the watermark-last tick discipline must make
+    // the restart seamless (no duplicates, no gaps)
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CdcSync.appliedState(root).exists(_._1 ==
+      EventStreams.currentCdcVersion(cdc)), "watermark not at current")
+    val fresh = freshStoreFor(
+      EventStreams.currentCdcSnapshot(spark, cdc), "stream-fresh")
+    assert(surfaces(root) === surfaces(fresh),
+      "restarted streaming sync diverges from a fresh build")
+    assert(InvertedIndex.currentGen(root) > 1L,
+      "in-stream maintenance never fired")
+  }
+
   test("a scoped delete straggling into a compaction window is refused, never mis-carried") {
     val root = Files.createTempDirectory("graft-sync-strag").toString + "/idx"
     InvertedIndex.initStore(root)
