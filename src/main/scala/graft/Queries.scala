@@ -9840,7 +9840,133 @@ object Queries {
               .as("postings"))
           .orderBy(col("tok"))
       },
-      cdcSyncLookupOracle)
+      cdcSyncLookupOracle),
+
+    QDef("q204_cdc_hybrid_serving",
+      // THE SERVING STACK TRACKS THE CORPUS — the hybrid capstone: ONE
+      // CDC store (payload = text AND embedding per doc) feeds TWO
+      // synced serving stores (CdcSync ticks into the retrieval index
+      // and the coded vector store), and HYBRID retrieval (q146's RRF
+      // fusion of BM25 rank and ANN rank) over the synced pair must
+      // equal the same fusion over fresh one-shot builds of the
+      // mutated corpus — lexical and dense views of one mutating
+      // corpus stay mutually consistent because both advance through
+      // the same delta-log feed under the same watermark discipline.
+      // In-query gates: both stores' watermarks sit at the CDC current;
+      // the two stores SERVE THE SAME id set (index doclens ids ==
+      // recoverable vector ids — the cross-store consistency a serving
+      // layer needs before it may fuse ranks); fused top-10 equality
+      // vs the fresh pair; and the fusion itself ranks an UPDATED
+      // doc's new form (its re-crawled term + re-embedded vector)
+      // at #1 — the update is visible through BOTH modalities. The
+      // oracle states the final corpus cardinalities in closed form.
+      (s, d) => {
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q204")
+        val (cdc, iroot, vroot) = (s"$base/cdc", s"$base/idx", s"$base/vec")
+        val (ifresh, vtwin) = (s"$base/ifresh", s"$base/vtwin")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val corpus = docs.join(emb, "doc_id")
+        EventStreams.initCdcState(corpus.withColumn("seq", lit(0L)), cdc)
+        val iprep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        val vprep: DataFrame => DataFrame =
+          _.select(col("doc_id"), col("embedding"))
+        def itick() = CdcSync.syncIndexFromCdc(s, cdc, iroot, "doc_id",
+          "tk", IndexBucket, iprep)
+        def vtick() = CdcSync.syncVectorsFromCdc(s, cdc, vroot, "doc_id",
+          "embedding", vprep, nlist = 16, kmeansIters = 5, m = 16,
+          kcode = 16, pqIters = 5)
+        itick(); vtick()
+        // one mixed change batch: re-crawl + re-embed (U), new docs
+        // (I), takedowns (D)
+        EventStreams.publishCdcBatch(s, cdc,
+          corpus.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"),
+              // doc 0's re-crawl carries a UNIQUE term so the hybrid
+              // probe is bimodal by construction (rank #1 on BOTH legs)
+              concat(col("text"), when(col("doc_id") === 0L,
+                lit(" graftsync graftuniq"))
+                .otherwise(lit(" graftsync"))).as("text"),
+              reverse(col("embedding")).as("embedding"),
+              lit(1L).as("seq"), lit("U").as("op"))
+            .unionByName(corpus.filter(col("doc_id") % 5 === 2)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+                col("embedding"), lit(1L).as("seq"), lit("I").as("op")))
+            .unionByName(corpus.filter(col("doc_id") % 5 === 3)
+              .select(col("doc_id"), col("text"), col("embedding"),
+                lit(1L).as("seq"), lit("D").as("op"))),
+          Seq("doc_id"), "seq", "op")
+        require(itick() == 1L && vtick() == 1L,
+          "both sync ticks must land at v1")
+        // fold the upsert history on both sides (the compaction leg of
+        // the tick lifecycle), then gate cross-store consistency: the
+        // two synced stores serve the SAME id set
+        InvertedIndex.compactStore(s, iroot, InvertedIndex.currentGen(iroot))
+        VectorStore.compactGen(s, vroot, VectorStore.currentGen(vroot))
+        val idxIds = s.read.parquet(InvertedIndex.genDir(iroot,
+          InvertedIndex.currentGen(iroot)) + "/doclens").select("doc_id")
+        val vecIds = VectorStore.vectors(s, vroot, "doc_id", "embedding")
+          .select("doc_id")
+        require(idxIds.exceptAll(vecIds).isEmpty &&
+            vecIds.exceptAll(idxIds).isEmpty,
+          "the two synced stores serve different id sets")
+        // fresh pair: one-shot builds of the final corpus (vector twin
+        // under the synced store's own artifact)
+        val fin = EventStreams.currentCdcSnapshot(s, cdc)
+        InvertedIndex.initStore(ifresh)
+        InvertedIndex.admitBatch(s, iprep(fin), "doc_id", "tk",
+          IndexBucket, batchId = 0L, root = ifresh)
+        val (cents, books) = VectorStore.loadGenIndex(s, vroot,
+          VectorStore.currentGen(vroot))
+        VectorStore.init(s, vtwin, cents, books)
+        VectorStore.admit(s, vtwin, vprep(fin), "doc_id", "embedding", 0L)
+        // the hybrid probe: an updated doc's NEW form through both
+        // modalities — its re-crawled term for BM25, its re-embedded
+        // vector (fresh query id: searches exclude self-pairs)
+        val probeVec = emb.filter(col("doc_id") === 0L)
+          .select(lit(5000000L).as("doc_id"),
+            reverse(col("embedding")).as("embedding"))
+        def hybrid(ir: String, vr: String): Seq[(Long, Double)] = {
+          val bm = InvertedIndex.bm25SearchCurrent(s, ir,
+              Seq("graftuniq", "graftsync", "join"), 20)
+            .withColumn("rb", row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+            .select(col("doc_id"), col("rb"))
+          val ann = VectorStore.search(s, vr, probeVec, "doc_id",
+              "embedding", k = 20, nprobe = 8, shortlistFactor = 32)
+            .select(col("neighbor_id").as("doc_id"),
+              col("rank").as("ra"))
+          bm.join(ann, Seq("doc_id"), "full_outer")
+            .select(col("doc_id"),
+              (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)))
+                .as("rrf"))
+            .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+        val synced = hybrid(iroot, vroot)
+        require(synced == hybrid(ifresh, vtwin),
+          "hybrid retrieval over the synced pair diverges from fresh builds")
+        require(synced.head._1 == 0L,
+          "the updated doc's new form must fuse to #1 through both modalities")
+        fin.agg(count(lit(1)).cast("long").as("n_docs_final"),
+          count(when(col("doc_id") >= 1000000L, lit(1))).cast("long")
+            .as("n_inserted"),
+          lit(true).as("hybrid_matches_fresh"))
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM documents d JOIN embeddings e
+             |        ON d.doc_id = e.vec_id WHERE d.doc_id % 5 <> 3) +
+             |       (SELECT count(*) FROM documents d JOIN embeddings e
+             |        ON d.doc_id = e.vec_id WHERE d.doc_id % 5 = 2)
+             |    AS BIGINT) AS n_docs_final,
+             |  CAST((SELECT count(*) FROM documents d JOIN embeddings e
+             |        ON d.doc_id = e.vec_id WHERE d.doc_id % 5 = 2)
+             |    AS BIGINT) AS n_inserted,
+             |  TRUE AS hybrid_matches_fresh""".stripMargin))
   )
 
   val defs: Seq[QDef] =
