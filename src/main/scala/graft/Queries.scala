@@ -9966,7 +9966,136 @@ object Queries {
              |  CAST((SELECT count(*) FROM documents d JOIN embeddings e
              |        ON d.doc_id = e.vec_id WHERE d.doc_id % 5 = 2)
              |    AS BIGINT) AS n_inserted,
-             |  TRUE AS hybrid_matches_fresh""".stripMargin))
+             |  TRUE AS hybrid_matches_fresh""".stripMargin)),
+
+    QDef("q205_cdc_federated_sync",
+      // FEDERATED SYNC — the fleet leg of the corpus-tracking story:
+      // TWO pipelines each run (CDC store -> synced index) on their
+      // own key partition; the fleet then checkpoints + quiesces the
+      // CDC sources, merges them (the q197 state cut — merged clock
+      // starts at v0), merges the synced indexes with
+      // compactFirst=true (REQUIRED here, and deliberately exercised:
+      // pipeline A's upsert tick left a pending SCOPED delete, whose
+      // hwm would go stale under the merge's batch-id renumbering —
+      // the fence refuses, the pre-merge fold cures), REBINDS the
+      // merged index's watermark to the merged store's v0
+      // (CdcSync.rebind — sound because each pipeline synced to its
+      // final version before the cut, so the merged index's content
+      // IS the merged v0), and then ORDINARY ticks continue against
+      // the merged pair: a post-merge change batch (replacing updates
+      // across the old partition boundary + a delete) lands through
+      // one tick. Gates: the post-merge tick returns v1; lookup + BM25
+      // bit-equality against a fresh one-shot build of the final
+      // corpus. The oracle states the final posting lists in closed
+      // form across the whole mutation ledger.
+      (s, d) => {
+        import graft.operators.GenStore
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q205")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val prep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        // two pipelines on disjoint key partitions
+        val (cdcA, cdcB, idxA, idxB) =
+          (s"$base/cdcA", s"$base/cdcB", s"$base/idxA", s"$base/idxB")
+        val (mcdc, midx, fresh) =
+          (s"$base/mcdc", s"$base/midx", s"$base/fresh")
+        EventStreams.initCdcState(docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("seq", lit(0L)), cdcA)
+        EventStreams.initCdcState(docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("seq", lit(0L)), cdcB)
+        def tick(cdc: String, root: String) =
+          CdcSync.syncIndexFromCdc(s, cdc, root, "doc_id", "tk",
+            IndexBucket, prep)
+        tick(cdcA, idxA); tick(cdcB, idxB)
+        // each pipeline takes one change batch and syncs it
+        EventStreams.publishCdcBatch(s, cdcA,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync")).as("text"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        EventStreams.publishCdcBatch(s, cdcB,
+          docs.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("graftsync "), col("text")).as("text"),
+              lit(1L).as("seq"), lit("I").as("op"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 7)
+              .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+                lit("D").as("op"))),
+          Seq("doc_id"), "seq", "op")
+        require(tick(cdcA, idxA) == 1L && tick(cdcB, idxB) == 1L,
+          "pipeline ticks must land at v1")
+        // the cut: checkpoint (byte-copy fast path), quiesce, merge
+        // both layers, rebind, retire-ready
+        EventStreams.checkpointCdc(s, cdcA)
+        EventStreams.checkpointCdc(s, cdcB)
+        GenStore.quiesce(cdcA, mcdc); GenStore.quiesce(cdcB, mcdc)
+        EventStreams.mergeCdcStores(s, Seq(cdcA, cdcB), mcdc,
+          verifyKeyCols = Seq("doc_id"))
+        // the scoped-delete fence fires on A's pending upsert delete —
+        // exercised, then cured by the pre-merge fold
+        val fenced =
+          try { InvertedIndex.mergeStores(s, Seq(idxA, idxB), s"$base/refused")
+            false }
+          catch { case e: IllegalStateException =>
+            e.getMessage.contains("SCOPED") }
+        require(fenced, "the scoped-delete merge fence must fire")
+        InvertedIndex.mergeStores(s, Seq(idxA, idxB), midx,
+          compactFirst = true)
+        CdcSync.rebind(mcdc, midx, 0L)
+        // post-merge: one change batch across the old partition
+        // boundary, one ordinary tick against the merged pair
+        EventStreams.publishCdcBatch(s, mcdc,
+          docs.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync graftsync")).as("text"),
+              lit(2L).as("seq"), lit("U").as("op"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 9)
+              .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+                lit("D").as("op"))),
+          Seq("doc_id"), "seq", "op")
+        require(tick(mcdc, midx) == 1L,
+          "the post-merge tick must land at the merged clock's v1")
+        InvertedIndex.initStore(fresh)
+        InvertedIndex.admitBatch(s,
+          prep(EventStreams.currentCdcSnapshot(s, mcdc)), "doc_id", "tk",
+          IndexBucket, batchId = 0L, root = fresh)
+        val terms = Seq("graftsync", "join", "vector")
+        def surfaces(r: String) = (
+          InvertedIndex.lookupCurrent(s, r, terms)
+            .select(col("tok"), col("n_docs"),
+              array_join(transform(col("postings"), _.cast("string")), ",")
+                .as("postings"))
+            .orderBy("tok").collect().toSeq,
+          InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
+        require(surfaces(midx) == surfaces(fresh),
+          "the federated synced index diverges from a fresh build")
+        InvertedIndex.lookupCurrent(s, midx, terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",")
+              .as("postings"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH mut AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 20 = 0 THEN text || ' graftsync graftsync'
+             |    WHEN doc_id % 10 = 0 THEN text || ' graftsync'
+             |    ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 9
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, 'graftsync ' || text AS text
+             |  FROM documents WHERE doc_id % 10 = 3
+             |), tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM mut
+             |)
+             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+             |WHERE tok IN ('graftsync', 'join', 'vector')
+             |GROUP BY tok ORDER BY tok""".stripMargin))
   )
 
   val defs: Seq[QDef] =

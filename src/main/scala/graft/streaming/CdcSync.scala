@@ -52,7 +52,17 @@ object CdcSync {
 
   /** The applied CDC (version, source dir) recorded at the store root,
     * or None before the bootstrap tick. */
-  def appliedState(root: String): Option[(Long, String)] = {
+  def appliedState(root: String): Option[(Long, String)] =
+    readState(root).map { case (v, dir, _) => (v, dir) }
+
+  /** (version, cdcDir, batchBase): `batchBase` offsets the batch ids
+    * ticks admit under — 0 for an ordinary pipeline (batch id = CDC
+    * version), set above the sealed id spaces by [[rebind]] after a
+    * federation merge (merged fragments occupy [0, K) and the merged
+    * clock restarts at 0, so unoffset ticks would collide with the
+    * compaction seal).
+    */
+  private def readState(root: String): Option[(Long, String, Long)] = {
     val p = watermarkPath(root)
     if (!java.nio.file.Files.exists(p)) None
     else {
@@ -60,16 +70,19 @@ object CdcSync {
         .linesIterator.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
         .toMap
-      Some((kv("version").toLong, kv("cdcDir")))
+      Some((kv("version").toLong, kv("cdcDir"),
+        kv.getOrElse("base", "0").toLong))
     }
   }
 
   // atomic pointer write (the _CURRENT discipline): tmp + ATOMIC_MOVE,
   // so a reader never sees a torn watermark and a crash leaves the old
   // one — the tick replays, which the hwm mask makes idempotent
-  private def writeApplied(root: String, v: Long, cdcDir: String): Unit = {
+  private def writeApplied(root: String, v: Long, cdcDir: String,
+      base: Long = 0L): Unit = {
     val tmp = java.nio.file.Paths.get(root, "_CDC_SYNC.tmp")
-    java.nio.file.Files.write(tmp, s"version=$v\ncdcDir=$cdcDir\n".getBytes)
+    java.nio.file.Files.write(tmp,
+      s"version=$v\ncdcDir=$cdcDir\nbase=$base\n".getBytes)
     java.nio.file.Files.move(tmp, watermarkPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -90,7 +103,7 @@ object CdcSync {
       prep: DataFrame => DataFrame,
       seqCol: String = "seq", opCol: String = "op"): Long = {
     val cur = EventStreams.currentCdcVersion(cdcDir)
-    appliedState(root) match {
+    readState(root) match {
       case None =>
         InvertedIndex.initStore(root)
         val docs = prep(EventStreams.cdcSnapshotAt(spark, cdcDir, cur))
@@ -99,7 +112,7 @@ object CdcSync {
             bucketSize, batchId = cur, root = root)
         writeApplied(root, cur, cdcDir)
         cur
-      case Some((applied, src)) =>
+      case Some((applied, src, base)) =>
         require(src == cdcDir,
           s"store $root syncs from $src — refusing a tick against " +
             s"$cdcDir (one store tracks one CDC source; federate the " +
@@ -115,19 +128,63 @@ object CdcSync {
           if (!changes.isEmpty) {
             // one scoped delete covers updates AND deletes (for a
             // freshly inserted key it masks nothing, harmlessly) —
-            // hwm = cur - 1 reaches every earlier tick's batch id
+            // hwm = base + cur - 1 reaches every earlier tick's batch
+            // id AND, post-federation, every merged fragment below
+            // the rebind base
             InvertedIndex.admitScopedDeleteBatch(spark,
-              changes.select(col(keyCol)), keyCol, batchId = cur,
+              changes.select(col(keyCol)), keyCol, batchId = base + cur,
               root = root)
             val ups = prep(changes.filter(col(opCol) =!= "D").drop(opCol))
             if (!ups.isEmpty)
               InvertedIndex.admitBatch(spark, ups, keyCol, toksCol,
-                bucketSize, batchId = cur, root = root)
+                bucketSize, batchId = base + cur, root = root)
           }
-          writeApplied(root, cur, cdcDir)
+          writeApplied(root, cur, cdcDir, base)
         } finally changes.unpersist()
         cur
     }
+  }
+
+  /** REBIND a synced store to a (new) CDC source at a stated version —
+    * the federation leg of the sync lifecycle. After a fleet merges
+    * its CDC stores ([[EventStreams.mergeCdcStores]] — the merged
+    * clock starts at v0) and its synced serving stores
+    * ([[InvertedIndex.mergeStores]] / [[VectorStore.mergeStores]],
+    * `compactFirst = true`: the scoped-delete fence requires the fold,
+    * and a merged store should start compacted anyway), the merged
+    * serving store has no watermark and the old pipelines' watermarks
+    * mean nothing against the merged clock. Rebinding writes the
+    * watermark `(version, cdcDir)` so ordinary ticks continue from
+    * there.
+    *
+    * CONTRACT (the caller's, not checkable cheaply here): the store's
+    * content equals the CDC snapshot at `version` — the federation
+    * runbook satisfies it by syncing each source to its final version
+    * before quiescing, so the merged index content IS the union of
+    * the cut states, which IS the merged store's v0. Refused if the
+    * store already has a watermark (a bound store re-binds by resync,
+    * not by fiat) or if `version` is not published at `cdcDir`.
+    *
+    * The rebind also records a BATCH-ID BASE above the merged store's
+    * sealed id spaces (the compaction seal covers the renumbered
+    * fragments [0, K), and the merged clock restarts at 0 — an
+    * unoffset tick's `batchId = version` would collide with the seal
+    * and be refused): subsequent ticks admit at `base + version`, and
+    * their scoped deletes' `hwm = base + version - 1` reaches every
+    * merged fragment, exactly as intended.
+    */
+  def rebind(cdcDir: String, root: String, version: Long): Unit = {
+    require(appliedState(root).isEmpty,
+      s"store $root is already bound (${appliedState(root).get}) — " +
+        "rebind is for freshly merged stores; a bound store moves " +
+        "sources by resyncing into a fresh root")
+    val cur = EventStreams.currentCdcVersion(cdcDir)
+    require(version >= 0 && version <= cur,
+      s"version $version is not published at $cdcDir (current is $cur)")
+    val gen = graft.operators.GenStore.currentGen(root)
+    val base = math.max(graft.operators.GenStore.compactedHwm(root, gen),
+      graft.operators.GenStore.deletesHwm(root, gen)) + 1L
+    writeApplied(root, version, cdcDir, base)
   }
 
   /** The WHOLE corpus-tracking pipeline as ONE streaming sink: each
@@ -185,7 +242,7 @@ object CdcSync {
       nassign: Int = 2,
       seqCol: String = "seq", opCol: String = "op"): Long = {
     val cur = EventStreams.currentCdcVersion(cdcDir)
-    appliedState(root) match {
+    readState(root) match {
       case None =>
         val vecs = prep(EventStreams.cdcSnapshotAt(spark, cdcDir, cur))
         require(!vecs.isEmpty,
@@ -198,7 +255,7 @@ object CdcSync {
           batchId = cur, nassign = nassign)
         writeApplied(root, cur, cdcDir)
         cur
-      case Some((applied, src)) =>
+      case Some((applied, src, base)) =>
         require(src == cdcDir,
           s"store $root syncs from $src — refusing a tick against " +
             s"$cdcDir (one store tracks one CDC source)")
@@ -212,13 +269,13 @@ object CdcSync {
         try {
           if (!changes.isEmpty) {
             VectorStore.admitScopedDeletes(spark, root,
-              changes.select(col(keyCol)), keyCol, batchId = cur)
+              changes.select(col(keyCol)), keyCol, batchId = base + cur)
             val ups = prep(changes.filter(col(opCol) =!= "D").drop(opCol))
             if (!ups.isEmpty)
               VectorStore.admit(spark, root, ups, keyCol, vecCol,
-                batchId = cur, nassign = nassign)
+                batchId = base + cur, nassign = nassign)
           }
-          writeApplied(root, cur, cdcDir)
+          writeApplied(root, cur, cdcDir, base)
         } finally changes.unpersist()
         cur
     }

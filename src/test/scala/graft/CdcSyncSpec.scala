@@ -304,6 +304,94 @@ class CdcSyncSpec extends AnyFunSuite {
       "compaction left pending deletes")
   }
 
+  test("vector sync ticks survive a mid-life refit: batch ids and scoped masks stay valid across the generation roll") {
+    val base = Files.createTempDirectory("graft-sync-refit").toString
+    val (cdc, root, twin) = (s"$base/cdc", s"$base/vec", s"$base/twin")
+    def emb(i: Long): Seq[Double] =
+      (0 until 8).map(j => ((i * 7 + j * 3) % 13).toDouble + 1.0)
+    EventStreams.initCdcState(
+      (0L until 30L).map(i => (i, emb(i), 0L)).toDF("doc_id", "emb", "seq"),
+      cdc)
+    val vprep: DataFrame => DataFrame = _.select(col("doc_id"), col("emb"))
+    def tick() = CdcSync.syncVectorsFromCdc(spark, cdc, root, "doc_id",
+      "emb", vprep, nlist = 4, kmeansIters = 4, m = 4, kcode = 4,
+      pqIters = 4)
+    tick()
+    // tick 1: re-embed a third of the corpus (scoped delete pending)
+    EventStreams.publishCdcBatch(spark, cdc,
+      (0L until 30L by 3L).map(i => (i, emb(i).reverse, 1L, "U"))
+        .toDF("doc_id", "emb", "seq", "op"), Seq("doc_id"), "seq", "op")
+    tick()
+    // a refit rolls the generation MID-LIFE: migration re-encodes every
+    // batch under its OWN id and carries the pending scoped delete —
+    // both id spaces survive, so the mask stays valid in gen 2
+    val g2 = graft.operators.VectorStore.refit(spark, root,
+      expectedGen = graft.operators.VectorStore.currentGen(root),
+      nlist = 4, kmeansIters = 4, m = 4, kcode = 4, pqIters = 4)
+    assert(g2 === 2L)
+    // tick 2 continues against the refit generation
+    EventStreams.publishCdcBatch(spark, cdc,
+      ((30L until 34L).map(i => (i, emb(i), 1L, "I")) ++
+        Seq((1L, emb(1L), 1L, "D"))).toDF("doc_id", "emb", "seq", "op"),
+      Seq("doc_id"), "seq", "op")
+    tick()
+    val gen = graft.operators.VectorStore.currentGen(root)
+    val (cents, books) =
+      graft.operators.VectorStore.loadGenIndex(spark, root, gen)
+    graft.operators.VectorStore.init(spark, twin, cents, books)
+    graft.operators.VectorStore.admit(spark, twin,
+      vprep(EventStreams.currentCdcSnapshot(spark, cdc)), "doc_id", "emb",
+      batchId = 0L)
+    def vecs(r: String) = graft.operators.VectorStore
+      .vectors(spark, r, "doc_id", "emb")
+    assert(setEq(vecs(root), vecs(twin)),
+      "sync across a refit diverges from the mutated corpus")
+  }
+
+  test("rebind: a freshly merged store continues ticking above its sealed id spaces; a bound store refuses") {
+    val base = Files.createTempDirectory("graft-sync-rebind").toString
+    val (cdcA, cdcB, idxA, idxB) =
+      (s"$base/cdcA", s"$base/cdcB", s"$base/idxA", s"$base/idxB")
+    val (mcdc, midx) = (s"$base/mcdc", s"$base/midx")
+    EventStreams.initCdcState(
+      corpus0.filter(col("doc_id") % 2 === 0), cdcA)
+    EventStreams.initCdcState(
+      corpus0.filter(col("doc_id") % 2 === 1), cdcB)
+    def tick(cdc: String, root: String) =
+      CdcSync.syncIndexFromCdc(spark, cdc, root, "doc_id", "tk", 7L, prep)
+    tick(cdcA, idxA); tick(cdcB, idxB)
+    // A takes an upsert tick (pending scoped delete at merge time)
+    EventStreams.publishCdcBatch(spark, cdcA,
+      corpus0.filter(col("doc_id") === 0L)
+        .select(col("doc_id"), lit("zulu zulu").as("text"),
+          lit(1L).as("seq"), lit("U").as("op")),
+      Seq("doc_id"), "seq", "op")
+    tick(cdcA, idxA)
+    EventStreams.checkpointCdc(spark, cdcA)
+    EventStreams.checkpointCdc(spark, cdcB)
+    EventStreams.mergeCdcStores(spark, Seq(cdcA, cdcB), mcdc,
+      verifyKeyCols = Seq("doc_id"))
+    InvertedIndex.mergeStores(spark, Seq(idxA, idxB), midx,
+      compactFirst = true)
+    CdcSync.rebind(mcdc, midx, 0L)
+    // a bound store refuses a second rebind
+    val e = intercept[IllegalArgumentException] {
+      CdcSync.rebind(mcdc, midx, 0L)
+    }
+    assert(e.getMessage.contains("already bound"))
+    // post-merge ticks admit above the sealed spaces and serve right
+    EventStreams.publishCdcBatch(spark, mcdc,
+      corpus0.filter(col("doc_id") === 1L)
+        .select(col("doc_id"), lit("zulu omega").as("text"),
+          lit(1L).as("seq"), lit("U").as("op")),
+      Seq("doc_id"), "seq", "op")
+    assert(tick(mcdc, midx) === 1L)
+    val fresh = freshStoreFor(
+      EventStreams.currentCdcSnapshot(spark, mcdc), "rebind-fresh")
+    assert(surfaces(midx) === surfaces(fresh),
+      "rebind-continued store diverges from a fresh build")
+  }
+
   test("streaming sink: publish+sync+maintain per micro-batch, restart-stable across a stop/start") {
     val base = Files.createTempDirectory("graft-sync-stream").toString
     val (cdc, root, feed) = (s"$base/cdc", s"$base/idx", s"$base/feed")
