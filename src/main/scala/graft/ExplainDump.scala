@@ -116,7 +116,11 @@ object ExplainDump {
     "q197_cdc_federation" -> "the CDC federation capstone's returned frame — the merged store's CURRENT snapshot after two post-merge DELTA publishes (r15's delta-log layout): the base is the merged v0 checkpoint scan (byte-copied src1-* files beside the resolve-written part files — the two merge movers, visible in one directory), and above it exactly TWO replay steps for the two pending deltas (policy-bounded by maxDeltas — never the store's history), each one max_by aggregation over a tiny delta scan joined to the state; check NO trace of the merge machinery (the state cut, the quiesce marks, the movement fence, the overlap refusal all ran eagerly) and that the deltas' scans are the 10-to-200-row change batches, never a second state scan — the read pays checkpoint + policy-bounded chain, the write path that used to rewrite the state per publish appears nowhere because it no longer exists",
     "q198_cdc_delta_log" -> "the delta-log CDC economics gate's returned frame — literal per-version stats captured eagerly, so the INTERESTING plans ran before this one: the as-of v4 read (a bare checkpoint scan: the policy folded the 3-delta chain at publish 4), the as-of v3 read pre-vacuum (checkpoint + 3 cdcApplyJoined replay levels — each level ONE full-outer sort-merge join whose state side reuses the previous level's hash partitioning on key, the linear plan shape that replaced the 2^N double-reference fold), and the post-vacuum v3 read (ONE scan of the sealed v3c promotion twin — a vacuumed-boundary version serves at checkpoint cost, zero replay); the returned frame itself is a 5-row literal toDF with the display sort",
     "q151_signature_compaction" -> "post-compaction dedup-admission read: the store side scans gen=2's two fragments (the cross-batch-distinct merged key set + the appended batch) with ReadSchema (band, bucket, batch_id) and NO distinct/aggregation above it — the generational read path drops the flat form's read-side distinct because the LEFT-SEMI probe is multiset-insensitive (one shuffle less per admission check); the probe batch's band keys build as narrow per-row expressions (shingle -> signature -> posexplode) off the documents scan, meet the store in a left-semi hash join on (band, bucket), and the per-doc hit count is a partial/final HashAggregate pair — admitted history is never rescanned or re-signatured, and the semi-join's store side shrinks to distinct-corpus size after compaction (q152's manifest reads resolve to exactly these audited store plans plus a driver-side pin-file lookup — no additional Spark plan exists to audit)",
-    "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below")
+    "q171_takedown_impact" -> "the rank-diff impact report's returned frame: both ranked lists were pinned with localCheckpoint (generation isolation made 'before' readable after the purge; the pins erase the upstream read plans, audited in the aux section below), so the report itself must be exactly ONE full-outer SortMergeJoin/BroadcastHashJoin of two 15-row LogicalRDD scans plus a null-safe classification projection — nothing corpus-sized anywhere: the compliance report costs two k-row lists and one k-row join whatever the corpus size; the RANKED-LIST READ under the pins is dumped as its own aux section below",
+    "q203_cdc_sync_streaming" -> "the streamed-synced index's POST-COMPACTION lookup (the q203 returned frame — the stream's publish/tick/maintain machinery ran eagerly inside foreachBatch, and the armed policy folded the upsert history): the postings scan must list ONE compacted fragment per surviving batch range under the rolled generation with the term isin filter in PushedFilters, NO delete mask anywhere (the in-stream folds applied the scoped sets physically — the pending-window mask shape is the q201 aux section), and NO trace of the stream, the CDC store, or the sync watermark in the plan: a store maintained by a continuous corpus-tracking pipeline reads exactly like one that was built once from the final corpus, which is the whole q203 claim",
+    "q205_cdc_federated_sync" -> "the federated synced index's POST-MERGE-TICK lookup (the q205 returned frame): the postings scan lists the merged gen=1 fragments — the two compacted builder fragments (renumbered batch_id=0,1) PLUS the post-rebind tick's admissions at the OFFSET batch ids (base+1 for the data batch; the rebind base sits above the merge seal, which is why the tick was admittable at all) — with the term isin filter in PushedFilters; the tick's pending scoped delete joins in as the r15 broadcast mask (LEFT-OUTER + hwm filter) over candidate rows only; check NO federation, quiesce, CDC or watermark machinery anywhere: two pipelines, a two-layer cut, a rebind and a cross-partition tick leave a read path indistinguishable from a single always-lived store with one pending upsert",
+    "q206_sync_status" -> "the sync dashboard's NEGATIVE audit (the q181/q185 discipline applied to the corpus-tracking pair): both synced stores hold fragments AND pending scoped deletes, the vector store lags the log by one version, yet the returned frame must be a driver-built LocalTableScan (a toDF of per-store rows assembled from _CDC_SYNC/_CURRENT file reads and parquet FOOTER counts — GenStore.footerRowCount opens footers, never data pages) — check NO FileScan of any store, CDC or corpus directory appears anywhere in the plan: lag/fragments/pending are affordable every tick at any store size because the dashboard never launches a job over data",
+    "q207_resync_cutover" -> "the resynced store's serving read (the q207 returned frame, after the vacuumed-watermark refusal, the fresh-root bootstrap, the manifest cutover and one post-cutover tick): the postings scan lists the bootstrap fragment plus the post-cutover tick's batch with the term isin filter in PushedFilters and the r15 scoped mask (LEFT-OUTER + hwm filter) over the tick's pending replace set — check NO manifest machinery (pin resolution is a driver-side file read) and NO trace of the retired r1 store or the vacuumed CDC versions: recovery from a lost retention window is a root swap behind a pointer, invisible to the read path")
 
   /** Queries whose audit target only exists in the EXECUTED final
     * adaptive plan: AQE performs exchange/stage reuse at stage

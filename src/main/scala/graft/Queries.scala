@@ -10095,6 +10095,189 @@ object Queries {
              |    x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
              |WHERE tok IN ('graftsync', 'join', 'vector')
+             |GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    QDef("q206_sync_status",
+      // THE SYNC DASHBOARD (CdcSync.syncStatus) — the q174/q181
+      // maintenance-status discipline applied to the corpus-tracking
+      // pair: one row per synced store with its binding, VERSION LAG
+      // (how far serving trails the log — the operational quantity a
+      // sync scheduler watches), fragment growth and pending-delete
+      // pressure, from driver-side file reads and parquet FOOTER
+      // counts ONLY — zero Spark jobs over store data, so the check is
+      // affordable every tick (the PLANS.md audit is the negative
+      // proof: no store FileScan anywhere). Built state: both stores
+      // bootstrapped and ticked through v1 (an upsert batch — scoped
+      // deletes pending on both); v2 (a pure-delete batch) published
+      // and ticked ONLY into the index — the vector store reads lag 1.
+      // Every cell is closed-form: versions and lags from the ledger,
+      // fragment counts from the tick structure (a pure-D window
+      // admits NO data batch), pending rows = the changed-key counts.
+      (s, d) => {
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q206")
+        val (cdc, iroot, vroot) = (s"$base/cdc", s"$base/idx", s"$base/vec")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val corpus = docs.join(emb, "doc_id")
+        EventStreams.initCdcState(corpus.withColumn("seq", lit(0L)), cdc)
+        val iprep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        val vprep: DataFrame => DataFrame =
+          _.select(col("doc_id"), col("embedding"))
+        def itick() = CdcSync.syncIndexFromCdc(s, cdc, iroot, "doc_id",
+          "tk", IndexBucket, iprep)
+        def vtick() = CdcSync.syncVectorsFromCdc(s, cdc, vroot, "doc_id",
+          "embedding", vprep, nlist = 16, kmeansIters = 5, m = 16,
+          kcode = 16, pqIters = 5)
+        itick(); vtick()
+        EventStreams.publishCdcBatch(s, cdc,
+          corpus.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync")).as("text"),
+              reverse(col("embedding")).as("embedding"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        itick(); vtick()
+        EventStreams.publishCdcBatch(s, cdc,
+          corpus.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("text"), col("embedding"),
+              lit(1L).as("seq"), lit("D").as("op")),
+          Seq("doc_id"), "seq", "op")
+        itick() // the vector store is left one version behind
+        CdcSync.syncStatus(s, Seq((cdc, iroot), (cdc, vroot)))
+          .orderBy(col("store"))
+      },
+      Some("""WITH c AS (
+             |  SELECT
+             |    (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS u,
+             |    (SELECT count(*) FROM documents WHERE doc_id % 10 = 7) AS del
+             |)
+             |SELECT 'idx' AS store, 'index' AS family,
+             |  CAST(2 AS BIGINT) AS applied_version,
+             |  CAST(2 AS BIGINT) AS current_version,
+             |  CAST(0 AS BIGINT) AS lag_versions,
+             |  CAST(0 AS BIGINT) AS batch_base,
+             |  CAST(1 AS BIGINT) AS generation,
+             |  CAST(2 AS BIGINT) AS fragments,
+             |  CAST(u + del AS BIGINT) AS pending_delete_rows
+             |FROM c
+             |UNION ALL
+             |SELECT 'vec', 'vectors', CAST(1 AS BIGINT),
+             |  CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(u AS BIGINT)
+             |FROM c
+             |ORDER BY store""".stripMargin)),
+
+    QDef("q207_resync_cutover",
+      // THE RESYNC RUNBOOK, end to end — the documented recovery for a
+      // watermark that fell out of the CDC retention window: the stale
+      // pipeline's tick REFUSES (cdcChangesBetween finds the applied
+      // version vacuumed — never a silent full diff), a FRESH root
+      // bootstraps from the current snapshot (the ordinary first-tick
+      // path), and serving cuts over through the manifest (the
+      // q152/q195 pin discipline — a publish moves the pin from the
+      // stale store to the resynced one; readers resolve the pin, so
+      // the cutover is one atomic pointer move and the stale store
+      // stays readable under the old version until retired). Gates:
+      // the refusal fires with the retention message; the resynced
+      // store serves bit-equal to a fresh build (it IS one); v1 reads
+      // through the manifest still serve the STALE store's content
+      // (cutover is versioned, not destructive); v2 reads serve the
+      // resynced store; and the resynced pipeline keeps ticking (one
+      // post-cutover change batch lands through the ordinary path).
+      (s, d) => {
+        import graft.operators.Manifest
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q207")
+        val (cdc, r1, r2, mroot) =
+          (s"$base/cdc", s"$base/idx-r1", s"$base/idx-r2", s"$base/manifest")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val prep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        def tick(root: String) = CdcSync.syncIndexFromCdc(s, cdc, root,
+          "doc_id", "tk", IndexBucket, prep)
+        EventStreams.initCdcState(docs.withColumn("seq", lit(0L)), cdc)
+        tick(r1)
+        Manifest.init(mroot, Map("idx-r1" -> 1L))
+        // the log moves on with eager checkpoints; retention passes the
+        // r1 watermark by
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync")).as("text"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op", maxDeltas = 0)
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("text"), lit(2L).as("seq"),
+              lit("D").as("op")),
+          Seq("doc_id"), "seq", "op", maxDeltas = 0)
+        EventStreams.vacuumCdc(s, cdc, keepLast = 1)
+        val refused =
+          try { tick(r1); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("vacuumed") }
+        require(refused, "a vacuumed watermark must refuse the tick")
+        // resync: fresh root bootstraps; the manifest cutover re-pins
+        tick(r2)
+        val v2 = Manifest.publish(mroot, expectedVersion = 1L,
+          Map("idx-r2" -> InvertedIndex.currentGen(r2)))
+        val roots = Map("idx-r1" -> r1, "idx-r2" -> r2)
+        def bmAt(ver: Long): Seq[(Long, Double)] = {
+          val store = Manifest.pins(mroot, ver).keys.head
+          InvertedIndex.bm25SearchStore(s, InvertedIndex.genDir(
+              roots(store), Manifest.resolve(mroot, ver, store)),
+            Seq("graftsync", "join", "vector"), 10)
+            .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        }
+        // v1 still serves the STALE content (no graftsync docs yet —
+        // r1 never saw the updates); v2 serves the resynced store
+        val v1Stale = bmAt(1L) ==
+          InvertedIndex.bm25SearchCurrent(s, r1,
+            Seq("graftsync", "join", "vector"), 10)
+            .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+        require(v1Stale, "the pre-cutover version must keep serving r1")
+        require(v2 == 2L, "cutover publish must land at manifest v2")
+        // the resynced pipeline keeps ticking through the ordinary path
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync graftsync")).as("text"),
+              lit(3L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        tick(r2)
+        val fresh = s"$base/fresh"
+        InvertedIndex.initStore(fresh)
+        InvertedIndex.admitBatch(s,
+          prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
+          IndexBucket, batchId = 0L, root = fresh)
+        val terms = Seq("graftsync", "join", "vector")
+        def look(r: String) = InvertedIndex.lookupCurrent(s, r, terms)
+          .select(col("tok"), col("n_docs"),
+            array_join(transform(col("postings"), _.cast("string")), ",")
+              .as("postings"))
+          .orderBy(col("tok"))
+        require(look(r2).collect().toSeq == look(fresh).collect().toSeq,
+          "the resynced store diverges from a fresh build")
+        look(r2)
+      },
+      Some("""WITH mut AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 20 = 0 THEN text || ' graftsync graftsync'
+             |    WHEN doc_id % 10 = 0 THEN text || ' graftsync'
+             |    ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 7
+             |), tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM mut
+             |)
+             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+             |WHERE tok IN ('graftsync', 'join', 'vector')
              |GROUP BY tok ORDER BY tok""".stripMargin))
   )
 

@@ -44,6 +44,18 @@ import graft.operators.{InvertedIndex, Similarity, VectorStore}
   * (first sync call bootstraps from the current snapshot) and cut
   * serving over via the manifest (the q152/q195 pin-and-cutover
   * pattern); this front refuses rather than silently full-diffing.
+  * The q207 catalog query drives the whole recovery end to end.
+  *
+  * DELIBERATE EXCLUSION — no sync front for the signature/gram
+  * stores ([[graft.operators.KeySetStore]]): an upsert there must
+  * delete keys DERIVED FROM THE OLD PAYLOAD (the grams/bands of the
+  * text being replaced), and the O(change-bytes) delta feed does not
+  * carry old payloads — hauling them would cost a state-sized payload
+  * scan per tick, the exact cost this front exists to avoid. Dedup
+  * memories stay on their own contract: ghost-tolerant admission
+  * (a stale signature can only cause a conservative rejection, never
+  * a correctness error) plus the takedown / scoped-rebuild surface
+  * (q169, q176-q178) run at maintenance cadence.
   */
 object CdcSync {
 
@@ -185,6 +197,55 @@ object CdcSync {
     val base = math.max(graft.operators.GenStore.compactedHwm(root, gen),
       graft.operators.GenStore.deletesHwm(root, gen)) + 1L
     writeApplied(root, version, cdcDir, base)
+  }
+
+  /** The SYNC DASHBOARD — the q174/q181 maintenance-status discipline
+    * applied to the corpus-tracking pair: one row per synced store
+    * with its binding, version lag, fragment growth and pending-delete
+    * pressure, built from DRIVER-SIDE file reads and parquet FOOTER
+    * counts only ([[graft.operators.GenStore.footerRowCount]]) — ZERO
+    * Spark jobs over store data, so a scheduler can afford the check
+    * every tick. Columns: store root, bound cdc dir, applied/current
+    * versions, `lag_versions` (how far serving trails the log),
+    * `batch_base` (0 unless federation rebound the store), fragment
+    * count of the current generation (the compaction dial's input) and
+    * pending delete-marker rows (the mask the next fold clears).
+    * Store family is detected from the generation layout (postings =
+    * index, coded = vectors).
+    */
+  def syncStatus(spark: SparkSession,
+      pairs: Seq[(String, String)]): DataFrame = {
+    import graft.operators.GenStore
+    val rows = pairs.map { case (cdcDir, root) =>
+      val (applied, base) = readState(root) match {
+        case Some((v, src, b)) =>
+          require(src == cdcDir,
+            s"store $root is bound to $src, not $cdcDir")
+          (v, b)
+        case None => (-1L, 0L)
+      }
+      val cur = EventStreams.currentCdcVersion(cdcDir)
+      val gen = GenStore.currentGen(root)
+      val gdir = GenStore.genDir(root, gen)
+      val family =
+        if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(gdir, "postings"))) "index"
+        else "vectors"
+      val dataDir =
+        if (family == "index") s"$gdir/postings" else s"$gdir/coded"
+      val frags = GenStore.listBatchIds(spark, dataDir).size.toLong
+      val delDir = s"$gdir/deletes"
+      val pending =
+        if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(delDir))) 0L
+        else GenStore.footerRowCount(spark, Seq(delDir))
+      (root.split('/').last, family, applied, cur, cur - applied,
+        base, gen, frags, pending)
+    }
+    import spark.implicits._
+    rows.toDF("store", "family", "applied_version", "current_version",
+      "lag_versions", "batch_base", "generation", "fragments",
+      "pending_delete_rows")
   }
 
   /** The WHOLE corpus-tracking pipeline as ONE streaming sink: each
