@@ -390,8 +390,18 @@ object ExplainDump {
       "the vector sync tick's serving window — %5 vectors were RE-EMBEDDED (scoped delete at hwm=0 + re-encode at batch 1), compaction not yet run: the coded scan lists BOTH batch_id directories with the probed-cell In(cell) filter STILL in PushedFilters (cell pruning survives the upsert machinery — each copy was encoded into its own nearest cells, and the mask decides between them after the pruned scan), and the scoped mask is the BroadcastExchange -> BroadcastHashJoin LEFT-OUTER + hwm filter between the scan and the LUT scoring (batch_id from the partition column, zero extra bytes; the old encodings die in the filter, the new ones score); above it the audited q123 store-search shape — broadcast probes, LUT scoring, bounded TopKAgg, shortlist-only exact re-rank; the next compaction folds both copies to one and the mask away (the q150 post-compaction shape)",
       VectorStore.search(spark, u2root, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, nprobe = 8, shortlistFactor = 16))
+    // q208: the AS-OF lookup over the synced index — the returned
+    // catalog frame is a captured literal, so the time-travel read
+    // itself is dumped here (same store as the q201 upsert-window aux:
+    // batch 0 plus the replace tick at batch 1 — the as-of bound 0
+    // excludes the tick's fragment AND its scoped delete)
+    val a8plan = ("q208_sync_time_travel (the AS-OF lookup itself)",
+      "time travel on the synced index (storeLookupAsOf, bound = 0 against the q201-aux store whose replace tick sits at batch 1): BOTH cuts must be PARTITION prunes — check the postings scan's PartitionFilters carries batch_id <= 0 (the tick's fragment never enters the plan, so the read costs what the store cost at version 0) and the delete-side scan carries the same bound in ITS PartitionFilters, which at this bound empties the delete set (the scoped delete belongs to the excluded tick); the term isin filter stays in PushedFilters underneath; the answer is bit-equal to what storeLookup returned before the tick — an as-of read is the ordinary read of an older fragment prefix, no log, no replay, no snapshot copies",
+      InvertedIndex.storeLookupAsOf(spark,
+        InvertedIndex.genDir(uroot, InvertedIndex.currentGen(uroot)),
+        Seq("graftsync", "join", "vector"), bound = 0L))
     Seq(cdcPlan, vplan, fplan, wplan, sqPlan, iplan, f2plan, kplan, pplan,
-      gplan, rplan, eplan, mplan, splan, hplan, uplan, u2plan)
+      gplan, rplan, eplan, mplan, splan, hplan, uplan, u2plan, a8plan)
   }
 
   def main(args: Array[String]): Unit = {

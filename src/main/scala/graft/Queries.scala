@@ -10278,6 +10278,105 @@ object Queries {
              |    x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
              |WHERE tok IN ('graftsync', 'join', 'vector')
+             |GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    QDef("q208_sync_time_travel",
+      // TIME TRAVEL over the SYNCED index (CdcSync.lookupIndexAsOf) —
+      // the reproducibility read: "what retrieval context did the run
+      // at CDC version V see", answered from the LIVE store with no
+      // copies kept. A version maps to the admission-batch bound
+      // (batchBase + version), and both the fragment and the
+      // delete-fragment cuts are PARTITION prunes on the batch_id
+      // directory key — an as-of read costs what the store cost THEN
+      // (the q140 as-of discipline, re-expressed on the derived
+      // store). The window reaches back to the last compaction fold:
+      // the fold collapses per-version attribution (that is its point
+      // — bounded read amplification), so compaction cadence IS the
+      // time-travel-window dial, the parts-merging trade stated
+      // honestly and gated: post-fold, the newest version still
+      // serves identically and the pre-fold version REFUSES with the
+      // folded-away error, never a silently wrong answer. Gates:
+      // as-of V equals a fresh one-shot build of cdcSnapshotAt(V) for
+      // EVERY retained version (0, 1, 2 — spanning an upsert and an
+      // insert+delete tick). Output: the as-of v1 lookup (mid-history
+      // — updates visible, later inserts and deletes not), stated in
+      // closed form by the oracle.
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.{CdcSync, EventStreams}
+        val base = scratchDir("q208")
+        val (cdc, root) = (s"$base/cdc", s"$base/idx")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val prep: DataFrame => DataFrame = df =>
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        def tick() = CdcSync.syncIndexFromCdc(s, cdc, root, "doc_id",
+          "tk", IndexBucket, prep)
+        EventStreams.initCdcState(docs.withColumn("seq", lit(0L)), cdc)
+        tick()
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" graftsync")).as("text"),
+              lit(1L).as("seq"), lit("U").as("op")),
+          Seq("doc_id"), "seq", "op")
+        tick()
+        EventStreams.publishCdcBatch(s, cdc,
+          docs.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("graftsync "), col("text")).as("text"),
+              lit(1L).as("seq"), lit("I").as("op"))
+            .unionByName(docs.filter(col("doc_id") % 10 === 7)
+              .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+                lit("D").as("op"))),
+          Seq("doc_id"), "seq", "op")
+        tick()
+        val terms = Seq("graftsync", "join", "vector")
+        def canon(df: DataFrame): Seq[(String, Long, String)] =
+          df.select(col("tok"), col("n_docs"),
+              array_join(transform(col("postings"), _.cast("string")), ",")
+                .as("postings"))
+            .orderBy("tok")
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              r.getString(2))).toSeq
+        // every retained version equals a fresh build of its snapshot
+        (0L to 2L).foreach { v =>
+          val fr = s"$base/fresh-v$v"
+          InvertedIndex.initStore(fr)
+          InvertedIndex.admitBatch(s,
+            prep(EventStreams.cdcSnapshotAt(s, cdc, v)), "doc_id", "tk",
+            IndexBucket, batchId = 0L, root = fr)
+          require(canon(CdcSync.lookupIndexAsOf(s, root, terms, v)) ==
+              canon(InvertedIndex.lookupCurrent(s, fr, terms)),
+            s"as-of v$v diverges from a fresh build of snapshot v$v")
+        }
+        val v1Rows = canon(CdcSync.lookupIndexAsOf(s, root, terms, 1L))
+        // the fold seals the window: newest still serves, pre-fold
+        // versions refuse loudly
+        InvertedIndex.compactStore(s, root, InvertedIndex.currentGen(root))
+        require(canon(CdcSync.lookupIndexAsOf(s, root, terms, 2L)) ==
+            canon(InvertedIndex.lookupCurrent(s, root, terms)),
+          "post-fold, the newest version must still serve as-of")
+        val folded =
+          try { CdcSync.lookupIndexAsOf(s, root, terms, 1L); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("folded away") }
+        require(folded, "a pre-fold version must refuse, never mis-serve")
+        v1Rows.toDF("tok", "n_docs", "postings").orderBy(col("tok"))
+      },
+      Some("""WITH mut AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 10 = 0 THEN text || ' graftsync'
+             |    ELSE text END AS text
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM mut
+             |)
+             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM (SELECT doc_id, unnest(tk) AS tok FROM tok)
+             |WHERE tok IN ('graftsync', 'join', 'vector')
              |GROUP BY tok ORDER BY tok""".stripMargin))
   )
 

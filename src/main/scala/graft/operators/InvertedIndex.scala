@@ -180,7 +180,8 @@ object InvertedIndex {
     * read plans are unchanged). Fragments written before the hwm
     * column existed read as null and coalesce to unbounded.
     */
-  private def pendingDeletes(spark: SparkSession, path: String): Option[DataFrame] = {
+  private def pendingDeletes(spark: SparkSession, path: String,
+      bound: Option[Long] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -192,8 +193,12 @@ object InvertedIndex {
     // needsCompaction policy is what keeps the set fraction-bounded, so
     // the broadcast never outgrows the driver by contract.
     else {
-      val raw = spark.read.option("mergeSchema", "true")
+      val raw0 = spark.read.option("mergeSchema", "true")
         .parquet(s"$path/deletes")
+      // as-of reads exclude delete fragments above the bound (a
+      // partition prune on the batch_id directory key)
+      val raw = bound.map(b => raw0.filter(col("batch_id") <= b))
+        .getOrElse(raw0)
       val hwmCol = if (raw.columns.contains("hwm"))
         coalesce(col("hwm"), lit(Long.MaxValue)) else lit(Long.MaxValue)
       Some(broadcast(raw.groupBy(col("doc_id"))
@@ -230,10 +235,34 @@ object InvertedIndex {
     * still bounded by the queried terms' candidates, never the corpus);
     * with none, the plan is untouched.
     */
-  def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(s"$path/postings")
+  def storeLookup(spark: SparkSession, path: String, terms: Seq[String]): DataFrame =
+    storeLookupBounded(spark, path, terms, None)
+
+  /** [[storeLookup]] AS OF an admission-batch bound — the TIME-TRAVEL
+    * read of the sync lifecycle ([[graft.streaming.CdcSync
+    * .lookupIndexAsOf]] maps a CDC version to the bound): only
+    * fragments with `batch_id <= bound` serve, and only delete
+    * fragments at or below the bound apply — so the answer is exactly
+    * what [[storeLookup]] returned when the bound was the store's
+    * newest batch. Both filters are PARTITION prunes (batch_id is the
+    * directory key): an as-of read costs what the store cost THEN,
+    * not what it costs now. Reaches back to the last compaction fold
+    * (the fold collapses per-batch attribution into one fragment at
+    * the listing high-water mark — bounds below it are unanswerable
+    * and refused by the caller-facing wrapper), the bounded-window
+    * semantics of every parts-merging store.
+    */
+  def storeLookupAsOf(spark: SparkSession, path: String,
+      terms: Seq[String], bound: Long): DataFrame =
+    storeLookupBounded(spark, path, terms, Some(bound))
+
+  private def storeLookupBounded(spark: SparkSession, path: String,
+      terms: Seq[String], bound: Option[Long]): DataFrame = {
+    val base0 = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
-    pendingDeletes(spark, path) match {
+    val base = bound.map(b => base0.filter(col("batch_id") <= b))
+      .getOrElse(base0)
+    pendingDeletes(spark, path, bound) match {
       case None =>
         base.select(col("tok"), col("n_docs"),
             transform(col("postings"), _.getField("doc_id")).as("ids"))

@@ -199,6 +199,40 @@ object CdcSync {
     writeApplied(root, version, cdcDir, base)
   }
 
+  /** TIME-TRAVEL over the synced index: the term-lookup answer AS OF a
+    * CDC `version` — "what did serving look like when the log stood at
+    * v<N>" — the reproducibility read a training pipeline needs to
+    * re-derive exactly the retrieval context an old run saw. The
+    * version maps to the admission-batch bound `batchBase + version`
+    * ([[InvertedIndex.storeLookupAsOf]]: fragments and delete
+    * fragments above the bound are PARTITION-pruned away, so the read
+    * costs what the store cost then). The window reaches back to the
+    * last compaction fold — the fold collapses per-version attribution
+    * (that is its point: bounded read amplification), so a bound below
+    * the sealed high-water mark is refused with the retention-style
+    * error, exactly like a vacuumed CDC version. Compaction cadence IS
+    * the time-travel-window dial, the same trade every parts-merging
+    * store exposes.
+    */
+  def lookupIndexAsOf(spark: SparkSession, root: String,
+      terms: Seq[String], version: Long): DataFrame = {
+    val (applied, _, base) = readState(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"store $root is not a synced store (no _CDC_SYNC watermark)"))
+    require(version >= 0 && version <= applied,
+      s"version $version is not applied at $root (watermark is $applied)")
+    val bound = base + version
+    val gen = graft.operators.GenStore.currentGen(root)
+    val hwm = graft.operators.GenStore.compactedHwm(root, gen)
+    require(hwm < 0 || bound >= hwm,
+      s"version $version has been folded away (the gen=$gen compaction " +
+        s"sealed batches <= $hwm into one fragment): as-of reads reach " +
+        "back to the last fold — compaction cadence is the time-travel " +
+        "window dial")
+    InvertedIndex.storeLookupAsOf(spark,
+      InvertedIndex.genDir(root, gen), terms, bound)
+  }
+
   /** The SYNC DASHBOARD — the q174/q181 maintenance-status discipline
     * applied to the corpus-tracking pair: one row per synced store
     * with its binding, version lag, fragment growth and pending-delete
