@@ -23,9 +23,16 @@ object Verify {
     GraftSession.registerMetricsLogger(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall time on stderr: the optimization rounds' measure-
+        // first loop needs to rank the catalog by cost (guide §1); stdout
+        // and the dumped parquet stay byte-identical.
+        System.err.println(
+          f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

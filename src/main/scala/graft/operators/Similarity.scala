@@ -298,18 +298,71 @@ object Similarity {
       .write.mode("overwrite").parquet(path)
   }
 
+  // -------------------------------------------------------------------
+  // Index-artifact load memo (r15): the KB-sized centroid/codebook
+  // tables are re-loaded by EVERY admit/search/encode against a store
+  // (VectorStore.admitAt, searchGen, ...), and each load was a full
+  // Spark job (scan + collect) — hundreds of milliseconds of scheduling
+  // for a few hundred doubles, paid per admission in the lifecycle
+  // queries. The memo is DRIVER-SIDE SESSION STATE in the warehouse
+  // sense (a table's file index/footer metadata is session state, not
+  // per-query work — the Bench.scala stance) and is validated against
+  // the FILESYSTEM on every access: the key is the artifact's file
+  // manifest (part-file names, lengths, mtimes — a mode-overwrite
+  // rewrite always lands NEW uuid part names, so any rewrite misses).
+  // The first load after any write is therefore always a real parquet
+  // read — the q84/q103/q119 round-trip gates keep their meaning — and
+  // nothing survives the JVM, so no state crosses bench/verify runs.
+  // -------------------------------------------------------------------
+  private val artifactCache =
+    new java.util.LinkedHashMap[String, (Seq[(String, Long, Long)], AnyRef)](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[(String, Long, Long)], AnyRef)])
+          : Boolean = size() > 64
+    }
+
+  private def artifactSignature(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  private def cachedArtifact[T <: AnyRef](spark: SparkSession, path: String)
+      (load: => T): T = {
+    val sig = artifactSignature(spark, path)
+    if (sig.isEmpty) return load // missing/empty: the loader's own error
+    artifactCache.synchronized {
+      Option(artifactCache.get(path)).collect {
+        case (s, v) if s == sig => v.asInstanceOf[T]
+      }
+    }.getOrElse {
+      val v = load
+      artifactCache.synchronized { artifactCache.put(path, (sig, v)) }
+      v
+    }
+  }
+
   /** Load a persisted IVF index. Parquet round-trips doubles exactly, so
     * a loaded index searches bit-identically to the freshly fitted one
     * (asserted in SimilarityOpsSpec and gated in-query by q84).
+    * Memoized per file manifest (see [[artifactCache]]); the returned
+    * arrays are defensive copies, so callers can never alias the cache.
     */
-  def loadIndex(spark: SparkSession, path: String): Array[Array[Double]] = {
-    val rows = spark.read.parquet(path).orderBy("cell").collect()
-    require(rows.nonEmpty, s"no index at $path")
-    rows.zipWithIndex.foreach { case (r, i) =>
-      require(r.getInt(0) == i, s"index at $path is missing cell $i")
-    }
-    rows.map(_.getSeq[Double](1).toArray)
-  }
+  def loadIndex(spark: SparkSession, path: String): Array[Array[Double]] =
+    cachedArtifact(spark, path) {
+      val rows = spark.read.parquet(path).orderBy("cell").collect()
+      require(rows.nonEmpty, s"no index at $path")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        require(r.getInt(0) == i, s"index at $path is missing cell $i")
+      }
+      rows.map(_.getSeq[Double](1).toArray)
+    }.map(_.clone())
 
   /** IVF search against PREBUILT centroids (fit via [[fitCentroids]], or
     * [[loadIndex]] from a persisted index): queries probe the `nprobe`
@@ -395,18 +448,44 @@ object Similarity {
       concat(transform(sub, x => x.cast("double")), array(lit(1.0))), aug, 1), 1)
   }
 
+  /** [[nearestCodeword]] for the one-pass-fit equivalence spec (the
+    * serial reference re-built in the test needs the same argmin).
+    */
+  private[graft] def nearestCodewordRef(sub: Column,
+      book: Array[Array[Double]]): Column = nearestCodeword(sub, book)
+
   /** Fit PQ codebooks over the unit-normalized corpus: `m` subspaces,
     * `k` codewords each, plain (L2, non-spherical) Lloyd iterations —
     * sub-vector MAGNITUDE carries reconstruction information, so
-    * codewords are means, never unitized. Same driver-action shape as
-    * [[fitCentroids]]: each iteration is one narrow assignment pass
-    * plus a map-side-combined groupBy shuffling only k x dim/m partial
-    * sums.
+    * codewords are means, never unitized.
+    *
+    * ALL m subspaces fit together: each Lloyd iteration is ONE narrow
+    * assignment pass (the per-subspace argmins evaluate side by side in
+    * the same projection, then posexplode to (j, code, sv) rows) plus
+    * ONE map-side-combined groupBy(j, code) whose shuffle carries only
+    * m x k x dim/m partial sums — never the corpus. The r14 form looped
+    * the subspaces serially, paying m x (iters + 1) full corpus passes
+    * (and as many per-iteration codegen compiles); this form pays
+    * iters + 1 passes total, an m-fold reduction that holds at any
+    * corpus size (guide §1.2: fix the distributed algorithm first).
+    * Per-subspace math is unchanged — same hash-ordered seeds, same
+    * argmin, same mean accumulation order — so the fitted codebooks are
+    * bit-identical to the serial form's (spec-gated).
+    *
+    * Seeds stay one TakeOrderedAndProject per subspace (top-k by a
+    * per-subspace hash — a bounded partial top-k per partition, never a
+    * corpus-wide sort), submitted CONCURRENTLY from the driver pool
+    * (guide §2.6: independent jobs overlap their fixed latency; results
+    * are unaffected — the order key is deterministic per job).
     */
   def fitPqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int,
       unitize: Boolean = true): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     // unitize=false fits RAW vectors — the IVF-PQ residual path, where
     // the input is already array<double> (unit vector - centroid) and
     // re-normalizing would destroy exactly the magnitude the codebook
@@ -417,31 +496,39 @@ object Similarity {
     val dim = c.select(size(col("uv"))).head().getInt(0)
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sd = dim / m
-    (0 until m).map { j =>
-      val sub = c.select(col("cid"),
-        slice(col("uv"), j * sd + 1, sd).as("sv"))
-      var book: Array[Array[Double]] = sub
-        .orderBy(xxhash64(col("cid"), lit(j)), col("cid")).limit(k)
-        .select(col("sv")).collect()
-        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
-      require(book.nonEmpty, "fitPqCodebooks needs a non-empty corpus")
-      for (_ <- 1 to iters) {
-        val assigned = sub.withColumn("code", nearestCodeword(col("sv"), book))
-        val dimSums = (0 until sd).map(i =>
-          sum(element_at(col("sv"), i + 1)).as(s"s$i"))
-        val rows = assigned.groupBy(col("code"))
-          .agg(count(lit(1)).as("n"), dimSums: _*)
-          .collect()
-        val next = book.clone()
-        rows.foreach { r =>
-          val code = r.getInt(0)
-          val n = r.getLong(1).toDouble
-          next(code) = Array.tabulate(sd)(i => r.getDouble(2 + i) / n)
-        }
-        book = next // empty cells keep their previous codeword
+    def sub(j: Int) = slice(col("uv"), j * sd + 1, sd)
+    var books: Array[Array[Array[Double]]] = Await.result(
+      Future.sequence((0 until m).map { j => Future {
+        c.orderBy(xxhash64(col("cid"), lit(j)), col("cid")).limit(k)
+          .select(sub(j).as("sv")).collect()
+          .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+      }}), Duration.Inf).toArray
+    require(books.forall(_.nonEmpty), "fitPqCodebooks needs a non-empty corpus")
+    for (_ <- 1 to iters) {
+      // one pass: (subspace, assigned code, sub-vector) rows for every
+      // subspace at once; each array element embeds its own subspace's
+      // current codebook as literals, exactly as the serial form did
+      val perJ = array((0 until m).map { j =>
+        struct(nearestCodeword(sub(j), books(j)).as("code"),
+          sub(j).as("sv"))
+      }: _*)
+      val assigned = c.select(posexplode(perJ).as(Seq("j", "e")))
+        .select(col("j"), col("e.code").as("code"), col("e.sv").as("sv"))
+      val dimSums = (0 until sd).map(i =>
+        sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      val rows = assigned.groupBy(col("j"), col("code"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect()
+      val next = books.map(_.clone())
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        val code = r.getInt(1)
+        val n = r.getLong(2).toDouble
+        next(j)(code) = Array.tabulate(sd)(i => r.getDouble(3 + i) / n)
       }
-      book
-    }.toArray
+      books = next // empty cells keep their previous codeword
+    }
+    books
   }
 
   /** PQ-encode a unit-normalized vector column: array of `m` codes, one
@@ -520,22 +607,24 @@ object Similarity {
 
   /** Load persisted PQ codebooks. Parquet round-trips doubles exactly,
     * so a loaded codebook encodes and searches bit-identically to the
-    * freshly fitted one (gated in-query by q103).
+    * freshly fitted one (gated in-query by q103). Memoized per file
+    * manifest ([[artifactCache]]); returns defensive copies.
     */
-  def loadPqIndex(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
-    require(rows.nonEmpty, s"no PQ index at $path")
-    val bySub = rows.groupBy(_.getInt(0))
-    val m = bySub.keySet.max + 1
-    Array.tabulate(m) { j =>
-      val sub = bySub.getOrElse(j,
-        throw new IllegalArgumentException(s"PQ index at $path is missing subspace $j"))
-      sub.sortBy(_.getInt(1)).zipWithIndex.map { case (r, c) =>
-        require(r.getInt(1) == c, s"PQ index at $path is missing code $c of subspace $j")
-        r.getSeq[Double](2).toArray
+  def loadPqIndex(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    cachedArtifact(spark, path) {
+      val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+      require(rows.nonEmpty, s"no PQ index at $path")
+      val bySub = rows.groupBy(_.getInt(0))
+      val m = bySub.keySet.max + 1
+      Array.tabulate(m) { j =>
+        val sub = bySub.getOrElse(j,
+          throw new IllegalArgumentException(s"PQ index at $path is missing subspace $j"))
+        sub.sortBy(_.getInt(1)).zipWithIndex.map { case (r, c) =>
+          require(r.getInt(1) == c, s"PQ index at $path is missing code $c of subspace $j")
+          r.getSeq[Double](2).toArray
+        }
       }
-    }
-  }
+    }.map(_.map(_.clone()))
 
   /** PQ ANN, fit-inline convenience: [[fitPqCodebooks]] + [[pqSearch]]. */
   def pqTopK(

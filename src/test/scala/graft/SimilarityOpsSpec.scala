@@ -166,6 +166,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad == ((Seq(0, 1, 2), Seq(0.0, 0.0, 0.0))))
   }
 
+  test("index-artifact memo: hit returns equal values, rewrite invalidates") {
+    // r15: loadIndex/loadPqIndex memoize on the artifact's file manifest
+    // (names, lengths, mtimes). A repeated load must return the same
+    // values WITHOUT aliasing (defensive copies), and a mode-overwrite
+    // rewrite (new uuid part names) must be re-read, never served stale.
+    val dir = java.nio.file.Files.createTempDirectory("memo-").toString + "/idx"
+    val c1 = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    Similarity.saveIndex(spark, c1, dir)
+    val a = Similarity.loadIndex(spark, dir)
+    assert(a.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    val b = Similarity.loadIndex(spark, dir)
+    assert(b.map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    b(0)(0) = 42.0 // mutating a returned copy must not poison the cache
+    assert(Similarity.loadIndex(spark, dir)(0)(0) == 1.0)
+    val c2 = Array(Array(0.5, 0.5), Array(0.5, -0.5))
+    Similarity.saveIndex(spark, c2, dir) // rewrite: new part names
+    assert(Similarity.loadIndex(spark, dir).map(_.toSeq).toSeq ==
+      c2.map(_.toSeq).toSeq, "rewritten artifact must invalidate the memo")
+  }
+
+  test("one-pass PQ fit == the serial per-subspace reference, bit-for-bit") {
+    // the r15 optimization collapses the m-subspace loop into one job
+    // per Lloyd iteration; the codebooks must be BIT-identical to the
+    // serial form (same hash-ordered seeds, same argmin, same mean
+    // accumulation) — this reference IS the r14 implementation
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(300)
+    val (m, k, iters) = (4, 8, 3)
+    val onePass = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", m, k, iters)
+    val c = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("cid"), VectorFunctions.unit(col("embedding")).as("uv"))
+    val dim = c.select(size(col("uv"))).head().getInt(0)
+    val sd = dim / m
+    val serial = (0 until m).map { j =>
+      val sub = c.select(col("cid"), slice(col("uv"), j * sd + 1, sd).as("sv"))
+      var book: Array[Array[Double]] = sub
+        .orderBy(xxhash64(col("cid"), lit(j)), col("cid")).limit(k)
+        .select(col("sv")).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+      for (_ <- 1 to iters) {
+        val assigned = sub.withColumn("code",
+          Similarity.nearestCodewordRef(col("sv"), book))
+        val dimSums = (0 until sd).map(i =>
+          sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+        val rows = assigned.groupBy(col("code"))
+          .agg(count(lit(1)).as("n"), dimSums: _*).collect()
+        val next = book.clone()
+        rows.foreach { r =>
+          val code = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(code) = Array.tabulate(sd)(i => r.getDouble(2 + i) / n)
+        }
+        book = next
+      }
+      book
+    }.toArray
+    assert(onePass.length == serial.length)
+    for (j <- 0 until m; code <- 0 until k)
+      assert(onePass(j)(code).toSeq == serial(j)(code).toSeq,
+        s"subspace $j code $code diverges")
+  }
+
   test("pq_lut == scalar LUT loop bit-for-bit, codegen == interpreted; degenerate zero") {
     val emb = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(200)
     val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", 4, 8, 2)
