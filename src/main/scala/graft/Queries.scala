@@ -4544,7 +4544,7 @@ object Queries {
         val preVacuum = (0L to 2L).map { v =>
           val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
           val exp = expected(v).select("key", "bal")
-          val ok = asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+          val ok = Checks.multisetEq(asof, exp)
           val st = asof.agg(count(lit(1)).cast("long"),
             sum(col("bal").cast(DecimalType(18, 2))).cast("double")).head()
           (v, st.getLong(0), st.getDouble(1), ok)
@@ -6576,8 +6576,7 @@ object Queries {
           .select(col("l_returnflag"), col("bin"), col("cnt").cast("long"))
         val frag = s.read.parquet(GenStore.genDir(root, 2L)).drop("batch_id")
         val physical = frag.filter(col("cnt") <= 0).isEmpty &&
-          hist(root).exceptAll(hist(froot)).isEmpty &&
-          hist(froot).exceptAll(hist(root)).isEmpty
+          Checks.multisetEq(hist(root), hist(froot))
         val sealedRefused = try {
           QuantileStore.retractBatch(s,
             li.filter(pmod(col("l_orderkey"), lit(4)) === 1),
@@ -9151,12 +9150,9 @@ object Queries {
           // zero lost, zero duplicated: the DISTINCT key sets coincide
           // (fragment multiplicity differs by micro-batch split, which
           // the store's multiset-insensitive reads are built for)
-          val keysEq = KeySetStore.keysCurrent(s, merged).distinct()
-            .exceptAll(KeySetStore.keysCurrent(s, twin).distinct())
-            .isEmpty &&
-            KeySetStore.keysCurrent(s, twin).distinct()
-              .exceptAll(KeySetStore.keysCurrent(s, merged).distinct())
-              .isEmpty
+          val keysEq = Checks.multisetEq(
+            KeySetStore.keysCurrent(s, merged).distinct(),
+            KeySetStore.keysCurrent(s, twin).distinct())
           // merged-away sources retire without touching the successor
           Seq(ra, rb).foreach(GenStore.retire)
           val retired = !java.nio.file.Files.exists(
@@ -9258,7 +9254,7 @@ object Queries {
         pipeline(sa, 0L, 100.0, 0L, 4L)
         pipeline(sb, 1L, 50.0, 1L, 5L)
         def setEq(a: DataFrame, b: DataFrame): Boolean =
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+          Checks.multisetEq(a, b)
         val cut = EventStreams.currentCdcSnapshot(s, sa)
           .unionByName(EventStreams.currentCdcSnapshot(s, sb))
           .localCheckpoint() // pin: the sources retire-able afterwards
@@ -9406,7 +9402,7 @@ object Queries {
         val preVacuum = (0L to 4L).map { v =>
           val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
           val exp = expected(v).select("key", "bal")
-          val ok = asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+          val ok = Checks.multisetEq(asof, exp)
           val st = asof.agg(count(lit(1)).cast("long"),
             sum(col("bal").cast(DecimalType(18, 2))).cast("double")).head()
           (v, st.getLong(0), st.getDouble(1), ok,
@@ -9425,7 +9421,7 @@ object Queries {
         def stillServes(v: Long): Boolean = {
           val asof = EventStreams.cdcSnapshotAt(s, dir, v).select("key", "bal")
           val exp = expected(v).select("key", "bal")
-          asof.exceptAll(exp).isEmpty && exp.exceptAll(asof).isEmpty
+          Checks.multisetEq(asof, exp)
         }
         preVacuum.map { case (v, n, sumBal, ok, wasDelta) =>
           val ret = retained(v)
@@ -9723,7 +9719,7 @@ object Queries {
           "embedding", batchId = 0L)
         def vecs(r: String) = VectorStore.vectors(s, r, "vec_id", "embedding")
         def setEq(a: DataFrame, b: DataFrame) =
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+          Checks.multisetEq(a, b)
         require(setEq(vecs(root), vecs(twin)),
           "synced vector store diverges from the mutated corpus")
         // the UPDATED (component-reversed) embedding retrieves the doc
@@ -9910,8 +9906,7 @@ object Queries {
           InvertedIndex.currentGen(iroot)) + "/doclens").select("doc_id")
         val vecIds = VectorStore.vectors(s, vroot, "doc_id", "embedding")
           .select("doc_id")
-        require(idxIds.exceptAll(vecIds).isEmpty &&
-            vecIds.exceptAll(idxIds).isEmpty,
+        require(Checks.multisetEq(idxIds, vecIds),
           "the two synced stores serve different id sets")
         // fresh pair: one-shot builds of the final corpus (vector twin
         // under the synced store's own artifact)

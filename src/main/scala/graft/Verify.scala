@@ -22,20 +22,52 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.registerMetricsLogger(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    // The catalog's queries are INDEPENDENT (each works in its own
+    // scratch/output directory against read-only inputs), and at test
+    // scale their wall time is dominated by driver-side job-launch
+    // latency of many tiny Spark actions, not by executor compute — so
+    // a few in flight back-fill each other's scheduling gaps (guide
+    // §2.6: overlap independent jobs). Each query's dumped parquet is
+    // written by exactly one worker; results are byte-identical to the
+    // sequential sweep (verified against a sequential run's dumps).
+    // SPARK_GRAFT_VERIFY_PAR=1 restores strictly sequential execution.
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def run1(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // per-query wall time on stderr: the optimization rounds' measure-
-        // first loop needs to rank the catalog by cost (guide §1); stdout
-        // and the dumped parquet stay byte-identical.
+        // per-query wall time on stderr: the optimization rounds'
+        // measure-first loop needs to rank the catalog by cost
+        // (guide §1); stdout and the dumped parquet stay identical.
         System.err.println(
           f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Queries that assert PHYSICAL PARQUET ENCODINGS of their own writes
+    // run EXCLUSIVELY, after the pool drains: parquet-mr's
+    // ParquetProperties.Builder defaults every writer to the JVM-shared
+    // mutable DEFAULT_VALUES_WRITER_FACTORY, and constructing ANY new
+    // ParquetProperties re-initializes that singleton's delegate — so a
+    // concurrent write (any options) can flip an open writer's
+    // version/dictionary choices at its next row-group boundary
+    // (values stay lossless; only the encoding gate is sensitive).
+    // Reproduced and bisected this round; see ParquetWrite.writeLock.
+    val exclusive = Set("q87_write_control")
+    val all = SparkEntry.queries.filter(kv => selected(kv._1)).toSeq
+    val runs = all.filterNot(kv => exclusive(kv._1))
+      .map { case (name, fn) => scala.concurrent.Future(run1(name, fn)) }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(runs),
+      scala.concurrent.duration.Duration.Inf)
+    all.filter(kv => exclusive(kv._1)).foreach { case (n, f) => run1(n, f) }
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -129,4 +129,27 @@ object Checks {
       df.filter(col(col0).isNotNull)
         .join(dim.select(col(dimCol)), col(col0) === col(dimCol), "left_anti")
   }
+
+  /** MULTISET equality of two frames in ONE action — the equality-gate
+    * primitive of the lifecycle capstones. The classic
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` pair costs two
+    * jobs and evaluates EACH input twice (Spark rewrites ExceptAll
+    * itself as a union + signed-count aggregate, so the pair is four
+    * input computations); this is that same rewrite, stated once: tag
+    * rows +1/−1, aggregate the signed count per distinct row, and the
+    * multisets are equal iff no group sums non-zero. Same null/NaN/−0.0
+    * key semantics as ExceptAll (both are grouping-key comparisons) —
+    * one job, each input computed once.
+    */
+  def multisetEq(a: DataFrame, b: DataFrame): Boolean = {
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"multisetEq needs identical schemas: ${a.columns.mkString(",")} vs " +
+        b.columns.mkString(","))
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("__w", lit(1L))
+      .unionByName(b.withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__w")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .isEmpty
+  }
 }

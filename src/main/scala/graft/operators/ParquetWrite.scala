@@ -52,8 +52,28 @@ object ParquetWrite {
         */
       partitionBy: Seq[String] = Nil)
 
+  /** Serializes [[write]] calls within one JVM. Root cause (bisected
+    * and confirmed against the parquet-column 1.16 bytecode this
+    * round): `ParquetProperties.Builder` defaults every writer to the
+    * JVM-SHARED mutable `ParquetProperties.DEFAULT_VALUES_WRITER_FACTORY`,
+    * and constructing any new ParquetProperties calls
+    * `initialize(this)` on that singleton, re-pointing its delegate
+    * (v1 vs v2 factory AND the captured properties that decide
+    * per-column dictionary use). An open writer builds its values
+    * writers PER ROW GROUP through the singleton, so a concurrent
+    * parquet write — even a plain one with no options — can flip this
+    * writer's encodings at its next row-group boundary (observed: a
+    * v2/dict-off file whose later row groups landed v1 PLAIN_DICTIONARY;
+    * values stay lossless, only the physical layout drifts). This lock
+    * removes the engine's own layout-write vs layout-write races; a
+    * racing PLAIN write from another thread can still flip encodings,
+    * which is why the one encoding-gated catalog query runs exclusively
+    * in Verify's drained tail.
+    */
+  private val writeLock = new Object
+
   def write(df: DataFrame, path: String, spec: WriteSpec = WriteSpec(),
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite"): Unit = writeLock.synchronized {
     require(spec.writerVersion == "v1" || spec.writerVersion == "v2",
       s"writerVersion must be v1 or v2, got ${spec.writerVersion}")
     val clustered =

@@ -93,4 +93,21 @@ class ChecksSpec extends AnyFunSuite {
       val b = r.getAs[Long]("bucket"); b >= 0 && b <= 19
     })
   }
+
+  test("multisetEq == the exceptAll pair on equal, unequal and multiplicity cases") {
+    // r15: the lifecycle gates' one-job equality primitive must agree
+    // with the two-job exceptAll form it replaced — including on
+    // DUPLICATE multiplicity (where plain set logic would lie) and on
+    // null keys (grouping-key semantics on both sides)
+    val a = Seq((1L, "x"), (1L, "x"), (2L, null: String)).toDF("k", "v")
+    val b1 = Seq((1L, "x"), (2L, null: String), (1L, "x")).toDF("k", "v")
+    val b2 = Seq((1L, "x"), (2L, null: String)).toDF("k", "v") // one fewer dup
+    val b3 = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v")
+    def ref(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+    for ((x, y) <- Seq((a, b1), (a, b2), (a, b3), (b2, a)))
+      assert(Checks.multisetEq(x, y) == ref(x, y),
+        s"multisetEq diverges from exceptAll pair")
+    assert(Checks.multisetEq(a, b1) && !Checks.multisetEq(a, b2))
+  }
 }

@@ -117,4 +117,38 @@ class ParquetWriteSpec extends AnyFunSuite {
     val files = ParquetWrite.describe(dir).map(_.file).distinct
     assert(files.size >= 3, s"expected >=3 files, got ${files.size}")
   }
+
+  test("concurrent WriteSpec writes keep their own layout options") {
+    // regression for the r15 parallel-verify finding: two concurrent
+    // writes with DIFFERENT parquet layout options could land with a
+    // per-key mix of each other's options (v2/dict-off lost while the
+    // block size held). ParquetWrite.write serializes per JVM; this
+    // drives the racing shape several rounds and asserts the layout.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val base = tmpDir()
+    val li = lineitem.select("l_orderkey", "l_returnflag", "l_linestatus")
+    (1 to 4).foreach { i =>
+      val other = Future {
+        ParquetWrite.write(li.repartition(4), s"$base/other$i",
+          WriteSpec(rowGroupBytes = 32 << 10, pageBytes = 8 << 10))
+      }
+      val spec = Future {
+        ParquetWrite.write(li.coalesce(1).sortWithinPartitions("l_orderkey"),
+          s"$base/spec$i",
+          WriteSpec(rowGroupBytes = 64 << 10, pageBytes = 16 << 10,
+            writerVersion = "v2",
+            dictionaryOverrides = Map("l_orderkey" -> false)))
+      }
+      Await.result(Future.sequence(Seq(other, spec)), Duration.Inf)
+      val chunks = ParquetWrite.describe(s"$base/spec$i")
+        .filter(_.column == "l_orderkey")
+      assert(chunks.nonEmpty && chunks.forall(c =>
+        !c.hasDict && c.encodings.contains("DELTA_BINARY_PACKED")),
+        s"round $i: v2/dict-off lost under a concurrent differently-" +
+          s"optioned write: ${chunks.map(_.encodings)}")
+    }
+  }
 }
