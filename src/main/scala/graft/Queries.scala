@@ -6442,26 +6442,29 @@ object Queries {
         val root = scratchDir("q165") + "/sigstore"
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         KeySetStore.init(root)
-        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 0L, root = root, portableKeys = true)
-        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 1L, root = root, portableKeys = true)
+        // ONE signature pass over the corpus (guide §1.2): every admit,
+        // delete, and probe below filters this checkpointed key set by
+        // doc id instead of re-shingling raw text — the derivation is
+        // row-local per doc, so a filtered slice is bit-identical to
+        // deriving from the filtered docs. In-query materialization
+        // only; nothing survives the query.
+        val keys = Dedup.minHashBandKeys(docs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, portableKeys = true).localCheckpoint()
+        Dedup.admitMinHashKeysBatch(keys.filter(col("id") % 2 === 0),
+          batchId = 0L, root = root)
+        Dedup.admitMinHashKeysBatch(keys.filter(col("id") % 2 === 1),
+          batchId = 1L, root = root)
         val dead = docs.filter(col("doc_id") % 7 === 3)
-        def probe() = Dedup.admitAgainstMinHashStoreGen(dead, "doc_id",
-            "text", n = 3, numHashes = 32, bands = 8, root = root,
-            portableKeys = true)
+        val deadIds = dead.select(col("doc_id").as("id"))
+        val deadKeyRows = keys.filter(col("id") % 7 === 3)
+        def probe() = Dedup.admitKeysAgainstMinHashStoreGen(deadIds,
+            deadKeyRows, root)
           .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         val before = probe()
-        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = root,
-          portableKeys = true)
+        Dedup.deleteMinHashKeysBatch(deadKeyRows, batchId = 0L, root = root)
         val pending = probe()
         // replayed delete: same batch id, same keys — decisions unmoved
-        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = root,
-          portableKeys = true)
+        Dedup.deleteMinHashKeysBatch(deadKeyRows, batchId = 0L, root = root)
         // delete of keys the store never admitted: subtracting an
         // absent key removes nothing
         Dedup.deleteMinHashBatch(
@@ -6472,8 +6475,7 @@ object Queries {
         KeySetStore.compactStore(s, root, expectedGen = 1L)
         val postEqPending = probe() == pending
         val gen2 = GenStore.genDir(root, 2L)
-        val deadKeys = Dedup.minHashBandKeys(dead, "doc_id", "text",
-            n = 3, numHashes = 32, bands = 8, portableKeys = true)
+        val deadKeys = deadKeyRows
           .select(col("band"), col("bucket")).distinct()
         val frag2 = GenStore.listBatchIds(s, gen2)
         val purged = s.read.parquet(frag2.map(i => s"$gen2/batch_id=$i"): _*)
@@ -6481,9 +6483,7 @@ object Queries {
           !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
         val byId = pending.map(p => p._1 -> p._3).toMap
         val readmitted = before.exists(b => !b._3 && byId(b._1))
-        Dedup.admitAgainstMinHashStoreGen(dead, "doc_id", "text",
-            n = 3, numHashes = 32, bands = 8, root = root,
-            portableKeys = true)
+        Dedup.admitKeysAgainstMinHashStoreGen(deadIds, deadKeyRows, root)
           .select(col("id").as("doc_id"), col("hit_bands"), col("admit"),
             lit(replayNoop).as("replay_noop"),
             lit(postEqPending).as("post_eq_pending"),
@@ -8617,33 +8617,32 @@ object Queries {
         val (ra, rb, twin, merged) =
           (s"$base/a", s"$base/b", s"$base/twin", s"$base/merged")
         Seq(ra, rb, twin).foreach(KeySetStore.init)
-        Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = ra,
-          portableKeys = true)
-        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = rb,
-          portableKeys = true)
+        // ONE signature pass for all three partitions (guide §1.2): the
+        // q165 pattern — each admit/probe below slices this checkpointed
+        // key set by doc id; slices are bit-identical to per-partition
+        // derivation because the derivation is row-local per doc.
+        val keys = Dedup.minHashBandKeys(docs, "doc_id", "text", n = 3,
+          numHashes = 32, bands = 8, portableKeys = true).localCheckpoint()
+        val kA = keys.filter(pmod(col("id"), lit(3)) === 0)
+        val kB = keys.filter(pmod(col("id"), lit(3)) === 1)
+        val kP = keys.filter(pmod(col("id"), lit(3)) === 2)
+        val probeIds = probe.select(col("doc_id").as("id"))
+        Dedup.admitMinHashKeysBatch(kA, batchId = 0L, root = ra)
+        Dedup.admitMinHashKeysBatch(kB, batchId = 0L, root = rb)
         KeySetStore.mergeStores(s, Seq(ra, rb), merged)
-        Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = twin,
-          portableKeys = true)
-        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 1L, root = twin,
-          portableKeys = true)
-        def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(probe,
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8, root = r,
-            portableKeys = true)
+        Dedup.admitMinHashKeysBatch(kA, batchId = 0L, root = twin)
+        Dedup.admitMinHashKeysBatch(kB, batchId = 1L, root = twin)
+        def dec(r: String) = Dedup.admitKeysAgainstMinHashStoreGen(
+            probeIds, kP, r)
           .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
         val eqTwin = dec(merged) == dec(twin)
         val sealRefused =
           try {
-            Dedup.admitMinHashBatch(pa, "doc_id", "text", n = 3,
-              numHashes = 32, bands = 8, batchId = 0L, root = merged,
-              portableKeys = true); false
+            Dedup.admitMinHashKeysBatch(kA, batchId = 0L, root = merged)
+            false
           } catch { case e: IllegalArgumentException =>
             e.getMessage.contains("seal") }
-        Dedup.admitAgainstMinHashStoreGen(probe, "doc_id", "text", n = 3,
-            numHashes = 32, bands = 8, root = merged, portableKeys = true)
+        Dedup.admitKeysAgainstMinHashStoreGen(probeIds, kP, merged)
           .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
           .withColumn("merged_eq_single_pipeline", lit(eqTwin))
           .withColumn("occupied_id_sealed", lit(sealRefused))
@@ -8875,6 +8874,13 @@ object Queries {
           TextFunctions.tokens(col("text")).as("tk"))
         val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
           nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+        // ONE signature pass for both fleets AND the takedown (guide
+        // §1.2, the q165 pattern): admits and the delete below slice
+        // this checkpointed key set by doc id.
+        val sigKeys = Dedup.minHashBandKeys(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
         // two builder fleets, halves of the corpus, no coordination
         def fleet(tag: String, h: Long): (String, String, String) = {
           val (i, k, v) =
@@ -8884,11 +8890,9 @@ object Queries {
             toks.filter(pmod(col("doc_id"), lit(2)) === h),
             "doc_id", "tk", IndexBucket, batchId = 0L, root = i)
           KeySetStore.init(k)
-          Dedup.admitMinHashBatch(
-            docs.select(col("doc_id"), col("text"))
-              .filter(pmod(col("doc_id"), lit(2)) === h),
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-            batchId = 0L, root = k, portableKeys = true)
+          Dedup.admitMinHashKeysBatch(
+            sigKeys.filter(pmod(col("id"), lit(2)) === h),
+            batchId = 0L, root = k)
           VectorStore.init(s, v, vc, vb)
           VectorStore.admit(s, v,
             emb.filter(pmod(col("vec_id"), lit(2)) === h),
@@ -8929,9 +8933,8 @@ object Queries {
           "doc_id", 0L, im)
         VectorStore.admitDeletes(s, vm,
           emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
-        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = km,
-          portableKeys = true)
+        Dedup.deleteMinHashKeysBatch(
+          sigKeys.filter(col("id") % 7 === 3), batchId = 0L, root = km)
         val firedAll = sweep().values.forall(_ == Some(3L))
         val v2 = Manifest.publish(mroot, expectedVersion = 1L,
           Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))

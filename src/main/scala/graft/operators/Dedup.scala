@@ -820,18 +820,64 @@ object Dedup {
   private[graft] def admitAgainstKeys(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int,
-      store: DataFrame, portableKeys: Boolean): DataFrame = {
-    val keys = minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys)
+      store: DataFrame, portableKeys: Boolean): DataFrame =
+    decideAgainstKeys(docs.select(col(idCol).as("id")),
+      minHashBandKeys(docs, idCol, textCol, n, numHashes, bands, portableKeys),
+      store)
+
+  /** The decision kernel under [[admitAgainstKeys]], from PRECOMPUTED
+    * band keys: `ids` is one `id` column per probed doc (docs too short
+    * to shingle have no key rows and must still be admitted — the ids
+    * frame, not the key frame, drives the left join), `keys` is their
+    * (id, band, bucket) rows. Decisions are bit-identical to deriving
+    * the keys inline (same semi-join, same per-id count) — what lets a
+    * lifecycle query signature its dead set ONCE and probe it many
+    * times (guide §1.2: don't recompute what you already have).
+    */
+  private[graft] def decideAgainstKeys(ids: DataFrame, keys: DataFrame,
+      store: DataFrame): DataFrame = {
     val hits = keys.join(store.select(col("band"), col("bucket")),
         Seq("band", "bucket"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("hit_bands"))
-    docs.select(col(idCol).as("id"))
-      .join(hits, Seq("id"), "left")
+    ids.join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
         (coalesce(col("hit_bands"), lit(0L)) === 0L).as("admit"))
       .orderBy(col("id"))
   }
+
+  // ---------------------------------------------------------------------
+  // PRECOMPUTED-KEY forms (guide §1.2: one signature pass, many uses).
+  // A lifecycle query touches the same doc subset repeatedly — admit it,
+  // probe it, delete it, probe again — and the MinHash derivation
+  // (shingles + numHashes md5s per shingle) is by far the costliest part
+  // of each touch. These variants accept the (id, band, bucket) frame
+  // from ONE [[minHashBandKeys]] pass (typically localCheckpoint'd inside
+  // the query — never cached across runs) and are otherwise the same
+  // store calls: admissions/deletes land identical key sets, decisions
+  // are bit-identical (see [[decideAgainstKeys]]).
+  // ---------------------------------------------------------------------
+
+  /** [[admitMinHashBatch]] from precomputed (id, band, bucket) keys. */
+  def admitMinHashKeysBatch(keys: DataFrame, batchId: Long,
+      root: String): Unit =
+    KeySetStore.admitBatch(keys.select(col("band"), col("bucket")),
+      batchId, root)
+
+  /** [[deleteMinHashBatch]] from precomputed (id, band, bucket) keys. */
+  def deleteMinHashKeysBatch(keys: DataFrame, batchId: Long,
+      root: String): Unit =
+    KeySetStore.admitDeleteBatch(keys.select(col("band"), col("bucket")),
+      batchId, root)
+
+  /** [[admitAgainstMinHashStoreGen]] from precomputed keys: `ids` is one
+    * `id` column per probed doc (shingle-less docs carry no keys but
+    * still decide), `keys` their band keys.
+    */
+  def admitKeysAgainstMinHashStoreGen(ids: DataFrame, keys: DataFrame,
+      root: String): DataFrame =
+    decideAgainstKeys(ids, keys,
+      KeySetStore.keysCurrent(ids.sparkSession, root))
 
   /** TAKEDOWN through the signature store: delete the band keys DERIVED
     * FROM `docs` ([[KeySetStore.admitDeleteBatch]] — key-set

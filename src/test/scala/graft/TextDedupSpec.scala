@@ -809,6 +809,52 @@ class DedupSpec extends AnyFunSuite {
       "a re-admitted doc must be history again")
   }
 
+  test("precomputed-key forms == derive-inline forms: decisions bit-identical, stores land identical key sets") {
+    import graft.operators.KeySetStore
+    val base = java.nio.file.Files.createTempDirectory("graft-sig-prekeys")
+    val (rInline, rKeys) = (s"$base/inline", s"$base/keys")
+    // doc 9 is too short to shingle: it has NO key rows and must still
+    // be decided (admitted) by both forms — the ids-frame contract
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "shared clone body one two three four"),
+      (3L, "shared clone body one two three four"),
+      (5L, "omega psi chi phi upsilon tau"),
+      (9L, "tiny")).toDF("doc_id", "text")
+    val keys = Dedup.minHashBandKeys(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, portableKeys = true)
+      .localCheckpoint()
+    KeySetStore.init(rInline); KeySetStore.init(rKeys)
+    // admit even ids inline, the same slice via precomputed keys
+    Dedup.admitMinHashBatch(corpus.filter($"doc_id" % 2 === 0), "doc_id",
+      "text", n = 3, numHashes = 32, bands = 8, batchId = 0L,
+      root = rInline, portableKeys = true)
+    Dedup.admitMinHashKeysBatch(keys.filter($"id" % 2 === 0),
+      batchId = 0L, root = rKeys)
+    // delete doc 2's keys from both
+    Dedup.deleteMinHashBatch(corpus.filter($"doc_id" === 2L), "doc_id",
+      "text", n = 3, numHashes = 32, bands = 8, batchId = 0L,
+      root = rInline, portableKeys = true)
+    Dedup.deleteMinHashKeysBatch(keys.filter($"id" === 2L),
+      batchId = 0L, root = rKeys)
+    // both stores hold the same effective key set
+    def stored(r: String) = KeySetStore.keysCurrent(spark, r)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(stored(rInline) == stored(rKeys),
+      "precomputed-key admission/delete landed a different key set")
+    // decisions bit-identical, incl. the shingle-less doc (admitted, 0 bands)
+    val inline = Dedup.admitAgainstMinHashStoreGen(corpus, "doc_id",
+        "text", n = 3, numHashes = 32, bands = 8, root = rInline,
+        portableKeys = true)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val pre = Dedup.admitKeysAgainstMinHashStoreGen(
+        corpus.select($"doc_id".as("id")), keys, rKeys)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(inline == pre, "precomputed-key decisions differ from inline")
+    assert(pre.find(_._1 == 9L).exists(r => r._2 == 0L && r._3),
+      "a shingle-less doc must be admitted with zero hit bands")
+  }
+
   test("gram store takedown: the removed doc's spans stop flagging; unrelated spans keep flagging") {
     import graft.operators.KeySetStore
     val root = java.nio.file.Files.createTempDirectory("graft-gram-takedown")
