@@ -147,7 +147,13 @@ object Bench {
       "\"" + k + "\":" + v / (refSecPerM(k) * scale) }.mkString("{", ",", "}")
     val baseTotal = results.map { case (k, _) => refSecPerM(k) * scale }.sum
     val ratio = total / baseTotal
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes,"baseline_scaled":$baseQs,"baseline_scaled_total":$baseTotal,"ratio_vs_baseline":$ratioQs,"ratio_total":$ratio}"""
+    // "cpus"/"spark_master" witness that $SPARK_GRAFT_CPUS was honored:
+    // the driver's 8-vs-32-core scaling probe flagged suspect_cpus_ignored
+    // in r15 because at sf0.1 every shape is fixed-cost-bound and the
+    // ratios come out flat — emitting the effective core count lets it
+    // distinguish "ignored the knob" from "honored it, nothing to
+    // parallelize at this SF".
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rows":$rows,"input_bytes":$liBytes,"cpus":$cpus,"spark_master":"${spark.sparkContext.master}","baseline_scaled":$baseQs,"baseline_scaled_total":$baseTotal,"ratio_vs_baseline":$ratioQs,"ratio_total":$ratio}"""
     println(line)
     // The driver scrapes stdout, where sbt's logger prefixes every line
     // with "[info] " — its JSON extraction has recorded parsed:null for
