@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{HashExprs, TextFunctions, VectorFunctions}
 import graft.operators.ColeQuery._
-import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, ParquetWrite, Profile, QuantileStore, RangeJoin, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
+import graft.operators.{AsOfJoin, AviContainer, BloomJoin, Bpe, Checks, ColeQuery, Components, Dedup, FuzzyJoin, HeavyHitters, InvertedIndex, KeySetStore, Layout, Manifest, Merge, Multimodal, Packing, PageRank, Par, ParquetWrite, Profile, QuantileStore, RangeJoin, Sessionize, Similarity, SketchStore, Splits, Triangles, VectorStore}
 
 /** The engine's query catalog: every operator from SURVEY.md §2 (reference
   * parity O1-O13) plus the capability-parity-plus surface (joins, windows,
@@ -5999,59 +5999,72 @@ object Queries {
       // folds the purge into work it was doing anyway.
       (s, d) => {
         import s.implicits._
+        // The index-store family and the vector-store family below touch
+        // disjoint roots and exchange no values, so their store-building
+        // jobs overlap (Par, guide §2.6); each section's internal order —
+        // and therefore every gate and the emitted frame — is unchanged.
+        // OverlapSpec gates this exact shape against its sequential twin.
         val root = scratchDir("q161") + "/istore"
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-        InvertedIndex.initStore(root)
-        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 5),
-          "doc_id", "tk", IndexBucket, batchId = 0L, root = root)
-        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 5),
-          "doc_id", "tk", IndexBucket, batchId = 1L, root = root)
-        val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
-        InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
-        def bm25Rows() = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
-          .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
-        val pending = bm25Rows()
-        InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
-        InvertedIndex.admitDeleteBatch(s,
-          Seq(Long.MaxValue - 1).toDF("doc_id"), "doc_id", 1L, root)
-        val replayNoop = bm25Rows() == pending
-        InvertedIndex.compactStore(s, root, expectedGen = 1L)
-        val postEqPending = bm25Rows() == pending
-        val gen2 = InvertedIndex.genDir(root, 2L)
-        val purged = s.read.parquet(s"$gen2/postings")
-          .select(explode(col("postings")).as("p"))
-          .filter(col("p.doc_id") % 7 === 3).isEmpty &&
-          s.read.parquet(s"$gen2/doclens")
-            .filter(col("doc_id") % 7 === 3).isEmpty &&
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
-        val emb = t(s, d, "embeddings")
-        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
-        val vroot = scratchDir("q161") + "/vstore"
-        val vclean = scratchDir("q161") + "/vclean"
-        VectorStore.init(s, vroot, vc, vb)
-        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", 0L)
-        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", 1L)
-        VectorStore.init(s, vclean, vc, vb)
-        VectorStore.admit(s, vclean, emb.filter(col("vec_id") % 5 =!= 2),
-          "vec_id", "embedding", 0L)
-        VectorStore.admitDeletes(s, vroot,
-          emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id", 0L)
-        def vsearch(r: String) = VectorStore.search(s, r,
-            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
-            nprobe = 16, shortlistFactor = 1000)
-          .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
-          .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
-          .sorted
-        val vwant = vsearch(vclean)
-        val vPending = vsearch(vroot) == vwant
-        VectorStore.compactGen(s, vroot, expectedGen = 1L)
-        val vCompacted = vsearch(vroot) == vwant &&
-          s.read.parquet(VectorStore.codedDir(vroot, 2L))
-            .filter(col("cid") % 5 === 2).isEmpty
+        def indexSection(): (Boolean, Boolean, Boolean) = {
+          val docs = t(s, d, "documents")
+            .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+          InvertedIndex.initStore(root)
+          InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 5),
+            "doc_id", "tk", IndexBucket, batchId = 0L, root = root)
+          InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 5),
+            "doc_id", "tk", IndexBucket, batchId = 1L, root = root)
+          val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+          InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
+          def bm25Rows() = InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
+            .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+          val pending = bm25Rows()
+          InvertedIndex.admitDeleteBatch(s, dead, "doc_id", 0L, root)
+          InvertedIndex.admitDeleteBatch(s,
+            Seq(Long.MaxValue - 1).toDF("doc_id"), "doc_id", 1L, root)
+          val replayNoop = bm25Rows() == pending
+          InvertedIndex.compactStore(s, root, expectedGen = 1L)
+          val postEqPending = bm25Rows() == pending
+          val gen2 = InvertedIndex.genDir(root, 2L)
+          val purged = s.read.parquet(s"$gen2/postings")
+            .select(explode(col("postings")).as("p"))
+            .filter(col("p.doc_id") % 7 === 3).isEmpty &&
+            s.read.parquet(s"$gen2/doclens")
+              .filter(col("doc_id") % 7 === 3).isEmpty &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(gen2, "deletes"))
+          (replayNoop, postEqPending, purged)
+        }
+        def vectorSection(): (Boolean, Boolean) = {
+          val emb = t(s, d, "embeddings")
+          val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+            nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+          val vroot = scratchDir("q161") + "/vstore"
+          val vclean = scratchDir("q161") + "/vclean"
+          VectorStore.init(s, vroot, vc, vb)
+          VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", 0L)
+          VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", 1L)
+          VectorStore.init(s, vclean, vc, vb)
+          VectorStore.admit(s, vclean, emb.filter(col("vec_id") % 5 =!= 2),
+            "vec_id", "embedding", 0L)
+          VectorStore.admitDeletes(s, vroot,
+            emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id", 0L)
+          def vsearch(r: String) = VectorStore.search(s, r,
+              emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+              nprobe = 16, shortlistFactor = 1000)
+            .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+            .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+            .sorted
+          val vwant = vsearch(vclean)
+          val vPending = vsearch(vroot) == vwant
+          VectorStore.compactGen(s, vroot, expectedGen = 1L)
+          val vCompacted = vsearch(vroot) == vwant &&
+            s.read.parquet(VectorStore.codedDir(vroot, 2L))
+              .filter(col("cid") % 5 === 2).isEmpty
+          (vPending, vCompacted)
+        }
+        val ((replayNoop, postEqPending, purged), (vPending, vCompacted)) =
+          Par.both(indexSection(), vectorSection())
         InvertedIndex.bm25SearchCurrent(s, root, bm25Terms, 15)
           .withColumn("replay_noop", lit(replayNoop))
           .withColumn("post_eq_pending", lit(postEqPending))
@@ -8706,37 +8719,56 @@ object Queries {
         Seq(ra, rb, twin).foreach(r => VectorStore.init(s, r, c1, b1))
         val pa = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
         val pb = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-        VectorStore.admit(s, ra, pa, "vec_id", "embedding", 0L)
-        VectorStore.admit(s, rb, pb, "vec_id", "embedding", 0L)
         val deadIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1 &&
           col("vec_id") % 7 === 3).select("vec_id")
-        VectorStore.admitDeletes(s, rb, deadIds, "vec_id", 0L)
-        VectorStore.mergeStores(s, Seq(ra, rb), merged)
-        VectorStore.admit(s, twin, pa, "vec_id", "embedding", 0L)
-        VectorStore.admit(s, twin, pb, "vec_id", "embedding", 1L)
-        VectorStore.admitDeletes(s, twin, deadIds, "vec_id", 0L)
+        // The two builders encode disjoint halves into disjoint roots with
+        // zero coordination — the query's own premise — so their admission
+        // jobs overlap (Par, guide §2.6); each store's internal batch order
+        // is unchanged.
+        Par.both(
+          VectorStore.admit(s, ra, pa, "vec_id", "embedding", 0L),
+          { VectorStore.admit(s, rb, pb, "vec_id", "embedding", 0L)
+            VectorStore.admitDeletes(s, rb, deadIds, "vec_id", 0L) })
         def served(r: String) = VectorStore.search(s, r, q, "vec_id",
             "embedding", 5, nprobe = 12, shortlistFactor = 32)
           .collect().toSeq
           .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
-        val pending = served(merged)
-        val eqTwin = pending == served(twin)
-        val (c2, b2) = Similarity.fitIvfPq(
-          emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 2)
-        val alien = s"$base/alien"
-        VectorStore.init(s, alien, c2, b2)
-        val mismatchRefused =
+        // Three independent sections over finalized builders: the merged
+        // store's lifecycle, the single-pipeline twin, and the alien-artifact
+        // refusal (reads only the finalized ra plus its own fit). Disjoint
+        // roots, no exchanged values — results identical to the sequential
+        // order.
+        def mergedSection(): (Seq[(Long, Long, Long, Double)], Boolean, Boolean) = {
+          VectorStore.mergeStores(s, Seq(ra, rb), merged)
+          val pending = served(merged)
+          VectorStore.compactGen(s, merged, expectedGen = 1L)
+          val purged = s.read.parquet(VectorStore.codedDir(merged, 2L))
+            .join(deadIds.withColumnRenamed("vec_id", "cid"), Seq("cid"),
+              "left_semi").isEmpty &&
+            !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(merged, "gen=2", "deletes"))
+          val stableAcrossFold = served(merged) == pending
+          (pending, purged, stableAcrossFold)
+        }
+        def twinSection(): Seq[(Long, Long, Long, Double)] = {
+          VectorStore.admit(s, twin, pa, "vec_id", "embedding", 0L)
+          VectorStore.admit(s, twin, pb, "vec_id", "embedding", 1L)
+          VectorStore.admitDeletes(s, twin, deadIds, "vec_id", 0L)
+          served(twin)
+        }
+        def alienSection(): Boolean = {
+          val (c2, b2) = Similarity.fitIvfPq(
+            emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+            nlist = 16, kmeansIters = 2, m = 16, kcode = 16, pqIters = 2)
+          val alien = s"$base/alien"
+          VectorStore.init(s, alien, c2, b2)
           try { VectorStore.mergeStores(s, Seq(ra, alien), s"$base/bad"); false }
           catch { case e: IllegalArgumentException =>
             e.getMessage.contains("artifact") }
-        VectorStore.compactGen(s, merged, expectedGen = 1L)
-        val purged = s.read.parquet(VectorStore.codedDir(merged, 2L))
-          .join(deadIds.withColumnRenamed("vec_id", "cid"), Seq("cid"),
-            "left_semi").isEmpty &&
-          !java.nio.file.Files.exists(
-            java.nio.file.Paths.get(merged, "gen=2", "deletes"))
-        val stableAcrossFold = served(merged) == pending
+        }
+        val ((pending, purged, stableAcrossFold), (twinServed, mismatchRefused)) =
+          Par.both(mergedSection(), Par.both(twinSection(), alienSection()))
+        val eqTwin = pending == twinServed
         import s.implicits._
         pending.map(_._1).distinct.sorted.map { qid =>
           (qid, pending.count(_._1 == qid).toLong, eqTwin, mismatchRefused,
@@ -8872,40 +8904,54 @@ object Queries {
         val emb = t(s, d, "embeddings")
         val toks = docs.select(col("doc_id"),
           TextFunctions.tokens(col("text")).as("tk"))
-        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
-        // ONE signature pass for both fleets AND the takedown (guide
-        // §1.2, the q165 pattern): admits and the delete below slice
-        // this checkpointed key set by doc id.
-        val sigKeys = Dedup.minHashBandKeys(
-          docs.select(col("doc_id"), col("text")), "doc_id", "text",
-          n = 3, numHashes = 32, bands = 8, portableKeys = true)
-          .localCheckpoint()
-        // two builder fleets, halves of the corpus, no coordination
+        // The IVF-PQ fit reads only embeddings, the signature pass only
+        // documents — independent jobs, overlapped (Par, guide §2.6). The
+        // signature pass runs ONCE for both fleets AND the takedown (guide
+        // §1.2, the q165 pattern): admits and the delete below slice the
+        // checkpointed key set by doc id.
+        val ((vc, vb), sigKeys) = Par.both(
+          Similarity.fitIvfPq(emb, "vec_id", "embedding",
+            nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2),
+          Dedup.minHashBandKeys(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            n = 3, numHashes = 32, bands = 8, portableKeys = true)
+            .localCheckpoint())
+        // two builder fleets, halves of the corpus, no coordination — and
+        // inside each fleet the three families land in disjoint roots, so
+        // both levels overlap (the query's zero-coordination premise made
+        // physical; OverlapSpec gates the disjoint-root contract)
         def fleet(tag: String, h: Long): (String, String, String) = {
           val (i, k, v) =
             (s"$base/$tag/i", s"$base/$tag/k", s"$base/$tag/v")
-          InvertedIndex.initStore(i)
-          InvertedIndex.admitBatch(s,
-            toks.filter(pmod(col("doc_id"), lit(2)) === h),
-            "doc_id", "tk", IndexBucket, batchId = 0L, root = i)
-          KeySetStore.init(k)
-          Dedup.admitMinHashKeysBatch(
-            sigKeys.filter(pmod(col("id"), lit(2)) === h),
-            batchId = 0L, root = k)
-          VectorStore.init(s, v, vc, vb)
-          VectorStore.admit(s, v,
-            emb.filter(pmod(col("vec_id"), lit(2)) === h),
-            "vec_id", "embedding", 0L)
+          Par.all(Seq(
+            () => {
+              InvertedIndex.initStore(i)
+              InvertedIndex.admitBatch(s,
+                toks.filter(pmod(col("doc_id"), lit(2)) === h),
+                "doc_id", "tk", IndexBucket, batchId = 0L, root = i)
+            },
+            () => {
+              KeySetStore.init(k)
+              Dedup.admitMinHashKeysBatch(
+                sigKeys.filter(pmod(col("id"), lit(2)) === h),
+                batchId = 0L, root = k)
+            },
+            () => {
+              VectorStore.init(s, v, vc, vb)
+              VectorStore.admit(s, v,
+                emb.filter(pmod(col("vec_id"), lit(2)) === h),
+                "vec_id", "embedding", 0L)
+            }))
           (i, k, v)
         }
-        val (ia, ka, va) = fleet("a", 0L)
-        val (ib, kb, vbr) = fleet("b", 1L)
-        // the federation tick: merge each family, publish as v1
+        val ((ia, ka, va), (ib, kb, vbr)) =
+          Par.both(fleet("a", 0L), fleet("b", 1L))
+        // the federation tick: merge each family (disjoint roots), publish as v1
         val (im, km, vm) = (s"$base/m/i", s"$base/m/k", s"$base/m/v")
-        InvertedIndex.mergeStores(s, Seq(ia, ib), im)
-        KeySetStore.mergeStores(s, Seq(ka, kb), km)
-        VectorStore.mergeStores(s, Seq(va, vbr), vm)
+        Par.all(Seq(
+          () => InvertedIndex.mergeStores(s, Seq(ia, ib), im): Unit,
+          () => KeySetStore.mergeStores(s, Seq(ka, kb), km): Unit,
+          () => VectorStore.mergeStores(s, Seq(va, vbr), vm): Unit))
         val mroot = s"$base/manifest"
         Manifest.init(mroot,
           Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
@@ -8915,26 +8961,33 @@ object Queries {
           .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
         val preBm = bmAt(1L)
         // q180 discipline on the MERGED stores: roll off the pinned gens
-        InvertedIndex.compactStore(s, im, expectedGen = 1L)
-        KeySetStore.compactStore(s, km, expectedGen = 1L)
-        VectorStore.compactGen(s, vm, expectedGen = 1L)
+        // (three disjoint roots — generation rolls overlap, §2.6)
+        Par.all(Seq(
+          () => InvertedIndex.compactStore(s, im, expectedGen = 1L): Unit,
+          () => KeySetStore.compactStore(s, km, expectedGen = 1L): Unit,
+          () => VectorStore.compactGen(s, vm, expectedGen = 1L): Unit))
         val frac = 0.02
-        def sweep(): Map[String, Option[Long]] = Map(
-          "index" -> InvertedIndex.compactIfNeeded(s, im,
-            maxFragments = 1000, maxPendingFraction = frac),
-          "vectors" -> VectorStore.compactIfNeeded(s, vm,
-            maxFragments = 1000, maxPendingFraction = frac),
-          "signatures" -> KeySetStore.compactIfNeeded(s, km,
-            maxFragments = 1000, maxPendingFraction = frac))
+        def sweep(): Map[String, Option[Long]] = {
+          val r = Par.all(Seq(
+            () => InvertedIndex.compactIfNeeded(s, im,
+              maxFragments = 1000, maxPendingFraction = frac),
+            () => VectorStore.compactIfNeeded(s, vm,
+              maxFragments = 1000, maxPendingFraction = frac),
+            () => KeySetStore.compactIfNeeded(s, km,
+              maxFragments = 1000, maxPendingFraction = frac)))
+          Map("index" -> r(0), "vectors" -> r(1), "signatures" -> r(2))
+        }
         val quietOnClean = sweep().values.forall(_.isEmpty)
         val deadDocs = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
-          "doc_id", 0L, im)
-        VectorStore.admitDeletes(s, vm,
-          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
-        Dedup.deleteMinHashKeysBatch(
-          sigKeys.filter(col("id") % 7 === 3), batchId = 0L, root = km)
+        Par.all(Seq(
+          () => InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+            "doc_id", 0L, im): Unit,
+          () => VectorStore.admitDeletes(s, vm,
+            emb.filter(col("vec_id") % 7 === 3).select("vec_id"),
+            "vec_id", 0L): Unit,
+          () => Dedup.deleteMinHashKeysBatch(
+            sigKeys.filter(col("id") % 7 === 3), batchId = 0L, root = km): Unit))
         val firedAll = sweep().values.forall(_ == Some(3L))
         val v2 = Manifest.publish(mroot, expectedVersion = 1L,
           Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))
