@@ -5304,20 +5304,26 @@ object Queries {
         val mroot = root + "/manifest"
         val docs = t(s, d, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-        InvertedIndex.initStore(iroot)
-        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 8),
-          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
-        InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 8),
-          "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
         val emb = t(s, d, "embeddings")
-        val (c1, bk1) = Similarity.fitIvfPq(
-          emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
-          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
-        VectorStore.init(s, vroot, c1, bk1)
-        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 < 8),
-          "vec_id", "embedding", 0L)
-        VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 >= 8),
-          "vec_id", "embedding", 1L)
+        // the two stores live in disjoint roots — builds overlap (Par, §2.6)
+        Par.both(
+          {
+            InvertedIndex.initStore(iroot)
+            InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 < 8),
+              "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+            InvertedIndex.admitBatch(s, docs.filter(col("doc_id") % 10 >= 8),
+              "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
+          },
+          {
+            val (c1, bk1) = Similarity.fitIvfPq(
+              emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+              nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+            VectorStore.init(s, vroot, c1, bk1)
+            VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 < 8),
+              "vec_id", "embedding", 0L)
+            VectorStore.admit(s, vroot, emb.filter(col("vec_id") % 10 >= 8),
+              "vec_id", "embedding", 1L)
+          })
         Manifest.init(mroot, Map("index" -> 1L, "vectors" -> 1L))
         val q = emb.filter(col("vec_id") < 3)
         // the q146 hybrid, every store read resolved through ONE
@@ -5351,9 +5357,11 @@ object Queries {
         }
         val r1 = hybridAt(1L)
         // the world moves: BOTH stores publish new generations
-        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
-        VectorStore.refit(s, vroot, expectedGen = 1L,
-          nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
+        // (independent stores — the compaction and the refit overlap)
+        Par.both(
+          InvertedIndex.compactStore(s, iroot, expectedGen = 1L),
+          VectorStore.refit(s, vroot, expectedGen = 1L,
+            nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2))
         val v1Stable = hybridAt(1L) == r1
         val v2 = Manifest.publish(mroot, expectedVersion = 1L,
           Map("index" -> InvertedIndex.currentGen(iroot),
@@ -6741,24 +6749,41 @@ object Queries {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           TextFunctions.tokens(col("text")).as("tk"))
-        InvertedIndex.initStore(iroot)
-        InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 0),
-          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
-        InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 1),
-          "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
         val emb = t(s, d, "embeddings")
-        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
-        VectorStore.init(s, vroot, vc, vb)
-        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
-        KeySetStore.init(kroot)
-        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 0L, root = kroot, portableKeys = true)
+        // The three store families land in disjoint roots with no exchanged
+        // values, so their builds overlap (Par, guide §2.6). The signature
+        // section derives the corpus band keys ONCE (guide §1.2, the q165
+        // pattern) — the takedown and all three pinned probes below slice
+        // the same checkpointed key set instead of re-shingling raw text.
+        def indexSection(): Unit = {
+          InvertedIndex.initStore(iroot)
+          InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 0),
+            "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+          InvertedIndex.admitBatch(s, toks.filter(col("doc_id") % 2 === 1),
+            "doc_id", "tk", IndexBucket, batchId = 1L, root = iroot)
+        }
+        def vectorSection(): Unit = {
+          val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+            nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+          VectorStore.init(s, vroot, vc, vb)
+          VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+        }
+        def signatureSection(): DataFrame = {
+          val sigKeys = Dedup.minHashBandKeys(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            n = 3, numHashes = 32, bands = 8, portableKeys = true)
+            .localCheckpoint()
+          KeySetStore.init(kroot)
+          Dedup.admitMinHashKeysBatch(sigKeys, batchId = 0L, root = kroot)
+          sigKeys
+        }
+        val (sigKeys, _) = Par.both(signatureSection(),
+          Par.both(indexSection(), vectorSection()))
         Manifest.init(mroot,
           Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
         val deadDocs = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
+        val deadKeys = sigKeys.filter(col("id") % 7 === 3)
         val deadVecs = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
         def bmAt(v: Long) = InvertedIndex.bm25SearchStore(s,
             InvertedIndex.genDir(iroot, Manifest.resolve(mroot, v, "index")),
@@ -6771,35 +6796,39 @@ object Queries {
           .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
           .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
           .sorted
-        def sigAt(v: Long) = Dedup.admitAgainstMinHashStoreAt(deadDocs,
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-            root = kroot, gen = Manifest.resolve(mroot, v, "signatures"),
-            portableKeys = true)
+        def sigAt(v: Long) = Dedup.admitKeysAgainstMinHashStoreAt(
+            deadDocs.select(col("doc_id").as("id")), deadKeys,
+            root = kroot, gen = Manifest.resolve(mroot, v, "signatures"))
           .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        val preBm = bmAt(1L)
-        val preVs = vsAt(1L)
-        val preSig = sigAt(1L)
+        // pinned pre-takedown captures: three disjoint store reads, overlapped
+        val (preBm, (preVs, preSig)) =
+          Par.both(bmAt(1L), Par.both(vsAt(1L), sigAt(1L)))
         // ROLL: a pure compaction moves every store off the pinned
         // generation, so the deletes below never touch gen 1
-        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
-        VectorStore.compactGen(s, vroot, expectedGen = 1L)
-        KeySetStore.compactStore(s, kroot, expectedGen = 1L)
+        Par.all(Seq(
+          () => InvertedIndex.compactStore(s, iroot, expectedGen = 1L): Unit,
+          () => VectorStore.compactGen(s, vroot, expectedGen = 1L): Unit,
+          () => KeySetStore.compactStore(s, kroot, expectedGen = 1L): Unit))
         // TAKEDOWN into the rolled generation, then purge physically
-        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
-          "doc_id", 0L, iroot)
-        VectorStore.admitDeletes(s, vroot, deadVecs, "vec_id", 0L)
-        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
-          portableKeys = true)
-        InvertedIndex.compactStore(s, iroot, expectedGen = 2L)
-        VectorStore.compactGen(s, vroot, expectedGen = 2L)
-        KeySetStore.compactStore(s, kroot, expectedGen = 2L)
+        Par.all(Seq(
+          () => InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+            "doc_id", 0L, iroot): Unit,
+          () => VectorStore.admitDeletes(s, vroot, deadVecs, "vec_id", 0L): Unit,
+          () => Dedup.deleteMinHashKeysBatch(deadKeys, batchId = 0L,
+            root = kroot): Unit))
+        Par.all(Seq(
+          () => InvertedIndex.compactStore(s, iroot, expectedGen = 2L): Unit,
+          () => VectorStore.compactGen(s, vroot, expectedGen = 2L): Unit,
+          () => KeySetStore.compactStore(s, kroot, expectedGen = 2L): Unit))
         val v2 = Manifest.publish(mroot, expectedVersion = 1L,
           Map("index" -> 3L, "vectors" -> 3L, "signatures" -> 3L))
         // the compliance pin: v1 serves the pre-takedown world, bit
-        // for bit, after the entire cutover
+        // for bit, after the entire cutover (three disjoint re-reads,
+        // overlapped like the captures)
+        val (v1Bm, (v1Vs, v1Sig)) =
+          Par.both(bmAt(1L), Par.both(vsAt(1L), sigAt(1L)))
         val v1Stable = v2 == 2L &&
-          bmAt(1L) == preBm && vsAt(1L) == preVs && sigAt(1L) == preSig
+          v1Bm == preBm && v1Vs == preVs && v1Sig == preSig
         // v2: purged everywhere, resolved through one version
         val postVs = vsAt(2L)
         val deadSet = deadVecs.collect().map(_.getLong(0)).toSet
@@ -7842,18 +7871,32 @@ object Queries {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           TextFunctions.tokens(col("text")).as("tk"))
-        InvertedIndex.initStore(iroot)
-        InvertedIndex.admitBatch(s, toks, "doc_id", "tk", IndexBucket,
-          batchId = 0L, root = iroot)
         val emb = t(s, d, "embeddings")
-        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
-        VectorStore.init(s, vroot, vc, vb)
-        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
-        KeySetStore.init(kroot)
-        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 0L, root = kroot, portableKeys = true)
+        // three disjoint store families: builds overlap (Par, §2.6), and
+        // the signature pass runs ONCE (guide §1.2) — the takedown below
+        // slices the same checkpointed key set
+        val (sigKeys, _) = Par.both(
+          {
+            val keys = Dedup.minHashBandKeys(
+              docs.select(col("doc_id"), col("text")), "doc_id", "text",
+              n = 3, numHashes = 32, bands = 8, portableKeys = true)
+              .localCheckpoint()
+            KeySetStore.init(kroot)
+            Dedup.admitMinHashKeysBatch(keys, batchId = 0L, root = kroot)
+            keys
+          },
+          Par.both(
+            {
+              InvertedIndex.initStore(iroot)
+              InvertedIndex.admitBatch(s, toks, "doc_id", "tk", IndexBucket,
+                batchId = 0L, root = iroot)
+            },
+            {
+              val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+                nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+              VectorStore.init(s, vroot, vc, vb)
+              VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+            }))
         Manifest.init(mroot,
           Map("index" -> 1L, "vectors" -> 1L, "signatures" -> 1L))
         def bmAt(v: Long) = InvertedIndex.bm25SearchStore(s,
@@ -7861,33 +7904,40 @@ object Queries {
             bm25Terms, 15)
           .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
         val preBm = bmAt(1L)
-        // ROLL off the pinned generations (pure compactions)
-        InvertedIndex.compactStore(s, iroot, expectedGen = 1L)
-        VectorStore.compactGen(s, vroot, expectedGen = 1L)
-        KeySetStore.compactStore(s, kroot, expectedGen = 1L)
+        // ROLL off the pinned generations (pure compactions, disjoint roots)
+        Par.all(Seq(
+          () => InvertedIndex.compactStore(s, iroot, expectedGen = 1L): Unit,
+          () => VectorStore.compactGen(s, vroot, expectedGen = 1L): Unit,
+          () => KeySetStore.compactStore(s, kroot, expectedGen = 1L): Unit))
         // the sweep, as a production scheduler would run it: one
         // generic needsCompaction/compactIfNeeded pass per store
+        // (disjoint roots — the per-store ticks overlap)
         val frac = 0.02
-        def sweep(): Map[String, Option[Long]] = Map(
-          "index" -> InvertedIndex.compactIfNeeded(s, iroot,
-            maxFragments = 1000, maxPendingFraction = frac),
-          "vectors" -> VectorStore.compactIfNeeded(s, vroot,
-            maxFragments = 1000, maxPendingFraction = frac),
-          "signatures" -> KeySetStore.compactIfNeeded(s, kroot,
-            maxFragments = 1000, maxPendingFraction = frac))
+        def sweep(): Map[String, Option[Long]] = {
+          val r = Par.all(Seq(
+            () => InvertedIndex.compactIfNeeded(s, iroot,
+              maxFragments = 1000, maxPendingFraction = frac),
+            () => VectorStore.compactIfNeeded(s, vroot,
+              maxFragments = 1000, maxPendingFraction = frac),
+            () => KeySetStore.compactIfNeeded(s, kroot,
+              maxFragments = 1000, maxPendingFraction = frac)))
+          Map("index" -> r(0), "vectors" -> r(1), "signatures" -> r(2))
+        }
         // clean stores: the tick is a no-op — the predicate, not the
         // caller, knows nothing is pending
         val quietOnClean = sweep().values.forall(_.isEmpty)
         // the takedown lands in the rolled generations
         val deadDocs = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
-          "doc_id", 0L, iroot)
-        VectorStore.admitDeletes(s, vroot,
-          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
-        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
-          portableKeys = true)
+        Par.all(Seq(
+          () => InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+            "doc_id", 0L, iroot): Unit,
+          () => VectorStore.admitDeletes(s, vroot,
+            emb.filter(col("vec_id") % 7 === 3).select("vec_id"),
+            "vec_id", 0L): Unit,
+          () => Dedup.deleteMinHashKeysBatch(
+            sigKeys.filter(col("id") % 7 === 3), batchId = 0L,
+            root = kroot): Unit))
         // next tick: all three fire, to generation 3
         val fired = sweep()
         val firedAll = fired.values.forall(_ == Some(3L))
@@ -7965,28 +8015,45 @@ object Queries {
         val vroot = base + "/vstore"
         val kroot = base + "/sigstore"
         val docs = t(s, d, "documents")
-        InvertedIndex.initStore(iroot)
-        InvertedIndex.admitBatch(s,
-          docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk")),
-          "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
         val emb = t(s, d, "embeddings")
-        val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
-        VectorStore.init(s, vroot, vc, vb)
-        VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
-        KeySetStore.init(kroot)
-        Dedup.admitMinHashBatch(docs.select(col("doc_id"), col("text")),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 0L, root = kroot, portableKeys = true)
+        // three disjoint store families: builds overlap (Par, §2.6), and
+        // the signature pass runs ONCE (guide §1.2) — the takedown below
+        // slices the same checkpointed key set
+        val (sigKeys, _) = Par.both(
+          {
+            val keys = Dedup.minHashBandKeys(
+              docs.select(col("doc_id"), col("text")), "doc_id", "text",
+              n = 3, numHashes = 32, bands = 8, portableKeys = true)
+              .localCheckpoint()
+            KeySetStore.init(kroot)
+            Dedup.admitMinHashKeysBatch(keys, batchId = 0L, root = kroot)
+            keys
+          },
+          Par.both(
+            {
+              InvertedIndex.initStore(iroot)
+              InvertedIndex.admitBatch(s,
+                docs.select(col("doc_id"),
+                  TextFunctions.tokens(col("text")).as("tk")),
+                "doc_id", "tk", IndexBucket, batchId = 0L, root = iroot)
+            },
+            {
+              val (vc, vb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+                nlist = 16, kmeansIters = 2, m = 8, kcode = 16, pqIters = 2)
+              VectorStore.init(s, vroot, vc, vb)
+              VectorStore.admit(s, vroot, emb, "vec_id", "embedding", 0L)
+            }))
         val deadDocs = docs.filter(col("doc_id") % 7 === 3)
           .select(col("doc_id"), col("text"))
-        InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
-          "doc_id", 0L, iroot)
-        VectorStore.admitDeletes(s, vroot,
-          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id", 0L)
-        Dedup.deleteMinHashBatch(deadDocs, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = kroot,
-          portableKeys = true)
+        Par.all(Seq(
+          () => InvertedIndex.admitDeleteBatch(s, deadDocs.select("doc_id"),
+            "doc_id", 0L, iroot): Unit,
+          () => VectorStore.admitDeletes(s, vroot,
+            emb.filter(col("vec_id") % 7 === 3).select("vec_id"),
+            "vec_id", 0L): Unit,
+          () => Dedup.deleteMinHashKeysBatch(
+            sigKeys.filter(col("id") % 7 === 3), batchId = 0L,
+            root = kroot): Unit))
         InvertedIndex.maintenanceStatus(s, iroot)
           .withColumn("store", lit("index"))
           .unionByName(KeySetStore.maintenanceStatus(s, kroot)

@@ -879,6 +879,14 @@ object Dedup {
     decideAgainstKeys(ids, keys,
       KeySetStore.keysCurrent(ids.sparkSession, root))
 
+  /** [[admitAgainstMinHashStoreAt]] from precomputed keys — the
+    * manifest-pinned probe (q152/q168) from one signature pass.
+    */
+  def admitKeysAgainstMinHashStoreAt(ids: DataFrame, keys: DataFrame,
+      root: String, gen: Long): DataFrame =
+    decideAgainstKeys(ids, keys,
+      KeySetStore.keysAt(ids.sparkSession, root, gen))
+
   /** TAKEDOWN through the signature store: delete the band keys DERIVED
     * FROM `docs` ([[KeySetStore.admitDeleteBatch]] — key-set
     * subtraction; see that method's shared-key caveat). Same
