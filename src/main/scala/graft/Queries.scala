@@ -5098,11 +5098,6 @@ object Queries {
         val fit = emb.filter(col("vec_id") % 5 === 0)
         val (c1, b1) = Similarity.fitIvfPq(fit, "vec_id", "embedding",
           nlist = 16, kmeansIters = 3, m = 16, kcode = 16, pqIters = 2)
-        VectorStore.init(s, root, c1, b1)
-        (0L to 3L).foreach { b =>
-          VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === b),
-            "vec_id", "embedding", b)
-        }
         def served() = VectorStore.search(s, root, q, "vec_id", "embedding", 5,
             nprobe = 12, shortlistFactor = 32)
           .collect().toSeq
@@ -5111,38 +5106,57 @@ object Queries {
           VectorStore.currentGen(root)).size.toLong
         def stats() = VectorStore.driftStats(s, root)
           .as[(Long, Long, Double, Double)].collect().toSeq
-        val fragsBefore = frags()
-        val pre = served()
-        val statsPre = stats()
-        val refitPre = VectorStore.needsRefit(s, root)
-        val gen2 = VectorStore.compactGen(s, root, expectedGen = 1L)
-        val retry = VectorStore.compactGen(s, root, expectedGen = 1L)
-        val retryNoop = gen2 == 2L && retry == 2L &&
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
-        val fragsCompacted = frags()
-        val postEqPre = served() == pre
-        val statsPost = stats()
-        val baselineIdentical = statsPost.headOption == statsPre.headOption
-        val statsMerged = statsPost.size == 2 &&
-          statsPost.map(_._2).sum == statsPre.map(_._2).sum
-        val refitUnchanged = VectorStore.needsRefit(s, root) == refitPre
-        val sealedRefused =
-          try {
-            VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 0),
-              "vec_id", "embedding", 0L); false
-          } catch { case e: IllegalArgumentException =>
-            e.getMessage.contains("compact") }
-        VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 4),
-          "vec_id", "embedding", 4L)
-        val fragsAfter = frags()
-        // the whole corpus through a from-scratch single-batch store:
-        // encoding is pure, so the generational path must serve equal
-        val flat = scratchDir("q150") + "/flat"
-        Similarity.appendCodedBatch(emb, "vec_id", "embedding", c1, b1, 0L, flat)
-        val oneShot = Similarity.searchCodedStore(s, q, "vec_id", "embedding", 5,
-            c1, b1, flat, nprobe = 12, shortlistFactor = 32)
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        // the from-scratch single-batch comparator needs only (c1, b1) and
+        // writes its own directory — it overlaps the ENTIRE generational
+        // lifecycle (Par, guide §2.6); encoding is pure, so nothing about
+        // the interleaving can move a byte of either store
+        def lifecycleSection() = {
+          VectorStore.init(s, root, c1, b1)
+          (0L to 3L).foreach { b =>
+            VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === b),
+              "vec_id", "embedding", b)
+          }
+          val fragsBefore = frags()
+          val pre = served()
+          val statsPre = stats()
+          val refitPre = VectorStore.needsRefit(s, root)
+          val gen2 = VectorStore.compactGen(s, root, expectedGen = 1L)
+          val retry = VectorStore.compactGen(s, root, expectedGen = 1L)
+          val retryNoop = gen2 == 2L && retry == 2L &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen=3"))
+          val fragsCompacted = frags()
+          val postEqPre = served() == pre
+          val statsPost = stats()
+          val baselineIdentical = statsPost.headOption == statsPre.headOption
+          val statsMerged = statsPost.size == 2 &&
+            statsPost.map(_._2).sum == statsPre.map(_._2).sum
+          val refitUnchanged = VectorStore.needsRefit(s, root) == refitPre
+          val sealedRefused =
+            try {
+              VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 0),
+                "vec_id", "embedding", 0L); false
+            } catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("compact") }
+          VectorStore.admit(s, root, emb.filter(col("vec_id") % 5 === 4),
+            "vec_id", "embedding", 4L)
+          val fragsAfter = frags()
+          (pre, fragsBefore, fragsCompacted, fragsAfter, retryNoop,
+            postEqPre, baselineIdentical, statsMerged, refitUnchanged,
+            sealedRefused)
+        }
+        def flatSection() = {
+          // the whole corpus through a from-scratch single-batch store:
+          // encoding is pure, so the generational path must serve equal
+          val flat = scratchDir("q150") + "/flat"
+          Similarity.appendCodedBatch(emb, "vec_id", "embedding", c1, b1, 0L, flat)
+          Similarity.searchCodedStore(s, q, "vec_id", "embedding", 5,
+              c1, b1, flat, nprobe = 12, shortlistFactor = 32)
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+        val ((pre, fragsBefore, fragsCompacted, fragsAfter, retryNoop,
+          postEqPre, baselineIdentical, statsMerged, refitUnchanged,
+          sealedRefused), oneShot) = Par.both(lifecycleSection(), flatSection())
         val eqOneShot = served() == oneShot
         pre.map(_._1).distinct.sorted.map { qid =>
           (qid, pre.count(_._1 == qid).toLong, postEqPre, eqOneShot,
@@ -9998,7 +10012,9 @@ object Queries {
         def vtick() = CdcSync.syncVectorsFromCdc(s, cdc, vroot, "doc_id",
           "embedding", vprep, nlist = 16, kmeansIters = 5, m = 16,
           kcode = 16, pqIters = 5)
-        itick(); vtick()
+        // the two synced stores live in disjoint roots and only READ the
+        // shared CDC store — their ticks overlap (Par, guide §2.6)
+        Par.both(itick(), vtick())
         // one mixed change batch: re-crawl + re-embed (U), new docs
         // (I), takedowns (D)
         EventStreams.publishCdcBatch(s, cdc,
@@ -10018,13 +10034,15 @@ object Queries {
               .select(col("doc_id"), col("text"), col("embedding"),
                 lit(1L).as("seq"), lit("D").as("op"))),
           Seq("doc_id"), "seq", "op")
-        require(itick() == 1L && vtick() == 1L,
+        val (itickV1, vtickV1) = Par.both(itick(), vtick())
+        require(itickV1 == 1L && vtickV1 == 1L,
           "both sync ticks must land at v1")
         // fold the upsert history on both sides (the compaction leg of
         // the tick lifecycle), then gate cross-store consistency: the
         // two synced stores serve the SAME id set
-        InvertedIndex.compactStore(s, iroot, InvertedIndex.currentGen(iroot))
-        VectorStore.compactGen(s, vroot, VectorStore.currentGen(vroot))
+        Par.both(
+          InvertedIndex.compactStore(s, iroot, InvertedIndex.currentGen(iroot)),
+          VectorStore.compactGen(s, vroot, VectorStore.currentGen(vroot)))
         val idxIds = s.read.parquet(InvertedIndex.genDir(iroot,
           InvertedIndex.currentGen(iroot)) + "/doclens").select("doc_id")
         val vecIds = VectorStore.vectors(s, vroot, "doc_id", "embedding")
@@ -10034,13 +10052,18 @@ object Queries {
         // fresh pair: one-shot builds of the final corpus (vector twin
         // under the synced store's own artifact)
         val fin = EventStreams.currentCdcSnapshot(s, cdc)
-        InvertedIndex.initStore(ifresh)
-        InvertedIndex.admitBatch(s, iprep(fin), "doc_id", "tk",
-          IndexBucket, batchId = 0L, root = ifresh)
-        val (cents, books) = VectorStore.loadGenIndex(s, vroot,
-          VectorStore.currentGen(vroot))
-        VectorStore.init(s, vtwin, cents, books)
-        VectorStore.admit(s, vtwin, vprep(fin), "doc_id", "embedding", 0L)
+        Par.both(
+          {
+            InvertedIndex.initStore(ifresh)
+            InvertedIndex.admitBatch(s, iprep(fin), "doc_id", "tk",
+              IndexBucket, batchId = 0L, root = ifresh)
+          },
+          {
+            val (cents, books) = VectorStore.loadGenIndex(s, vroot,
+              VectorStore.currentGen(vroot))
+            VectorStore.init(s, vtwin, cents, books)
+            VectorStore.admit(s, vtwin, vprep(fin), "doc_id", "embedding", 0L)
+          })
         // the hybrid probe: an updated doc's NEW form through both
         // modalities — its re-crawled term for BM25, its re-embedded
         // vector (fresh query id: searches exclude self-pairs)
@@ -10065,8 +10088,9 @@ object Queries {
             .orderBy(col("rrf").desc, col("doc_id")).limit(10)
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         }
-        val synced = hybrid(iroot, vroot)
-        require(synced == hybrid(ifresh, vtwin),
+        val (synced, freshHybrid) =
+          Par.both(hybrid(iroot, vroot), hybrid(ifresh, vtwin))
+        require(synced == freshHybrid,
           "hybrid retrieval over the synced pair diverges from fresh builds")
         require(synced.head._1 == 0L,
           "the updated doc's new form must fuse to #1 through both modalities")
@@ -10118,36 +10142,41 @@ object Queries {
           (s"$base/cdcA", s"$base/cdcB", s"$base/idxA", s"$base/idxB")
         val (mcdc, midx, fresh) =
           (s"$base/mcdc", s"$base/midx", s"$base/fresh")
-        EventStreams.initCdcState(docs.filter(col("doc_id") % 2 === 0)
-          .withColumn("seq", lit(0L)), cdcA)
-        EventStreams.initCdcState(docs.filter(col("doc_id") % 2 === 1)
-          .withColumn("seq", lit(0L)), cdcB)
         def tick(cdc: String, root: String) =
           CdcSync.syncIndexFromCdc(s, cdc, root, "doc_id", "tk",
             IndexBucket, prep)
-        tick(cdcA, idxA); tick(cdcB, idxB)
-        // each pipeline takes one change batch and syncs it
-        EventStreams.publishCdcBatch(s, cdcA,
-          docs.filter(col("doc_id") % 10 === 0)
-            .select(col("doc_id"),
-              concat(col("text"), lit(" graftsync")).as("text"),
-              lit(1L).as("seq"), lit("U").as("op")),
-          Seq("doc_id"), "seq", "op")
-        EventStreams.publishCdcBatch(s, cdcB,
-          docs.filter(col("doc_id") % 10 === 3)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              concat(lit("graftsync "), col("text")).as("text"),
-              lit(1L).as("seq"), lit("I").as("op"))
-            .unionByName(docs.filter(col("doc_id") % 10 === 7)
-              .select(col("doc_id"), col("text"), lit(1L).as("seq"),
-                lit("D").as("op"))),
-          Seq("doc_id"), "seq", "op")
-        require(tick(cdcA, idxA) == 1L && tick(cdcB, idxB) == 1L,
-          "pipeline ticks must land at v1")
-        // the cut: checkpoint (byte-copy fast path), quiesce, merge
-        // both layers, rebind, retire-ready
-        EventStreams.checkpointCdc(s, cdcA)
-        EventStreams.checkpointCdc(s, cdcB)
+        // the two pipelines own disjoint (cdc, index) roots and key
+        // partitions — the query's own fleet premise — so their whole
+        // pre-cut life (bootstrap, change batch, sync tick, checkpoint)
+        // overlaps (Par, guide §2.6); each pipeline's internal order is
+        // unchanged
+        def pipeline(cdc: String, root: String, keyHalf: Long,
+            changes: DataFrame): Long = {
+          EventStreams.initCdcState(docs.filter(col("doc_id") % 2 === keyHalf)
+            .withColumn("seq", lit(0L)), cdc)
+          tick(cdc, root)
+          EventStreams.publishCdcBatch(s, cdc, changes,
+            Seq("doc_id"), "seq", "op")
+          val v = tick(cdc, root)
+          EventStreams.checkpointCdc(s, cdc)
+          v
+        }
+        val (vA, vB) = Par.both(
+          pipeline(cdcA, idxA, 0L,
+            docs.filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" graftsync")).as("text"),
+                lit(1L).as("seq"), lit("U").as("op"))),
+          pipeline(cdcB, idxB, 1L,
+            docs.filter(col("doc_id") % 10 === 3)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(lit("graftsync "), col("text")).as("text"),
+                lit(1L).as("seq"), lit("I").as("op"))
+              .unionByName(docs.filter(col("doc_id") % 10 === 7)
+                .select(col("doc_id"), col("text"), lit(1L).as("seq"),
+                  lit("D").as("op")))))
+        require(vA == 1L && vB == 1L, "pipeline ticks must land at v1")
+        // the cut: quiesce, merge both layers, rebind, retire-ready
         GenStore.quiesce(cdcA, mcdc); GenStore.quiesce(cdcB, mcdc)
         EventStreams.mergeCdcStores(s, Seq(cdcA, cdcB), mcdc,
           verifyKeyCols = Seq("doc_id"))
@@ -10249,7 +10278,8 @@ object Queries {
         def vtick() = CdcSync.syncVectorsFromCdc(s, cdc, vroot, "doc_id",
           "embedding", vprep, nlist = 16, kmeansIters = 5, m = 16,
           kcode = 16, pqIters = 5)
-        itick(); vtick()
+        // disjoint synced roots, shared CDC read — ticks overlap (Par, §2.6)
+        Par.both(itick(), vtick())
         EventStreams.publishCdcBatch(s, cdc,
           corpus.filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"),
@@ -10257,7 +10287,7 @@ object Queries {
               reverse(col("embedding")).as("embedding"),
               lit(1L).as("seq"), lit("U").as("op")),
           Seq("doc_id"), "seq", "op")
-        itick(); vtick()
+        Par.both(itick(), vtick())
         EventStreams.publishCdcBatch(s, cdc,
           corpus.filter(col("doc_id") % 10 === 7)
             .select(col("doc_id"), col("text"), col("embedding"),
