@@ -8622,36 +8622,54 @@ object Queries {
         val (ra, rb, twin, merged) =
           (s"$base/a", s"$base/b", s"$base/twin", s"$base/merged")
         Seq(ra, rb, twin).foreach(InvertedIndex.initStore)
-        (0L to 1L).foreach { b =>
-          InvertedIndex.admitBatch(s,
-            toks.filter(pmod(col("doc_id"), lit(4)) === b),
-            "doc_id", "tk", IndexBucket, batchId = b, root = ra)
-          InvertedIndex.admitBatch(s,
-            toks.filter(pmod(col("doc_id"), lit(4)) === b + 2),
-            "doc_id", "tk", IndexBucket, batchId = b, root = rb)
-        }
-        InvertedIndex.admitDeleteBatch(s,
-          docs.filter(deadPred).select("doc_id"), "doc_id", 0L, rb)
-        InvertedIndex.mergeStores(s, Seq(ra, rb), merged)
-        (0L to 3L).foreach { b =>
-          InvertedIndex.admitBatch(s,
-            toks.filter(pmod(col("doc_id"), lit(4)) === b),
-            "doc_id", "tk", IndexBucket, batchId = b, root = twin)
-        }
-        InvertedIndex.admitDeleteBatch(s,
-          docs.filter(deadPred).select("doc_id"), "doc_id", 0L, twin)
         def bm(r: String) = InvertedIndex.bm25SearchCurrent(s, r,
             bm25Terms, 15)
           .collect().toSeq.map(x => (x.getLong(0), x.getDouble(1)))
-        val eqTwin = bm(merged) == bm(twin)
-        val sealRefused =
-          try {
+        // builder A, builder B, and the single-pipeline twin own disjoint
+        // roots with zero coordination (the query's premise) — the merge
+        // leg waits only on the builders while the twin runs through
+        // (Par, guide §2.6); each store's internal batch order unchanged
+        def mergedSection(): (Seq[(Long, Double)], Boolean) = {
+          Par.both(
+            (0L to 1L).foreach { b =>
+              InvertedIndex.admitBatch(s,
+                toks.filter(pmod(col("doc_id"), lit(4)) === b),
+                "doc_id", "tk", IndexBucket, batchId = b, root = ra)
+            },
+            {
+              (0L to 1L).foreach { b =>
+                InvertedIndex.admitBatch(s,
+                  toks.filter(pmod(col("doc_id"), lit(4)) === b + 2),
+                  "doc_id", "tk", IndexBucket, batchId = b, root = rb)
+              }
+              InvertedIndex.admitDeleteBatch(s,
+                docs.filter(deadPred).select("doc_id"), "doc_id", 0L, rb)
+            })
+          InvertedIndex.mergeStores(s, Seq(ra, rb), merged)
+          val mergedBm = bm(merged)
+          val sealRefused =
+            try {
+              InvertedIndex.admitBatch(s,
+                toks.filter(pmod(col("doc_id"), lit(4)) === 0),
+                "doc_id", "tk", IndexBucket, batchId = 0L, root = merged)
+              false
+            } catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("seal") }
+          (mergedBm, sealRefused)
+        }
+        def twinSection(): Seq[(Long, Double)] = {
+          (0L to 3L).foreach { b =>
             InvertedIndex.admitBatch(s,
-              toks.filter(pmod(col("doc_id"), lit(4)) === 0),
-              "doc_id", "tk", IndexBucket, batchId = 0L, root = merged)
-            false
-          } catch { case e: IllegalArgumentException =>
-            e.getMessage.contains("seal") }
+              toks.filter(pmod(col("doc_id"), lit(4)) === b),
+              "doc_id", "tk", IndexBucket, batchId = b, root = twin)
+          }
+          InvertedIndex.admitDeleteBatch(s,
+            docs.filter(deadPred).select("doc_id"), "doc_id", 0L, twin)
+          bm(twin)
+        }
+        val ((mergedBm, sealRefused), twinBm) =
+          Par.both(mergedSection(), twinSection())
+        val eqTwin = mergedBm == twinBm
         InvertedIndex.bm25SearchCurrent(s, merged, bm25Terms, 15)
           .withColumn("merged_eq_single_pipeline", lit(eqTwin))
           .withColumn("occupied_id_sealed", lit(sealRefused))
@@ -9770,10 +9788,6 @@ object Queries {
           Seq("doc_id"), "seq", "op")
         require(tick() == 3L, "one tick must cover the (1, 3] window")
         require(tick() == 3L, "a no-op tick must not move the watermark")
-        InvertedIndex.initStore(fresh)
-        InvertedIndex.admitBatch(s,
-          prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
-          IndexBucket, batchId = 0L, root = fresh)
         val terms = Seq("graftsync", "join", "vector")
         def surfaces(r: String) = (
           InvertedIndex.lookupCurrent(s, r, terms)
@@ -9782,10 +9796,23 @@ object Queries {
                 .as("postings"))
             .orderBy("tok").collect().toSeq,
           InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
-        require(surfaces(root) == surfaces(fresh),
+        // the fresh one-shot build lands in its own root — it (and its
+        // surface read) overlaps the synced store's surface read (Par,
+        // §2.6); the fresh store is then immutable, so its surfaces are
+        // read ONCE and reused for the post-compaction gate (§1.2)
+        val (syncedSurf, freshSurf) = Par.both(
+          surfaces(root),
+          {
+            InvertedIndex.initStore(fresh)
+            InvertedIndex.admitBatch(s,
+              prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
+              IndexBucket, batchId = 0L, root = fresh)
+            surfaces(fresh)
+          })
+        require(syncedSurf == freshSurf,
           "synced store diverges from a fresh build of the mutated corpus")
         InvertedIndex.compactStore(s, root, InvertedIndex.currentGen(root))
-        require(surfaces(root) == surfaces(fresh),
+        require(surfaces(root) == freshSurf,
           "post-compaction surfaces diverge")
         val gen = InvertedIndex.genDir(root, InvertedIndex.currentGen(root))
         require(!java.nio.file.Files.exists(
@@ -9953,10 +9980,6 @@ object Queries {
         require(!InvertedIndex.needsCompaction(s, root,
             maxFragments = 2, maxPendingFraction = 0.01),
           "the policy is not quiet at drain")
-        InvertedIndex.initStore(fresh)
-        InvertedIndex.admitBatch(s,
-          prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
-          IndexBucket, batchId = 0L, root = fresh)
         val terms = Seq("graftsync", "join", "vector")
         def surfaces(r: String) = (
           InvertedIndex.lookupCurrent(s, r, terms)
@@ -9965,7 +9988,18 @@ object Queries {
                 .as("postings"))
             .orderBy("tok").collect().toSeq,
           InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
-        require(surfaces(root) == surfaces(fresh),
+        // fresh one-shot build in its own root || the drained store's
+        // surface read (Par, §2.6)
+        val (syncedSurf, freshSurf) = Par.both(
+          surfaces(root),
+          {
+            InvertedIndex.initStore(fresh)
+            InvertedIndex.admitBatch(s,
+              prep(EventStreams.currentCdcSnapshot(s, cdc)), "doc_id", "tk",
+              IndexBucket, batchId = 0L, root = fresh)
+            surfaces(fresh)
+          })
+        require(syncedSurf == freshSurf,
           "streamed-synced store diverges from a fresh build")
         InvertedIndex.lookupCurrent(s, root, terms)
           .select(col("tok"), col("n_docs"),
@@ -10204,10 +10238,6 @@ object Queries {
           Seq("doc_id"), "seq", "op")
         require(tick(mcdc, midx) == 1L,
           "the post-merge tick must land at the merged clock's v1")
-        InvertedIndex.initStore(fresh)
-        InvertedIndex.admitBatch(s,
-          prep(EventStreams.currentCdcSnapshot(s, mcdc)), "doc_id", "tk",
-          IndexBucket, batchId = 0L, root = fresh)
         val terms = Seq("graftsync", "join", "vector")
         def surfaces(r: String) = (
           InvertedIndex.lookupCurrent(s, r, terms)
@@ -10216,7 +10246,18 @@ object Queries {
                 .as("postings"))
             .orderBy("tok").collect().toSeq,
           InvertedIndex.bm25SearchCurrent(s, r, terms, 10).collect().toSeq)
-        require(surfaces(midx) == surfaces(fresh),
+        // fresh one-shot build in its own root || the merged store's
+        // surface read (Par, §2.6)
+        val (mergedSurf, freshSurf) = Par.both(
+          surfaces(midx),
+          {
+            InvertedIndex.initStore(fresh)
+            InvertedIndex.admitBatch(s,
+              prep(EventStreams.currentCdcSnapshot(s, mcdc)), "doc_id", "tk",
+              IndexBucket, batchId = 0L, root = fresh)
+            surfaces(fresh)
+          })
+        require(mergedSurf == freshSurf,
           "the federated synced index diverges from a fresh build")
         InvertedIndex.lookupCurrent(s, midx, terms)
           .select(col("tok"), col("n_docs"),
@@ -10486,8 +10527,10 @@ object Queries {
             .orderBy("tok")
             .collect().map(r => (r.getString(0), r.getLong(1),
               r.getString(2))).toSeq
-        // every retained version equals a fresh build of its snapshot
-        (0L to 2L).foreach { v =>
+        // every retained version equals a fresh build of its snapshot —
+        // three independent (own fresh root, read-only live store)
+        // build-and-compare sections, overlapped (Par, guide §2.6)
+        Par.all((0L to 2L).map(v => () => {
           val fr = s"$base/fresh-v$v"
           InvertedIndex.initStore(fr)
           InvertedIndex.admitBatch(s,
@@ -10496,7 +10539,7 @@ object Queries {
           require(canon(CdcSync.lookupIndexAsOf(s, root, terms, v)) ==
               canon(InvertedIndex.lookupCurrent(s, fr, terms)),
             s"as-of v$v diverges from a fresh build of snapshot v$v")
-        }
+        }))
         val v1Rows = canon(CdcSync.lookupIndexAsOf(s, root, terms, 1L))
         // the fold seals the window: newest still serves, pre-fold
         // versions refuse loudly
