@@ -31,7 +31,16 @@ object Verify {
     // written by exactly one worker; results are byte-identical to the
     // sequential sweep (verified against a sequential run's dumps).
     // SPARK_GRAFT_VERIFY_PAR=1 restores strictly sequential execution.
-    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR") match {
+      case None => 4
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ =>
+          System.err.println(
+            s"[verify] SPARK_GRAFT_VERIFY_PAR='$v' is not a positive int; using 4")
+          4
+      }
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -58,8 +67,13 @@ object Verify {
     // concurrent write (any options) can flip an open writer's
     // version/dictionary choices at its next row-group boundary
     // (values stay lossless; only the encoding gate is sensitive).
-    // Reproduced and bisected this round; see ParquetWrite.writeLock.
-    val exclusive = Set("q87_write_control")
+    // Reproduced and bisected in round 15; see ParquetWrite.writeLock.
+    // q88 gates row-group-granularity layout (group counts / prune
+    // fractions) of its own write — same race class, so it drains too.
+    val exclusive = Set("q87_write_control", "q88_zorder_skipping")
+    require(exclusive.subsetOf(SparkEntry.queries.keySet),
+      s"exclusive names not in the catalog: " +
+        exclusive.diff(SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
     val all = SparkEntry.queries.filter(kv => selected(kv._1)).toSeq
     val runs = all.filterNot(kv => exclusive(kv._1))
       .map { case (name, fn) => scala.concurrent.Future(run1(name, fn)) }

@@ -145,11 +145,23 @@ object Checks {
     require(a.columns.toSeq == b.columns.toSeq,
       s"multisetEq needs identical schemas: ${a.columns.mkString(",")} vs " +
         b.columns.mkString(","))
+    // types too: unionByName would silently coerce int-vs-bigint sides —
+    // a gate comparing mixed-width frames should say so, not coerce
+    require(a.schema.map(f => (f.name, f.dataType)) ==
+        b.schema.map(f => (f.name, f.dataType)),
+      s"multisetEq needs identical column types: ${a.schema.simpleString} " +
+        s"vs ${b.schema.simpleString}")
+    // weight/diff column names guaranteed absent from the inputs — a real
+    // "__w" column must count toward equality, not be overwritten
+    val w = Iterator.from(0).map(i => s"__w$i")
+      .find(n => !a.columns.contains(n)).get
+    val dd = Iterator.from(0).map(i => s"__d$i")
+      .find(n => !a.columns.contains(n) && n != w).get
     val cols = a.columns.toSeq.map(col)
-    a.withColumn("__w", lit(1L))
-      .unionByName(b.withColumn("__w", lit(-1L)))
-      .groupBy(cols: _*).agg(sum(col("__w")).as("__d"))
-      .filter(col("__d") =!= 0L)
+    a.withColumn(w, lit(1L))
+      .unionByName(b.withColumn(w, lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col(w)).as(dd))
+      .filter(col(dd) =!= 0L)
       .isEmpty
   }
 }

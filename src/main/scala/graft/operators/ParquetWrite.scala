@@ -67,8 +67,16 @@ object ParquetWrite {
     * values stay lossless, only the physical layout drifts). This lock
     * removes the engine's own layout-write vs layout-write races; a
     * racing PLAIN write from another thread can still flip encodings,
-    * which is why the one encoding-gated catalog query runs exclusively
-    * in Verify's drained tail.
+    * which is why the encoding/layout-gated catalog queries (q87, q88)
+    * run exclusively in Verify's drained tail.
+    *
+    * TODO(scale): the lock wraps the whole Spark write action, so it is
+    * a JVM-wide serialization point any future layout-write path
+    * inherits silently. The real fix is upstream (PARQUET: give each
+    * writer its own ValuesWriterFactory instead of re-initializing the
+    * shared singleton); until then, if layout-controlled call sites
+    * grow beyond the current three, narrow the critical section (e.g.
+    * pre-build the writer factory under the lock, run the job outside).
     */
   private val writeLock = new Object
 

@@ -470,7 +470,11 @@ object Similarity {
     * corpus size (guide §1.2: fix the distributed algorithm first).
     * Per-subspace math is unchanged — same hash-ordered seeds, same
     * argmin, same mean accumulation order — so the fitted codebooks are
-    * bit-identical to the serial form's (spec-gated).
+    * bit-identical to the serial form's under a deterministic
+    * partial-sum merge order (spec-gated in local mode; at higher
+    * partition counts the floating-point merge order of shuffle
+    * fetches is not guaranteed in Spark, a nondeterminism BOTH forms
+    * share — neither is "the" reference at that scale).
     *
     * Seeds stay one TakeOrderedAndProject per subspace (top-k by a
     * per-subspace hash — a bounded partial top-k per partition, never a

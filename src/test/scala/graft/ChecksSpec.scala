@@ -110,4 +110,21 @@ class ChecksSpec extends AnyFunSuite {
         s"multisetEq diverges from exceptAll pair")
     assert(Checks.multisetEq(a, b1) && !Checks.multisetEq(a, b2))
   }
+
+  test("multisetEq: a real __w column participates, and mixed types are refused") {
+    // r16 hardening: the internal weight column must never shadow an
+    // input column named __w — frames differing only in __w are unequal
+    val w1 = Seq((1L, 1L), (2L, 2L)).toDF("k", "__w")
+    val w2 = Seq((1L, 9L), (2L, 2L)).toDF("k", "__w")
+    assert(Checks.multisetEq(w1, w1.select(col("k"), col("__w"))))
+    assert(!Checks.multisetEq(w1, w2),
+      "frames differing only in a real __w column must be unequal")
+    // and int-vs-bigint sides are refused loudly, not silently coerced
+    val ints = Seq(1, 2).toDF("k")
+    val longs = Seq(1L, 2L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Checks.multisetEq(ints, longs)
+    }
+    assert(e.getMessage.contains("types"))
+  }
 }
