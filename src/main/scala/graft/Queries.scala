@@ -5201,15 +5201,21 @@ object Queries {
         val root = scratchDir("q151") + "/sigstore"
         val docs = t(s, d, "documents")
         val probe = docs.filter(col("doc_id") % 5 === 4)
+        // ONE signature pass for every admit, probe, and replay attempt
+        // (guide §1.2, the q165 pattern): all the store touches below
+        // slice this checkpointed key set by doc id
+        val sigKeys = Dedup.minHashBandKeys(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
         KeySetStore.init(root)
         (0L to 2L).foreach { b =>
-          Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === b),
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-            batchId = b, root = root, portableKeys = true)
+          Dedup.admitMinHashKeysBatch(sigKeys.filter(col("id") % 5 === b),
+            batchId = b, root = root)
         }
-        def decisions() = Dedup.admitAgainstMinHashStoreGen(probe,
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-            root = root, portableKeys = true)
+        def decisions() = Dedup.admitKeysAgainstMinHashStoreGen(
+            probe.select(col("doc_id").as("id")),
+            sigKeys.filter(col("id") % 5 === 4), root = root)
           .collect().toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         val fragsBefore = KeySetStore.fragmentCount(s, root)
@@ -5230,21 +5236,19 @@ object Queries {
             s.read.parquet(root + "/gen=1").drop("batch_id").distinct().count()
         val sealedRefused =
           try {
-            Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === 0),
-              "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-              batchId = 0L, root = root, portableKeys = true); false
+            Dedup.admitMinHashKeysBatch(sigKeys.filter(col("id") % 5 === 0),
+              batchId = 0L, root = root); false
           } catch { case e: IllegalArgumentException =>
             e.getMessage.contains("compact") }
-        Dedup.admitMinHashBatch(docs.filter(col("doc_id") % 5 === 3),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-          batchId = 3L, root = root, portableKeys = true)
+        Dedup.admitMinHashKeysBatch(sigKeys.filter(col("id") % 5 === 3),
+          batchId = 3L, root = root)
         val fragsAfter = KeySetStore.fragmentCount(s, root)
         // the oracle-stated surface: the probe batch's decisions against
         // the FULL admitted history (batches 0-3), from the compacted
         // store + the appended fragment
-        Dedup.admitAgainstMinHashStoreGen(probe,
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-            root = root, portableKeys = true)
+        Dedup.admitKeysAgainstMinHashStoreGen(
+            probe.select(col("doc_id").as("id")),
+            sigKeys.filter(col("id") % 5 === 4), root = root)
           .select(col("id").as("doc_id"), col("hit_bands"), col("admit"),
             lit(fragsBefore).cast("long").as("frags_before"),
             lit(fragsCompacted).cast("long").as("frags_compacted"),
@@ -7471,15 +7475,17 @@ object Queries {
         import graft.operators.GenStore
         val root = scratchDir("q174") + "/sigstore"
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        // ONE signature pass (native XXH64 keys) for the admit, the
+        // takedown, both probes, and the re-arm batch (guide §1.2)
+        val sigKeys = Dedup.minHashBandKeys(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8).localCheckpoint()
         KeySetStore.init(root)
-        Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = root)
+        Dedup.admitMinHashKeysBatch(sigKeys, batchId = 0L, root = root)
         val freshQuiet = !KeySetStore.needsCompaction(s, root)
-        val dead = docs.filter(col("doc_id") % 7 === 3)
-        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = root)
-        def decisions() = Dedup.admitAgainstMinHashStoreGen(docs, "doc_id",
-            "text", n = 3, numHashes = 32, bands = 8, root = root)
+        Dedup.deleteMinHashKeysBatch(sigKeys.filter(col("id") % 7 === 3),
+          batchId = 0L, root = root)
+        def decisions() = Dedup.admitKeysAgainstMinHashStoreGen(
+            docs.select(col("doc_id").as("id")), sigKeys, root = root)
           .collect().toSeq.map(r => (r.getLong(0), r.getBoolean(2)))
         val pre = decisions()
         val looseQuiet = !KeySetStore.needsCompaction(s, root,
@@ -7493,8 +7499,8 @@ object Queries {
         val purged = !java.nio.file.Files.exists(
           java.nio.file.Paths.get(root, "gen=2", "deletes"))
         val decisionsStable = decisions() == pre
-        Dedup.admitMinHashBatch(docs.filter(col("doc_id") < 5), "doc_id",
-          "text", n = 3, numHashes = 32, bands = 8, batchId = 10L, root = root)
+        Dedup.admitMinHashKeysBatch(sigKeys.filter(col("id") < 5),
+          batchId = 10L, root = root)
         val fragLegRearms = KeySetStore.needsCompaction(s, root,
           maxFragments = 2) && !KeySetStore.needsCompaction(s, root,
           maxFragments = 3)
@@ -8528,16 +8534,21 @@ object Queries {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val old = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         val newer = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        // ONE signature pass over both crawl batches (guide §1.2, the
+        // q165 pattern) — admits, probes, and the replay attempt slice
+        // this checkpointed key set
+        val sigKeys = Dedup.minHashBandKeys(
+          docs.filter(pmod(col("doc_id"), lit(3)) < 2), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
+        val oldKeys = sigKeys.filter(pmod(col("id"), lit(3)) === 0)
         KeySetStore.init(root)
-        Dedup.admitMinHashBatch(old, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = root,
-          portableKeys = true)
-        Dedup.admitMinHashBatch(newer, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 1L, root = root,
-          portableKeys = true)
-        def probeOld() = Dedup.admitAgainstMinHashStoreGen(old, "doc_id",
-            "text", n = 3, numHashes = 32, bands = 8, root = root,
-            portableKeys = true)
+        Dedup.admitMinHashKeysBatch(oldKeys, batchId = 0L, root = root)
+        Dedup.admitMinHashKeysBatch(
+          sigKeys.filter(pmod(col("id"), lit(3)) === 1),
+          batchId = 1L, root = root)
+        def probeOld() = Dedup.admitKeysAgainstMinHashStoreGen(
+            old.select(col("doc_id").as("id")), oldKeys, root = root)
           .collect().toSeq.map(r => (r.getLong(0), r.getBoolean(2)))
         // docs with shingles reject as their own clones pre-expiry
         // (shingle-less docs have no keys to hit and always admit)
@@ -8550,13 +8561,12 @@ object Queries {
           minRetainedBatch = 1L)
         val replayRefused =
           try {
-            Dedup.admitMinHashBatch(old, "doc_id", "text", n = 3,
-              numHashes = 32, bands = 8, batchId = 0L, root = root,
-              portableKeys = true); false
+            Dedup.admitMinHashKeysBatch(oldKeys, batchId = 0L, root = root)
+            false
           } catch { case e: IllegalArgumentException =>
             e.getMessage.contains("seal") }
-        Dedup.admitAgainstMinHashStoreGen(old, "doc_id", "text", n = 3,
-            numHashes = 32, bands = 8, root = root, portableKeys = true)
+        Dedup.admitKeysAgainstMinHashStoreGen(
+            old.select(col("doc_id").as("id")), oldKeys, root = root)
           .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
           .withColumn("gen_rolled", lit(gen2 == 2L))
           .withColumn("pre_expiry_self_rejected", lit(preRejects))

@@ -23,8 +23,10 @@ class CdcFederationSpec extends AnyFunSuite {
   private def cust = Tables.load(spark, TestSpark.sf0001, "customer")
     .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
 
+  // one-job signed-count equality (Checks.multisetEq) instead of the
+  // two-job exceptAll pair: same decision, half the jobs per gate
   private def setEq(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    graft.operators.Checks.multisetEq(a, b)
 
   test("merged v0 is the cut; the merged clock publishes and per-key seq guards carry over") {
     val base = Files.createTempDirectory("graft-cdcfed").toString

@@ -21,8 +21,10 @@ class CdcSyncSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // one-job signed-count equality (Checks.multisetEq) instead of the
+  // two-job exceptAll pair: same decision, half the jobs per gate
   private def setEq(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    graft.operators.Checks.multisetEq(a, b)
 
   private val prep: DataFrame => DataFrame =
     df => df.select(col("doc_id"), split(col("text"), " ").as("tk"))

@@ -59,7 +59,7 @@ class MultiSinkQuiesceSpec extends AnyFunSuite {
     }
     val mk = KeySetStore.keysCurrent(spark, m).distinct()
     val tk = KeySetStore.keysCurrent(spark, twin).distinct()
-    assert(mk.exceptAll(tk).isEmpty && tk.exceptAll(mk).isEmpty,
+    assert(graft.operators.Checks.multisetEq(mk, tk),
       "zero lost, zero duplicated: merged key set == single-pipeline twin")
     // lane layout: the post-merge fragments sit in DISJOINT per-sink
     // lanes above the merged seal

@@ -53,7 +53,7 @@ class ParquetWriteSpec extends AnyFunSuite {
     // round-trip is lossless
     val back = spark.read.parquet(dir)
     assert(back.count() == lineitem.count())
-    assert(back.exceptAll(lineitem).isEmpty && lineitem.exceptAll(back).isEmpty)
+    assert(graft.operators.Checks.multisetEq(back, lineitem))
   }
 
   test("v1 writer defaults: dictionary pages, no DELTA") {

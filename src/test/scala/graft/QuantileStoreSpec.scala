@@ -182,8 +182,7 @@ class QuantileStoreSpec extends AnyFunSuite {
     assert(quants(root) == want, "compaction changed retracted answers")
     val rootRows = spark.read.parquet(s"$root/gen=2").drop("batch_id")
     val freshRows = spark.read.parquet(s"$fresh/gen=2").drop("batch_id")
-    assert(rootRows.exceptAll(freshRows).isEmpty &&
-      freshRows.exceptAll(rootRows).isEmpty,
+    assert(graft.operators.Checks.multisetEq(rootRows, freshRows),
       "compacted cells differ from the store built without the batch")
     // a compacted retraction must not replay (it would subtract twice)
     assertThrows[IllegalArgumentException] {

@@ -132,7 +132,7 @@ class StoreQuiesceSpec extends AnyFunSuite {
     }
     val mk = KeySetStore.keysCurrent(spark, m).distinct()
     val tk = KeySetStore.keysCurrent(spark, twin).distinct()
-    assert(mk.exceptAll(tk).isEmpty && tk.exceptAll(mk).isEmpty,
+    assert(graft.operators.Checks.multisetEq(mk, tk),
       "zero lost, zero duplicated: the merged store's key set must " +
         "equal the single-pipeline twin's")
     // the re-pointed fragments live ABOVE the merged seal: replaying a
