@@ -5461,12 +5461,19 @@ object Queries {
             TextFunctions.qualityScore(col("text")).as("quality"))
         val b1 = qual.filter(col("doc_id") % 2 === 0 && col("quality") >= 0.5)
         val b2 = qual.filter(col("doc_id") % 2 === 1 && col("quality") >= 0.5)
+        // ONE signature pass over the quality-surviving corpus (guide
+        // §1.2): batch 1's admission and batch 2's probe slice it by id
+        val sigKeys = Dedup.minHashBandKeys(
+          qual.filter(col("quality") >= 0.5), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
         KeySetStore.init(root)
-        Dedup.admitMinHashBatch(b1, "doc_id", "text", n = 3, numHashes = 32,
-          bands = 8, batchId = 0L, root = root, portableKeys = true)
+        Dedup.admitMinHashKeysBatch(sigKeys.filter(col("id") % 2 === 0),
+          batchId = 0L, root = root)
         val admitted = b2.join(
-          Dedup.admitAgainstMinHashStoreGen(b2, "doc_id", "text", n = 3,
-              numHashes = 32, bands = 8, root = root, portableKeys = true)
+          Dedup.admitKeysAgainstMinHashStoreGen(
+              b2.select(col("doc_id").as("id")),
+              sigKeys.filter(col("id") % 2 === 1), root = root)
             .filter(col("admit")).select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi")
         val corpus = b1.unionByName(admitted)
@@ -7828,24 +7835,34 @@ object Queries {
           .collect().toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         val pending = served()
-        val fired = VectorStore.compactIfNeeded(s, root,
-          maxPendingFraction = 0.05) == Some(2L)
-        val quietAfter = !VectorStore.needsCompaction(s, root,
-          maxPendingFraction = 0.05)
-        val purged = !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(root, "gen=2", "deletes")) &&
-          s.read.parquet(VectorStore.codedDir(root, 2L))
-            .filter(col("cid") % 10 === 2).count() == 0L
-        val stableAcrossFold = served() == pending
-        // from-scratch twin over the survivors, same index artifact
-        val clean = s"$base/clean"
-        VectorStore.init(s, clean, c1, b1)
-        VectorStore.admit(s, clean, emb.filter(col("vec_id") % 10 =!= 2),
-          "vec_id", "embedding", 0L)
-        val eqClean = served() == VectorStore.search(s, clean, q, "vec_id",
-            "embedding", 5, nprobe = 12, shortlistFactor = 32)
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        // the from-scratch twin (survivors, same artifact, own root)
+        // overlaps the policy fold and its gates (Par, guide §2.6)
+        val ((fired, quietAfter, purged, postFold), cleanServed) = Par.both(
+          {
+            val fired = VectorStore.compactIfNeeded(s, root,
+              maxPendingFraction = 0.05) == Some(2L)
+            val quietAfter = !VectorStore.needsCompaction(s, root,
+              maxPendingFraction = 0.05)
+            val purged = !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(root, "gen=2", "deletes")) &&
+              s.read.parquet(VectorStore.codedDir(root, 2L))
+                .filter(col("cid") % 10 === 2).count() == 0L
+            (fired, quietAfter, purged, served())
+          },
+          {
+            val clean = s"$base/clean"
+            VectorStore.init(s, clean, c1, b1)
+            VectorStore.admit(s, clean, emb.filter(col("vec_id") % 10 =!= 2),
+              "vec_id", "embedding", 0L)
+            VectorStore.search(s, clean, q, "vec_id",
+                "embedding", 5, nprobe = 12, shortlistFactor = 32)
+              .collect().toSeq
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          })
+        val stableAcrossFold = postFold == pending
+        // the store is not mutated between the two post-fold reads, so
+        // the same serve answers both gates (guide §1.2)
+        val eqClean = postFold == cleanServed
         import s.implicits._
         pending.map(_._1).distinct.sorted.map { qid =>
           (qid, pending.count(_._1 == qid).toLong, freshQuiet, looseQuiet,
