@@ -7753,12 +7753,19 @@ object Queries {
         val twin = s"$base/twin"
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val dead = docs.filter(col("doc_id") % 5 === 1)
-        for (r <- Seq(root, twin)) {
-          KeySetStore.init(r)
-          Dedup.admitMinHashBatch(docs, "doc_id", "text", n = 3,
-            numHashes = 32, bands = 8, batchId = 0L, root = r,
-            portableKeys = true)
-        }
+        // ONE signature pass (guide §1.2) feeds both bootstraps, the
+        // twin's batch takedown, and every probe below; the two
+        // disjoint-root bootstraps overlap (Par, §2.6). The STREAM still
+        // derives its micro-batches' keys itself — that machinery is the
+        // thing under test.
+        val sigKeys = Dedup.minHashBandKeys(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
+        Par.both(
+          { KeySetStore.init(root)
+            Dedup.admitMinHashKeysBatch(sigKeys, batchId = 0L, root = root) },
+          { KeySetStore.init(twin)
+            Dedup.admitMinHashKeysBatch(sigKeys, batchId = 0L, root = twin) })
         val feed = s"$base/feed"
         dead.repartition(2).write.parquet(feed)
         val stream = s.readStream.schema(docs.schema)
@@ -7771,16 +7778,15 @@ object Queries {
         val quietAtDrain = !KeySetStore.needsCompaction(s, root,
           maxPendingFraction = 0.01)
         // batch closed form: one delete batch + one compaction
-        Dedup.deleteMinHashBatch(dead, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = twin,
-          portableKeys = true)
+        Dedup.deleteMinHashKeysBatch(sigKeys.filter(col("id") % 5 === 1),
+          batchId = 0L, root = twin)
         KeySetStore.compactStore(s, twin, GenStore.currentGen(twin))
-        def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(docs,
-            "doc_id", "text", n = 3, numHashes = 32, bands = 8, root = r,
-            portableKeys = true)
+        def dec(r: String) = Dedup.admitKeysAgainstMinHashStoreGen(
+            docs.select(col("doc_id").as("id")), sigKeys, root = r)
           .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
-        val streamed = dec(root)
-        val eqBatch = streamed == dec(twin)
+        // two disjoint finalized stores — the probes overlap
+        val (streamed, twinDec) = Par.both(dec(root), dec(twin))
+        val eqBatch = streamed == twinDec
         val deadReadmit = streamed.filter(_._1 % 5 == 1L).forall(_._2)
         docs.agg(count(lit(1)).cast("long").as("n_docs"),
             count(when(col("doc_id") % 5 === 1, lit(1))).cast("long")
@@ -9286,11 +9292,24 @@ object Queries {
         val probe = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
         val (ra, rb, merged, twin) =
           (s"$base/a", s"$base/b", s"$base/m", s"$base/twin")
-        Seq(rb, twin).foreach(KeySetStore.init)
+        // ONE signature pass (guide §1.2) feeds builder B, the
+        // single-pipeline twin, and every probe; the STREAM still derives
+        // its micro-batches' keys itself — that machinery is the thing
+        // under test. The twin admits every phase into its own root, so
+        // its whole build overlaps the live flow (Par, §2.6).
+        val sigKeys = Dedup.minHashBandKeys(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, portableKeys = true)
+          .localCheckpoint()
+        val probeIds = probe.select(col("doc_id").as("id"))
+        val probeKeys = sigKeys.filter(pmod(col("id"), lit(4)) === 3)
+        def dec(r: String) = Dedup.admitKeysAgainstMinHashStoreGen(
+            probeIds, probeKeys, root = r)
+          .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
+        KeySetStore.init(rb)
         // builder B finished before the tick
-        Dedup.admitMinHashBatch(pb, "doc_id", "text", n = 3,
-          numHashes = 32, bands = 8, batchId = 0L, root = rb,
-          portableKeys = true)
+        Dedup.admitMinHashKeysBatch(
+          sigKeys.filter(pmod(col("id"), lit(4)) === 1),
+          batchId = 0L, root = rb)
         // builder A ingests phase-1 crawl files as a LIVE stream
         val feed = s"$base/feed"
         pa.repartition(2).write.parquet(feed)
@@ -9300,35 +9319,40 @@ object Queries {
           "text", ra, s"$base/_cp", n = 3, numHashes = 32, bands = 8,
           portableKeys = true)
         try {
-          q.processAllAvailable()
-          // THE FEDERATION TICK, mid-stream: quiesce both sources into
-          // the successor, then merge
-          GenStore.quiesce(ra, merged)
-          GenStore.quiesce(rb, merged)
-          val fenceNamed =
-            try {
-              Dedup.admitMinHashBatch(pa.limit(1), "doc_id", "text", n = 3,
-                numHashes = 32, bands = 8, batchId = 99L, root = ra,
-                portableKeys = true); false
-            } catch { case e: IllegalStateException =>
-              e.getMessage.contains(merged) }
-          KeySetStore.mergeStores(s, Seq(ra, rb), merged)
-          // phase-2 crawl files land AFTER the merge; the sink re-points
-          pc.repartition(2).write.mode("append").parquet(feed)
-          q.processAllAvailable()
-          val repointed = GenStore.listBatchIds(s,
-            GenStore.genDir(merged, 1L)).size > 3 // 2 copied A + 1 B
-          // single-pipeline twin over every phase
-          Seq(pa -> 0L, pb -> 1L, pc -> 2L).foreach { case (p, b) =>
-            Dedup.admitMinHashBatch(p, "doc_id", "text", n = 3,
-              numHashes = 32, bands = 8, batchId = b, root = twin,
-              portableKeys = true)
+          def liveFlow(): (Boolean, Boolean) = {
+            q.processAllAvailable()
+            // THE FEDERATION TICK, mid-stream: quiesce both sources into
+            // the successor, then merge
+            GenStore.quiesce(ra, merged)
+            GenStore.quiesce(rb, merged)
+            val fenceNamed =
+              try {
+                Dedup.admitMinHashBatch(pa.limit(1), "doc_id", "text", n = 3,
+                  numHashes = 32, bands = 8, batchId = 99L, root = ra,
+                  portableKeys = true); false
+              } catch { case e: IllegalStateException =>
+                e.getMessage.contains(merged) }
+            KeySetStore.mergeStores(s, Seq(ra, rb), merged)
+            // phase-2 crawl files land AFTER the merge; the sink re-points
+            pc.repartition(2).write.mode("append").parquet(feed)
+            q.processAllAvailable()
+            val repointed = GenStore.listBatchIds(s,
+              GenStore.genDir(merged, 1L)).size > 3 // 2 copied A + 1 B
+            (fenceNamed, repointed)
           }
-          def dec(r: String) = Dedup.admitAgainstMinHashStoreGen(probe,
-              "doc_id", "text", n = 3, numHashes = 32, bands = 8,
-              root = r, portableKeys = true)
-            .collect().toSeq.map(x => (x.getLong(0), x.getBoolean(2)))
-          val eqTwin = dec(merged) == dec(twin)
+          // single-pipeline twin over every phase
+          def twinSection(): Seq[(Long, Boolean)] = {
+            KeySetStore.init(twin)
+            (0L to 2L).foreach { b =>
+              Dedup.admitMinHashKeysBatch(
+                sigKeys.filter(pmod(col("id"), lit(4)) === b),
+                batchId = b, root = twin)
+            }
+            dec(twin)
+          }
+          val ((fenceNamed, repointed), twinDec) =
+            Par.both(liveFlow(), twinSection())
+          val eqTwin = dec(merged) == twinDec
           // zero lost, zero duplicated: the DISTINCT key sets coincide
           // (fragment multiplicity differs by micro-batch split, which
           // the store's multiset-insensitive reads are built for)
@@ -9336,14 +9360,15 @@ object Queries {
             KeySetStore.keysCurrent(s, merged).distinct(),
             KeySetStore.keysCurrent(s, twin).distinct())
           // merged-away sources retire without touching the successor
+          // (the twin is untouched by the retire, so its probe decisions
+          // are reused — guide §1.2; the successor is re-probed)
           Seq(ra, rb).foreach(GenStore.retire)
           val retired = !java.nio.file.Files.exists(
               java.nio.file.Paths.get(ra)) &&
             !java.nio.file.Files.exists(java.nio.file.Paths.get(rb)) &&
-            dec(merged) == dec(twin)
-          Dedup.admitAgainstMinHashStoreGen(probe, "doc_id", "text",
-              n = 3, numHashes = 32, bands = 8, root = merged,
-              portableKeys = true)
+            dec(merged) == twinDec
+          Dedup.admitKeysAgainstMinHashStoreGen(probeIds, probeKeys,
+              root = merged)
             .select(col("id").as("doc_id"), col("hit_bands"), col("admit"))
             .withColumn("quiesce_fence_names_successor", lit(fenceNamed))
             .withColumn("sink_repointed_to_merged", lit(repointed))
